@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver testdata (TESTDATA.md).
+  *
+  * Mirrors the reference's source-extraction surface (S1/S2 in SURVEY.md §2.1:
+  * full-table reads at etl_script_dlh/etl_lakehouse.py:42,:51 and
+  * etl_script_dwh/etl_dwh.py:42) as lazy Spark parquet scans. Unlike the
+  * reference's eager pandas reads, nothing is materialized here — Catalyst
+  * prunes columns and pushes predicates into the scan, so a 100 TB table only
+  * reads the columns/row-groups a query actually touches.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** All relational source tables, keyed by name — the analog of the
+    * reference's bronze extraction list (etl_lakehouse.py:40). */
+  val sourceNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Register every table as a temp view (S7 in SURVEY.md §2.1 — the
+    * DuckDB view-over-parquet pattern at test_queries/test_queries.py:91-95). */
+  def registerViews(s: SparkSession, d: String): Unit =
+    (sourceNames ++ Seq("events", "documents", "embeddings")).foreach { n =>
+      table(s, d, n).createOrReplaceTempView(n)
+    }
+}

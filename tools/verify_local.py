@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local differential check (builder tooling only, mirrors the driver's
+t2 gate): run graft.Verify via sbt, then compare each result parquet
+against its DuckDB oracle.
+
+Usage: python3 tools/verify_local.py [sfDir] [--skip-run]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-run" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line: print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if Path(p).exists():
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(4)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+fails = []
+result_dirs = sorted(p.name for p in Path(OUT).iterdir() if p.is_dir())
+for name in result_dirs:
+    files = list(Path(f"{OUT}/{name}").glob("*.parquet"))
+    if not files:
+        fails.append((name, "no spark output")); continue
+    got = pd.read_parquet(f"{OUT}/{name}")
+    if name not in oracle:
+        print(f"  ~ {name}: rows-only ({len(got)} rows)")
+        if len(got) == 0: fails.append((name, "0 rows"))
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"cols: spark={list(g.columns)} oracle={list(e.columns)}")); continue
+    if len(g) != len(e):
+        fails.append((name, f"rows: spark={len(g)} oracle={len(e)}")); continue
+    gs = g.astype(str); es = e.astype(str)
+    if not gs.equals(es):
+        diff = (gs != es).any(axis=1)
+        i = diff.idxmax()
+        fails.append((name, f"value diff at row {i}:\n  spark:  {g.iloc[i].to_dict()}\n  oracle: {e.iloc[i].to_dict()}"))
+        continue
+    # dtype drift report (non-fatal for the hash but worth knowing)
+    dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in g.columns
+          if str(g[c].dtype) != str(e[c].dtype)]
+    note = f"  [dtype drift: {dt}]" if dt else ""
+    print(f"  ✓ {name}: {len(g)} rows match{note}")
+
+missing = set(oracle) - set(result_dirs)
+for m in missing: fails.append((m, "oracle declared but no spark output"))
+
+if fails:
+    print(f"\nFAILED ({len(fails)}):")
+    for n, msg in fails: print(f"  ✗ {n}: {msg}")
+    sys.exit(1)
+print(f"\nALL PASS ({len(result_dirs)} queries)")
