@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Per-operator coverage queries for SURVEY.md §2's inventory — every scan,
+  * projection, filter, join mode, aggregate, sort, set op, and scalar
+  * function family the reference executes, each as one named verifiable
+  * query over the testdata, plus the window/rollup/set-op extensions the
+  * reference lacks (§2.5/§2.7 ABSENT markers).
+  *
+  * Design rule shared with Analytics: deterministic total order on every
+  * output (D6), rounded money aggregates, column names aliased identically
+  * in the Spark plan and the oracle SQL.
+  */
+object RelOps {
+
+  /** S2 + P1 + P6: projection & predicate pushed into the parquet scan.
+    * `.explain` shows PushedFilters + a 4-column ReadSchema — at 100 TB this
+    * is the difference between scanning ~40 GB and scanning everything. */
+  def scanProjectFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        col("l_extendedprice") > 1000.0)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S7/S8: SQL text over registered views (reference: DuckDB views over
+    * parquet, test_queries/test_queries.py:91-97). Same text runs on both
+    * engines — the dialect-shared subset. */
+  val sqlOverViewsText: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders WHERE o_totalprice > 100000
+      |GROUP BY o_orderpriority
+      |ORDER BY n_orders DESC, o_orderpriority ASC""".stripMargin
+
+  def sqlOverViews(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlOverViewsText)
+  }
+
+  /** P1/P2/P3/P5: projection, rename, computed column, casts
+    * (etl_lakehouse.py:86-97, :124-132). */
+  def projectRenameCast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("okey"),
+      to_date(col("o_orderdate")).as("odate"),
+      year(col("o_orderdate")).as("oyear"),
+      floor(col("o_totalprice")).cast("long").as("price_floor"),
+      upper(col("o_orderstatus")).as("status_uc"))
+      .orderBy("okey")
+
+  /** P4: null-drop scoped to the post-left-join miss column (D5;
+    * etl_lakehouse.py:128-130). Customers that never ordered produce the
+    * nulls that na.drop removes. */
+  def dropnaLeftJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey").as("matched"))
+      .na.drop(Seq("matched"))
+      .orderBy("c_custkey")
+
+  /** P6: conjunctive predicates — equality, range, IN-list. */
+  def filterPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_totalprice").between(50000.0, 200000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** J16 semi: EXISTS as left_semi (10_mysql_populate_others.sql:26-31). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J16 anti: NOT EXISTS as left_anti (13_…orderhistory.sql:74-79).
+    * Filtered right side keeps the result non-empty on this data. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** A1: global min/max over a datetime column (etl_lakehouse.py:100-101). */
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      min("o_orderdate").as("first_order"),
+      max("o_orderdate").as("last_order"),
+      count(lit(1)).as("n_orders"))
+
+  /** A2: DISTINCT dedup (etl_lakehouse.py:95). */
+  def distinctSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  /** A4: deterministic group string-concat (D2; etl_lakehouse.py:64) —
+    * FIXTURES.md's per-nation customer-name analog. */
+  def stringAggPerNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(array_join(array_sort(collect_set(col("c_name"))), ", ").as("customers"))
+      .orderBy("nation")
+
+  /** §2.4-ABSENT extension: ROLLUP over (year, quarter). Partial aggregation
+    * happens map-side; the rollup adds one extra shuffle-free expand. */
+  def rollupSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("year_val"),
+        quarter(col("o_orderdate")).as("quarter_val"),
+        col("o_totalprice"))
+      .rollup("year_val", "quarter_val")
+      .agg(round(sum("o_totalprice"), 2).as("total_sales"), count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("year_val"), asc_nulls_first("quarter_val"))
+
+  /** §2.5-ABSENT extension: ranking window — top-3 parts per supplier.
+    * Partitioned window (no single-task funnel; scales with #suppliers). */
+  def windowRankPerGroup(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.lineitem(s, d)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("total_qty"))
+    totals
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("l_suppkey").orderBy(desc("total_qty"), asc("l_partkey"))))
+      .filter(col("rnk") <= 3)
+      .select("l_suppkey", "l_partkey", "total_qty", "rnk")
+      .orderBy("l_suppkey", "rnk")
+  }
+
+  /** §2.5-ABSENT extension: running total per customer, explicit ROWS frame
+    * (deterministic under ties, unlike the default RANGE frame). */
+  def windowRunningSpend(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+      round(sum("o_totalprice").over(
+        Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+  /** O4: random sample via seeded rand (10_mysql_populate_others.sql:8-9).
+    * Seeded rand is deterministic per engine but not ACROSS engines, so
+    * this is a rows-only check (no oracle). */
+  def sampleRand(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).orderBy(rand(42)).limit(20).select("c_custkey", "c_name")
+
+  /** §2.7: unionByName (11_mysql_populate_order.sql:20-110 analog). */
+  def unionKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("key"), lit("customer").as("src"))
+      .unionByName(
+        Tables.supplier(s, d).select(col("s_suppkey").as("key"), lit("supplier").as("src")))
+      .orderBy("src", "key")
+
+  /** §2.7-ABSENT extension: EXCEPT — parts not shipped in 1995H1
+    * (time-scoped so the result is non-empty). */
+  def exceptUnsoldParts(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select("p_partkey")
+      .except(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-07-01")))
+        .select(col("l_partkey").as("p_partkey")))
+      .orderBy("p_partkey")
+
+  /** F6/F7/F9 + null-handling extension: scalar expression families in one
+    * projection — arithmetic, round, concat_ws, CASE, coalesce/nullif. */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // floor, not round: the product has >2 true decimals, and Spark
+      // (decimal-string HALF_UP) vs DuckDB (binary-double) disagree on
+      // exact .xx5 half-cents; floor of the same binary double is exact
+      // and identical in both engines.
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax"))).cast("long").as("charge"),
+      concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+      when(col("l_quantity") >= 25, "bulk").otherwise("small").as("size_class"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("ret"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project_filter"   -> (scanProjectFilter _),
+    "sql_over_views"        -> (sqlOverViews _),
+    "project_rename_cast"   -> (projectRenameCast _),
+    "dropna_left_join"      -> (dropnaLeftJoin _),
+    "filter_predicates"     -> (filterPredicates _),
+    "join_semi"             -> (joinSemi _),
+    "join_anti"             -> (joinAnti _),
+    "agg_minmax"            -> (aggMinMax _),
+    "distinct_segments"     -> (distinctSegments _),
+    "stringagg_per_nation"  -> (stringAggPerNation _),
+    "rollup_sales"          -> (rollupSales _),
+    "window_rank_per_group" -> (windowRankPerGroup _),
+    "window_running_spend"  -> (windowRunningSpend _),
+    "sample_rand"           -> (sampleRand _),
+    "union_keys"            -> (unionKeys _),
+    "except_unsold_parts"   -> (exceptUnsoldParts _),
+    "scalar_funcs"          -> (scalarFuncs _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_project_filter" -> """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_extendedprice > 1000
+ORDER BY l_orderkey, l_linenumber""",
+    "sql_over_views" -> sqlOverViewsText,
+    "project_rename_cast" -> """
+SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS odate,
+       CAST(year(o_orderdate) AS INT) AS oyear,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       upper(o_orderstatus) AS status_uc
+FROM orders ORDER BY okey""",
+    "dropna_left_join" -> """
+SELECT c_custkey, c_name, o_custkey AS matched
+FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c_custkey = o_custkey
+WHERE o_custkey IS NOT NULL
+ORDER BY c_custkey""",
+    "filter_predicates" -> """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_orderkey""",
+    "join_semi" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""",
+    "join_anti" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey""",
+    "agg_minmax" -> """
+SELECT min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+       count(*) AS n_orders
+FROM orders""",
+    "distinct_segments" -> """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""",
+    "stringagg_per_nation" -> """
+SELECT n_name AS nation,
+       string_agg(DISTINCT c_name, ', ' ORDER BY c_name) AS customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation""",
+    "rollup_sales" -> """
+SELECT year_val, quarter_val, round(sum(o_totalprice), 2) AS total_sales,
+       count(*) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS year_val,
+             CAST(quarter(o_orderdate) AS INT) AS quarter_val, o_totalprice
+      FROM orders) t
+GROUP BY ROLLUP (year_val, quarter_val)
+ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
+    "window_rank_per_group" -> """
+SELECT l_suppkey, l_partkey, total_qty, rnk FROM (
+  SELECT l_suppkey, l_partkey, total_qty,
+         CAST(row_number() OVER (PARTITION BY l_suppkey
+           ORDER BY total_qty DESC, l_partkey ASC) AS INT) AS rnk
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey) t) r
+WHERE rnk <= 3
+ORDER BY l_suppkey, rnk""",
+    "window_running_spend" -> """
+SELECT o_custkey, o_orderdate, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "union_keys" -> """
+SELECT c_custkey AS key, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+ORDER BY src, key""",
+    "except_unsold_parts" -> """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+ORDER BY p_partkey""",
+    "scalar_funcs" -> """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS BIGINT) AS charge,
+       concat_ws('-', l_returnflag, l_linestatus) AS flag_status,
+       CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS size_class,
+       coalesce(nullif(l_returnflag, 'N'), 'none') AS ret
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber"""
+  )
+}
