@@ -7,9 +7,13 @@ object SparkEntry {
     graft.queries.Analytics.q1SalesPerMonth(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries ++ graft.queries.RelOps.queries
+    graft.queries.Analytics.queries ++ graft.queries.RelOps.queries ++
+      graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
+      graft.ops.TextOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracleSql ++ graft.queries.RelOps.oracleSql
+    graft.queries.Analytics.oracleSql ++ graft.queries.RelOps.oracleSql ++
+      graft.ops.Dedup.oracleSql ++ graft.ops.Similarity.oracleSql ++
+      graft.ops.TextOps.oracleSql
 }

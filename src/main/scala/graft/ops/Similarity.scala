@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §7.5 extension surface).
+  *
+  * Two paths:
+  *  - [[annTopK]] — exact brute-force cosine top-k: a SMALL query set
+  *    broadcast against the full corpus, ranked per query by a partitioned
+  *    window. Scales linearly in corpus size × queries — at 100 TB the
+  *    corpus streams through executors once per batch of queries, no
+  *    shuffle of the corpus itself (the broadcast keeps the big side
+  *    shuffle-free; the window partitions by query id, ~|queries × k| rows).
+  *  - [[annLshTopK]] — random-hyperplane LSH: bucket every vector by the
+  *    sign pattern of `Bits` seeded Gaussian projections, probe the query's
+  *    bucket plus all Hamming-1 neighbors, exact-rank only the candidates.
+  *    The corpus-side cost per query drops from O(n) to O(n / 2^Bits ×
+  *    (Bits+1)); approximate, so it's a rows-only check plus a recall
+  *    assertion in the test suite (no SQL oracle can reproduce the
+  *    approximation exactly is false — it could, but pinning the planes in
+  *    SQL adds nothing; the recall spec is the meaningful contract).
+  */
+object Similarity {
+
+  val K = 5
+  val Bits = 4
+  val Dim = 64
+  val Seed = 42L
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Query set: every 100th vector — small by construction, broadcast. */
+  private def querySet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  /** Exact cosine top-K per query (ranked on the 6dp-rounded cosine with a
+    * vec_id tie-break so both engines rank identically). */
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val q = querySet(emb)
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("query_id", "vec_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val annTopKOracle: String = s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(v, qv), 6) AS cosine
+  FROM emb JOIN q ON vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, cosine, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+
+  /** Seeded random hyperplanes, generated on the driver (Bits × Dim doubles
+    * — trivially broadcastable at any scale). */
+  private lazy val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(Seed)
+    Array.fill(Bits, Dim)(rng.nextGaussian())
+  }
+
+  private def bucketOf(v: Column): Column =
+    (0 until Bits).map { b =>
+      when(dot(v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-K: probe own bucket + Hamming-1 buckets,
+    * exact-rank the candidates. Rows-only check (approximate by design);
+    * SimilaritySpec asserts recall@K against [[annTopK]]. */
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketOf(col("v")))
+    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probes).as("flip"), col("bucket"))
+      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
+      .drop("bucket", "flip")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    emb.join(broadcast(q),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("query_id", "vec_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_bruteforce" -> (annTopK _),
+    "ann_topk_lsh"        -> (annLshTopK _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_bruteforce" -> annTopKOracle
+    // ann_topk_lsh: approximate — rows-only here, recall@K asserted in tests
+  )
+}

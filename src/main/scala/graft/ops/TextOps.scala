@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis suite over the `documents` table (SURVEY.md §7.5):
+  * language-ID heuristic, quality scoring, token counting, and positional
+  * document fingerprinting. Every op is a single narrow projection /
+  * aggregation — embarrassingly parallel, no shuffle except the final
+  * presentation sort, so all four scale linearly with the corpus.
+  *
+  * All computations are engine-neutral (string splits, regex over simple
+  * character classes, md5-derived hashes, double arithmetic in fixed
+  * order), so each query has an exact DuckDB oracle.
+  */
+object TextOps {
+
+  /** Small per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately tiny — the heuristic's shape (per-language
+    * membership scores + argmax) is what the operator contract is. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "que"))
+
+  private def ws: Column = split(col("text"), " ")
+
+  private def hitCount(lang: String): Column =
+    size(filter(ws, w => w.isInCollection(stopwords(lang))))
+
+  private def hitCountSql(lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
+  }
+
+  /** Language-ID heuristic: stopword-hit score per language, argmax with a
+    * fixed precedence order, 'und' (undetermined) when no list hits. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scores = Seq("en", "es", "de", "fr").map(l => hitCount(l).as(s"score_$l"))
+    val best = when(
+      col("score_en") === 0 && col("score_es") === 0 &&
+        col("score_de") === 0 && col("score_fr") === 0, lit("und"))
+      .when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+        col("score_en") >= col("score_fr"), lit("en"))
+      .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr"), lit("es"))
+      .when(col("score_de") >= col("score_fr"), lit("de"))
+      .otherwise(lit("fr"))
+    Tables.documents(s, d)
+      .select(col("doc_id") +: scores: _*)
+      .withColumn("predicted_lang", best)
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val scores = Seq("en", "es", "de", "fr")
+      .map(l => s"${hitCountSql(l)} AS score_$l").mkString(",\n       ")
+    s"""
+WITH scored AS (
+  SELECT doc_id,
+       $scores
+  FROM documents)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE
+         WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+         WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+         WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+         WHEN score_de >= score_fr THEN 'de'
+         ELSE 'fr'
+       END AS predicted_lang
+FROM scored ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: length/punctuation/stopword/char-class ratios plus a
+    * composite score — the standard pre-training corpus filters. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(ws)
+    val nChars = length(col("text"))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val alpha = length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))
+    val stops = hitCount("en")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nChars.as("n_chars_measured"),
+      round(nChars.cast("double") / nWords, 6).as("avg_word_len"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(alpha.cast("double") / nChars, 6).as("alpha_ratio"),
+      round(stops.cast("double") / nWords, 6).as("stop_ratio"),
+      // composite: long-enough + alphabetic + some stopwords = likely prose
+      round(least(nWords.cast("double") / 100, lit(1.0)) * 0.4 +
+        (alpha.cast("double") / nChars) * 0.4 +
+        least(stops.cast("double") / nWords * lit(5.0), lit(1.0)) * 0.2, 6)
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualityOracle: String = s"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(text) AS n_chars_measured,
+       round(len(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+       round((len(text) - len(regexp_replace(text, '[.!?,;:]', '', 'g')) ) * 1.0 / len(text), 6) AS punct_ratio,
+       round((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')) ) * 1.0 / len(text), 6) AS alpha_ratio,
+       round(${hitCountSql("en")} * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+       round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+             ((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0 / len(text)) * 0.4 +
+             least(${hitCountSql("en")} * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2, 6) AS quality_score
+FROM documents ORDER BY doc_id"""
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (alnum runs or single non-space symbols). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(ws).as("ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens
+FROM documents ORDER BY doc_id"""
+
+  /** Positional document fingerprint: sum over positions i of
+    * i × h(word_i) where h = first 8 md5 hex chars as int. Order-sensitive
+    * (a permuted document fingerprints differently), overflow-free
+    * (≤ ~1e14 for any realistic document), and engine-neutral. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(sequence(lit(1), size(ws)),
+          i => i.cast("long") *
+            conv(substring(md5(element_at(ws, i)), 1, 8), 16, 10).cast("long")),
+        lit(0L), _ + _).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(1, len(ws)),
+         i -> CAST(i AS BIGINT) * list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef', substr(md5(ws[i]), j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))))) AS BIGINT) AS fingerprint
+FROM w ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid"      -> langIdOracle,
+    "text_quality"     -> qualityOracle,
+    "text_token_count" -> tokenCountOracle,
+    "text_fingerprint" -> fingerprintOracle
+  )
+}
