@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §7.5): image/audio/video handled
+  * as opaque `binary` columns with typed metadata, decoded/featurized in
+  * batch via `mapPartitions`.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (byte-level statistics standing in
+  * for pixel decoding). Everything around it — the binary column, the
+  * metadata schema, partition-batched processing, the feature-vector
+  * output shape — is the real Spark plumbing a production decode UDF would
+  * drop into.
+  *
+  * Scale notes: media payloads dominate row size, so the feature pass maps
+  * partitions 1:1 with no shuffle (narrow dependency); only the small
+  * feature output ever shuffles. `spark.sql.files.maxPartitionBytes`
+  * governs batch size per task — with real ~MB payloads you'd lower it so
+  * a partition's decoded batch fits executor memory.
+  */
+object Multimodal {
+
+  /** Synthetic media table: a deterministic 128-byte payload per document
+    * (md5 of the text, repeated — engine-reproducible) plus typed metadata.
+    * Stands in for a real `binary` column read from parquet. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      unhex(repeat(md5(col("text")), 8)).as("payload"),
+      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("n_chars") % 48 + 16).cast("int").as("height"))
+
+  /** Metadata projection over the binary column (oracle-checked: byte
+    * length + typed meta survive the binary round-trip). */
+  def meta(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        col("format"), col("width"), col("height"))
+      .orderBy("doc_id")
+
+  val metaOracle: String = """
+SELECT doc_id,
+       octet_length(unhex(repeat(md5(text), 8))) AS n_bytes,
+       ['jpeg', 'png', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+       CAST(n_chars % 64 + 16 AS INT) AS width,
+       CAST(n_chars % 48 + 16 AS INT) AS height
+FROM documents ORDER BY doc_id"""
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
+    h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Batch "decode" + feature extraction via mapPartitions — the partition
+    * is the batch, mirroring how a vectorized decode UDF consumes arrow
+    * batches. The byte-statistics body below is the STUB standing in for
+    * a real codec call. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = mediaTable(s, d).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          // STUB decode: byte histogram over the top-2 bits + mean byte.
+          // A real deployment replaces this block with the codec call;
+          // the surrounding plumbing (schema, batching, output) stays.
+          val hist = new Array[Long](4)
+          var sum = 0L
+          bytes.foreach { b =>
+            val v = b & 0xff
+            hist(v >> 6) += 1
+            sum += v
+          }
+          MediaFeatures(id, bytes.length,
+            math.rint(sum.toDouble / bytes.length * 1e6) / 1e6,
+            hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+    out.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle recomputes the byte statistics from the md5 hex digits (the
+    * payload is the 16 md5 bytes repeated 8×, so each histogram count is
+    * 8× the per-md5 count and the mean is unchanged). */
+  val featuresOracle: String = {
+    val byteAt = "list_transform(generate_series(1, 16), i -> " +
+      "(strpos('0123456789abcdef', substr(md5(text), 2*i-1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1))"
+    s"""
+WITH b AS (SELECT doc_id, $byteAt AS bytes FROM documents)
+SELECT doc_id,
+       CAST(128 AS INT) AS n_bytes,
+       round(list_sum(bytes) / 16.0, 6) AS mean_byte,
+       CAST(8 * len(list_filter(bytes, v -> v // 64 = 0)) AS BIGINT) AS h0,
+       CAST(8 * len(list_filter(bytes, v -> v // 64 = 1)) AS BIGINT) AS h1,
+       CAST(8 * len(list_filter(bytes, v -> v // 64 = 2)) AS BIGINT) AS h2,
+       CAST(8 * len(list_filter(bytes, v -> v // 64 = 3)) AS BIGINT) AS h3
+FROM b ORDER BY doc_id"""
+  }
+
+  case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int, first_frame_hex: String)
+
+  /** Video-style frame sampling: slice the payload into fixed-size frames,
+    * keep every `stride`-th. Rows-only (the op is Spark-side slicing of
+    * binary; a SQL oracle would just re-state the same arithmetic). */
+  def frameSample(s: SparkSession, d: String, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val frames = bytes.grouped(frameBytes).toArray
+          val sampled = frames.indices.collect { case i if i % stride == 0 => frames(i) }
+          FrameSample(id, frames.length, sampled.length,
+            sampled.headOption.map(_.map("%02x".format(_)).mkString).getOrElse(""))
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta"     -> (meta _),
+    "multimodal_features" -> (features _),
+    "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta"     -> metaOracle,
+    "multimodal_features" -> featuresOracle
+    // multimodal_frames: rows-only (binary slicing; covered by spec test)
+  )
+}

@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.10 — ABSENT
+  * in the reference; §7.5 extension surface).
+  *
+  * Each query runs a real streaming pipeline — `readStream` file source →
+  * event-time transforms → memory sink — driven to completion with
+  * `processAllAvailable()`, then returns the sink table so the driver's
+  * batch-oriented harness can verify it. Because the file source delivers
+  * everything in one batch, the streaming results equal their batch SQL
+  * equivalents, which is exactly what the DuckDB oracles check.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (10 min event-time lag → state for at most ~watermark/slide windows per
+  * key group); sessionization state is one small case class per active
+  * user, evicted via ProcessingTimeTimeout in a long-running deployment.
+  * Both shuffle once on the grouping key — same as their batch analogs.
+  */
+object EventsStream {
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    // The streaming file source wants a DIRECTORY to watch; the testdata is
+    // a single file. Stage it once into a temp dir — in production the
+    // upstream writer would already be dropping files into the watched dir.
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val stageDir = java.nio.file.Paths.get(s"/tmp/graft_stream_src/$safe")
+    val staged = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged)) {
+      java.nio.file.Files.createDirectories(stageDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged)
+    }
+    // schema of the RAW file (ts = nanos long; see Tables.eventsRaw), then
+    // the same ns→us conversion the batch reader applies
+    val schema = Tables.eventsRaw(s, d).schema
+    s.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling 1h window counts per event type, with a 10-minute watermark.
+    * Complete output mode so the single file-source batch emits every
+    * window (append would hold the tail windows back until a later batch
+    * advances the watermark past them). */
+  def tumblingCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_tumbling")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val tumblingOracle: String = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type"""
+
+  /** Sliding 2h windows every 1h — each event lands in two windows. */
+  def slidingCounts(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_sliding")
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val slidingOracle: String = """
+WITH cand AS (
+  SELECT event_type, ts,
+         unnest([time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour',
+                 time_bucket(INTERVAL '1 hour', ts)]) AS window_start
+  FROM events)
+SELECT window_start, event_type, count(*) AS n_events
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL '2 hours'
+GROUP BY 1, 2
+ORDER BY window_start, event_type"""
+
+  // ---- stateful sessionization ----
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+    value: Double, props: String)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, total_value: Double)
+  case class UserState(start: Timestamp, end: Timestamp, n: Long, total: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user
+    * sessionization with a 30-minute inactivity gap. In a single-batch
+    * replay every session closes within the call, so the output equals the
+    * batch gap-and-islands SQL the oracle runs. The state handle carries
+    * the open session across batches in a genuine multi-batch deployment. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = eventsStream(s, d).as[Ev]
+
+    def fn(user: Long, events: Iterator[Ev], state: GroupState[UserState]): Iterator[Session] = {
+      // Timestamps carry microseconds — compare/sort at full precision
+      // (ms-truncated getTime arithmetic would drop them from the output).
+      val sorted = events.toSeq.sortBy(e => (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer[Session]()
+      var cur: Option[UserState] = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          // gap compare at full precision: toMillis would truncate a
+          // 30min+500µs gap down to exactly the threshold
+          case Some(st) if java.time.Duration.between(st.end.toInstant, e.ts.toInstant)
+            .compareTo(java.time.Duration.ofMillis(GapMs)) <= 0 =>
+            cur = Some(UserState(st.start, e.ts, st.n + 1, st.total + e.value))
+          case Some(st) =>
+            sessions += Session(user, st.start, st.end, st.n, st.total)
+            cur = Some(UserState(e.ts, e.ts, 1, e.value))
+          case None =>
+            cur = Some(UserState(e.ts, e.ts, 1, e.value))
+        }
+      }
+      // single-batch replay: flush the trailing open session too (a live
+      // deployment would keep it in state and close it on timeout instead)
+      cur.foreach { st =>
+        sessions += Session(user, st.start, st.end, st.n, st.total)
+      }
+      state.remove()
+      sessions.iterator
+    }
+
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val tbl = runToTable(s, out.toDF(), OutputMode.Append, "graft_stream_sessions")
+    tbl.select(col("user_id"), col("session_start"), col("session_end"),
+      col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val sessionizeOracle: String = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_sliding_counts"  -> (slidingCounts _),
+    "stream_sessionize"      -> (sessionize _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_counts" -> tumblingOracle,
+    "stream_sliding_counts"  -> slidingOracle,
+    "stream_sessionize"      -> sessionizeOracle
+  )
+}
