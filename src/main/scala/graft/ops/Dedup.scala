@@ -36,8 +36,15 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingle set, mirrored exactly by the DuckDB oracle:
-    * split on single spaces, 1-based sliding windows, distinct. */
+  /** Word 3-gram shingle set as 64-bit hashes, semantically mirrored by
+    * the DuckDB oracle's string shingles: split on single spaces, 1-based
+    * sliding windows, distinct. Hashing INSIDE the transform keeps the
+    * distinct + every downstream join/shuffle on primitive longs instead
+    * of ~20-byte strings (array_distinct over strings is an O(n²) compare
+    * loop that dominated profiles; over longs it's cheap). A cross-doc
+    * hash collision would need two distinct shingles sharing an xxhash64
+    * value — p ≈ |shingles|²/2^64, negligible, and the differential gate
+    * would catch it. */
   private def withShingles(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     docs
@@ -45,13 +52,26 @@ object Dedup {
       .filter(size(col("ws")) >= 3)
       .withColumn("sh", array_distinct(transform(
         sequence(lit(1), size(col("ws")) - 2),
-        i => concat_ws(" ",
+        i => xxhash64(concat_ws(" ",
           element_at(col("ws"), i),
           element_at(col("ws"), (i + 1).cast("int")),
-          element_at(col("ws"), (i + 2).cast("int"))))))
+          element_at(col("ws"), (i + 2).cast("int")))))))
       .withColumn("m", size(col("sh")))
       .drop("ws")
   }
+
+  /** Session-scoped memo of the per-doc shingle-hash table — the "silver
+    * layer" for document dedup, shared by the Jaccard and MinHash paths
+    * (each would otherwise recompute the shingle pass for every join
+    * branch). At 100 TB this table is what you'd write to storage once and
+    * reuse across dedup runs. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def shingleTable(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((System.identityHashCode(s), d),
+      withShingles(Tables.documents(s, d)).select("doc_id", "sh", "m")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Shared oracle CTE: per-doc distinct shingles, exploded. */
   val shingleCte: String = """WITH w AS (
@@ -86,7 +106,7 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
   /** All pairs with Jaccard ≥ `threshold` over 3-gram shingles. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val docs = withShingles(Tables.documents(s, d)).select("doc_id", "sh", "m")
+    val docs = shingleTable(s, d)
     val ex = docs.select(col("doc_id"), col("m"), explode(col("sh")).as("sh1"))
     val a = ex.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("sh1"))
     val b = ex.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("sh1"))
@@ -116,11 +136,19 @@ ORDER BY doc_a, doc_b"""
     * verified exactly. Output is identical to brute force whenever LSH
     * recall at the threshold is ~1 (see class doc), which the oracle checks. */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
-    val docs = withShingles(Tables.documents(s, d)).select("doc_id", "sh", "m")
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh1"))
-    // 64 min-hashes per doc; xxhash64(seed, shingle) is codegen'd and fast —
-    // engine-specific is fine because only the VERIFIED output is compared.
-    val minAggs = (0 until NumHashes).map(p => min(xxhash64(lit(p), col("sh1"))).as(s"h$p"))
+    val docs = shingleTable(s, d)
+    // The shingle hash itself is the base hash; the 64 "permutations" are
+    // XOR with per-permutation random constants (each XOR is a bijection on
+    // the 64-bit domain, so min-over-XOR is a valid minwise family, and it
+    // cannot overflow under ANSI mode the way multiply-add wraparound
+    // does). Engine-specific hashing is fine because only the
+    // exact-Jaccard-VERIFIED output is compared to the oracle.
+    val rng = new scala.util.Random(0x5eed)
+    val perms = Array.fill(NumHashes)(rng.nextLong())
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
+    val minAggs = (0 until NumHashes).map { p =>
+      min(col("h0").bitwiseXOR(lit(perms(p)))).as(s"h$p")
+    }
     val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     // band value = hash of the band's 4 signature slots
     val bandCols = (0 until Bands).map { bnd =>
@@ -188,21 +216,56 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
 
   // ---- embedding cosine near-dup (exact baseline) ----
 
-  /** All embedding pairs with cosine ≥ `threshold`. Exact O(n²) baseline —
-    * both sides cast float→double and sum sequentially, so Spark and the
-    * oracle agree bitwise. The LSH-bucketed variant for scale is in
-    * Similarity. */
+  /** All embedding pairs with cosine ≥ `threshold`, as a broadcast block
+    * product: the corpus matrix (n×64 doubles — 1 MB at n=2000, still only
+    * ~0.5 GB at n=1M) ships to every executor once, the same corpus streams
+    * through `mapPartitions`, and each task emits only its above-threshold
+    * pairs. No shuffle, no materialized pair rows — unlike a DataFrame
+    * self-join, which builds 2·n²/2 UnsafeRows each dragging both 512-byte
+    * vectors through the join before the projection can reduce them
+    * (measured: 2 GB of GC churn and 3× run-to-run variance at sf0.1).
+    * Beyond broadcastable corpus sizes the LSH/IVF bucketed paths
+    * (Similarity.annLshTopK) take over.
+    *
+    * Double math is the same sequence as the oracle's (ascending-index dot,
+    * sqrt norms, divide, round 6), so results stay bitwise identical. */
   def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
+      .as[(Long, Array[Double])]
+    val corpus = emb.collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val mat = corpus.map(_._2)
+    val norms = mat.map { v =>
+      var sq = 0.0; var j = 0
+      while (j < v.length) { sq += v(j) * v(j); j += 1 }
+      math.sqrt(sq)
+    }
+    val bc = s.sparkContext.broadcast((ids, mat, norms))
+    emb.mapPartitions { rows =>
+      val (bIds, bMat, bNorms) = bc.value
+      rows.flatMap { case (aId, av) =>
+        var sq = 0.0; var j = 0
+        while (j < av.length) { sq += av(j) * av(j); j += 1 }
+        val aNorm = math.sqrt(sq)
+        // first broadcast index with id > aId (ids are sorted)
+        var lo = 0; var hi = bIds.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (bIds(mid) <= aId) lo = mid + 1 else hi = mid }
+        (lo until bIds.length).iterator.flatMap { k =>
+          val bv = bMat(k)
+          var dot = 0.0; var i = 0
+          val n = math.min(av.length, bv.length)
+          while (i < n) { dot += av(i) * bv(i); i += 1 }
+          // same rounding path as Spark's round()/DuckDB's round (decimal
+          // HALF_UP via the canonical string repr) — math.rint(x*1e6) can
+          // flip boundary values through binary multiply error
+          val cos = java.math.BigDecimal.valueOf(dot / (aNorm * bNorms(k)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= threshold) Some((aId, bIds(k), cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

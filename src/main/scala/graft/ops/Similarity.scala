@@ -32,12 +32,14 @@ object Similarity {
   val Dim = 64
   val Seed = 42L
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  private def dot(s: SparkSession, a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.arrayDot(s, a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dot(s, col("v"), col("v"))))
+  }
 
   /** Query set: every 100th vector — small by construction, broadcast. */
   private def querySet(emb: DataFrame): DataFrame =
@@ -51,7 +53,7 @@ object Similarity {
     val q = querySet(emb)
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cosine", round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("query_id", "vec_id", "cosine", "rnk")
@@ -80,16 +82,16 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     Array.fill(Bits, Dim)(rng.nextGaussian())
   }
 
-  private def bucketOf(v: Column): Column =
+  private def bucketOf(s: SparkSession, v: Column): Column =
     (0 until Bits).map { b =>
-      when(dot(v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+      when(dot(s, v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-K: probe own bucket + Hamming-1 buckets,
     * exact-rank the candidates. Rows-only check (approximate by design);
     * SimilaritySpec asserts recall@K against [[annTopK]]. */
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketOf(col("v")))
+    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketOf(s, col("v")))
     val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
@@ -99,7 +101,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     emb.join(broadcast(q),
         col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cosine", round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("query_id", "vec_id", "cosine", "rnk")

@@ -34,6 +34,21 @@ import graft.ops.{DateDim, SurrogateKeys}
   */
 object Medallion {
 
+  /** Session-scoped memo of materialized gold tables. The reference
+    * materializes gold to storage and queries read it back (etl_lakehouse
+    * .py:113-116 → test_queries.py:91-95); [[writeAll]] is that path here.
+    * Inside one driver-harness session the analog is persist(): each gold
+    * table is computed once and every query reuses it instead of re-deriving
+    * the whole silver DAG. At 100 TB you would NOT cache the fact in RAM —
+    * you'd read the written gold zone (columnar, partition-pruned); dims
+    * remain cacheable at any scale. */
+  private val goldCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
+  private def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
+    goldCache.getOrElseUpdate((System.identityHashCode(s), d, name),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   // ---- Silver (cleaned/conformed wide tables; etl_lakehouse.py:47-74) ----
 
   /** Customer conformed with nation + region (reference J1-J4,
@@ -72,52 +87,60 @@ object Medallion {
 
   /** dim_customer analog (etl_lakehouse.py:86-88): project/rename + dense SK. */
   def dimCustomer(s: SparkSession, d: String): DataFrame =
-    SurrogateKeys.dense(
-      silverCustomer(s, d).select(
-        col("c_custkey").as("customer_id"),
-        col("c_name").as("name"),
-        col("c_acctbal").as("acctbal"),
-        col("c_mktsegment").as("mktsegment"),
-        col("n_name").as("nation"),
-        col("r_name").as("region")),
-      "customer_sk", col("customer_id"))
-      .select("customer_sk", "customer_id", "name", "acctbal", "mktsegment", "nation", "region")
+    cached(s, d, "dim_customer") {
+      SurrogateKeys.dense(
+        silverCustomer(s, d).select(
+          col("c_custkey").as("customer_id"),
+          col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"),
+          col("n_name").as("nation"),
+          col("r_name").as("region")),
+        "customer_sk", col("customer_id"))
+        .select("customer_sk", "customer_id", "name", "acctbal", "mktsegment", "nation", "region")
+    }
 
   /** dim_book analog (etl_lakehouse.py:91-92). */
   def dimPart(s: SparkSession, d: String): DataFrame =
-    SurrogateKeys.dense(
-      silverPart(s, d).select(
-        col("p_partkey").as("part_id"),
-        col("p_name").as("name"),
-        col("p_brand").as("brand"),
-        col("p_type").as("ptype"),
-        col("p_size").as("psize"),
-        col("p_retailprice").as("retailprice"),
-        col("supplier_names")),
-      "part_sk", col("part_id"))
-      .select("part_sk", "part_id", "name", "brand", "ptype", "psize", "retailprice", "supplier_names")
+    cached(s, d, "dim_part") {
+      SurrogateKeys.dense(
+        silverPart(s, d).select(
+          col("p_partkey").as("part_id"),
+          col("p_name").as("name"),
+          col("p_brand").as("brand"),
+          col("p_type").as("ptype"),
+          col("p_size").as("psize"),
+          col("p_retailprice").as("retailprice"),
+          col("supplier_names")),
+        "part_sk", col("part_id"))
+        .select("part_sk", "part_id", "name", "brand", "ptype", "psize", "retailprice", "supplier_names")
+    }
 
   /** dim_shipping analog (etl_lakehouse.py:95-97): DISTINCT over the sales
     * rows (A2), then SK — only suppliers that actually shipped appear. */
   def dimSupplier(s: SparkSession, d: String): DataFrame =
-    SurrogateKeys.dense(
-      silverSales(s, d)
-        .select(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier"))
-        .na.drop()
-        .dropDuplicates("supplier_id", "supplier"),
-      "supplier_sk", col("supplier_id"))
-      .select("supplier_sk", "supplier_id", "supplier")
+    cached(s, d, "dim_supplier") {
+      SurrogateKeys.dense(
+        silverSales(s, d)
+          .select(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier"))
+          .na.drop()
+          .dropDuplicates("supplier_id", "supplier"),
+        "supplier_sk", col("supplier_id"))
+        .select("supplier_sk", "supplier_id", "supplier")
+    }
 
   /** dim_date (etl_lakehouse.py:100-110): calendar over order-date bounds. */
   def dimDate(s: SparkSession, d: String): DataFrame =
-    DateDim.fromBounds(Tables.orders(s, d), col("o_orderdate"))
+    cached(s, d, "dim_date") {
+      DateDim.fromBounds(Tables.orders(s, d), col("o_orderdate"))
+    }
 
   /** fact_book_sales analog (etl_lakehouse.py:118-134): left-join the sales
     * rows to each dim's (sk, natural key) map, normalize the date key with
     * to_date on both sides (J14 / D4), project the fact columns, drop rows
     * with any FK miss (P4 / D5 — dropna scoped to exactly the projected
     * columns), and cast SKs to int (P5). */
-  def factSales(s: SparkSession, d: String): DataFrame = {
+  def factSales(s: SparkSession, d: String): DataFrame = cached(s, d, "fact_sales") {
     val sales = silverSales(s, d)
     val cust  = dimCustomer(s, d).select("customer_sk", "customer_id")
     val prt   = dimPart(s, d).select("part_sk", "part_id")

@@ -17,6 +17,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-run" not in sys.argv:
+    # wipe stale outputs: a query that THROWS leaves its previous run's
+    # parquet in place, which would silently compare-pass
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
