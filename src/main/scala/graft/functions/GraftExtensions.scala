@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the graft expression
+  * library at session build time, so `spark.sql("SELECT array_dot(a,b)")`
+  * works in any session built with
+  * `.withExtensions(new GraftExtensions)` or started with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * (Query functions also self-register via GraftFunctions.register, so the
+  * driver harness works without the config; this is the deployment-grade
+  * path.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(exprs.head, exprs(1))))
+  }
+}

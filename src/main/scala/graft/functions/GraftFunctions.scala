@@ -29,6 +29,7 @@ case class ArrayDot(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal → null result
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess

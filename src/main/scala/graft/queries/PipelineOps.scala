@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Medallion
+
+/** Pipeline/API-surface coverage queries:
+  *
+  *  - [[writeRoundtrip]] — S3/S6 (SURVEY.md §2.1): materialize the full
+  *    bronze/silver/gold medallion to a lake directory with overwrite
+  *    (truncate-and-reload semantics, etl_lakehouse.py:21-35) and read the
+  *    fact back from storage — the reference's actual persistence path.
+  *  - [[typedDatasetAgg]] — the typed Dataset[T]/Encoder surface
+  *    (SURVEY.md §1.6): case-class rows, groupByKey + typed aggregation.
+  *  - [[jsonExtract]] — semi-structured props column on the events stream:
+  *    JSON field extraction + aggregation (extension; reference has no
+  *    JSON anywhere).
+  *  - [[csvRoundtrip]] — non-parquet format surface (reference is
+  *    parquet-only; CSV/JSON readers are table-stakes for a lakehouse
+  *    engine): write a dim as CSV, read it back with an explicit schema.
+  */
+object PipelineOps {
+
+  /** Full medallion write + read-back of the gold fact from storage. */
+  def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val lake = s"/tmp/graft_lake/$safe"
+    Medallion.writeAll(s, d, lake)
+    s.read.parquet(s"$lake/gold/fact_sales")
+      .orderBy("customer_sk", "part_sk", "supplier_sk", "date_sk", "price", "ship_cost")
+  }
+
+  case class LineRow(l_returnflag: String, l_linestatus: String,
+    l_quantity: Double, l_extendedprice: Double)
+  case class FlagAgg(flag_status: String, sum_qty: Double, n_rows: Long)
+
+  /** Typed Dataset path: Encoders, groupByKey, mapGroups — compile-time
+    * field checking where the DataFrame path is stringly-typed. Spark
+    * plans it with the same hash aggregate as the untyped equivalent. */
+  def typedDatasetAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[LineRow] = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .as[LineRow]
+    ds.groupByKey(r => r.l_returnflag + "-" + r.l_linestatus)
+      .mapGroups { (key, rows) =>
+        var qty = 0.0; var n = 0L
+        rows.foreach { r => qty += r.l_quantity; n += 1 }
+        FlagAgg(key, qty, n)
+      }
+      .toDF()
+      // l_quantity values are small integers as doubles — the sum is exact
+      // regardless of order, so no rounding is needed for the oracle match
+      .orderBy("flag_status")
+  }
+
+  val typedDatasetAggOracle: String = """
+SELECT concat(l_returnflag, '-', l_linestatus) AS flag_status,
+       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY 1 ORDER BY flag_status"""
+
+  /** JSON extraction over the events props column + grouped agg. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractOracle: String = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type"""
+
+  /** CSV round-trip: write nation as headered CSV, read back with an
+    * explicit StructType (never schema-inference for engine contracts). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_csv/$safe/nation"
+    Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(Tables.nation(s, d).schema).option("header", "true").csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  val csvRoundtripOracle: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_write_roundtrip" -> (writeRoundtrip _),
+    "typed_dataset_agg"        -> (typedDatasetAgg _),
+    "json_extract_props"       -> (jsonExtract _),
+    "csv_roundtrip"            -> (csvRoundtrip _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
+    "typed_dataset_agg"        -> typedDatasetAggOracle,
+    "json_extract_props"       -> jsonExtractOracle,
+    "csv_roundtrip"            -> csvRoundtripOracle
+  )
+}
