@@ -10,12 +10,14 @@ object SparkEntry {
     graft.queries.Analytics.queries ++ graft.queries.RelOps.queries ++
       graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextOps.queries ++ graft.ops.Multimodal.queries ++
-      graft.streaming.EventsStream.queries ++ graft.queries.PipelineOps.queries
+      graft.streaming.EventsStream.queries ++ graft.queries.PipelineOps.queries ++
+      graft.queries.ScaleOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracleSql ++ graft.queries.RelOps.oracleSql ++
       graft.ops.Dedup.oracleSql ++ graft.ops.Similarity.oracleSql ++
       graft.ops.TextOps.oracleSql ++ graft.ops.Multimodal.oracleSql ++
-      graft.streaming.EventsStream.oracleSql ++ graft.queries.PipelineOps.oracleSql
+      graft.streaming.EventsStream.oracleSql ++ graft.queries.PipelineOps.oracleSql ++
+      graft.queries.ScaleOps.oracleSql
 }

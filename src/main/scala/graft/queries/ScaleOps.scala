@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scale-technique queries: each demonstrates — verifiably — a pattern
+  * that keeps a 100 TB deployment off the shuffle floor. The correctness
+  * gate proves the technique changes the PLAN, not the ANSWER.
+  *
+  *  - [[bucketedJoin]] — co-located join: both sides written bucketed on
+  *    the join key, so the join runs with zero Exchange (the spec asserts
+  *    the plan has no shuffle on the join path). This is THE pattern for
+  *    repeated fact⋈fact joins at scale: pay the shuffle once at write
+  *    time, never per query.
+  *  - [[saltedAgg]] — two-phase aggregation over a skewed low-cardinality
+  *    key: salt to `SaltBuckets` sub-keys, partial-agg, then final-agg.
+  *    Identical result to the direct groupBy (the oracle proves it); the
+  *    first shuffle fans a hot key across `SaltBuckets` reducers instead
+  *    of one. (For JOIN skew, AQE's skew-join split handles it at runtime;
+  *    this is the aggregation-side equivalent.)
+  *  - [[percentiles]] — exact percentiles (Spark `percentile` ≡ DuckDB
+  *    `quantile_cont`, both linear interpolation — oracle-checked).
+  *  - [[approxDistinct]] — HLL++ approximate distinct: engines use
+  *    different sketches, so this is rows-only; the ScalaTest contract
+  *    bounds the relative error against the exact count.
+  */
+object ScaleOps {
+
+  val SaltBuckets = 16
+
+  /** Write lineitem + orders bucketed by the join key, then join the two
+    * bucketed tables — no Exchange in the join (bucket-aware scan). */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_") // no dots: used in table idents
+    val base = s"/tmp/graft_buckets/$safe"
+    val lt = s"graft_li_$safe"
+    val ot = s"graft_ord_$safe"
+    if (!s.catalog.tableExists(lt)) {
+      Tables.lineitem(s, d).write
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(lt)
+      Tables.orders(s, d).write
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").mode("overwrite").saveAsTable(ot)
+    }
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinOracle: String = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** The bucketed join's plan, for the no-Exchange assertion in tests. */
+  def bucketedJoinPlan(s: SparkSession, d: String): String =
+    bucketedJoin(s, d).queryExecution.executedPlan.toString
+
+  /** Two-phase salted aggregation: sum/count decompose over the salt, so
+    * phase-2 just re-aggregates the partials. Salt derives from a
+    * uniformly-distributed existing column (not rand(), keeping the query
+    * deterministic). */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(SaltBuckets)))
+      .groupBy("o_orderpriority", "salt")
+      .agg(count(lit(1)).as("pn"), sum("o_totalprice").as("ps"))
+      .groupBy("o_orderpriority")
+      .agg(sum("pn").as("n_orders"), round(sum("ps"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  val saltedAggOracle: String = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Exact percentiles per group (single-pass sort-based; for true 100 TB
+    * percentiles switch to approx_percentile's GK sketch — see
+    * [[approxDistinct]] for why approximate aggs are rows-only here). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val percentilesOracle: String = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** HLL++ approximate distinct — sketch mergeable across partitions, the
+    * only sane COUNT(DISTINCT) at 100 TB. Rows-only: Spark's HLL++ and
+    * DuckDB's sketch give different estimates by design; ScaleOpsSpec
+    * bounds the error against the exact count instead. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct("o_custkey", 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join"   -> (bucketedJoin _),
+    "salted_agg"      -> (saltedAgg _),
+    "percentiles"     -> (percentiles _),
+    "approx_distinct" -> (approxDistinct _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "bucketed_join" -> bucketedJoinOracle,
+    "salted_agg"    -> saltedAggOracle,
+    "percentiles"   -> percentilesOracle
+    // approx_distinct: rows-only (sketches differ across engines by design)
+  )
+}
