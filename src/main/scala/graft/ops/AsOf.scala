@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (point-in-time) join — the temporal join Spark has no native
+  * operator for, composed from built-ins per the preference order in the
+  * build brief (compose > custom Expression > custom plan > mapPartitions).
+  *
+  * Semantics: for every left row, attach the LATEST right row of the same
+  * key with `right.ts <= left.ts` (ties on ts broken by the right ordering
+  * column, largest wins) — left-outer, so unmatched left rows survive with
+  * nulls. The classic use in a training-data pipeline is
+  * point-in-time-correct feature attachment: join each example to the
+  * feature snapshot that was current when it was collected, never a future
+  * one (no label leakage).
+  *
+  * Implementation: tag and union both sides, then `last(_, ignoreNulls)`
+  * windows partitioned by key, ordered by (ts, rightFirst, ord) with an
+  * unbounded-preceding ROWS frame. Right rows at the same timestamp sort
+  * before left rows, making the join inclusive.
+  *
+  * Scale: ONE shuffle of left+right on the key (the same cost as any
+  * equi-join of the two), then a linear per-partition window scan — no
+  * range explosion, no per-row subquery. A skewed key behaves like any
+  * skewed window partition: salt the key or split the time range if one
+  * entity dominates.
+  */
+object AsOf {
+
+  /** Generic as-of join.
+    *
+    * @param key      equi-join key column present on both sides
+    * @param leftTs   left timestamp column
+    * @param rightTs  right timestamp column
+    * @param rightOrd right column breaking ties among equal right
+    *                 timestamps (largest wins)
+    * @param carry    right columns to attach (must not collide with left
+    *                 column names); nullable in the output when no right
+    *                 row precedes the left row
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+    leftTs: String, rightTs: String, rightOrd: String,
+    carry: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+
+    val rSide = right.select(
+      (col(key).as("__key") +: col(rightTs).cast("timestamp").as("__ts") +:
+        lit(0).as("__rtag") +: col(rightOrd).cast("long").as("__ord") +:
+        carry.map(c => col(c)) ++:
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lSide = left.select(
+      (col(key).as("__key") +: col(leftTs).cast("timestamp").as("__ts") +:
+        lit(1).as("__rtag") +: lit(0L).as("__ord") +:
+        carry.map(c => lit(null).cast(rightSchema(c).dataType).as(c)) ++:
+        leftCols.filterNot(_ == key).map(col)): _*)
+
+    val w = Window.partitionBy("__key")
+      .orderBy("__ts", "__rtag", "__ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = carry.foldLeft(rSide.unionByName(lSide)) { (df, c) =>
+      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__rtag") === 1)
+      .select((col("__key").as(key) +:
+        leftCols.filterNot(_ == key).map(col)) ++
+        carry.map(c => col(s"__m_$c").as(c)): _*)
+  }
+
+  /** Concrete op over events: attach to each 'purchase' the user's most
+    * recent preceding (or simultaneous) 'view'. */
+  def asofEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+
+    asofJoin(purchases, views, key = "user_id",
+      leftTs = "purchase_ts", rightTs = "view_ts", rightOrd = "view_id",
+      carry = Seq("view_id", "view_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  val asofEventsOracle: String = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, view_ts AS ts, 0 AS rtag, view_id AS ord,
+         view_id, view_ts, CAST(NULL AS BIGINT) AS purchase_id
+  FROM v
+  UNION ALL
+  SELECT user_id, purchase_ts, 1, 0,
+         NULL, NULL, purchase_id
+  FROM p),
+w AS (
+  SELECT *,
+         last_value(view_id IGNORE NULLS) OVER win AS m_view_id,
+         last_value(view_ts IGNORE NULLS) OVER win AS m_view_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, rtag, ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT purchase_id, user_id, ts AS purchase_ts,
+       m_view_id AS view_id, m_view_ts AS view_ts,
+       epoch_us(ts) - epoch_us(m_view_ts) AS gap_us
+FROM w WHERE rtag = 1
+ORDER BY purchase_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_events" -> (asofEvents _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join_events" -> asofEventsOracle
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asof join: no future right rows, unmatched left rows survive") {
+    val r = AsOf.asofEvents(spark, sf).cache()
+    // every match is point-in-time correct (view never after purchase)
+    assert(r.filter(col("gap_us") < 0).count() == 0)
+    // left-outer: purchases with no prior view keep nulls
+    val total = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(r.count() == total)
+    r.unpersist()
+  }
+
+  test("generic asofJoin picks the latest tie by rightOrd and stays left-outer") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:02:00")
+    val left = Seq((1L, t1, "L1"), (1L, t2, "L2"), (2L, t0, "Lnone"))
+      .toDF("k", "lts", "lname")
+    val right = Seq((1L, t1, 10L, "A"), (1L, t1, 11L, "B"), (1L, t2, 12L, "C"))
+      .toDF("k", "rts", "rid", "rval")
+    val out = AsOf.asofJoin(left, right, "k", "lts", "rts", "rid", Seq("rid", "rval"))
+      .orderBy("lname").collect()
+    val byName = out.map(r => r.getString(2) -> r).toMap
+    // L1 at t1: ties (A@10, B@11) → B wins (largest rid); same-ts inclusive
+    assert(byName("L1").getString(4) == "B")
+    // L2 at t2: latest is C
+    assert(byName("L2").getString(4) == "C")
+    // key 2 has no right rows at all → null carry
+    assert(byName("Lnone").isNullAt(4))
+  }
+}
