@@ -11,7 +11,8 @@ object SparkEntry {
       graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextOps.queries ++ graft.ops.Multimodal.queries ++
       graft.streaming.EventsStream.queries ++ graft.queries.PipelineOps.queries ++
-      graft.queries.ScaleOps.queries ++ graft.ops.AsOf.queries
+      graft.queries.ScaleOps.queries ++ graft.ops.AsOf.queries ++
+      graft.queries.TemporalOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       graft.ops.Dedup.oracleSql ++ graft.ops.Similarity.oracleSql ++
       graft.ops.TextOps.oracleSql ++ graft.ops.Multimodal.oracleSql ++
       graft.streaming.EventsStream.oracleSql ++ graft.queries.PipelineOps.oracleSql ++
-      graft.queries.ScaleOps.oracleSql ++ graft.ops.AsOf.oracleSql
+      graft.queries.ScaleOps.oracleSql ++ graft.ops.AsOf.oracleSql ++
+      graft.queries.TemporalOps.oracleSql
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal/interval operators over the events stream (range join is
+  * ABSENT in the reference's inventory, SURVEY.md §2.3 — implemented here
+  * as extensions) plus vector aggregation over embeddings.
+  *
+  *  - [[rangeJoinSessions]] — interval-containment join: batch
+  *    gap-and-islands sessionization (lag + running sum windows), then
+  *    events joined INTO their containing session by equi-key + range
+  *    predicate. Spark plans equi-key + filter as a hash join with a
+  *    post-condition — no nested loop — because the user_id equi-pair is
+  *    selective. (For interval joins WITHOUT a selective equi key, bin the
+  *    time axis and equi-join on the bin — same pattern as the LSH bucket
+  *    join in Similarity.)
+  *  - [[embeddingCentroids]] — per-label dimension-wise mean (class
+  *    centroids): posexplode to long format, hash-aggregate per
+  *    (label, dim). One narrow explode + one shuffle on (label, dim);
+  *    centroid tables are tiny at any corpus scale.
+  */
+object TemporalOps {
+
+  /** Batch sessionization (same 30-min-gap semantics as the streaming
+    * version in EventsStream, via lag + cumulative-sum windows). */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"))
+  }
+
+  /** Events range-joined into their containing session; one row per
+    * session with the contained-event count (which must equal the
+    * session's own n_events — the differential gate proves the range join
+    * found exactly the right rows). */
+  def rangeJoinSessions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id").as("e_user"), col("ts"))
+    sessions(s, d)
+      .join(ev, col("user_id") === col("e_user") &&
+        col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+      .groupBy("user_id", "session_start", "session_end")
+      .agg(count(lit(1)).as("n_contained"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val rangeJoinSessionsOracle: String = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, sid)
+SELECT sess.user_id, session_start, session_end, count(*) AS n_contained
+FROM sess JOIN events ev
+  ON sess.user_id = ev.user_id
+ AND ev.ts >= session_start AND ev.ts <= session_end
+GROUP BY sess.user_id, session_start, session_end
+ORDER BY sess.user_id, session_start"""
+
+  /** Per-label dimension-wise embedding mean (class centroids), long
+    * format (label, dim, centroid). */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg("col"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  val embeddingCentroidsOracle: String = """
+WITH x AS (
+  SELECT label, i AS dim, CAST(embedding AS DOUBLE[])[i] AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) dims)
+SELECT label, dim, round(avg(v), 6) AS centroid, count(*) AS n_vecs
+FROM x GROUP BY label, dim ORDER BY label, dim"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_sessions" -> (rangeJoinSessions _),
+    "embedding_centroids" -> (embeddingCentroids _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "range_join_sessions" -> rangeJoinSessionsOracle,
+    "embedding_centroids" -> embeddingCentroidsOracle
+  )
+}
