@@ -20,15 +20,21 @@ object Bench {
       graft.pipeline.Medallion.dimPart(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // a failed query must not masquerade as a fast one
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"failed":$fl,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

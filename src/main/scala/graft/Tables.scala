@@ -44,9 +44,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
   /** Register every table as a temp view (S7 in SURVEY.md §2.1 — the
-    * DuckDB view-over-parquet pattern at test_queries/test_queries.py:91-95). */
-  def registerViews(s: SparkSession, d: String): Unit =
-    (sourceNames ++ Seq("events", "documents", "embeddings")).foreach { n =>
+    * DuckDB view-over-parquet pattern at test_queries/test_queries.py:91-95).
+    * `events` goes through [[events]], not the raw loader — the raw parquet
+    * is TIMESTAMP(NANOS) which a fresh session refuses to read, and even
+    * with the legacy conf the raw view would expose ts as a nanos BIGINT. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    (sourceNames ++ Seq("documents", "embeddings")).foreach { n =>
       table(s, d, n).createOrReplaceTempView(n)
     }
+    events(s, d).createOrReplaceTempView("events")
+  }
 }

@@ -65,13 +65,20 @@ object AsOf {
       .orderBy("__ts", "__rtag", "__ord")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = carry.foldLeft(rSide.unionByName(lSide)) { (df, c) =>
-      df.withColumn(s"__m_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    matched.filter(col("__rtag") === 1)
+    // ONE ignore-nulls window over a struct of all carry columns: per-column
+    // windows would stitch fields from DIFFERENT right rows whenever the
+    // latest match carries a NULL field (the older row's value would bleed
+    // through for that field only). The struct is null exactly on left
+    // rows, so the latest right ROW is picked atomically, null fields
+    // included.
+    val packed = rSide.unionByName(lSide)
+      .withColumn("__carry",
+        when(col("__rtag") === 0, struct(carry.map(col): _*)))
+      .withColumn("__m", last(col("__carry"), ignoreNulls = true).over(w))
+    packed.filter(col("__rtag") === 1)
       .select((col("__key").as(key) +:
         leftCols.filterNot(_ == key).map(col)) ++
-        carry.map(c => col(s"__m_$c").as(c)): _*)
+        carry.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** Concrete op over events: attach to each 'purchase' the user's most

@@ -66,10 +66,11 @@ object Dedup {
     * branch). At 100 TB this table is what you'd write to storage once and
     * reuse across dedup runs. */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
+  // session-instance key, same rationale as Medallion.goldCache
   private def shingleTable(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(s), d),
+    shingleCache.getOrElseUpdate((s, d),
       withShingles(Tables.documents(s, d)).select("doc_id", "sh", "m")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

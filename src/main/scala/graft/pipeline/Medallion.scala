@@ -43,11 +43,21 @@ object Medallion {
     * you'd read the written gold zone (columnar, partition-pruned); dims
     * remain cacheable at any scale. */
   private val goldCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  // keyed by the session INSTANCE (reference equality) — an identity
+  // hashCode is a hash, not an identity, and a collision would hand a new
+  // session a DataFrame bound to a stopped one. Entries live for the JVM;
+  // fine for a harness process, call clearCache() in a long-lived service.
   private def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
-    goldCache.getOrElseUpdate((System.identityHashCode(s), d, name),
+    goldCache.getOrElseUpdate((s, d, name),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop and unpersist every memoized gold table (tests / long services). */
+  def clearCache(): Unit = {
+    goldCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    goldCache.clear()
+  }
 
   // ---- Silver (cleaned/conformed wide tables; etl_lakehouse.py:47-74) ----
 

@@ -25,8 +25,7 @@ object PipelineOps {
 
   /** Full medallion write + read-back of the gold fact from storage. */
   def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val lake = s"/tmp/graft_lake/$safe"
+    val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
     Medallion.writeAll(s, d, lake)
     s.read.parquet(s"$lake/gold/fact_sales")
       .orderBy("customer_sk", "part_sk", "supplier_sk", "date_sk", "price", "ship_cost")
@@ -82,8 +81,7 @@ GROUP BY event_type ORDER BY event_type"""
   /** CSV round-trip: write nation as headered CSV, read back with an
     * explicit StructType (never schema-inference for engine contracts). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"/tmp/graft_csv/$safe/nation"
+    val out = s"/tmp/graft_csv/${graft.util.PathKeys.safe(d)}/nation"
     Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(Tables.nation(s, d).schema).option("header", "true").csv(out)
       .orderBy("n_nationkey")

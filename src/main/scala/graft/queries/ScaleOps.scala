@@ -33,11 +33,13 @@ object ScaleOps {
   /** Write lineitem + orders bucketed by the join key, then join the two
     * bucketed tables — no Exchange in the join (bucket-aware scan). */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val safe = d.replaceAll("[^A-Za-z0-9]", "_") // no dots: used in table idents
+    val safe = graft.util.PathKeys.safe(d)
     val base = s"/tmp/graft_buckets/$safe"
     val lt = s"graft_li_$safe"
     val ot = s"graft_ord_$safe"
-    if (!s.catalog.tableExists(lt)) {
+    // guard on BOTH tables: a failure between the two writes must not wedge
+    // the session with a half-created pair
+    if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
       Tables.lineitem(s, d).write
         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").mode("overwrite").saveAsTable(lt)

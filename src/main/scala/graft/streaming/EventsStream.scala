@@ -28,14 +28,26 @@ object EventsStream {
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     // The streaming file source wants a DIRECTORY to watch; the testdata is
-    // a single file. Stage it once into a temp dir — in production the
-    // upstream writer would already be dropping files into the watched dir.
-    val safe = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val stageDir = java.nio.file.Paths.get(s"/tmp/graft_stream_src/$safe")
+    // a single file. Stage it into a temp dir — in production the upstream
+    // writer would already be dropping files into the watched dir. Re-stage
+    // whenever size or mtime differ (a bare exists() check would read a
+    // stale or half-copied file forever), via temp-file + atomic move.
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
     val staged = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged)) {
+    val fresh = java.nio.file.Files.exists(staged) &&
+      java.nio.file.Files.size(staged) == java.nio.file.Files.size(src) &&
+      java.nio.file.Files.getLastModifiedTime(staged).compareTo(
+        java.nio.file.Files.getLastModifiedTime(src)) >= 0
+    if (!fresh) {
       java.nio.file.Files.createDirectories(stageDir)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged)
+      val tmp = stageDir.resolve("events.parquet.tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // schema of the RAW file (ts = nanos long; see Tables.eventsRaw), then
     // the same ns→us conversion the batch reader applies
@@ -153,7 +165,7 @@ ORDER BY window_start, event_type"""
 
   val sessionizeOracle: String = """
 WITH e AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
@@ -161,7 +173,7 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM e)
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

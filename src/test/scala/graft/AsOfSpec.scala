@@ -39,4 +39,21 @@ class AsOfSpec extends AnyFunSuite {
     // key 2 has no right rows at all → null carry
     assert(byName("Lnone").isNullAt(4))
   }
+
+  test("asofJoin attaches the latest right ROW atomically, even when its carry field is null") {
+    import spark.implicits._
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    val t2 = Timestamp.valueOf("2024-01-01 00:02:00")
+    val t3 = Timestamp.valueOf("2024-01-01 00:03:00")
+    val left = Seq((1L, t3, "L")).toDF("k", "lts", "lname")
+    // older row has rval="A"; the LATEST row's rval is NULL — the output
+    // must carry (rid=2, rval=NULL), not a stitched (rid=2, rval="A")
+    val right = Seq((1L, t1, 1L, Some("A")), (1L, t2, 2L, None))
+      .toDF("k", "rts", "rid", "rval")
+    val out = AsOf.asofJoin(left, right, "k", "lts", "rts", "rid", Seq("rid", "rval"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(3) == 2L, "latest right row by ts must win")
+    assert(out(0).isNullAt(4), "null carry field of the matched row must stay null")
+  }
 }

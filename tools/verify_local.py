@@ -78,8 +78,11 @@ for name in result_dirs:
     note = f"  [dtype drift: {dt}]" if dt else ""
     print(f"  ✓ {name}: {len(g)} rows match{note}")
 
-missing = set(oracle) - set(result_dirs)
-for m in missing: fails.append((m, "oracle declared but no spark output"))
+declared = set(json.loads(Path(f"{OUT}/queries.json").read_text())) if Path(f"{OUT}/queries.json").exists() else set(oracle)
+missing = declared - set(result_dirs)
+for m in missing:
+    kind = "oracle" if m in oracle else "rows-only"
+    fails.append((m, f"{kind} query declared but no spark output (threw?)"))
 
 if fails:
     print(f"\nFAILED ({len(fails)}):")
