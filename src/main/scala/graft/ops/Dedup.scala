@@ -215,6 +215,60 @@ b AS (SELECT doc_id,
 SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
   }
 
+  // ---- duplicate clustering (pairs → connected components) ----
+
+  /** Collapse near-dup PAIRS into duplicate CLUSTERS via distributed
+    * min-label propagation (the keep-one-per-cluster step of corpus
+    * dedup): every doc in a connected component maps to the component's
+    * smallest doc_id. Iterative join until fixpoint — each round is one
+    * shuffle of (node, label) against the edge list; converges in
+    * O(component diameter) rounds (near-dup components are tiny and
+    * star-like, so 2-4 rounds in practice; localCheckpoint per round keeps
+    * the lineage flat). Docs not in any pair are their own cluster and are
+    * omitted, matching the oracle's recursive closure over the pair list. */
+  def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
+    val pairs = minhashLsh(s, d, threshold).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min("lbl").as("nlbl"))
+      val next = labels.join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_root"))
+      .orderBy("doc_id")
+  }
+
+  def clustersOracle(threshold: Double = 0.9): String = shingleCte + s"""
+, dup AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE round(inter * 1.0 / (ma + mb - inter), 6) >= $threshold),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach AS (
+  WITH RECURSIVE r(n, m) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
+  SELECT n, m FROM r)
+SELECT n AS doc_id, min(m) AS cluster_root
+FROM reach GROUP BY n ORDER BY doc_id"""
+
   // ---- embedding cosine near-dup (exact baseline) ----
 
   /** All embedding pairs with cosine ≥ `threshold`, as a broadcast block
@@ -286,7 +340,8 @@ ORDER BY vec_a, vec_b"""
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "dedup_simhash"       -> (simhash _),
-    "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d))
+    "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
+    "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -294,6 +349,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_ngram_jaccard" -> ngramJaccardOracle(),
     "dedup_minhash_lsh"   -> ngramJaccardOracle(0.9),
     "dedup_simhash"       -> simhashOracle,
-    "dedup_cosine"        -> cosinePairsOracle()
+    "dedup_cosine"        -> cosinePairsOracle(),
+    "dedup_clusters"      -> clustersOracle()
   )
 }

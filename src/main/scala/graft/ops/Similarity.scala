@@ -108,9 +108,46 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       .orderBy("query_id", "rnk")
   }
 
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** IVF-style ANN: the corpus is Voronoi-partitioned around
+    * `NumCentroids` seed centroids (the lowest-id vectors — deterministic,
+    * no RNG; a production build would Lloyd-iterate them), each query
+    * probes its `NProbe` nearest cells, and only those cells' vectors are
+    * exact-ranked. Cell assignment is pure Catalyst: an array of
+    * (cosine, cid) structs reduced with array_max (lexicographic struct
+    * ordering), so the argmax never leaves codegen. Corpus-side cost per
+    * query drops to ~NProbe/NumCentroids of brute force. Rows-only
+    * (approximate); recall asserted in SimilaritySpec. */
+  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, d))
+    val centroids = emb.orderBy("vec_id").limit(NumCentroids)
+      .select("vec_id", "v").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) => struct(dot(s, v, typedlit(c.toSeq)).as("score"), lit(i).as("cid"))
+    }: _*)
+    val assigned = emb.withColumn("cell", array_max(cellScores(col("v"))).getField("cid"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        // probe the NProbe best cells: sort scores desc, take cids
+        explode(slice(reverse(array_sort(cellScores(col("v")))), 1, NProbe)
+          .getField("cid")).as("probe_cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    assigned.join(broadcast(q),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("query_id", "vec_id", "cosine", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
-    "ann_topk_lsh"        -> (annLshTopK _)
+    "ann_topk_lsh"        -> (annLshTopK _),
+    "ann_topk_ivf"        -> (annIvfTopK _)
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -36,14 +36,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(randHam.count(_ > 6) > randHam.length / 2, s"random hamming: $randHam")
   }
 
-  test("LSH ANN achieves usable recall vs brute force") {
+  test("LSH and IVF ANN achieve usable recall vs brute force") {
     val brute = Similarity.annTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.annLshTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    info(f"recall@${Similarity.K} = $recall%.2f")
-    assert(recall >= 0.3, f"recall $recall%.2f too low — LSH is not finding neighbors")
+    val ivf = Similarity.annIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    info(f"recall@${Similarity.K}: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f")
+    assert(lshRecall >= 0.3, f"LSH recall $lshRecall%.2f too low")
+    assert(ivfRecall >= 0.3, f"IVF recall $ivfRecall%.2f too low")
+  }
+
+  test("dedup clusters map every paired doc to its component minimum") {
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.nonEmpty)
+    // both endpoints of every dup pair share a root, and roots are minima
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
+      assert(cl(a) <= a && cl(a) <= b)
+    }
+    assert(cl.forall { case (n, root) => root <= n })
   }
 
   test("text quality score is bounded and fingerprint is order-sensitive") {
