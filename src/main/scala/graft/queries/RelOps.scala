@@ -147,6 +147,35 @@ object RelOps {
         .as("running_spend"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
+  /** §2.5-ABSENT extension: the full analytic-window family in one query —
+    * lag/lead, dense_rank, ntile, first/last over an explicit full frame,
+    * percent_rank/cume_dist. All partitioned windows (scale with #keys). */
+  def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_price", first("o_totalprice").over(full))
+      .withColumn("last_price", last("o_totalprice").over(full))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .orderBy("o_custkey", "seq")
+  }
+
+  /** §2.4-ABSENT extension: GROUPING SETS (finer than rollup/cube). */
+  def groupingSetsSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** O4: random sample via seeded rand (10_mysql_populate_others.sql:8-9).
     * Seeded rand is deterministic per engine but not ACROSS engines, so
     * this is a rows-only check (no oracle). */
@@ -200,6 +229,8 @@ object RelOps {
     "rollup_sales"          -> (rollupSales _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
+    "window_analytics"      -> (windowAnalytics _),
+    "grouping_sets_sales"   -> (groupingSetsSales _),
     "sample_rand"           -> (sampleRand _),
     "union_keys"            -> (unionKeys _),
     "except_unsold_parts"   -> (exceptUnsoldParts _),
@@ -276,6 +307,27 @@ SELECT o_custkey, o_orderdate, o_orderkey,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "window_analytics" -> """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(row_number() OVER w AS INT) AS seq,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, seq""",
+    "grouping_sets_sales" -> """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "union_keys" -> """
 SELECT c_custkey AS key, 'customer' AS src FROM customer
 UNION ALL
