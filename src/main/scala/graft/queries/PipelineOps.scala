@@ -35,23 +35,38 @@ object PipelineOps {
     l_quantity: Double, l_extendedprice: Double)
   case class FlagAgg(flag_status: String, sum_qty: Double, n_rows: Long)
 
-  /** Typed Dataset path: Encoders, groupByKey, mapGroups — compile-time
-    * field checking where the DataFrame path is stringly-typed. Spark
-    * plans it with the same hash aggregate as the untyped equivalent. */
+  /** Typed aggregator: sums quantity and counts rows with MAP-SIDE partial
+    * aggregation. `mapGroups` would shuffle every input row to its group's
+    * reducer (measured 2× slower at sf0.1); an Aggregator[IN,BUF,OUT]
+    * reduces per-partition first — the typed API's equivalent of a hash
+    * aggregate, and the §2.11 custom-aggregator surface. */
+  object QtyCount extends org.apache.spark.sql.expressions.Aggregator[LineRow, (Double, Long), (Double, Long)] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: LineRow): (Double, Long) =
+      (b._1 + a.l_quantity, b._2 + 1)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(r: (Double, Long)): (Double, Long) = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Long)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Double, Long)] =
+      bufferEncoder
+  }
+
+  /** Typed Dataset path: Encoders, groupByKey, custom Aggregator —
+    * compile-time field checking where the DataFrame path is
+    * stringly-typed. l_quantity values are small integers as doubles, so
+    * the partial-aggregated sum is exact in any order (oracle-safe). */
   def typedDatasetAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[LineRow] = Tables.lineitem(s, d)
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
       .as[LineRow]
     ds.groupByKey(r => r.l_returnflag + "-" + r.l_linestatus)
-      .mapGroups { (key, rows) =>
-        var qty = 0.0; var n = 0L
-        rows.foreach { r => qty += r.l_quantity; n += 1 }
-        FlagAgg(key, qty, n)
-      }
+      .agg(QtyCount.toColumn)
+      .map { case (key, (qty, n)) => FlagAgg(key, qty, n) }
       .toDF()
-      // l_quantity values are small integers as doubles — the sum is exact
-      // regardless of order, so no rounding is needed for the oracle match
       .orderBy("flag_status")
   }
 
