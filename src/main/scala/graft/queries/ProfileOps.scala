@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-profiling queries:
+  *
+  *  - [[profileOrders]] — dynamic-schema column profiler: null count and
+  *    exact distinct count per column, built by folding over the runtime
+  *    schema (the metaprogramming pattern every data-quality layer needs —
+  *    no column names hard-coded). ONE pass over the table: all 2×|cols|
+  *    aggregates run in a single HashAggregate, not one scan per column.
+  *  - [[topBigrams]] — corpus n-gram frequency table (top-k word bigrams),
+  *    the building block of n-gram language models / contamination checks:
+  *    explode → hash count → TakeOrderedAndProject.
+  */
+object ProfileOps {
+
+  /** Per-column (n_nulls, n_distinct) for orders, long format. */
+  def profileOrders(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.orders(s, d)
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into (column_name, n_nulls, n_distinct)
+    val pairs = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(pairs: _*)).as("p"))
+      .select("p.column_name", "p.n_nulls", "p.n_distinct")
+      .orderBy("column_name")
+  }
+
+  val profileOrdersOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** Top-20 word bigrams across the document corpus. */
+  def topBigrams(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("ws", ws)
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), (i + 1).cast("int"))))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
+  val topBigramsOracle: String = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+SELECT bigram, count(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> (profileOrders _),
+    "text_top_bigrams" -> (topBigrams _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "profile_orders" -> profileOrdersOracle,
+    "text_top_bigrams" -> topBigramsOracle
+  )
+}

@@ -107,6 +107,28 @@ WHERE ts >= window_start AND ts < window_start + INTERVAL '2 hours'
 GROUP BY 1, 2
 ORDER BY window_start, event_type"""
 
+  /** Streaming exact dedup: the stream unioned with itself (every event
+    * duplicated) then dropDuplicates on the event id — counts per type must
+    * equal the batch DISTINCT counts, which is what the oracle checks. In a
+    * long-running deployment the id-dedup state is bounded by pairing
+    * dropDuplicatesWithinWatermark with the event-time watermark; the
+    * single-batch replay here exercises the same operator. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val doubled = ev.unionByName(ev)
+    val agg = doubled
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_dedup")
+      .orderBy("event_type")
+  }
+
+  val streamDedupOracle: String = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ---- stateful sessionization ----
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
@@ -185,12 +207,14 @@ ORDER BY user_id, session_start"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts"  -> (slidingCounts _),
-    "stream_sessionize"      -> (sessionize _)
+    "stream_sessionize"      -> (sessionize _),
+    "stream_dedup"           -> (streamDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_sliding_counts"  -> slidingOracle,
-    "stream_sessionize"      -> sessionizeOracle
+    "stream_sessionize"      -> sessionizeOracle,
+    "stream_dedup"           -> streamDedupOracle
   )
 }
