@@ -12,7 +12,8 @@ object SparkEntry {
       graft.ops.TextOps.queries ++ graft.ops.Multimodal.queries ++
       graft.streaming.EventsStream.queries ++ graft.queries.PipelineOps.queries ++
       graft.queries.ScaleOps.queries ++ graft.ops.AsOf.queries ++
-      graft.queries.TemporalOps.queries ++ graft.queries.ProfileOps.queries
+      graft.queries.TemporalOps.queries ++ graft.queries.ProfileOps.queries ++
+      graft.queries.ChangeOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.ops.TextOps.oracleSql ++ graft.ops.Multimodal.oracleSql ++
       graft.streaming.EventsStream.oracleSql ++ graft.queries.PipelineOps.oracleSql ++
       graft.queries.ScaleOps.oracleSql ++ graft.ops.AsOf.oracleSql ++
-      graft.queries.TemporalOps.oracleSql ++ graft.queries.ProfileOps.oracleSql
+      graft.queries.TemporalOps.oracleSql ++ graft.queries.ProfileOps.oracleSql ++
+      graft.queries.ChangeOps.oracleSql
 }
