@@ -40,7 +40,7 @@ object Multimodal {
     * length + typed meta survive the binary round-trip). */
   def meta(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
-      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
         col("format"), col("width"), col("height"))
       .orderBy("doc_id")
 

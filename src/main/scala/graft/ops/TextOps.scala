@@ -39,7 +39,7 @@ object TextOps {
   /** Language-ID heuristic: stopword-hit score per language, argmax with a
     * fixed precedence order, 'und' (undetermined) when no list hits. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val scores = Seq("en", "es", "de", "fr").map(l => hitCount(l).as(s"score_$l"))
+    val scores = Seq("en", "es", "de", "fr").map(l => hitCount(l).cast("long").as(s"score_$l"))
     val best = when(
       col("score_en") === 0 && col("score_es") === 0 &&
         col("score_de") === 0 && col("score_fr") === 0, lit("und"))
@@ -83,8 +83,8 @@ FROM scored ORDER BY doc_id"""
     val stops = hitCount("en")
     Tables.documents(s, d).select(
       col("doc_id"),
-      nWords.as("n_words"),
-      nChars.as("n_chars_measured"),
+      nWords.cast("long").as("n_words"),
+      nChars.cast("long").as("n_chars_measured"),
       round(nChars.cast("double") / nWords, 6).as("avg_word_len"),
       round(punct.cast("double") / nChars, 6).as("punct_ratio"),
       round(alpha.cast("double") / nChars, 6).as("alpha_ratio"),
@@ -115,8 +115,9 @@ FROM documents ORDER BY doc_id"""
   def tokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(ws).as("ws_tokens"),
-      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"))
+      size(ws).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("re_tokens"))
       .orderBy("doc_id")
 
   val tokenCountOracle: String = """

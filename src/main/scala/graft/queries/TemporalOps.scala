@@ -84,7 +84,7 @@ ORDER BY sess.user_id, session_start"""
   def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg("col"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
