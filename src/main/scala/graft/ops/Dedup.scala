@@ -45,20 +45,12 @@ object Dedup {
     * hash collision would need two distinct shingles sharing an xxhash64
     * value — p ≈ |shingles|²/2^64, negligible, and the differential gate
     * would catch it. */
-  private def withShingles(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+  private def withShingles(docs: DataFrame): DataFrame =
     docs
-      .withColumn("ws", ws)
-      .filter(size(col("ws")) >= 3)
+      .filter(size(split(col("text"), " ")) >= 3)
       .withColumn("sh", array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - 2),
-        i => xxhash64(concat_ws(" ",
-          element_at(col("ws"), i),
-          element_at(col("ws"), (i + 1).cast("int")),
-          element_at(col("ws"), (i + 2).cast("int")))))))
+        Ngrams.wordNgrams(col("text"), 3), x => xxhash64(x))))
       .withColumn("m", size(col("sh")))
-      .drop("ws")
-  }
 
   /** Session-scoped memo of the per-doc shingle-hash table — the "silver
     * layer" for document dedup, shared by the Jaccard and MinHash paths
@@ -236,20 +228,28 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("node"))
         .agg(min("lbl").as("nlbl"))
+      // carry the previous label through the select so convergence
+      // detection needs no extra join against the old label set
       val next = labels.join(viaNeighbor, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("node", "lbl")
       rounds += 1
     }
+    // a partially propagated labeling is WRONG, not approximate — fail
+    // loudly instead of returning non-minimal roots
+    if (changed > 0) throw new IllegalStateException(
+      s"label propagation did not converge within $maxRounds rounds " +
+        s"($changed labels still changing) — component diameter exceeds the cap")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_root"))
       .orderBy("doc_id")
   }

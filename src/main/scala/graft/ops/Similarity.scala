@@ -125,7 +125,14 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     val centroids = emb.orderBy("vec_id").limit(NumCentroids)
       .select("vec_id", "v").collect()
       .map(r => r.getSeq[Double](1).toArray)
-    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+    // pre-normalize centroids so cell assignment is by COSINE, not raw dot:
+    // unnormalized seed centroids have differing norms and would pull both
+    // corpus and queries toward large-norm cells, imbalancing the index
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    def cellScores(v: Column): Column = array(unit.zipWithIndex.map {
       case (c, i) => struct(dot(s, v, typedlit(c.toSeq)).as("score"), lit(i).as("cid"))
     }: _*)
     val assigned = emb.withColumn("cell", array_max(cellScores(col("v"))).getField("cid"))

@@ -27,13 +27,18 @@ object ChangeOps {
     * key yields a brand-new synthetic customer. */
   private def updates(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
+    // insert-key offset derived from the data, not a constant: a fixed
+    // +1000000 collides with real keys at larger scale factors, silently
+    // turning inserts into updates (and breaking the total order when the
+    // same key lands in both branches)
+    val maxKey = c.agg(max("c_custkey")).head().getLong(0)
     val changed = c.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"),
         col("c_name"),
         round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
         lit("UPDATED").as("c_mktsegment"))
     val inserted = c.filter(col("c_custkey") % 13 === 0)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+      .select((col("c_custkey") + lit(maxKey)).as("c_custkey"),
         concat(lit("NEW "), col("c_name")).as("c_name"),
         lit(0.0).as("c_acctbal"),
         lit("NEWSEG").as("c_mktsegment"))
@@ -59,7 +64,8 @@ WITH up AS (
          'UPDATED' AS c_mktsegment
   FROM customer WHERE c_custkey % 7 = 0
   UNION ALL
-  SELECT c_custkey + 1000000, concat('NEW ', c_name), 0.0, 'NEWSEG'
+  SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+         concat('NEW ', c_name), 0.0, 'NEWSEG'
   FROM customer WHERE c_custkey % 13 = 0)
 SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
        coalesce(u.c_name, b.c_name) AS c_name,

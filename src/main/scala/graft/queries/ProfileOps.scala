@@ -10,8 +10,11 @@ import graft.Tables
   *  - [[profileOrders]] — dynamic-schema column profiler: null count and
   *    exact distinct count per column, built by folding over the runtime
   *    schema (the metaprogramming pattern every data-quality layer needs —
-  *    no column names hard-coded). ONE pass over the table: all 2×|cols|
-  *    aggregates run in a single HashAggregate, not one scan per column.
+  *    no column names hard-coded). ONE scan of the table — but note the
+  *    cost model: multiple count_distinct aggregates plan through an
+  *    Expand that replays each input row once per distinct column
+  *    (~|cols|+1×), so at true scale the profiler should switch to
+  *    approx_count_distinct (mergeable HLL sketches, no Expand).
   *  - [[topBigrams]] — corpus n-gram frequency table (top-k word bigrams),
   *    the building block of n-gram language models / contamination checks:
   *    explode → hash count → TakeOrderedAndProject.
@@ -49,20 +52,14 @@ object ProfileOps {
   }
 
   /** Top-20 word bigrams across the document corpus. */
-  def topBigrams(s: SparkSession, d: String): DataFrame = {
-    val ws = split(col("text"), " ")
+  def topBigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("ws", ws)
-      .filter(size(col("ws")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), (i + 1).cast("int"))))).as("bigram"))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(graft.ops.Ngrams.wordNgrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
-  }
 
   val topBigramsOracle: String = """
 WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents

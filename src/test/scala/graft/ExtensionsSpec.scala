@@ -56,10 +56,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val cl = Dedup.clusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl.nonEmpty)
-    // both endpoints of every dup pair share a root, and roots are minima
+    // both endpoints of every dup pair share a root, and roots are minima.
+    // cl.get (not apply): if LSH banding missed an exact-jaccard pair, a
+    // clear assertion beats a bare NoSuchElementException.
     pairs.foreach { case (a, b) =>
-      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters")
-      assert(cl(a) <= a && cl(a) <= b)
+      (cl.get(a), cl.get(b)) match {
+        case (Some(ra), Some(rb)) =>
+          assert(ra == rb, s"pair ($a,$b) split across clusters")
+          assert(ra <= a && ra <= b)
+        case _ => fail(s"pair ($a,$b) missing from clusters — LSH recall gap?")
+      }
     }
     assert(cl.forall { case (n, root) => root <= n })
   }
