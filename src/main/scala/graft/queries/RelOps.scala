@@ -176,6 +176,34 @@ object RelOps {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Extension: PIVOT — order counts per priority, one column per status.
+    * Explicit pivot values keep the plan single-pass (no extra distinct
+    * scan to discover them) and the output schema static. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Extension: correlated scalar subquery — Catalyst decorrelates it into
+    * an aggregate + left join (SURVEY.md §4.3), so it runs as one hash
+    * join, not a per-row probe. Shared-dialect SQL text doubles as the
+    * oracle. */
+  val scalarSubquerySql: String = """
+SELECT c_custkey, c_name,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer
+ORDER BY c_custkey"""
+
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(scalarSubquerySql)
+  }
+
   /** O4: random sample via seeded rand (10_mysql_populate_others.sql:8-9).
     * Seeded rand is deterministic per engine but not ACROSS engines, so
     * this is a rows-only check (no oracle). */
@@ -231,6 +259,8 @@ object RelOps {
     "window_running_spend"  -> (windowRunningSpend _),
     "window_analytics"      -> (windowAnalytics _),
     "grouping_sets_sales"   -> (groupingSetsSales _),
+    "pivot_status"          -> (pivotStatus _),
+    "scalar_subquery"       -> (scalarSubquery _),
     "sample_rand"           -> (sampleRand _),
     "union_keys"            -> (unionKeys _),
     "except_unsold_parts"   -> (exceptUnsoldParts _),
@@ -328,6 +358,14 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "pivot_status" -> """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "scalar_subquery" -> scalarSubquerySql,
     "union_keys" -> """
 SELECT c_custkey AS key, 'customer' AS src FROM customer
 UNION ALL
