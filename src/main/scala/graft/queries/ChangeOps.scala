@@ -30,8 +30,9 @@ object ChangeOps {
     // insert-key offset derived from the data, not a constant: a fixed
     // +1000000 collides with real keys at larger scale factors, silently
     // turning inserts into updates (and breaking the total order when the
-    // same key lands in both branches)
-    val maxKey = c.agg(max("c_custkey")).head().getLong(0)
+    // same key lands in both branches). +1 because c_custkey starts at 0 —
+    // an insert derived from key 0 would otherwise land ON max(c_custkey).
+    val maxKey = c.agg(max("c_custkey")).head().getLong(0) + 1
     val changed = c.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"),
         col("c_name"),
@@ -64,7 +65,7 @@ WITH up AS (
          'UPDATED' AS c_mktsegment
   FROM customer WHERE c_custkey % 7 = 0
   UNION ALL
-  SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
          concat('NEW ', c_name), 0.0, 'NEWSEG'
   FROM customer WHERE c_custkey % 13 = 0)
 SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{ChangeOps, ProfileOps, ScaleOps, TemporalOps}
+
+class OpsInvariantsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scd1 upsert: updates overwrite, inserts append, untouched rows pass through") {
+    val base = Tables.customer(spark, sf)
+    val merged = ChangeOps.scd1Upsert(spark, sf).cache()
+    val nBase = base.count()
+    val nInserts = base.filter(col("c_custkey") % 13 === 0).count()
+    assert(merged.count() == nBase + nInserts)
+    assert(merged.filter(col("c_mktsegment") === "UPDATED").count() ==
+      base.filter(col("c_custkey") % 7 === 0).count())
+    assert(merged.filter(col("c_mktsegment") === "NEWSEG").count() == nInserts)
+    merged.unpersist()
+  }
+
+  test("stratified sample: exactly K per stratum, deterministic across runs") {
+    val s1 = ChangeOps.stratifiedSample(spark, sf).collect()
+    val s2 = ChangeOps.stratifiedSample(spark, sf).collect()
+    assert(s1.sameElements(s2))
+    val perSeg = s1.groupBy(_.getString(0)).values.map(_.length)
+    assert(perSeg.forall(_ == ChangeOps.SamplePerStratum))
+  }
+
+  test("column profiler: clean source has zero nulls and sane distincts") {
+    val p = ProfileOps.profileOrders(spark, sf).collect()
+    assert(p.length == Tables.orders(spark, sf).columns.length)
+    assert(p.forall(_.getLong(1) == 0L), "orders testdata has no nulls")
+    val nd = p.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nd("o_orderkey") == Tables.orders(spark, sf).count())
+  }
+
+  test("range join recovers each session's own event count") {
+    val ranged = TemporalOps.rangeJoinSessions(spark, sf)
+    val total = ranged.agg(sum("n_contained")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("salted agg and percentiles agree with exact recomputation") {
+    val p = ScaleOps.percentiles(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p90 per group")
+    }
+  }
+}
