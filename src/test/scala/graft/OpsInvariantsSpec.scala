@@ -42,6 +42,13 @@ class OpsInvariantsSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("plan stats observability reads estimates without triggering a job") {
+    val s = graft.ops.Observability.planStats(Tables.lineitem(spark, sf))
+    assert(s.sizeBytes > 0)
+    assert(graft.ops.Observability.describe("lineitem", Tables.lineitem(spark, sf))
+      .contains("MB"))
+  }
+
   test("salted agg and percentiles agree with exact recomputation") {
     val p = ScaleOps.percentiles(spark, sf).collect()
     assert(p.nonEmpty)
