@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsOf, Ngrams, SurrogateKeys}
+
+/** Property-style tests (seeded random inputs vs brute-force reference
+  * implementations) for the semantics-sensitive spots of SURVEY.md §7.4:
+  * surrogate keys (D1), n-gram construction feeding the string-agg/dedup
+  * paths (D2), and the as-of join's temporal contract. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val rng = new scala.util.Random(0xc0ffee)
+
+  test("asofJoin matches a brute-force reference on random inputs (50 trials)") {
+    import spark.implicits._
+    (1 to 50).foreach { trial =>
+      val nL = 1 + rng.nextInt(8)
+      val nR = rng.nextInt(10)
+      val keys = Array(1L, 2L, 3L)
+      val left = (1 to nL).map { i =>
+        (keys(rng.nextInt(3)), new Timestamp(rng.nextInt(1000).toLong * 1000), i.toLong)
+      }
+      val right = (1 to nR).map { i =>
+        (keys(rng.nextInt(3)), new Timestamp(rng.nextInt(1000).toLong * 1000), i.toLong, s"v$i")
+      }
+      val lDf = left.toDF("k", "lts", "lid")
+      val rDf = right.toDF("k", "rts", "rid", "rval")
+      val got = AsOf.asofJoin(lDf, rDf, "k", "lts", "rts", "rid", Seq("rid", "rval"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)) ->
+          (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getString(4))))).toMap
+      // brute force: latest right with rts <= lts, ties by largest rid
+      left.foreach { case (k, lts, lid) =>
+        val expect = right
+          .filter(r => r._1 == k && !r._2.after(lts))
+          .sortBy(r => (r._2.getTime, r._3))
+          .lastOption.map(r => (r._3, r._4))
+        assert(got((k, lid)) == expect,
+          s"trial $trial key=$k lid=$lid: got ${got((k, lid))}, want $expect\nL=$left\nR=$right")
+      }
+    }
+  }
+
+  test("dense surrogate keys follow natural-key order for random inputs (20 trials)") {
+    import spark.implicits._
+    (1 to 20).foreach { _ =>
+      val vals = (1 to (5 + rng.nextInt(40))).map(_ => rng.nextInt(100000)).distinct
+      val df = rng.shuffle(vals).toDF("k").repartition(4)
+      val out = SurrogateKeys.dense(df, "sk", col("k")).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val sorted = vals.sorted
+      sorted.zipWithIndex.foreach { case (v, i) =>
+        assert(out(v) == i + 1, s"value $v should get sk ${i + 1}")
+      }
+    }
+  }
+
+  test("wordNgrams matches a sliding-window reference for random word lists (50 trials)") {
+    import spark.implicits._
+    (1 to 50).foreach { _ =>
+      val n = 2 + rng.nextInt(3)
+      val words = (1 to (n + rng.nextInt(20))).map(_ => s"w${rng.nextInt(8)}")
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(Ngrams.wordNgrams(col("text"), n).as("g"))
+        .head().getSeq[String](0)
+      val expect = words.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got == expect, s"n=$n text='$text'")
+    }
+  }
+
+  test("scalable surrogate keys stay contiguous under random partitioning (10 trials)") {
+    import spark.implicits._
+    (1 to 10).foreach { _ =>
+      val nRows = 10 + rng.nextInt(200)
+      val parts = 1 + rng.nextInt(8)
+      val df = (1 to nRows).map(i => (i.toLong, s"r$i")).toDF("id", "v").repartition(parts)
+      val sks = SurrogateKeys.scalable(df, "sk").select("sk").collect().map(_.getLong(0)).sorted
+      assert(sks.toSeq == (1L to nRows).toSeq)
+    }
+  }
+}
