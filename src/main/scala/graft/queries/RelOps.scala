@@ -124,7 +124,16 @@ object RelOps {
   /** §2.5-ABSENT extension: ranking window — top-3 parts per supplier.
     * Partitioned window (no single-task funnel; scales with #suppliers). */
   def windowRankPerGroup(s: SparkSession, d: String): DataFrame = {
+    // ONE exchange instead of two: hash-partitioning by l_suppkey alone
+    // satisfies the groupBy's ClusteredDistribution(l_suppkey, l_partkey)
+    // (partitioning keys ⊆ clustering keys) AND the window's
+    // partitionBy(l_suppkey), so neither re-shuffles. The trade: the
+    // up-front repartition ships full rows (no map-side partial agg), which
+    // wins exactly when group keys are near-unique per row — true here
+    // ((suppkey, partkey) pairs ≈ rows) and for most per-entity rankings.
     val totals = Tables.lineitem(s, d)
+      .select("l_suppkey", "l_partkey", "l_quantity")
+      .repartition(col("l_suppkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum("l_quantity").as("total_qty"))
     totals
