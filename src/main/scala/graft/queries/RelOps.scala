@@ -185,6 +185,29 @@ object RelOps {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Extension: statistical aggregates — stddev/variance/correlation/
+    * covariance per group. Both engines use numerically-stable streaming
+    * moment updates; 4-6dp rounding absorbs the merge-order residue. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_price_qty"),
+        round(covar_samp(col("l_extendedprice"), col("l_discount")), 6).as("covar_price_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val statsAggOracle: String = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+       round(covar_samp(l_extendedprice, l_discount), 6) AS covar_price_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Extension: PIVOT — order counts per priority, one column per status.
     * Explicit pivot values keep the plan single-pass (no extra distinct
     * scan to discover them) and the output schema static. */
@@ -269,6 +292,7 @@ ORDER BY c_custkey"""
     "window_analytics"      -> (windowAnalytics _),
     "grouping_sets_sales"   -> (groupingSetsSales _),
     "pivot_status"          -> (pivotStatus _),
+    "stats_agg"             -> (statsAgg _),
     "scalar_subquery"       -> (scalarSubquery _),
     "sample_rand"           -> (sampleRand _),
     "union_keys"            -> (unionKeys _),
@@ -375,6 +399,7 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "scalar_subquery" -> scalarSubquerySql,
+    "stats_agg" -> statsAggOracle,
     "union_keys" -> """
 SELECT c_custkey AS key, 'customer' AS src FROM customer
 UNION ALL
