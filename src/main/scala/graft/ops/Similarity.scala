@@ -132,7 +132,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       val n = math.sqrt(c.map(x => x * x).sum)
       c.map(_ / n)
     }
-    def cellScores(v: Column): Column = array(unit.zipWithIndex.map {
+    def cellScores(v: Column): Column = array(unit.zipWithIndex.toIndexedSeq.map {
       case (c, i) => struct(dot(s, v, typedlit(c.toSeq)).as("score"), lit(i).as("cid"))
     }: _*)
     val assigned = emb.withColumn("cell", array_max(cellScores(col("v"))).getField("cid"))

@@ -185,6 +185,29 @@ object RelOps {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Extension: fuzzy string matching — entity-resolution staple. Exact
+    * integer edit distance, identical across engines (no float hazard).
+    * All-pairs here (25 nations); at scale, block by a cheap key first
+    * (length band / first char / q-gram bucket) exactly like the LSH
+    * candidate generation in Dedup. */
+  def fuzzyMatchNations(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.nation(s, d).select(col("n_name").as("name_a"))
+    val b = Tables.nation(s, d).select(col("n_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      // threshold 1, not 4: the synthetic NATION_xx names are all within
+      // distance 2 of each other, so anything looser is a vacuous filter
+      .filter(col("dist") <= 1)
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyMatchOracle: String = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 1
+ORDER BY name_a, name_b"""
+
   /** Extension: statistical aggregates — stddev/variance/correlation/
     * covariance per group. Both engines use numerically-stable streaming
     * moment updates; 4-6dp rounding absorbs the merge-order residue. */
@@ -293,6 +316,7 @@ ORDER BY c_custkey"""
     "grouping_sets_sales"   -> (groupingSetsSales _),
     "pivot_status"          -> (pivotStatus _),
     "stats_agg"             -> (statsAgg _),
+    "fuzzy_match_nations"   -> (fuzzyMatchNations _),
     "scalar_subquery"       -> (scalarSubquery _),
     "sample_rand"           -> (sampleRand _),
     "union_keys"            -> (unionKeys _),
@@ -400,6 +424,7 @@ FROM orders
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "scalar_subquery" -> scalarSubquerySql,
     "stats_agg" -> statsAggOracle,
+    "fuzzy_match_nations" -> fuzzyMatchOracle,
     "union_keys" -> """
 SELECT c_custkey AS key, 'customer' AS src FROM customer
 UNION ALL
