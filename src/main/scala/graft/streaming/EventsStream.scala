@@ -226,12 +226,72 @@ FROM s
 GROUP BY user_id, sid
 ORDER BY user_id, session_start"""
 
+  /** foreachBatch upsert sink: each micro-batch's per-user aggregates are
+    * MERGED into a parquet state table (read-modify-overwrite — the
+    * plain-parquet stand-in for a Delta MERGE sink). foreachBatch is the
+    * streaming escape hatch for sinks Spark has no native writer for; the
+    * batchId parameter is what makes restarts idempotent (a real
+    * deployment records it in the sink transaction). Single-batch replay
+    * ⇒ final state equals the batch aggregate, which the oracle checks. */
+  def upsertSink(s: SparkSession, d: String): DataFrame = {
+    val stateDir = s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/user_totals"
+    // truncate-and-reload semantics per run (S6): the state dir is the sink
+    val fs = java.nio.file.Paths.get(stateDir)
+    if (java.nio.file.Files.exists(fs)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fs).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val agg = eventsStream(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch.select(col("user_id"), col("n_events"), col("sum_value"))
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))) {
+            val state = batch.sparkSession.read.parquet(stateDir)
+              .select(col("user_id").as("s_uid"), col("n_events").as("s_n"),
+                col("sum_value").as("s_v"))
+            incoming.join(state, col("user_id") === col("s_uid"), "full_outer")
+              .select(
+                coalesce(col("user_id"), col("s_uid")).as("user_id"),
+                coalesce(col("n_events"), col("s_n")).as("n_events"),
+                coalesce(col("sum_value"), col("s_v")).as("sum_value"))
+          } else incoming
+        // write via temp + swap would be the production move; overwrite
+        // into a side dir then rename is elided here for brevity
+        merged.coalesce(1).write.mode("overwrite").parquet(stateDir + s"_b$batchId")
+        val tgt = java.nio.file.Paths.get(stateDir)
+        val src = java.nio.file.Paths.get(stateDir + s"_b$batchId")
+        if (java.nio.file.Files.exists(tgt)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tgt).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.move(src, tgt)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(stateDir)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val upsertSinkOracle: String = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
-    "stream_dedup"           -> (streamDedup _)
+    "stream_dedup"           -> (streamDedup _),
+    "stream_upsert_sink"     -> (upsertSink _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -239,6 +299,7 @@ ORDER BY user_id, session_start"""
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
-    "stream_dedup"           -> streamDedupOracle
+    "stream_dedup"           -> streamDedupOracle,
+    "stream_upsert_sink"     -> upsertSinkOracle
   )
 }
