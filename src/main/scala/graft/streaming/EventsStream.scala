@@ -233,8 +233,17 @@ ORDER BY user_id, session_start"""
     * batchId parameter is what makes restarts idempotent (a real
     * deployment records it in the sink transaction). Single-batch replay
     * ⇒ final state equals the batch aggregate, which the oracle checks. */
-  def upsertSink(s: SparkSession, d: String): DataFrame = {
-    val stateDir = s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/user_totals"
+  def upsertSink(s: SparkSession, d: String): DataFrame =
+    upsertSinkFrom(s, eventsStream(s, d),
+      s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/user_totals",
+      OutputMode.Complete)
+
+  /** Core of the upsert sink, parameterized so tests can drive it with a
+    * multi-batch source (maxFilesPerTrigger) and Update output mode —
+    * where the merge genuinely bites: each micro-batch carries only the
+    * keys it updated, and earlier keys must survive via the state table. */
+  def upsertSinkFrom(s: SparkSession, events: DataFrame, stateDir: String,
+    mode: OutputMode): DataFrame = {
     // truncate-and-reload semantics per run (S6): the state dir is the sink
     val fs = java.nio.file.Paths.get(stateDir)
     if (java.nio.file.Files.exists(fs)) {
@@ -242,11 +251,11 @@ ORDER BY user_id, session_start"""
       java.nio.file.Files.walk(fs).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
-    val agg = eventsStream(s, d)
+    val agg = events
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val incoming = batch.select(col("user_id"), col("n_events"), col("sum_value"))
         val merged =
