@@ -95,13 +95,43 @@ WITH x AS (
 SELECT label, dim, round(avg(v), 6) AS centroid, count(*) AS n_vecs
 FROM x GROUP BY label, dim ORDER BY label, dim"""
 
+  /** Array-function family over the embedding vectors: size, element
+    * access, min/max, slicing, sort — the building blocks every
+    * vector-column pipeline leans on. All elementwise/exact (no float
+    * summation), so the oracle is exact too. */
+  def arrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        round(element_at(col("v"), 1), 6).as("first_val"),
+        round(array_max(col("v")), 6).as("max_val"),
+        round(array_min(col("v")), 6).as("min_val"),
+        round(element_at(array_sort(col("v")), 32), 6).as("lower_median"),
+        round(element_at(slice(col("v"), 1, 4), 4), 6).as("fourth_val"))
+      .orderBy("vec_id")
+
+  val arrayOpsOracle: String = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       round(v[1], 6) AS first_val,
+       round(list_max(v), 6) AS max_val,
+       round(list_min(v), 6) AS min_val,
+       round(list_sort(v)[32], 6) AS lower_median,
+       round(v[1:4][4], 6) AS fourth_val
+FROM e ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_sessions" -> (rangeJoinSessions _),
-    "embedding_centroids" -> (embeddingCentroids _)
+    "embedding_centroids" -> (embeddingCentroids _),
+    "array_ops"           -> (arrayOps _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "range_join_sessions" -> rangeJoinSessionsOracle,
-    "embedding_centroids" -> embeddingCentroidsOracle
+    "embedding_centroids" -> embeddingCentroidsOracle,
+    "array_ops"           -> arrayOpsOracle
   )
 }
