@@ -187,8 +187,20 @@ object Medallion {
       "dim_customer" -> dimCustomer(s, srcDir),
       "dim_part"     -> dimPart(s, srcDir),
       "dim_supplier" -> dimSupplier(s, srcDir),
-      "dim_date"     -> dimDate(s, srcDir),
-      "fact_sales"   -> factSales(s, srcDir)
+      "dim_date"     -> dimDate(s, srcDir)
     ).foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$lakeDir/gold/$n") }
+    // Fact layout for scale (SURVEY.md §4.3's opt-in extension): directory
+    // partitioning on the sale year gives partition PRUNING for date-ranged
+    // queries (a year-filtered scan never lists the other years), and
+    // range-repartition + sort on date_sk within files gives row-group
+    // pruning via parquet min/max stats below the year grain. At 100 TB
+    // this layout is the difference between scanning a year and a decade.
+    factSales(s, srcDir)
+      .withColumn("sale_year", (col("date_sk") / 10000).cast("int"))
+      .repartitionByRange(col("sale_year"), col("date_sk"))
+      .sortWithinPartitions("date_sk")
+      .write.mode("overwrite")
+      .partitionBy("sale_year")
+      .parquet(s"$lakeDir/gold/fact_sales")
   }
 }

@@ -85,4 +85,15 @@ class MedallionSpec extends AnyFunSuite {
   test("SparkEntry contract: every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("gold fact layout gives partition pruning on year-scoped scans") {
+    val lake = s"/tmp/graft_lake_spec/${graft.ops.Dedup.hashCode()}"
+    pipeline.Medallion.writeAll(spark, sf, lake)
+    val scan = spark.read.parquet(s"$lake/gold/fact_sales")
+      .filter(col("sale_year") === 1995)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(sale_year"),
+      s"year filter did not become a partition filter:\n${plan.take(800)}")
+    assert(scan.count() > 0)
+  }
 }
