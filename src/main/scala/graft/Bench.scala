@@ -40,7 +40,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"passes":2,"failed":$fl,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"passes":2,"failed":$fl,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail-capture can truncate the (long) JSON line — persist it to
+    // a file as well so the numbers are always machine-readable
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

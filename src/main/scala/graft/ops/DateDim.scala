@@ -17,12 +17,23 @@ import org.apache.spark.sql.functions._
   * A calendar is at most tens of thousands of rows regardless of data scale,
   * so this operator is scale-independent.
   *
-  * Day/month names use `date_format` patterns EEEE/MMMM which are
-  * locale-sensitive; the JVM default locale in the harness is English, and
-  * the DuckDB oracle's dayname()/monthname() emit the same English names
-  * (D4 in SURVEY.md §7.4).
+  * Day/month names are mapped from the day-of-week / month NUMBER through
+  * explicit English name arrays rather than `date_format` EEEE/MMMM: those
+  * patterns follow the JVM default locale, so a non-English JVM would
+  * silently break parity with DuckDB's dayname()/monthname() (D4 in
+  * SURVEY.md §7.4). The explicit mapping is locale-independent by
+  * construction (proven by the Locale.GERMANY spec in MedallionSpec).
   */
 object DateDim {
+
+  /** Indexed 1-7 to match `dayofweek` (1 = Sunday). */
+  private val DayNames = Seq(
+    "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
+
+  /** Indexed 1-12 to match `month`. */
+  private val MonthNames = Seq(
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December")
 
   /** Build the calendar dim from the min/max of `dateCol` in `src`.
     * Output schema mirrors the reference's dim_date (etl_lakehouse.py:100-110):
@@ -36,12 +47,15 @@ object DateDim {
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("full_date"))
       .select(
         col("full_date"),
-        date_format(col("full_date"), "yyyyMMdd").cast("int").as("date_sk"),
+        // arithmetic yyyyMMdd, not date_format("yyyyMMdd"): pattern output
+        // digits follow the locale's decimal style on exotic JVMs
+        (year(col("full_date")) * 10000 + month(col("full_date")) * 100 +
+          dayofmonth(col("full_date"))).cast("int").as("date_sk"),
         dayofmonth(col("full_date")).as("day_val"),
         month(col("full_date")).as("month_val"),
         year(col("full_date")).as("year_val"),
         quarter(col("full_date")).as("quarter_val"),
-        date_format(col("full_date"), "EEEE").as("day_name"),
-        date_format(col("full_date"), "MMMM").as("month_name"))
+        element_at(typedlit(DayNames), dayofweek(col("full_date"))).as("day_name"),
+        element_at(typedlit(MonthNames), month(col("full_date"))).as("month_name"))
   }
 }

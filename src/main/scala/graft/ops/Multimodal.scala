@@ -105,8 +105,10 @@ FROM b ORDER BY doc_id"""
   case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int, first_frame_hex: String)
 
   /** Video-style frame sampling: slice the payload into fixed-size frames,
-    * keep every `stride`-th. Rows-only (the op is Spark-side slicing of
-    * binary; a SQL oracle would just re-state the same arithmetic). */
+    * keep every `stride`-th. Oracle-checked: the oracle re-states the
+    * slicing arithmetic over the payload length and reproduces the first
+    * kept frame from the payload's known md5-repeat structure (frame 0 is
+    * exactly the 16 md5 digest bytes, so its hex IS md5(text)). */
   def frameSample(s: SparkSession, d: String, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
     import s.implicits._
     mediaTable(s, d).select("doc_id", "payload")
@@ -122,6 +124,19 @@ FROM b ORDER BY doc_id"""
       .toDF().orderBy("doc_id")
   }
 
+  /** frameBytes=16, stride=4 over the 128-byte payload: n_frames =
+    * ceil(len/16), n_sampled = |{i < n_frames : i % 4 = 0}| = ceil(n/4),
+    * and the first kept frame (index 0) is the md5 digest itself. */
+  val frameSampleOracle: String = """
+WITH p AS (SELECT doc_id, octet_length(unhex(repeat(md5(text), 8))) AS len,
+                  md5(text) AS h
+           FROM documents)
+SELECT doc_id,
+       CAST(ceil(len / 16.0) AS INT) AS n_frames,
+       CAST(ceil(ceil(len / 16.0) / 4.0) AS INT) AS n_sampled,
+       h AS first_frame_hex
+FROM p ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
@@ -130,7 +145,7 @@ FROM b ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta"     -> metaOracle,
-    "multimodal_features" -> featuresOracle
-    // multimodal_frames: rows-only (binary slicing; covered by spec test)
+    "multimodal_features" -> featuresOracle,
+    "multimodal_frames"   -> frameSampleOracle
   )
 }

@@ -20,10 +20,11 @@ import graft.Tables
   *    sign pattern of `Bits` seeded Gaussian projections, probe the query's
   *    bucket plus all Hamming-1 neighbors, exact-rank only the candidates.
   *    The corpus-side cost per query drops from O(n) to O(n / 2^Bits ×
-  *    (Bits+1)); approximate, so it's a rows-only check plus a recall
-  *    assertion in the test suite (no SQL oracle can reproduce the
-  *    approximation exactly is false — it could, but pinning the planes in
-  *    SQL adds nothing; the recall spec is the meaningful contract).
+  *    (Bits+1)). Approximate — but the approximation itself is
+  *    deterministic, so the oracle pins the planes as SQL literal arrays
+  *    and reproduces the bucketing bit-for-bit (dot products are
+  *    sequential ascending double sums in both engines): full hash check,
+  *    plus a recall contract on planted-cluster data in SimilaritySpec.
   */
 object Similarity {
 
@@ -88,8 +89,8 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-K: probe own bucket + Hamming-1 buckets,
-    * exact-rank the candidates. Rows-only check (approximate by design);
-    * SimilaritySpec asserts recall@K against [[annTopK]]. */
+    * exact-rank the candidates. Oracle-checked (planes pinned as SQL
+    * literals); SimilaritySpec asserts recall@K against [[annTopK]]. */
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketOf(s, col("v")))
     val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
@@ -108,6 +109,36 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       .orderBy("query_id", "rnk")
   }
 
+  /** The LSH oracle mirrors [[annLshTopK]] exactly, with the seeded planes
+    * embedded as literal DOUBLE[] arrays (Double.toString round-trips, so
+    * DuckDB parses the identical doubles; the sign of the identical dot
+    * product then yields the identical bucket). */
+  lazy val annLshOracle: String = {
+    val cases = (0 until Bits).map { b =>
+      val lit = planes(b).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString("\n   + ")
+    s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  ($cases) AS bucket
+  FROM emb),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, qv, xor(qb, f.flip) AS probe_bucket
+  FROM q CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+cand AS (
+  SELECT query_id, vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+  FROM b JOIN probes ON bucket = probe_bucket AND vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM cand)
+SELECT query_id, vec_id, cosine, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+  }
+
   val NumCentroids = 16
   val NProbe = 4
 
@@ -118,8 +149,9 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * exact-ranked. Cell assignment is pure Catalyst: an array of
     * (cosine, cid) structs reduced with array_max (lexicographic struct
     * ordering), so the argmax never leaves codegen. Corpus-side cost per
-    * query drops to ~NProbe/NumCentroids of brute force. Rows-only
-    * (approximate); recall asserted in SimilaritySpec. */
+    * query drops to ~NProbe/NumCentroids of brute force. Oracle-checked
+    * (the deterministic index is mirrored in SQL — [[annIvfOracle]]);
+    * recall asserted in SimilaritySpec. */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d))
     val centroids = emb.orderBy("vec_id").limit(NumCentroids)
@@ -151,6 +183,48 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       .orderBy("query_id", "rnk")
   }
 
+  /** Mirrors [[annIvfTopK]] in SQL: same seed centroids (the NumCentroids
+    * lowest-id vectors, unit-normalized — both derivable from the data in
+    * either engine), same argmax cell assignment (score DESC, cid DESC ties
+    * — matching Spark's lexicographic struct array_max), same NProbe probe
+    * set, same exact re-rank. Because the index construction is
+    * deterministic and cross-engine reproducible, the APPROXIMATE result
+    * is hash-checkable, not just rows-only. */
+  lazy val annIvfOracle: String = s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $NumCentroids),
+cent_n AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+  FROM cent),
+scores AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
+  FROM emb e CROSS JOIN cent_n c),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+    FROM scores) t WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+    FROM scores WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(e.v, qe.v), 6) AS cosine
+  FROM qprobe p
+  JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN emb qe ON qe.vec_id = p.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+  FROM cand)
+SELECT query_id, vec_id, cosine, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
@@ -158,7 +232,8 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   )
 
   val oracleSql: Map[String, String] = Map(
-    "ann_topk_bruteforce" -> annTopKOracle
-    // ann_topk_lsh: approximate — rows-only here, recall@K asserted in tests
+    "ann_topk_bruteforce" -> annTopKOracle,
+    "ann_topk_lsh"        -> annLshOracle,
+    "ann_topk_ivf"        -> annIvfOracle
   )
 }

@@ -259,11 +259,20 @@ ORDER BY c_custkey"""
     s.sql(scalarSubquerySql)
   }
 
-  /** O4: random sample via seeded rand (10_mysql_populate_others.sql:8-9).
-    * Seeded rand is deterministic per engine but not ACROSS engines, so
-    * this is a rows-only check (no oracle). */
+  /** O4: reproducible random sample (10_mysql_populate_others.sql:8-9
+    * analog). ORDER BY a salted md5 of the key stands in for ORDER BY
+    * rand(seed): uniform over the keyspace and seedable (the salt), but —
+    * unlike engine-native rand() — identical across engines, so the sample
+    * is oracle-checkable. Key tie-break keeps the order total. */
   def sampleRand(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).orderBy(rand(42)).limit(20).select("c_custkey", "c_name")
+    Tables.customer(s, d)
+      .orderBy(md5(concat_ws(":", lit("o4"), col("c_custkey"))), col("c_custkey"))
+      .limit(20).select("c_custkey", "c_name")
+
+  val sampleRandSql: String = """
+SELECT c_custkey, c_name FROM customer
+ORDER BY md5('o4:' || CAST(c_custkey AS VARCHAR)), c_custkey
+LIMIT 20"""
 
   /** §2.7: unionByName (11_mysql_populate_order.sql:20-110 analog). */
   def unionKeys(s: SparkSession, d: String): DataFrame =
@@ -423,6 +432,7 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "scalar_subquery" -> scalarSubquerySql,
+    "sample_rand" -> sampleRandSql,
     "stats_agg" -> statsAggOracle,
     "fuzzy_match_nations" -> fuzzyMatchOracle,
     "union_keys" -> """

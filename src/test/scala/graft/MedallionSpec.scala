@@ -52,6 +52,18 @@ class MedallionSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("day/month names are locale-independent (D4) — English under Locale.GERMANY") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val row = graft.ops.DateDim.fromBounds(Tables.orders(spark, sf), col("o_orderdate"))
+        .filter(col("full_date") === lit("1995-01-01").cast("date"))
+        .select("day_name", "month_name", "date_sk").head()
+      assert(row.getString(0) == "Sunday" && row.getString(1) == "January")
+      assert(row.getInt(2) == 19950101)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("fact has no null SKs and joins back to every dim (D5)") {
     val f = Medallion.factSales(spark, sf).cache()
     assert(f.count() > 0)
