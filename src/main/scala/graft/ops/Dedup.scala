@@ -271,56 +271,90 @@ FROM reach GROUP BY n ORDER BY doc_id"""
 
   // ---- embedding cosine near-dup (exact baseline) ----
 
-  /** All embedding pairs with cosine ≥ `threshold`, as a broadcast block
-    * product: the corpus matrix (n×64 doubles — 1 MB at n=2000, still only
-    * ~0.5 GB at n=1M) ships to every executor once, the same corpus streams
-    * through `mapPartitions`, and each task emits only its above-threshold
-    * pairs. No shuffle, no materialized pair rows — unlike a DataFrame
-    * self-join, which builds 2·n²/2 UnsafeRows each dragging both 512-byte
-    * vectors through the join before the projection can reduce them
-    * (measured: 2 GB of GC churn and 3× run-to-run variance at sf0.1).
-    * Beyond broadcastable corpus sizes the LSH/IVF bucketed paths
-    * (Similarity.annLshTopK) take over.
+  /** All embedding pairs with cosine ≥ `threshold`, as a distributed
+    * block-pair cross product. The corpus is split into id-range blocks of
+    * ≤ `blockRows` vectors; every unordered block pair (i ≤ j) becomes one
+    * task that holds exactly two blocks in memory and tight-loops the
+    * cosine math, emitting only above-threshold pairs. Nothing is
+    * collected to the driver and nothing is broadcast — each row is
+    * shuffled `numBlocks` times (n·B rows total, the minimum replication
+    * any exact all-pairs scheme needs), task memory is bounded by
+    * 2·blockRows vectors regardless of corpus size, and no n² joined rows
+    * are ever materialized (a DataFrame self-join builds an UnsafeRow per
+    * pair, each dragging both 512-byte vectors — measured 2 GB of GC churn
+    * at sf0.1). The O(n²) COMPUTE is inherent to exact all-pairs; beyond
+    * that, the LSH/IVF bucketed paths (Similarity.annLshTopK) take over.
+    *
+    * Block boundaries come from approximate quantiles of vec_id: balance
+    * is approximate, correctness is not — any disjoint covering ranges
+    * yield the same pairs. Range (not hash) blocking also guarantees
+    * vec_a < vec_b without comparing: block i's ids all precede block j's.
     *
     * Double math is the same sequence as the oracle's (ascending-index dot,
     * sqrt norms, divide, round 6), so results stay bitwise identical. */
-  def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+  def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4,
+      blockRows: Int = 1 << 16): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val corpus = emb.collect().sortBy(_._1)
-    val ids = corpus.map(_._1)
-    val mat = corpus.map(_._2)
-    val norms = mat.map { v =>
-      var sq = 0.0; var j = 0
-      while (j < v.length) { sq += v(j) * v(j); j += 1 }
-      math.sqrt(sq)
+    val n = emb.count()
+    val numBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    // B-1 boundary values (a few doubles) — the only driver-side data
+    val bounds: Array[Double] =
+      if (numBlocks == 1) Array.empty
+      else emb.toDF("vec_id", "v").stat.approxQuantile("vec_id",
+        (1 until numBlocks).map(_.toDouble / numBlocks).toArray, 0.001)
+    def blkOf(id: Long): Int = {
+      var b = 0
+      while (b < bounds.length && id > bounds(b)) b += 1
+      b
     }
-    val bc = s.sparkContext.broadcast((ids, mat, norms))
-    emb.mapPartitions { rows =>
-      val (bIds, bMat, bNorms) = bc.value
-      rows.flatMap { case (aId, av) =>
-        var sq = 0.0; var j = 0
-        while (j < av.length) { sq += av(j) * av(j); j += 1 }
-        val aNorm = math.sqrt(sq)
-        // first broadcast index with id > aId (ids are sorted)
-        var lo = 0; var hi = bIds.length
-        while (lo < hi) { val mid = (lo + hi) >>> 1; if (bIds(mid) <= aId) lo = mid + 1 else hi = mid }
-        (lo until bIds.length).iterator.flatMap { k =>
-          val bv = bMat(k)
-          var dot = 0.0; var i = 0
-          val n = math.min(av.length, bv.length)
-          while (i < n) { dot += av(i) * bv(i); i += 1 }
-          // same rounding path as Spark's round()/DuckDB's round (decimal
-          // HALF_UP via the canonical string repr) — math.rint(x*1e6) can
-          // flip boundary values through binary multiply error
-          val cos = java.math.BigDecimal.valueOf(dot / (aNorm * bNorms(k)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= threshold) Some((aId, bIds(k), cos)) else None
-        }
+    def sortedNormed(m: Array[(Long, Array[Double])]): (Array[(Long, Array[Double])], Array[Double]) = {
+      val sorted = m.sortBy(_._1)
+      val nrm = sorted.map { case (_, v) =>
+        var sq = 0.0; var k = 0
+        while (k < v.length) { sq += v(k) * v(k); k += 1 }
+        math.sqrt(sq)
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+      (sorted, nrm)
+    }
+    emb.flatMap { case (id, v) =>
+      val b = blkOf(id)
+      // this row is the LEFT (lower-id) side of pairs (b, j≥b) and the
+      // RIGHT side of pairs (i<b, b)
+      (b until numBlocks).iterator.map(j => (b, j, 0.toByte, id, v)) ++
+        (0 until b).iterator.map(i => (i, b, 1.toByte, id, v))
+    }
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { case ((i, j), rows) =>
+        val buf = rows.toArray
+        val (left, ln) = sortedNormed(buf.filter(_._3 == 0).map(t => (t._4, t._5)))
+        val (right, rn) =
+          if (i == j) (left, ln) else sortedNormed(buf.filter(_._3 == 1).map(t => (t._4, t._5)))
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var a = 0
+        while (a < left.length) {
+          val (aId, av) = left(a)
+          var bi = if (i == j) a + 1 else 0
+          while (bi < right.length) {
+            val (bId, bv) = right(bi)
+            var dotv = 0.0; var k = 0
+            val nn = math.min(av.length, bv.length)
+            while (k < nn) { dotv += av(k) * bv(k); k += 1 }
+            // same rounding path as Spark's round()/DuckDB's round (decimal
+            // HALF_UP via the canonical string repr) — math.rint(x*1e6) can
+            // flip boundary values through binary multiply error
+            val cos = java.math.BigDecimal.valueOf(dotv / (ln(a) * rn(bi)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) out += ((aId, bId, cos))
+            bi += 1
+          }
+          a += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 
