@@ -298,8 +298,18 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
+      // count + approxQuantile + the flatMap below are three actions over
+      // the same narrow projection; cache it once instead of rescanning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    val numBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    // Cap block size by ~n/parallelism: with the default 64k blockRows a
+    // corpus under 64k vectors would collapse to numBlocks=1 — a single
+    // task doing all n² work. Small corpora still fan out; large corpora
+    // keep the replication factor (n·B) bounded by the configured blockRows.
+    val effBlockRows = math.max(256L,
+      math.min(blockRows.toLong,
+        math.ceil(n.toDouble / s.sparkContext.defaultParallelism).toLong))
+    val numBlocks = math.max(1, math.ceil(n.toDouble / effBlockRows).toInt)
     // B-1 boundary values (a few doubles) — the only driver-side data
     val bounds: Array[Double] =
       if (numBlocks == 1) Array.empty
@@ -327,7 +337,8 @@ FROM reach GROUP BY n ORDER BY doc_id"""
         (0 until b).iterator.map(i => (i, b, 1.toByte, id, v))
     }
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { case ((i, j), rows) =>
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Byte, Long, Array[Double])]) =>
+        val (i, j) = key
         val buf = rows.toArray
         val (left, ln) = sortedNormed(buf.filter(_._3 == 0).map(t => (t._4, t._5)))
         val (right, rn) =
