@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run sequentially in the forked JVM (sbt default
+// testForkedParallel=false): MedallionSpec's locale test mutates the
+// JVM-global default Locale and would bleed into concurrent suites.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -43,8 +43,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"passes":2,"failed":$fl,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture can truncate the (long) JSON line — persist it to
-    // a file as well so the numbers are always machine-readable
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    spark.stop()
+    // a file as well so the numbers are always machine-readable. Best-effort:
+    // a read-only CWD must not fail the bench after valid results printed.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")).toAbsolutePath
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not persist bench_out.json: ${e.getMessage}")
+    } finally spark.stop()
   }
 }

@@ -292,6 +292,18 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     *
     * Double math is the same sequence as the oracle's (ascending-index dot,
     * sqrt norms, divide, round 6), so results stay bitwise identical. */
+  /** Block count for [[cosinePairs]]. Cap block size by ~n/parallelism:
+    * with the default 64k blockRows a corpus under 64k vectors would
+    * collapse to numBlocks=1 — a single task doing all n² work. Small
+    * corpora still fan out; large corpora keep the replication factor
+    * (n·B) bounded by the configured blockRows. The 256 floor stops a
+    * tiny corpus from sharding into hundreds of near-empty groups. */
+  private[graft] def cosineNumBlocks(n: Long, blockRows: Int, parallelism: Int): Int = {
+    val eff = math.max(256L,
+      math.min(blockRows.toLong, math.ceil(n.toDouble / parallelism).toLong))
+    math.max(1, math.ceil(n.toDouble / eff).toInt)
+  }
+
   def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4,
       blockRows: Int = 1 << 16): DataFrame = {
     import s.implicits._
@@ -302,14 +314,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       // the same narrow projection; cache it once instead of rescanning
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    // Cap block size by ~n/parallelism: with the default 64k blockRows a
-    // corpus under 64k vectors would collapse to numBlocks=1 — a single
-    // task doing all n² work. Small corpora still fan out; large corpora
-    // keep the replication factor (n·B) bounded by the configured blockRows.
-    val effBlockRows = math.max(256L,
-      math.min(blockRows.toLong,
-        math.ceil(n.toDouble / s.sparkContext.defaultParallelism).toLong))
-    val numBlocks = math.max(1, math.ceil(n.toDouble / effBlockRows).toInt)
+    val numBlocks = cosineNumBlocks(n, blockRows, s.sparkContext.defaultParallelism)
     // B-1 boundary values (a few doubles) — the only driver-side data
     val bounds: Array[Double] =
       if (numBlocks == 1) Array.empty

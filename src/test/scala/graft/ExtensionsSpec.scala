@@ -70,6 +70,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cl.forall { case (n, root) => root <= n })
   }
 
+  test("cosine pairs: block plan fans out small corpora and caps replication") {
+    // a corpus under one default block must not collapse to a single task
+    assert(Dedup.cosineNumBlocks(500, 1 << 16, 4) > 1)
+    assert(Dedup.cosineNumBlocks(2000, 1 << 16, 32) > 1)
+    // large corpora: replication factor stays bounded by configured blockRows
+    assert(Dedup.cosineNumBlocks(10_000_000L, 1 << 16, 32) ==
+      math.ceil(1e7 / (1 << 16)).toInt)
+    // degenerate corpus: one block, never zero
+    assert(Dedup.cosineNumBlocks(10, 1 << 16, 32) == 1)
+  }
+
+  test("cosine pairs: distributed lineage (no driver collect / corpus broadcast)") {
+    val df = Dedup.cosinePairs(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // round-1's version collected the corpus to the driver and re-shipped it
+    // inside a closure; the block-pair design must instead shuffle on the
+    // block key and never broadcast or re-localize the corpus
+    assert(!plan.contains("BroadcastExchange"), s"corpus broadcast in plan:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"driver-side relation in plan:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"expected shuffle on block key:\n$plan")
+
+    // and the block path is exactly brute force (test-side collect is fine)
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) { d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+      java.math.BigDecimal.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val brute = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2) if c >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1, c)).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"block-pair != brute: only-block=${got -- brute} only-brute=${brute -- got}")
+  }
+
   test("text quality score is bounded and fingerprint is order-sensitive") {
     val q = TextOps.quality(spark, sf)
     assert(q.where(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
