@@ -60,13 +60,36 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
-  // session-instance key, same rationale as Medallion.goldCache
-  private def shingleTable(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, d),
-      withShingles(Tables.documents(s, d)).select("doc_id", "sh", "m")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** Hot-shingle document-frequency cap: shingles present in more than
+    * max(5, 1% of the corpus) documents are dropped from every shingle
+    * set BEFORE any join. Without this, one stopword-like shingle with
+    * document frequency f makes the inverted-index self-join emit f²/2
+    * rows — at 100 TB a single hot shingle is O(n²) on its own. Dropping
+    * near-ubiquitous shingles barely moves Jaccard (they carry no
+    * discriminative signal) and the cap is applied identically in the
+    * oracle CTE, so the differential gate checks the capped semantics. */
+  val MaxShingleDfFrac = 0.01
+  val MinShingleDfCap = 5L
 
-  /** Shared oracle CTE: per-doc distinct shingles, exploded. */
+  // session-instance key, same rationale as Medallion.goldCache
+  private[graft] def shingleTable(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d), {
+      val nDocs = Tables.documents(s, d).count()
+      val cap = math.max(MinShingleDfCap, math.floor(MaxShingleDfFrac * nDocs).toLong)
+      val ex = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      // sh is distinct per doc, so count == document frequency. The hot
+      // list is tiny by construction (df > 1% of corpus) → broadcast anti.
+      val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("h")
+      ex.join(broadcast(hot), Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list("h")).as("sh"), count(lit(1)).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Shared oracle CTE: per-doc distinct shingles, hot-shingle-capped
+    * exactly like [[shingleTable]], exploded. */
   val shingleCte: String = """WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 3),
@@ -75,7 +98,12 @@ sh AS (
          list_distinct(list_transform(generate_series(1, len(ws)-2),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w),
-ex AS (SELECT doc_id, len(s) AS m, unnest(s) AS sh FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+keep AS (
+  SELECT sh FROM ex0 GROUP BY sh
+  HAVING count(*) <= greatest(5, CAST(floor(0.01 * (SELECT count(*) FROM documents)) AS BIGINT))),
+ex1 AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN keep USING (sh)),
+ex AS (SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS m, sh FROM ex1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.m AS ma, b.m AS mb,
          count(*) AS inter

@@ -70,6 +70,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cl.forall { case (n, root) => root <= n })
   }
 
+  test("hot-shingle DF cap is active: no surviving shingle exceeds the cap") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val cap = math.max(Dedup.MinShingleDfCap,
+      math.floor(Dedup.MaxShingleDfFrac * nDocs).toLong)
+    val df = Dedup.shingleTable(spark, sf)
+      .select(explode(col("sh")).as("h"))
+      .groupBy("h").count()
+    // every shingle that survives into the inverted-index join is cold...
+    assert(df.agg(max("count")).head().getLong(0) <= cap)
+    // ...and the cap genuinely fired on this dataset (45 hot shingles at
+    // sf0.001) — the O(n²) self-join blowup path is exercised, not latent
+    val rawDistinct = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(array_distinct(transform(
+        graft.ops.Ngrams.wordNgrams(col("text"), 3), x => xxhash64(x)))).as("h"))
+      .distinct().count()
+    assert(df.count() < rawDistinct, "cap dropped nothing — dataset has no hot shingles")
+  }
+
   test("cosine pairs: block plan fans out small corpora and caps replication") {
     // a corpus under one default block must not collapse to a single task
     assert(Dedup.cosineNumBlocks(500, 1 << 16, 4) > 1)
