@@ -29,7 +29,8 @@ import graft.Tables
 object Similarity {
 
   val K = 5
-  val Bits = 4
+  val Bits = 6
+  val NumTables = 2
   val Dim = 64
   val Seed = 42L
 
@@ -76,32 +77,51 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
 
-  /** Seeded random hyperplanes, generated on the driver (Bits × Dim doubles
-    * — trivially broadcastable at any scale). */
-  private lazy val planes: Array[Array[Double]] = {
+  /** Seeded random hyperplanes for `NumTables` independent hash tables
+    * (NumTables × Bits × Dim doubles, generated on the driver — trivially
+    * broadcastable at any scale). Multiple tables are the standard LSH
+    * recall lever: a near neighbor is a candidate if it collides in ANY
+    * table, so recall compounds as 1-(1-p_t)^L while the scanned fraction
+    * stays ~L·(Bits+1)/2^Bits of the corpus. */
+  private lazy val allPlanes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(Seed)
-    Array.fill(Bits, Dim)(rng.nextGaussian())
+    Array.fill(NumTables, Bits, Dim)(rng.nextGaussian())
   }
 
-  private def bucketOf(s: SparkSession, v: Column): Column =
+  private def bucketOf(s: SparkSession, v: Column, t: Int): Column =
     (0 until Bits).map { b =>
-      when(dot(s, v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+      when(dot(s, v, typedlit(allPlanes(t)(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-K: probe own bucket + Hamming-1 buckets,
-    * exact-rank the candidates. Oracle-checked (planes pinned as SQL
-    * literals); SimilaritySpec asserts recall@K against [[annTopK]]. */
+  /** LSH-bucketed approximate top-K: in each of the `NumTables` tables,
+    * probe the query's own bucket plus all Hamming-1 buckets; union the
+    * candidates across tables, then exact-rank. Oracle-checked (planes
+    * pinned as SQL literals); SimilaritySpec asserts recall@K ≥ 0.9
+    * against [[annTopK]] on planted-cluster data. */
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(s, d)).withColumn("bucket", bucketOf(s, col("v")))
+    val emb0 = withNorm(Tables.embeddings(s, d))
+    val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
+      df.withColumn(s"b$t", bucketOf(s, col("v"), t))
+    }
+    val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
+    // corpus side: one (tbl, bucket) row per table — map-side only, the
+    // broadcast query side keeps the corpus shuffle-free
+    val corpus = emb.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(probes).as("flip"), col("bucket"))
-      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
-      .drop("bucket", "flip")
+        posexplode(bucketArr).as(Seq("tbl", "qb")))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
+        explode(probes).as("flip"), col("qb"))
+      .withColumn("probe_bucket", col("qb").bitwiseXOR(col("flip")))
+      .drop("qb", "flip")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
-    emb.join(broadcast(q),
-        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+    corpus.join(broadcast(q),
+        corpus("tbl") === q("tbl") && col("bucket") === col("probe_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      // a vector colliding in several tables is still ONE candidate
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cosine", round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
@@ -112,24 +132,38 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   /** The LSH oracle mirrors [[annLshTopK]] exactly, with the seeded planes
     * embedded as literal DOUBLE[] arrays (Double.toString round-trips, so
     * DuckDB parses the identical doubles; the sign of the identical dot
-    * product then yields the identical bucket). */
+    * product then yields the identical bucket in every table). */
   lazy val annLshOracle: String = {
-    val cases = (0 until Bits).map { b =>
-      val lit = planes(b).mkString("[", ", ", "]")
+    def cases(t: Int): String = (0 until Bits).map { b =>
+      val lit = allPlanes(t)(b).mkString("[", ", ", "]")
       s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
     }.mkString("\n   + ")
+    val bCols = (0 until NumTables).map(t => s"(${cases(t)}) AS b$t").mkString(",\n  ")
+    val corpusUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id, v, $t AS tbl, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL ")
+    val qUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id AS query_id, v AS qv, $t AS tbl, b$t AS qb FROM b WHERE vec_id % 100 = 0")
+      .mkString("\nUNION ALL ")
     s"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v,
-  ($cases) AS bucket
+  $bCols
   FROM emb),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id % 100 = 0),
+corpus AS ($corpusUnion),
+q AS ($qUnion),
 probes AS (
-  SELECT query_id, qv, xor(qb, f.flip) AS probe_bucket
+  SELECT query_id, tbl, xor(qb, f.flip) AS probe_bucket
   FROM q CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+cand0 AS (
+  SELECT DISTINCT query_id, vec_id
+  FROM corpus c JOIN probes p
+    ON c.tbl = p.tbl AND c.bucket = p.probe_bucket AND c.vec_id <> p.query_id),
 cand AS (
-  SELECT query_id, vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
-  FROM b JOIN probes ON bucket = probe_bucket AND vec_id <> query_id),
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.v, qe.v), 6) AS cosine
+  FROM cand0 c JOIN emb e ON e.vec_id = c.vec_id
+  JOIN emb qe ON qe.vec_id = c.query_id),
 ranked AS (
   SELECT query_id, vec_id, cosine,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -141,37 +175,78 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
 
   val NumCentroids = 16
   val NProbe = 4
+  val LloydIters = 2
 
-  /** IVF-style ANN: the corpus is Voronoi-partitioned around
-    * `NumCentroids` seed centroids (the lowest-id vectors — deterministic,
-    * no RNG; a production build would Lloyd-iterate them), each query
-    * probes its `NProbe` nearest cells, and only those cells' vectors are
-    * exact-ranked. Cell assignment is pure Catalyst: an array of
-    * (cosine, cid) structs reduced with array_max (lexicographic struct
-    * ordering), so the argmax never leaves codegen. Corpus-side cost per
-    * query drops to ~NProbe/NumCentroids of brute force. Oracle-checked
-    * (the deterministic index is mirrored in SQL — [[annIvfOracle]]);
-    * recall asserted in SimilaritySpec. */
+  private def unitNorm(c: Array[Double]): Array[Double] = {
+    // sequential ascending sum — the same order DuckDB's list_dot_product
+    // uses, so both engines derive bit-identical norms from equal inputs
+    var sq = 0.0; var k = 0
+    while (k < c.length) { sq += c(k) * c(k); k += 1 }
+    val n = math.sqrt(sq)
+    c.map(_ / n)
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Cell-affinity scores as an array of (cosine, cid) structs; reduced
+    * with array_max / array_sort the lexicographic struct ordering makes
+    * argmax and top-NProbe pure codegen'd Catalyst (ties → higher cid,
+    * mirrored by ORDER BY score DESC, cid DESC in the oracle). */
+  private def cellScores(s: SparkSession, v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    array(cents.map { case (i, c) =>
+      struct(dot(s, v, typedlit(c.toSeq)).as("score"), lit(i).as("cid"))
+    }: _*)
+
+  /** Lloyd-refined IVF centroids: seed with the `NumCentroids` lowest-id
+    * vectors, then `LloydIters` rounds of (assign every vector to its
+    * nearest-by-cosine centroid, recompute each cell's per-dimension mean).
+    * Returns (cid, unit-normalized centroid); a cell that loses all members
+    * drops out with the surviving cids unchanged.
+    *
+    * The per-iteration collect is NumCentroids×Dim means (~16×64 doubles)
+    * — index METADATA, not data; at 100 TB the assignment/mean passes are
+    * full-cluster jobs and only the kilobyte-sized centroid table ever
+    * reaches the driver. Cross-engine determinism: means are rounded to
+    * 6dp, norms/dots are sequential ascending sums — so the oracle
+    * ([[annIvfOracle]]) reproduces the exact same index in SQL. */
+  private[graft] def lloydCentroids(s: SparkSession, emb: DataFrame): Seq[(Int, Array[Double])] = {
+    val seeds = emb.orderBy("vec_id").limit(NumCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var cents: Seq[(Int, Array[Double])] = seeds.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    for (_ <- 0 until LloydIters) {
+      val unit = cents.map { case (i, c) => (i, unitNorm(c)) }
+      val assigned = emb.withColumn("cell",
+        array_max(cellScores(s, col("v"), unit)).getField("cid"))
+      val means = assigned.select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect()
+      cents = means.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val arr = new Array[Double](Dim)
+        rs.foreach(r => arr(r.getInt(1)) = round6(r.getDouble(2)))
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    cents.map { case (i, c) => (i, unitNorm(c)) }
+  }
+
+  /** IVF-style ANN: the corpus is Voronoi-partitioned around Lloyd-refined
+    * centroids ([[lloydCentroids]]), each query probes its `NProbe`
+    * nearest cells, and only those cells' vectors are exact-ranked.
+    * Corpus-side cost per query drops to ~NProbe/NumCentroids of brute
+    * force. Oracle-checked — the deterministic index construction
+    * (including both Lloyd rounds) is mirrored in SQL, so the APPROXIMATE
+    * result is hash-checkable, not just rows-only; recall@K ≥ 0.9 on
+    * planted-cluster data asserted in SimilaritySpec. */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(Tables.embeddings(s, d))
-    val centroids = emb.orderBy("vec_id").limit(NumCentroids)
-      .select("vec_id", "v").collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    // pre-normalize centroids so cell assignment is by COSINE, not raw dot:
-    // unnormalized seed centroids have differing norms and would pull both
-    // corpus and queries toward large-norm cells, imbalancing the index
-    val unit = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      c.map(_ / n)
-    }
-    def cellScores(v: Column): Column = array(unit.zipWithIndex.toIndexedSeq.map {
-      case (c, i) => struct(dot(s, v, typedlit(c.toSeq)).as("score"), lit(i).as("cid"))
-    }: _*)
-    val assigned = emb.withColumn("cell", array_max(cellScores(col("v"))).getField("cid"))
+    val cents = lloydCentroids(s, emb)
+    val assigned = emb.withColumn("cell",
+      array_max(cellScores(s, col("v"), cents)).getField("cid"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         // probe the NProbe best cells: sort scores desc, take cids
-        explode(slice(reverse(array_sort(cellScores(col("v")))), 1, NProbe)
+        explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, NProbe)
           .getField("cid")).as("probe_cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     assigned.join(broadcast(q),
@@ -183,33 +258,47 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       .orderBy("query_id", "rnk")
   }
 
-  /** Mirrors [[annIvfTopK]] in SQL: same seed centroids (the NumCentroids
-    * lowest-id vectors, unit-normalized — both derivable from the data in
-    * either engine), same argmax cell assignment (score DESC, cid DESC ties
-    * — matching Spark's lexicographic struct array_max), same NProbe probe
-    * set, same exact re-rank. Because the index construction is
-    * deterministic and cross-engine reproducible, the APPROXIMATE result
-    * is hash-checkable, not just rows-only. */
-  lazy val annIvfOracle: String = s"""
+  /** Mirrors [[annIvfTopK]] in SQL, including the Lloyd refinement: same
+    * seed centroids (lowest-id vectors), then `LloydIters` unrolled rounds
+    * of assign (score DESC, cid DESC argmax — matching Spark's
+    * lexicographic struct array_max) + per-dimension mean rounded to 6dp +
+    * unit-normalization, then the same NProbe probe set and exact re-rank.
+    * Means are the only cross-engine float aggregation; rounding to 6dp
+    * absorbs summation-order ulps, and every other step (norms, dots) is a
+    * sequential ascending sum identical in both engines. */
+  lazy val annIvfOracle: String = {
+    def iter(k: Int): String = s"""
+s$k AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
+        FROM emb e CROSS JOIN c${k}n c),
+a$k AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, cid DESC) AS rn FROM s$k) t WHERE rn = 1),
+c${k + 1} AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM (
+          SELECT a.cell, d.i AS dim, round(avg(e.v[d.i]), 6) AS m
+          FROM a$k a JOIN emb e USING (vec_id) CROSS JOIN dims d
+          GROUP BY a.cell, d.i) t GROUP BY cell),
+c${k + 1}n AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+        FROM c${k + 1}),"""
+    val iters = (0 until LloydIters).map(iter).mkString
+    val T = LloydIters
+    s"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, $Dim)) AS i),
 cent AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $NumCentroids),
-cent_n AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-  FROM cent),
-scores AS (
-  SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
-  FROM emb e CROSS JOIN cent_n c),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv FROM cent),
+c0n AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM c0),$iters
+sF AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
+       FROM emb e CROSS JOIN c${T}n c),
 assigned AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-    FROM scores) t WHERE rn = 1),
+    FROM sF) t WHERE rn = 1),
 qprobe AS (
   SELECT vec_id AS query_id, cid AS probe_cell FROM (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-    FROM scores WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
+    FROM sF WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
 cand AS (
   SELECT p.query_id, a.vec_id,
          round(list_cosine_similarity(e.v, qe.v), 6) AS cosine
@@ -224,6 +313,7 @@ ranked AS (
   FROM cand)
 SELECT query_id, vec_id, cosine, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Recall contract for the ANN paths.
+  *
+  * The uniform synthetic testdata has no real near neighbors (a query's
+  * top-5 cosines are ~0.4, barely above the bulk), so no sublinear ANN can
+  * score high recall there — the differential gate only pins those results
+  * as deterministic. The recall CONTRACT is asserted here, on planted
+  * cluster structure where "nearest neighbor" means something: 25 tight
+  * clusters of 20 vectors (intra-cluster cosine ≈ 0.95, cross-cluster ≈ 0).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val plantedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(25, Similarity.Dim)(rng.nextGaussian())
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id / 20).toInt)
+      (id, c.map(x => (x + 0.2 * rng.nextGaussian()).toFloat).toSeq, (id / 20).toInt)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH ANN reaches recall@5 >= 0.9 on planted clusters") {
+    val brute = topkSet(Similarity.annTopK(spark, plantedDir))
+    val lsh = topkSet(Similarity.annLshTopK(spark, plantedDir))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"planted LSH recall@${Similarity.K}: $recall%.3f")
+    assert(recall >= 0.9, f"LSH recall $recall%.3f < 0.9")
+  }
+
+  test("IVF ANN reaches recall@5 >= 0.9 on planted clusters") {
+    val brute = topkSet(Similarity.annTopK(spark, plantedDir))
+    val ivf = topkSet(Similarity.annIvfTopK(spark, plantedDir))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"planted IVF recall@${Similarity.K}: $recall%.3f")
+    assert(recall >= 0.9, f"IVF recall $recall%.3f < 0.9")
+  }
+
+  test("Lloyd refinement yields unit centroids and reduces mean assignment distance") {
+    val emb = Tables.embeddings(spark, plantedDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.lloydCentroids(spark, emb)
+    assert(cents.nonEmpty && cents.size <= Similarity.NumCentroids)
+    cents.foreach { case (_, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid not unit-normalized: $n")
+    }
+    // refined centroids must explain the corpus better than the raw seeds:
+    // mean best-cell cosine strictly improves over the seed index
+    def meanBest(cs: Seq[(Int, Array[Double])]): Double = {
+      val scored = cs.map { case (_, c) =>
+        graft.functions.GraftFunctions.arrayDot(spark, col("v"), typedlit(c.toSeq)) /
+          sqrt(graft.functions.GraftFunctions.arrayDot(spark, col("v"), col("v")))
+      }
+      emb.select(greatest(scored: _*).as("best")).agg(avg("best")).head().getDouble(0)
+    }
+    val seeds = emb.orderBy("vec_id").limit(Similarity.NumCentroids)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+      .zipWithIndex.map { case (c, i) =>
+        val n = math.sqrt(c.map(x => x * x).sum); (i, c.map(_ / n))
+      }.toSeq
+    assert(meanBest(cents) > meanBest(seeds),
+      "Lloyd iterations did not improve centroid fit")
+  }
+}
