@@ -172,35 +172,42 @@ object Medallion {
   }
 
   /** Materialize the zones like the reference's truncate-and-reload runs
-    * (S3/S6; etl_lakehouse.py:21-35,:43,:113-116): overwrite-mode parquet,
-    * directory per zone. */
+    * (S3/S6; etl_lakehouse.py:21-35,:43,:113-116). Every table is published
+    * through [[graft.util.AtomicTable]]: data lands in a fresh version
+    * directory and becomes visible via an atomic pointer swap, so a crash
+    * mid-reload leaves readers on the previous complete snapshot — the
+    * plain-parquet stand-in for a transactional overwrite. Read tables
+    * back with [[graft.util.AtomicTable.read]]. */
   def writeAll(s: SparkSession, srcDir: String, lakeDir: String): Unit = {
+    import graft.util.AtomicTable
     Tables.sourceNames.foreach { n =>
-      Tables.table(s, srcDir, n).write.mode("overwrite").parquet(s"$lakeDir/bronze/$n")
+      AtomicTable.overwrite(Tables.table(s, srcDir, n), s"$lakeDir/bronze/$n")
     }
     Seq(
       "silver_customer" -> silverCustomer(s, srcDir),
       "silver_part"     -> silverPart(s, srcDir),
       "silver_sales"    -> silverSales(s, srcDir)
-    ).foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$lakeDir/silver/$n") }
+    ).foreach { case (n, df) => AtomicTable.overwrite(df, s"$lakeDir/silver/$n") }
     Seq(
       "dim_customer" -> dimCustomer(s, srcDir),
       "dim_part"     -> dimPart(s, srcDir),
       "dim_supplier" -> dimSupplier(s, srcDir),
       "dim_date"     -> dimDate(s, srcDir)
-    ).foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$lakeDir/gold/$n") }
+    ).foreach { case (n, df) => AtomicTable.overwrite(df, s"$lakeDir/gold/$n") }
     // Fact layout for scale (SURVEY.md §4.3's opt-in extension): directory
     // partitioning on the sale year gives partition PRUNING for date-ranged
     // queries (a year-filtered scan never lists the other years), and
     // range-repartition + sort on date_sk within files gives row-group
     // pruning via parquet min/max stats below the year grain. At 100 TB
     // this layout is the difference between scanning a year and a decade.
-    factSales(s, srcDir)
-      .withColumn("sale_year", (col("date_sk") / 10000).cast("int"))
-      .repartitionByRange(col("sale_year"), col("date_sk"))
-      .sortWithinPartitions("date_sk")
-      .write.mode("overwrite")
-      .partitionBy("sale_year")
-      .parquet(s"$lakeDir/gold/fact_sales")
+    AtomicTable.publish(s"$lakeDir/gold/fact_sales") { dir =>
+      factSales(s, srcDir)
+        .withColumn("sale_year", (col("date_sk") / 10000).cast("int"))
+        .repartitionByRange(col("sale_year"), col("date_sk"))
+        .sortWithinPartitions("date_sk")
+        .write.mode("overwrite")
+        .partitionBy("sale_year")
+        .parquet(dir)
+    }
   }
 }

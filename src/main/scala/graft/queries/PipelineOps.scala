@@ -27,7 +27,7 @@ object PipelineOps {
   def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
     val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
     Medallion.writeAll(s, d, lake)
-    s.read.parquet(s"$lake/gold/fact_sales")
+    graft.util.AtomicTable.read(s, s"$lake/gold/fact_sales")
       // sale_year is the directory-partition column added by the layout
       // optimization in writeAll — project back to the logical fact schema
       .select("customer_sk", "part_sk", "supplier_sk", "date_sk", "price", "ship_cost")

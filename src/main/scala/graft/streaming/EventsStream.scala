@@ -244,13 +244,9 @@ ORDER BY user_id, session_start"""
     * keys it updated, and earlier keys must survive via the state table. */
   def upsertSinkFrom(s: SparkSession, events: DataFrame, stateDir: String,
     mode: OutputMode): DataFrame = {
-    // truncate-and-reload semantics per run (S6): the state dir is the sink
-    val fs = java.nio.file.Paths.get(stateDir)
-    if (java.nio.file.Files.exists(fs)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(fs).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    import graft.util.AtomicTable
+    // truncate-and-reload semantics per run (S6): start from no state
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(stateDir))
     val agg = events
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
@@ -259,8 +255,8 @@ ORDER BY user_id, session_start"""
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val incoming = batch.select(col("user_id"), col("n_events"), col("sum_value"))
         val merged =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir))) {
-            val state = batch.sparkSession.read.parquet(stateDir)
+          if (AtomicTable.exists(stateDir)) {
+            val state = AtomicTable.read(batch.sparkSession, stateDir)
               .select(col("user_id").as("s_uid"), col("n_events").as("s_n"),
                 col("sum_value").as("s_v"))
             incoming.join(state, col("user_id") === col("s_uid"), "full_outer")
@@ -269,22 +265,17 @@ ORDER BY user_id, session_start"""
                 coalesce(col("n_events"), col("s_n")).as("n_events"),
                 coalesce(col("sum_value"), col("s_v")).as("sum_value"))
           } else incoming
-        // write via temp + swap would be the production move; overwrite
-        // into a side dir then rename is elided here for brevity
-        merged.coalesce(1).write.mode("overwrite").parquet(stateDir + s"_b$batchId")
-        val tgt = java.nio.file.Paths.get(stateDir)
-        val src = java.nio.file.Paths.get(stateDir + s"_b$batchId")
-        if (java.nio.file.Files.exists(tgt)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tgt).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
-        java.nio.file.Files.move(src, tgt)
+        // atomic publish: the merged state lands in a fresh version dir and
+        // goes live via a pointer swap — a crash mid-batch leaves the
+        // previous complete state readable (no delete-then-move window).
+        // Restart idempotence comes from replaying the batch: the merge is
+        // keyed, so re-merging the same batchId converges on the same state.
+        AtomicTable.publish(stateDir)(dir => merged.coalesce(1).write.parquet(dir))
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(stateDir)
+    AtomicTable.read(s, stateDir)
       .select(col("user_id"), col("n_events"),
         round(col("sum_value"), 2).as("total_value"))
       .orderBy("user_id")

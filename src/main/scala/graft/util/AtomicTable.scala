@@ -1,0 +1,86 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Poor-man's atomic table commit over plain parquet directories — the
+  * crash-safe substitute for a transactional table format (no Delta/Iceberg
+  * jars in this environment; if they appear, each `publish` becomes a
+  * `MERGE`/`REPLACE TABLE` and this object retires).
+  *
+  * Layout under a logical table path `base`:
+  * {{{
+  *   base/_v<N>/      immutable published versions (ordinary parquet dirs)
+  *   base/_CURRENT    pointer file whose CONTENT is the live version name
+  * }}}
+  *
+  * `publish` writes the new version to a fresh `_v<N>` directory, then
+  * replaces `_CURRENT` with an atomic rename (write a tmp file,
+  * `Files.move(ATOMIC_MOVE | REPLACE_EXISTING)` = POSIX `rename(2)`; on an
+  * object store the equivalent is the atomic PUT of the pointer object).
+  * A crash at ANY point leaves `_CURRENT` referencing a fully-written
+  * version: before the pointer move readers still see the previous
+  * version; after it they see the new one. There is no delete-then-move
+  * window — stale versions are pruned only AFTER the pointer is live, and
+  * a crash during pruning strands garbage, never the table.
+  *
+  * Single-writer per table is assumed (matching the reference's
+  * truncate-and-reload batch model, etl_lakehouse.py:21-35); concurrent
+  * writers would need a lock or a CAS on the pointer. */
+object AtomicTable {
+
+  private val Pointer = "_CURRENT"
+  private val VersionRe = "_v(\\d+)".r
+
+  private def versions(root: Path): Seq[(Long, Path)] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) => Some((n.toLong, p))
+        case _            => None
+      }
+    }.toSeq
+
+  /** Live version directory, or None if never published. */
+  def resolve(base: String): Option[String] = {
+    val ptr = Paths.get(base, Pointer)
+    if (Files.exists(ptr)) Some(base + "/" + Files.readString(ptr).trim)
+    else None
+  }
+
+  def exists(base: String): Boolean = resolve(base).isDefined
+
+  def read(s: SparkSession, base: String): DataFrame =
+    s.read.parquet(resolve(base).getOrElse(
+      throw new IllegalStateException(s"no published version at $base")))
+
+  /** Atomically publish one new version of the table at `base`. `write` is
+    * handed the fresh version directory and must fully materialize it
+    * (e.g. `df.write.parquet(_)`); the version becomes visible only via
+    * the subsequent pointer swap. */
+  def publish(base: String)(write: String => Unit): Unit = {
+    val root = Paths.get(base)
+    Files.createDirectories(root)
+    val existing = versions(root)
+    val name = s"_v${existing.map(_._1).maxOption.getOrElse(0L) + 1L}"
+    write(base + "/" + name) // crash before the swap: pointer untouched
+    val tmp = root.resolve(Pointer + ".tmp")
+    Files.writeString(tmp, name)
+    Files.move(tmp, root.resolve(Pointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // only after the new version is live: prune stale + crashed-orphan
+    // versions (best-effort; failure strands disk, not correctness)
+    versions(root).filterNot(_._2.getFileName.toString == name).foreach { case (_, p) =>
+      try deleteRecursively(p) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  def overwrite(df: DataFrame, base: String): Unit =
+    publish(base)(df.write.mode("overwrite").parquet(_))
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

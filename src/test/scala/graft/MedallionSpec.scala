@@ -101,7 +101,7 @@ class MedallionSpec extends AnyFunSuite {
   test("gold fact layout gives partition pruning on year-scoped scans") {
     val lake = s"/tmp/graft_lake_spec/${graft.ops.Dedup.hashCode()}"
     pipeline.Medallion.writeAll(spark, sf, lake)
-    val scan = spark.read.parquet(s"$lake/gold/fact_sales")
+    val scan = graft.util.AtomicTable.read(spark, s"$lake/gold/fact_sales")
       .filter(col("sale_year") === 1995)
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(sale_year"),
