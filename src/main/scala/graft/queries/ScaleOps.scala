@@ -81,6 +81,35 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Exact per-key COUNT(DISTINCT) via VALUE-hash salting — the skew-safe
+    * shape for holistic aggregation: salting by a hash of the VALUE keeps
+    * every occurrence of one value in one salt bucket, so per-(key, salt)
+    * distinct counts are disjoint and their plain sum is the exact global
+    * distinct count. Where this wins at scale: the final per-key shuffle
+    * carries `SaltBuckets` partial counts per key instead of one row per
+    * distinct value — a hot key with 10^8 distinct values sends 16 rows to
+    * its reducer, not 10^8. Generalizable to any holistic agg
+    * (collect_set, percentile merge); ScaleOpsSpec proves the load spread
+    * on a 50%-hot-key corpus. */
+  def saltedDistinct(s: SparkSession, d: String): DataFrame =
+    saltedDistinctOn(Tables.orders(s, d), "o_orderpriority", "o_custkey")
+      .orderBy("o_orderpriority")
+
+  /** The reusable two-phase core, parameterized so the spec can run it on
+    * a synthetically skewed corpus. Output: (key, n_distinct, n_rows). */
+  def saltedDistinctOn(df: DataFrame, key: String, value: String): DataFrame =
+    df
+      .withColumn("salt", pmod(xxhash64(col(value)), lit(SaltBuckets)))
+      .groupBy(col(key), col("salt"))
+      .agg(countDistinct(col(value)).as("pd"), count(lit(1)).as("pn"))
+      .groupBy(col(key))
+      .agg(sum("pd").as("n_distinct"), sum("pn").as("n_rows"))
+
+  val saltedDistinctOracle: String = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct,
+       count(*) AS n_rows
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** Exact percentiles per group (single-pass sort-based; for true 100 TB
     * percentiles switch to approx_percentile's GK sketch — see
     * [[approxDistinct]] for why approximate aggs are rows-only here). */
@@ -115,14 +144,16 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"   -> (bucketedJoin _),
     "salted_agg"      -> (saltedAgg _),
+    "salted_distinct" -> (saltedDistinct _),
     "percentiles"     -> (percentiles _),
     "approx_distinct" -> (approxDistinct _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "bucketed_join" -> bucketedJoinOracle,
-    "salted_agg"    -> saltedAggOracle,
-    "percentiles"   -> percentilesOracle
+    "bucketed_join"   -> bucketedJoinOracle,
+    "salted_agg"      -> saltedAggOracle,
+    "salted_distinct" -> saltedDistinctOracle,
+    "percentiles"     -> percentilesOracle
     // approx_distinct: rows-only (sketches differ across engines by design)
   )
 }

@@ -31,6 +31,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       direct.map(r => (r.getString(0), r.getLong(1)))))
   }
 
+  test("value-salted distinct defuses a 50%-hot-key skew and keeps the exact answer") {
+    import spark.implicits._
+    // genuinely skewed corpus: half the rows share ONE key; values are
+    // high-cardinality so the aggregation is holistic, not map-side-foldable
+    val skewed = spark.range(0, 200000, 1, 8)
+      .select(
+        when(col("id") % 2 === 0, "HOT")
+          .otherwise(concat(lit("k"), col("id") % 1000)).as("key"),
+        col("id").as("v"))
+    // 1. answers agree exactly with the direct aggregation
+    val salted = ScaleOps.saltedDistinctOn(skewed, "key", "v")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = skewed.groupBy("key")
+      .agg(countDistinct("v").as("d"), count(lit(1)).as("n"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.sameElements(direct))
+    // 2. the shuffle-level claim, measured not asserted-by-vibes: rows per
+    // reducer partition when partitioning the way each plan's first
+    // shuffle does. Key-only partitioning sends every HOT row to one
+    // reducer; (key, value-salt) partitioning spreads them SaltBuckets ways.
+    val p = 32
+    def maxPartitionLoad(parts: org.apache.spark.sql.Column*): Long =
+      skewed.repartition(p, parts: _*)
+        .groupBy(spark_partition_id()).count()
+        .agg(max("count")).head().getLong(0)
+    val keyOnly = maxPartitionLoad(col("key"))
+    val keySalted = maxPartitionLoad(col("key"), pmod(xxhash64(col("v")), lit(ScaleOps.SaltBuckets)))
+    info(s"hottest reducer: key-only=$keyOnly rows, salted=$keySalted rows")
+    assert(keyOnly >= 100000, "skew corpus lost its hot key")
+    assert(keySalted.toDouble <= keyOnly.toDouble / 4,
+      s"salting should cut the hottest reducer by >=4x (got $keyOnly -> $keySalted)")
+  }
+
   test("approx distinct is within the configured error of exact") {
     val approx = ScaleOps.approxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
