@@ -307,7 +307,30 @@ LIMIT 20"""
       coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("ret"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Fact-scale surrogate-key assignment (D1 at scale): contiguous 1..n
+    * keys over lineitem WITHOUT the single-task global window that
+    * [[graft.ops.SurrogateKeys.dense]] deliberately restricts to dims.
+    * The input is range-partitioned + sorted on the UNIQUE
+    * (l_orderkey, l_linenumber) key; since range partitions are totally
+    * ordered and rows are sorted within each, the partition-ordered
+    * zipWithIndex in [[graft.ops.SurrogateKeys.scalable]] reproduces
+    * exactly `row_number() OVER (ORDER BY l_orderkey, l_linenumber)` —
+    * the oracle — while every stage stays parallel (range exchange,
+    * per-partition sort, O(#partitions) driver-side offsets). Uniqueness
+    * of the sort key is what makes the assignment independent of the
+    * sampled range boundaries. */
+  def skScalableFact(s: SparkSession, d: String): DataFrame = {
+    val sorted = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber")
+      .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    graft.ops.SurrogateKeys.scalable(sorted, "line_sk")
+      .select(col("line_sk"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy("line_sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_scalable_fact"      -> (skScalableFact _),
     "scan_project_filter"   -> (scanProjectFilter _),
     "sql_over_views"        -> (sqlOverViews _),
     "project_rename_cast"   -> (projectRenameCast _),
@@ -334,6 +357,10 @@ LIMIT 20"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sk_scalable_fact" -> """
+SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS line_sk,
+       l_orderkey, l_linenumber
+FROM lineitem ORDER BY line_sk""",
     "scan_project_filter" -> """
 SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
 FROM lineitem
