@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.StructType
   *  - S6 truncate-and-reload (reference: TRUNCATE with FK checks off,
   *    etl_dwh.py:15-29)
   *
-  * This environment has no database server, so the JDBC paths are exercised
-  * structurally (option plumbing) but not against a live endpoint — the
-  * harness substitutes parquet fixtures per SURVEY.md §1.6. The file-format
-  * readers ARE exercised (csv via PipelineOps.csvRoundtrip; parquet
-  * everywhere).
+  * This environment has no database SERVER, but the JDBC paths are
+  * exercised against a live in-process endpoint: JdbcRoundtripSpec drives
+  * chunked append, bare + partitioned scans, and truncate-and-reload
+  * through embedded Apache Derby (ships with the Spark distribution). The
+  * file-format readers are exercised too (csv via
+  * PipelineOps.csvRoundtrip; parquet everywhere).
   *
   * Scale notes: JDBC reads parallelize only when partitionColumn/bounds are
   * set — a bare dbtable read is one task regardless of cluster size, which
