@@ -300,8 +300,8 @@ FROM reach GROUP BY n ORDER BY doc_id"""
   // ---- embedding cosine near-dup (exact baseline) ----
 
   /** All embedding pairs with cosine ≥ `threshold`, as a distributed
-    * block-pair cross product. The corpus is split into id-range blocks of
-    * ≤ `blockRows` vectors; every unordered block pair (i ≤ j) becomes one
+    * block-pair cross product. The corpus is split into hash blocks of
+    * ~`blockRows` vectors; every unordered block pair (i ≤ j) becomes one
     * task that holds exactly two blocks in memory and tight-loops the
     * cosine math, emitting only above-threshold pairs. Nothing is
     * collected to the driver and nothing is broadcast — each row is
@@ -313,10 +313,11 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     * at sf0.1). The O(n²) COMPUTE is inherent to exact all-pairs; beyond
     * that, the LSH/IVF bucketed paths (Similarity.annLshTopK) take over.
     *
-    * Block boundaries come from approximate quantiles of vec_id: balance
-    * is approximate, correctness is not — any disjoint covering ranges
-    * yield the same pairs. Range (not hash) blocking also guarantees
-    * vec_a < vec_b without comparing: block i's ids all precede block j's.
+    * Blocks are assigned by a deterministic executor-side hash of vec_id
+    * (splitmix64): uniform balance with NO boundary-estimation pass and no
+    * driver-side state beyond the single count that sizes numBlocks. Each
+    * unordered id pair {a,b} lands in exactly one block pair, and the pair
+    * is emitted as (min, max), matching the oracle's vec_a < vec_b.
     *
     * Double math is the same sequence as the oracle's (ascending-index dot,
     * sqrt norms, divide, round 6), so results stay bitwise identical. */
@@ -332,6 +333,17 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     math.max(1, math.ceil(n.toDouble / eff).toInt)
   }
 
+  /** Deterministic uniform block assignment (splitmix64 finalizer of the
+    * id) — computed executor-side, no driver state, balanced for ANY id
+    * distribution. */
+  private[graft] def blockOfId(id: Long, numBlocks: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, numBlocks.toLong).toInt
+  }
+
   def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4,
       blockRows: Int = 1 << 16): DataFrame = {
     import s.implicits._
@@ -343,16 +355,6 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val numBlocks = cosineNumBlocks(n, blockRows, s.sparkContext.defaultParallelism)
-    // B-1 boundary values (a few doubles) — the only driver-side data
-    val bounds: Array[Double] =
-      if (numBlocks == 1) Array.empty
-      else emb.toDF("vec_id", "v").stat.approxQuantile("vec_id",
-        (1 until numBlocks).map(_.toDouble / numBlocks).toArray, 0.001)
-    def blkOf(id: Long): Int = {
-      var b = 0
-      while (b < bounds.length && id > bounds(b)) b += 1
-      b
-    }
     def sortedNormed(m: Array[(Long, Array[Double])]): (Array[(Long, Array[Double])], Array[Double]) = {
       val sorted = m.sortBy(_._1)
       val nrm = sorted.map { case (_, v) =>
@@ -363,9 +365,8 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       (sorted, nrm)
     }
     emb.flatMap { case (id, v) =>
-      val b = blkOf(id)
-      // this row is the LEFT (lower-id) side of pairs (b, j≥b) and the
-      // RIGHT side of pairs (i<b, b)
+      val b = blockOfId(id, numBlocks)
+      // this row is side 0 of pairs (b, j≥b) and side 1 of pairs (i<b, b)
       (b until numBlocks).iterator.map(j => (b, j, 0.toByte, id, v)) ++
         (0 until b).iterator.map(i => (i, b, 1.toByte, id, v))
     }
@@ -380,6 +381,9 @@ FROM reach GROUP BY n ORDER BY doc_id"""
         var a = 0
         while (a < left.length) {
           val (aId, av) = left(a)
+          // i == j: ascending-sorted block, start at a+1 ⇒ aId < bId.
+          // i < j: blocks are disjoint id sets, every cross pair once;
+          // emit as (min, max) below to match the oracle's vec_a < vec_b.
           var bi = if (i == j) a + 1 else 0
           while (bi < right.length) {
             val (bId, bv) = right(bi)
@@ -391,7 +395,8 @@ FROM reach GROUP BY n ORDER BY doc_id"""
             // flip boundary values through binary multiply error
             val cos = java.math.BigDecimal.valueOf(dotv / (ln(a) * rn(bi)))
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (cos >= threshold) out += ((aId, bId, cos))
+            if (cos >= threshold)
+              out += ((math.min(aId, bId), math.max(aId, bId), cos))
             bi += 1
           }
           a += 1
@@ -399,6 +404,11 @@ FROM reach GROUP BY n ORDER BY doc_id"""
         out.iterator
       }
       .toDF("vec_a", "vec_b", "cosine")
+      // persist the (small: above-threshold only) pair set before the
+      // deterministic sort: orderBy's range-partitioner runs a sampling
+      // job over its child, which would otherwise re-execute the whole
+      // O(n²) pair computation a second time
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("vec_a", "vec_b")
   }
 
