@@ -75,6 +75,63 @@ SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
 FROM customer b FULL OUTER JOIN up u ON b.c_custkey = u.c_custkey
 ORDER BY c_custkey"""
 
+  /** SCD-type-2 history build: apply the same deterministic change batch
+    * as [[scd1Upsert]], but KEEP history — a changed key's old row is
+    * closed out (valid_to = change date, is_current = false) and its new
+    * version opened; unchanged rows stay current from the initial load;
+    * inserts open at the change date. Three branches, one broadcastable
+    * join of base against the (small) change batch — at scale this is the
+    * standard one-shuffle SCD2 merge; with a transactional table format
+    * the same three branches feed a MERGE with WHEN MATCHED UPDATE +
+    * WHEN NOT MATCHED INSERT. Effective dates are fixed literals so both
+    * engines derive identical history. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    // timestamp_ntz (not DATE): the differential harness stringifies
+    // values, and a Spark DATE ("2024-06-01") never string-matches a
+    // DuckDB DATE surfaced through pandas ("2024-06-01 00:00:00");
+    // tz-less timestamps print identically in both engines.
+    val init = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val chg = lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    val noDate = lit(null).cast("timestamp_ntz")
+    val base = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val up = updates(s, d)
+    val expired = base.join(broadcast(up.select("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        init.as("valid_from"), chg.as("valid_to"), lit(false).as("is_current"))
+    val unchanged = base.join(broadcast(up.select("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        init.as("valid_from"), noDate.as("valid_to"), lit(true).as("is_current"))
+    val fresh = up
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        chg.as("valid_from"), noDate.as("valid_to"), lit(true).as("is_current"))
+    expired.unionByName(unchanged).unionByName(fresh)
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  val scd2HistoryOracle: String = """
+WITH up AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+         concat('NEW ', c_name), 0.0, 'NEWSEG'
+  FROM customer WHERE c_custkey % 13 = 0)
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+       TIMESTAMP '2024-01-01' AS valid_from, TIMESTAMP '2024-06-01' AS valid_to,
+       false AS is_current
+FROM customer b WHERE EXISTS (SELECT 1 FROM up u WHERE u.c_custkey = b.c_custkey)
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+       TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP), true
+FROM customer b WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.c_custkey = b.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), true
+FROM up
+ORDER BY c_custkey, valid_from"""
+
   val SamplePerStratum = 10
 
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
@@ -98,11 +155,13 @@ ORDER BY c_mktsegment, rnk"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd1_upsert"       -> (scd1Upsert _),
+    "scd2_history"      -> (scd2History _),
     "stratified_sample" -> (stratifiedSample _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "scd1_upsert"       -> scd1UpsertOracle,
+    "scd2_history"      -> scd2HistoryOracle,
     "stratified_sample" -> stratifiedSampleOracle
   )
 }

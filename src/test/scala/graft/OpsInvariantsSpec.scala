@@ -20,6 +20,28 @@ class OpsInvariantsSpec extends AnyFunSuite {
     merged.unpersist()
   }
 
+  test("scd2 history: one current row per key, expired rows chain into their successor") {
+    val hist = ChangeOps.scd2History(spark, sf).cache()
+    // exactly one current (open-ended) row per key
+    val perKey = hist.filter(col("is_current")).groupBy("c_custkey").count()
+    assert(perKey.filter(col("count") =!= 1).count() == 0)
+    // every expired row has a successor opening exactly when it closed
+    val expired = hist.filter(!col("is_current"))
+      .select(col("c_custkey").as("k"), col("valid_to"))
+    val opened = hist.filter(col("is_current"))
+      .select(col("c_custkey").as("k"), col("valid_from"))
+    assert(expired.join(opened, Seq("k"))
+      .filter(col("valid_to") =!= col("valid_from")).count() == 0)
+    // expired ⇒ the key was in the change batch; history row count =
+    // base + changed + inserted
+    val base = Tables.customer(spark, sf)
+    val nChanged = base.filter(col("c_custkey") % 7 === 0).count()
+    val nInserted = base.filter(col("c_custkey") % 13 === 0).count()
+    assert(hist.count() == base.count() + nChanged + nInserted)
+    assert(hist.filter(!col("is_current")).count() == nChanged)
+    hist.unpersist()
+  }
+
   test("stratified sample: exactly K per stratum, deterministic across runs") {
     val s1 = ChangeOps.stratifiedSample(spark, sf).collect()
     val s2 = ChangeOps.stratifiedSample(spark, sf).collect()
