@@ -56,11 +56,36 @@ object AtomicTable {
     s.read.parquet(resolve(base).getOrElse(
       throw new IllegalStateException(s"no published version at $base")))
 
+  private val Log = "_LOG"
+
+  /** Published-version lineage, oldest first: the `_LOG` records every
+    * pointer swap, so published versions are distinguishable from
+    * crashed-orphan directories. Only versions still on disk are
+    * returned — i.e. the time-travel horizon. */
+  def history(base: String): Seq[String] = {
+    val log = Paths.get(base, Log)
+    if (!Files.exists(log)) Seq.empty
+    else {
+      val onDisk = versions(Paths.get(base)).map(_._2.getFileName.toString).toSet
+      Files.readString(log).linesIterator.map(_.trim).filter(onDisk).toSeq
+    }
+  }
+
+  /** Read a retained historical version by name from [[history]]. */
+  def readVersion(s: SparkSession, base: String, version: String): DataFrame = {
+    require(history(base).contains(version),
+      s"version $version is not in the published, still-retained history of $base")
+    s.read.parquet(base + "/" + version)
+  }
+
   /** Atomically publish one new version of the table at `base`. `write` is
     * handed the fresh version directory and must fully materialize it
     * (e.g. `df.write.parquet(_)`); the version becomes visible only via
-    * the subsequent pointer swap. */
-  def publish(base: String)(write: String => Unit): Unit = {
+    * the subsequent pointer swap. `keep` > 1 retains that many published
+    * versions for time travel ([[readVersion]]); older versions and
+    * crashed orphans are pruned only AFTER the new pointer is live. */
+  def publish(base: String, keep: Int = 1)(write: String => Unit): Unit = {
+    require(keep >= 1, "must keep at least the current version")
     val root = Paths.get(base)
     Files.createDirectories(root)
     val existing = versions(root)
@@ -70,15 +95,26 @@ object AtomicTable {
     Files.writeString(tmp, name)
     Files.move(tmp, root.resolve(Pointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // only after the new version is live: prune stale + crashed-orphan
-    // versions (best-effort; failure strands disk, not correctness)
-    versions(root).filterNot(_._2.getFileName.toString == name).foreach { case (_, p) =>
+    // lineage append — rewritten whole + atomic move (metadata only; a
+    // crash here costs time-travel history, never the live table)
+    val logPath = root.resolve(Log)
+    val prevLog = if (Files.exists(logPath)) Files.readString(logPath) else ""
+    val logTmp = root.resolve(Log + ".tmp")
+    Files.writeString(logTmp, prevLog + name + "\n")
+    Files.move(logTmp, logPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // only after the new version is live: prune everything outside the
+    // retained lineage tail — older published versions beyond `keep` AND
+    // crashed-orphan dirs (best-effort; failure strands disk, not
+    // correctness)
+    val retained = history(base).takeRight(keep).toSet
+    versions(root).filterNot(v => retained(v._2.getFileName.toString)).foreach { case (_, p) =>
       try deleteRecursively(p) catch { case _: java.io.IOException => () }
     }
   }
 
-  def overwrite(df: DataFrame, base: String): Unit =
-    publish(base)(df.write.mode("overwrite").parquet(_))
+  def overwrite(df: DataFrame, base: String, keep: Int = 1): Unit =
+    publish(base, keep)(df.write.mode("overwrite").parquet(_))
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

@@ -58,6 +58,21 @@ class AtomicTableSpec extends AnyFunSuite {
     intercept[IllegalStateException](AtomicTable.read(spark, base))
   }
 
+  test("time travel: keep=2 retains the previous published version, prunes older and orphans") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(1), base, keep = 2)
+    AtomicTable.overwrite(df(2), base, keep = 2)
+    // a crashed orphan must not pollute the history
+    Files.createDirectories(Paths.get(base, "_v50"))
+    AtomicTable.overwrite(df(3), base, keep = 2)
+    assert(AtomicTable.read(spark, base).count() == 3)
+    val hist = AtomicTable.history(base)
+    assert(hist.size == 2, s"expected 2 retained versions, got $hist")
+    assert(AtomicTable.readVersion(spark, base, hist.head).count() == 2)
+    assert(!Files.exists(Paths.get(base, "_v50")), "orphan survived pruning")
+    intercept[IllegalArgumentException](AtomicTable.readVersion(spark, base, "_v1"))
+  }
+
   test("a failing writer leaves the previous version live") {
     val base = freshBase()
     AtomicTable.overwrite(df(3), base)
