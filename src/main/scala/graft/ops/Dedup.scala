@@ -246,8 +246,13 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
     * star-like, so 2-4 rounds in practice; localCheckpoint per round keeps
     * the lineage flat). Docs not in any pair are their own cluster and are
     * omitted, matching the oracle's recursive closure over the pair list. */
-  def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
-    val pairs = minhashLsh(s, d, threshold).select("doc_a", "doc_b")
+  def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame =
+    clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
+
+  /** The reusable core over any (doc_a, doc_b) pair set — also
+    * property-tested against a local union-find on random graphs
+    * (PropertySpec). */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)

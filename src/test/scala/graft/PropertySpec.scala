@@ -74,6 +74,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster label propagation equals union-find on random graphs (10 trials)") {
+    import spark.implicits._
+    (1 to 10).foreach { trial =>
+      val nNodes = 4 + rng.nextInt(40)
+      val nEdges = 1 + rng.nextInt(60)
+      val edges = (1 to nEdges).map { _ =>
+        val a = rng.nextInt(nNodes).toLong
+        val b = rng.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = graft.ops.Dedup.clustersFromPairs(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // local union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical root per component = its minimum node id
+        val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        nodes.foreach { n =>
+          assert(got(n) == minOf(find(n)),
+            s"trial $trial node $n: got ${got(n)}, want ${minOf(find(n))}\nedges=$edges")
+        }
+        assert(got.size == nodes.size)
+      }
+    }
+  }
+
   test("scalable surrogate keys stay contiguous under random partitioning (10 trials)") {
     import spark.implicits._
     (1 to 10).foreach { _ =>
