@@ -149,17 +149,42 @@ SELECT doc_id,
                 * CAST(power(16, 8 - j) AS BIGINT))))) AS BIGINT) AS fingerprint
 FROM w ORDER BY doc_id"""
 
+  /** Normalization-aware exact dedup: lowercase, strip punctuation,
+    * collapse runs of spaces, trim — then hash-group like Dedup.exact.
+    * Catches the case/punctuation/spacing near-copies that raw byte
+    * equality misses, at the same one-shuffle-of-16-byte-hashes cost;
+    * this normalize-then-hash pass is the standard first stage of a
+    * training-corpus dedup cascade (before MinHash handles real edits). */
+  def normalizeDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.!?,;:]", ""), " +", " "))
+    Tables.documents(s, d)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  // DuckDB regexp_replace needs the explicit 'g' flag (Spark replaces all
+  // occurrences by default)
+  val normalizeDedupOracle: String = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_langid"      -> (langId _),
-    "text_quality"     -> (quality _),
-    "text_token_count" -> (tokenCount _),
-    "text_fingerprint" -> (fingerprint _)
+    "text_langid"          -> (langId _),
+    "text_quality"         -> (quality _),
+    "text_token_count"     -> (tokenCount _),
+    "text_fingerprint"     -> (fingerprint _),
+    "text_normalize_dedup" -> (normalizeDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "text_langid"      -> langIdOracle,
-    "text_quality"     -> qualityOracle,
-    "text_token_count" -> tokenCountOracle,
-    "text_fingerprint" -> fingerprintOracle
+    "text_langid"          -> langIdOracle,
+    "text_quality"         -> qualityOracle,
+    "text_token_count"     -> tokenCountOracle,
+    "text_fingerprint"     -> fingerprintOracle,
+    "text_normalize_dedup" -> normalizeDedupOracle
   )
 }
