@@ -129,6 +129,19 @@ SELECT o_orderstatus,
        count(*) AS n
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** GK-sketch approximate percentiles — single-pass, mergeable, the
+    * 100 TB replacement for the exact sort-based percentile. Rows-only
+    * (sketches differ across engines by design); ScaleOpsSpec bounds the
+    * estimates against the exact percentiles instead. */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 4).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** HLL++ approximate distinct — sketch mergeable across partitions, the
     * only sane COUNT(DISTINCT) at 100 TB. Rows-only: Spark's HLL++ and
     * DuckDB's sketch give different estimates by design; ScaleOpsSpec
@@ -146,6 +159,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
     "percentiles"     -> (percentiles _),
+    "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct" -> (approxDistinct _)
   )
 

@@ -285,7 +285,31 @@ ORDER BY user_id, session_start"""
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Stream-static enrichment join: every micro-batch of the event stream
+    * joins against a STATIC dimension snapshot (customer → market
+    * segment), then aggregates per segment. The static side is planned as
+    * a broadcast per micro-batch — the standard way to attach dimension
+    * attributes to a stream without any stateful join; re-reading the
+    * (small) dim each batch is what keeps slowly-changing dims fresh in a
+    * long-running query. */
+  def enrichJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = eventsStream(s, d)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_enrich")
+      .orderBy("c_mktsegment")
+  }
+
+  val enrichJoinOracle: String = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
@@ -295,6 +319,7 @@ FROM events GROUP BY user_id ORDER BY user_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,

@@ -46,8 +46,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val lshRecall = (brute & lsh).size.toDouble / brute.size
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
     info(f"recall@${Similarity.K}: lsh=$lshRecall%.2f ivf=$ivfRecall%.2f")
-    assert(lshRecall >= 0.3, f"LSH recall $lshRecall%.2f too low")
-    assert(ivfRecall >= 0.3, f"IVF recall $ivfRecall%.2f too low")
+    // uniform vectors have no true neighbor structure, so this is a floor
+    // on the bucketing machinery, not an ANN quality claim (that contract
+    // lives in SimilaritySpec on planted clusters, at >= 0.9). Measured
+    // 0.60 / 0.52 with the round-3 multi-table + Lloyd index.
+    assert(lshRecall >= 0.5, f"LSH recall $lshRecall%.2f too low")
+    assert(ivfRecall >= 0.5, f"IVF recall $ivfRecall%.2f too low")
   }
 
   test("dedup clusters map every paired doc to its component minimum") {

@@ -66,6 +66,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"salting should cut the hottest reducer by >=4x (got $keyOnly -> $keySalted)")
   }
 
+  test("approx percentiles land within 2% of the exact percentiles") {
+    val approx = ScaleOps.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ScaleOps.percentiles(spark, sf).collect().foreach { r =>
+      val (a50, a90) = approx(r.getString(0))
+      assert(math.abs(a50 - r.getDouble(1)) / r.getDouble(1) < 0.02,
+        s"${r.getString(0)} p50: approx=$a50 exact=${r.getDouble(1)}")
+      assert(math.abs(a90 - r.getDouble(2)) / r.getDouble(2) < 0.02,
+        s"${r.getString(0)} p90: approx=$a90 exact=${r.getDouble(2)}")
+    }
+  }
+
   test("approx distinct is within the configured error of exact") {
     val approx = ScaleOps.approxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
