@@ -291,6 +291,19 @@ LIMIT 20"""
         .select(col("l_partkey").as("p_partkey")))
       .orderBy("p_partkey")
 
+  /** §2.7-ABSENT extension: INTERSECT — customers active in BOTH 1995H1
+    * and 1996H1 (completes the set-op family with union/except). */
+  def intersectRepeatCustomers(s: SparkSession, d: String): DataFrame = {
+    def active(from: String, until: String) =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(from)) &&
+          col("o_orderdate") < to_timestamp(lit(until)))
+        .select("o_custkey")
+    active("1995-01-01", "1995-07-01")
+      .intersect(active("1996-01-01", "1996-07-01"))
+      .orderBy("o_custkey")
+  }
+
   /** F6/F7/F9 + null-handling extension: scalar expression families in one
     * projection — arithmetic, round, concat_ws, CASE, coalesce/nullif. */
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
@@ -353,6 +366,7 @@ LIMIT 20"""
     "sample_rand"           -> (sampleRand _),
     "union_keys"            -> (unionKeys _),
     "except_unsold_parts"   -> (exceptUnsoldParts _),
+    "intersect_repeat_customers" -> (intersectRepeatCustomers _),
     "scalar_funcs"          -> (scalarFuncs _)
   )
 
@@ -473,6 +487,13 @@ EXCEPT
 SELECT l_partkey FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
 ORDER BY p_partkey""",
+    "intersect_repeat_customers" -> """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+ORDER BY o_custkey""",
     "scalar_funcs" -> """
 SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS BIGINT) AS charge,
