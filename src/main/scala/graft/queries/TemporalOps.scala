@@ -123,15 +123,47 @@ SELECT vec_id,
        round(v[1:4][4], 6) AS fourth_val
 FROM e ORDER BY vec_id"""
 
+  /** Vector math with BUILT-INS only — `zip_with` for the elementwise
+    * product, `aggregate` for the fold — the no-custom-Expression way to
+    * do dot products (the codegen'd `ArrayDot` in GraftFunctions is the
+    * faster path; this query pins the pure-Catalyst alternative and the
+    * gate proves both give identical doubles: sequential ascending fold ≡
+    * DuckDB's list_dot_product order). */
+  def vectorMath(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        round(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _), 6)
+          .as("dot_self"),
+        round(aggregate(zip_with(col("v"), reverse(col("v")), _ * _), lit(0.0), _ + _), 6)
+          .as("dot_rev"),
+        round(aggregate(transform(col("v"), x => abs(x)), lit(0.0), _ + _), 6)
+          .as("l1_norm"),
+        round(sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)), 6)
+          .as("l2_norm"))
+      .orderBy("vec_id")
+
+  val vectorMathOracle: String = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       round(list_dot_product(v, v), 6) AS dot_self,
+       round(list_dot_product(v, list_reverse(v)), 6) AS dot_rev,
+       round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm,
+       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm
+FROM e ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_sessions" -> (rangeJoinSessions _),
     "embedding_centroids" -> (embeddingCentroids _),
-    "array_ops"           -> (arrayOps _)
+    "array_ops"           -> (arrayOps _),
+    "vector_math"         -> (vectorMath _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "range_join_sessions" -> rangeJoinSessionsOracle,
     "embedding_centroids" -> embeddingCentroidsOracle,
-    "array_ops"           -> arrayOpsOracle
+    "array_ops"           -> arrayOpsOracle,
+    "vector_math"         -> vectorMathOracle
   )
 }

@@ -40,6 +40,14 @@ class JdbcRoundtripSpec extends AnyFunSuite {
     assert(sortedRows(part).sameElements(sortedRows(nation)))
   }
 
+  test("filters on a JDBC scan are pushed down to the database") {
+    val plan = Connectors.jdbcRead(spark, url, "nation_rt", props = props)
+      .filter(col("n_nationkey") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(n_nationkey,10)"),
+      s"predicate did not reach the JDBC source:\n$plan")
+  }
+
   test("S6 truncate-and-reload overwrite replaces content, then append doubles it") {
     val half = nation.filter(col("n_nationkey") < 10)
     Connectors.jdbcOverwrite(half, url, "nation_rt", props = props)
