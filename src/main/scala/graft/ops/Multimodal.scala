@@ -137,15 +137,60 @@ SELECT doc_id,
        h AS first_frame_hex
 FROM p ORDER BY doc_id"""
 
+  case class ResizePlan(doc_id: Long, out_w: Int, out_h: Int, resized_len: Int, first_byte: Int)
+
+  /** Image-style resize: aspect-preserving fit into a `box`×`box` target
+    * (pure integer arithmetic on the typed metadata) plus a stub byte-
+    * stride downsample of the payload standing in for the pixel resample.
+    * As with [[features]], the codec-adjacent body is the STUB; the
+    * batched binary plumbing and the dims arithmetic are real. */
+  def resize(s: SparkSession, d: String, box: Int = 64): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).select("doc_id", "payload", "width", "height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, w, h) =>
+          val m = math.max(w, h)
+          val ow = math.max(1, w * box / m)
+          val oh = math.max(1, h * box / m)
+          // STUB resample: every stride-th byte; a real deployment swaps
+          // this for the codec's scaler, keeping dims + output shape
+          val stride = math.max(1, bytes.length / box)
+          val res = bytes.indices.collect { case i if i % stride == 0 => bytes(i) }
+          ResizePlan(id, ow, oh, res.length, res.head & 0xff)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Integer fit arithmetic restated in SQL; the first resampled byte is
+    * payload byte 0 = the first md5 digest byte, derived from the hex. */
+  val resizeOracle: String = """
+WITH p AS (SELECT doc_id,
+                  CAST(n_chars % 64 + 16 AS INT) AS w,
+                  CAST(n_chars % 48 + 16 AS INT) AS h,
+                  octet_length(unhex(repeat(md5(text), 8))) AS len,
+                  md5(text) AS hx
+           FROM documents)
+SELECT doc_id,
+       CAST(greatest(1, w * 64 // greatest(w, h)) AS INT) AS out_w,
+       CAST(greatest(1, h * 64 // greatest(w, h)) AS INT) AS out_h,
+       CAST(ceil(len * 1.0 / greatest(1, len // 64)) AS INT) AS resized_len,
+       CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS INT) AS first_byte
+FROM p ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
-    "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d))
+    "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta"     -> metaOracle,
     "multimodal_features" -> featuresOracle,
-    "multimodal_frames"   -> frameSampleOracle
+    "multimodal_frames"   -> frameSampleOracle,
+    "multimodal_resize"   -> resizeOracle
   )
 }
