@@ -49,7 +49,9 @@ object Bench {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")).toAbsolutePath
       java.nio.file.Files.writeString(out, json + "\n")
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // IOException AND e.g. InvalidPathException from a malformed env
+      // override — nothing here may fail the bench after results printed
       System.err.println(s"[bench] could not persist bench_out.json: ${e.getMessage}")
     } finally spark.stop()
   }

@@ -76,16 +76,23 @@ object Dedup {
     shingleCache.getOrElseUpdate((s, d), {
       val nDocs = Tables.documents(s, d).count()
       val cap = math.max(MinShingleDfCap, math.floor(MaxShingleDfFrac * nDocs).toLong)
+      // the split/ngram/hash explosion feeds BOTH the hot-list aggregate
+      // and the anti-join input — persist it so the dominant shingle pass
+      // runs once, then release it after the capped table materializes
       val ex = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("sh")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sh is distinct per doc, so count == document frequency. The hot
       // list is tiny by construction (df > 1% of corpus) → broadcast anti.
       val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("h")
-      ex.join(broadcast(hot), Seq("h"), "left_anti")
+      val capped = ex.join(broadcast(hot), Seq("h"), "left_anti")
         .groupBy("doc_id")
         .agg(sort_array(collect_list("h")).as("sh"), count(lit(1)).as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      capped.count() // materialize now so the intermediate can be freed
+      ex.unpersist()
+      capped
     })
 
   /** Shared oracle CTE: per-doc distinct shingles, hot-shingle-capped
@@ -349,14 +356,25 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     java.lang.Math.floorMod(z, numBlocks.toLong).toInt
   }
 
+  // memoized per (session, dataset, params): repeat invocations (bench
+  // passes, specs, clusters) must not stack fresh persist() entries —
+  // the round-2 style per-call cache leak, now shared like shingleCache
+  private val cosineCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Double, Int), DataFrame]()
+
   def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4,
-      blockRows: Int = 1 << 16): DataFrame = {
+      blockRows: Int = 1 << 16): DataFrame =
+    cosineCache.getOrElseUpdate((s, d, threshold, blockRows),
+      cosinePairsUncached(s, d, threshold, blockRows))
+
+  private def cosinePairsUncached(s: SparkSession, d: String, threshold: Double,
+      blockRows: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-      // count + approxQuantile + the flatMap below are three actions over
-      // the same narrow projection; cache it once instead of rescanning
+      // count + the pair flatMap are two actions over the same narrow
+      // projection; cache it once instead of rescanning the source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
     val numBlocks = cosineNumBlocks(n, blockRows, s.sparkContext.defaultParallelism)

@@ -27,8 +27,13 @@ object TopK {
     extends Aggregator[(Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
     private val ord: Ordering[(Long, Double)] = Ordering.by(t => (-t._2, t._1))
     override def zero: Seq[(Long, Double)] = Seq.empty
-    override def reduce(buf: Seq[(Long, Double)], a: (Long, Long, Double)): Seq[(Long, Double)] =
-      ((a._2, a._3) +: buf).sorted(ord).take(k)
+    override def reduce(buf: Seq[(Long, Double)], a: (Long, Long, Double)): Seq[(Long, Double)] = {
+      val item = (a._2, a._3)
+      // hot path: a full buffer whose k-th element already beats this row
+      // admits nothing — skip the allocation + sort entirely
+      if (buf.size >= k && ord.lteq(buf.last, item)) buf
+      else (item +: buf).sorted(ord).take(k)
+    }
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
       (a ++ b).sorted(ord).take(k)
     override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r.sorted(ord)

@@ -36,12 +36,16 @@ object AtomicTable {
 
   private def versions(root: Path): Seq[(Long, Path)] =
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case VersionRe(n) => Some((n.toLong, p))
-        case _            => None
-      }
-    }.toSeq
+    else {
+      val stream = Files.list(root)
+      try stream.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case VersionRe(n) => Some((n.toLong, p))
+          case _            => None
+        }
+      }.toSeq
+      finally stream.close() // directory streams hold an fd until closed
+    }
 
   /** Live version directory, or None if never published. */
   def resolve(base: String): Option[String] = {
@@ -52,6 +56,13 @@ object AtomicTable {
 
   def exists(base: String): Boolean = resolve(base).isDefined
 
+  /** DataFrame over the version that is current NOW. The plan is pinned
+    * to that version directory, so it stays consistent while later
+    * publishes happen — but with `keep = 1` the NEXT publish prunes the
+    * directory out from under a still-held DataFrame. A reader that must
+    * survive concurrent reloads needs the writer to publish with
+    * `keep >= 2` (retention is the crash-safe answer to read/prune races,
+    * exactly as in transactional table formats). */
   def read(s: SparkSession, base: String): DataFrame =
     s.read.parquet(resolve(base).getOrElse(
       throw new IllegalStateException(s"no published version at $base")))
@@ -117,6 +128,9 @@ object AtomicTable {
     publish(base, keep)(df.write.mode("overwrite").parquet(_))
 
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      val paths = try stream.iterator().asScala.toSeq.reverse finally stream.close()
+      paths.foreach(Files.delete)
+    }
 }
