@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(exprs.head, exprs(1))))
+    // declarative HOF dot products get the fused codegen kernel for free
+    e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
   }
 }

@@ -43,10 +43,15 @@ case class ArrayDot(left: Expression, right: Expression)
   // would otherwise silently read 0.0)
   override def nullable: Boolean = true
 
+  // Length mismatch ⇒ null, matching the built-in equivalent
+  // aggregate(zip_with(a,b,_*_), 0.0, _+_): zip_with null-pads the shorter
+  // array, the products go null, and the sum is null. Keeping the
+  // semantics identical is what makes plans.FuseArrayDot's rewrite safe.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -63,9 +68,10 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
