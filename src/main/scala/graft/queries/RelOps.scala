@@ -291,6 +291,16 @@ LIMIT 20"""
         .select(col("l_partkey").as("p_partkey")))
       .orderBy("p_partkey")
 
+  /** §2.4-ABSENT extension: CUBE — all 2^2 grouping combinations of
+    * (status, priority) in one pass (completes the rollup / grouping-sets
+    * / cube family). */
+  def cubeSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total_sales"), count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** §2.7-ABSENT extension: INTERSECT — customers active in BOTH 1995H1
     * and 1996H1 (completes the set-op family with union/except). */
   def intersectRepeatCustomers(s: SparkSession, d: String): DataFrame = {
@@ -367,6 +377,7 @@ LIMIT 20"""
     "union_keys"            -> (unionKeys _),
     "except_unsold_parts"   -> (exceptUnsoldParts _),
     "intersect_repeat_customers" -> (intersectRepeatCustomers _),
+    "cube_sales"            -> (cubeSales _),
     "scalar_funcs"          -> (scalarFuncs _)
   )
 
@@ -428,6 +439,12 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS year_val,
       FROM orders) t
 GROUP BY ROLLUP (year_val, quarter_val)
 ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
+    "cube_sales" -> """
+SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "window_rank_per_group" -> """
 SELECT l_suppkey, l_partkey, total_qty, rnk FROM (
   SELECT l_suppkey, l_partkey, total_qty,
