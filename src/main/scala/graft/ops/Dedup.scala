@@ -242,6 +242,52 @@ b AS (SELECT doc_id,
 SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
   }
 
+  val SimhashBands = 4 // 8 bits each over the 32-bit fingerprint
+  val SimhashMaxHamming = 3
+
+  /** SimHash near-dup PAIRS at Hamming distance ≤ `maxHamming`, found by
+    * banding — the simhash analog of MinHash-LSH banding, and EXACT by
+    * pigeonhole: two 32-bit fingerprints within Hamming 3 differ in at
+    * most 3 of the 4 disjoint 8-bit bands, so at least one band matches
+    * and the pair surfaces in that band's bucket. Candidates come from
+    * equi-joins on (band index, band value) — never all pairs — then the
+    * true Hamming distance filters them. Output therefore EQUALS the
+    * brute-force all-pairs scan, which is exactly what the oracle
+    * computes. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val fp = simhash(s, d) // (doc_id, simhash), 32-bit in a long
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map { b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)
+      }: _*)).as(Seq("band_idx", "band_val")))
+    val l = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
+      col("band_idx"), col("band_val"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force all-pairs Hamming scan over the same fingerprints — the
+    * banding above is exact for maxHamming ≤ SimhashBands - 1, so the
+    * results must hash-match. */
+  def simhashPairsOracle(maxHamming: Int = SimhashMaxHamming): String = {
+    // reuse the fingerprint derivation from simhashOracle as a CTE
+    val fpCte = simhashOracle
+      .replace("ORDER BY doc_id", "")
+    s"""WITH fp AS ($fpCte)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+ORDER BY doc_a, doc_b"""
+  }
+
   // ---- duplicate clustering (pairs → connected components) ----
 
   /** Collapse near-dup PAIRS into duplicate CLUSTERS via distributed
@@ -451,6 +497,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "dedup_simhash"       -> (simhash _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d))
   )
@@ -460,6 +507,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_ngram_jaccard" -> ngramJaccardOracle(),
     "dedup_minhash_lsh"   -> ngramJaccardOracle(0.9),
     "dedup_simhash"       -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle(),
     "dedup_cosine"        -> cosinePairsOracle(),
     "dedup_clusters"      -> clustersOracle()
   )

@@ -74,6 +74,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cl.forall { case (n, root) => root <= n })
   }
 
+  test("simhash banding is a bucketed equi-join, never an all-pairs product") {
+    val df = Dedup.simhashPairs(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"all-pairs join in simhash banding:\n$plan")
+    // candidates flow through the (band_idx, band_val) equi-join
+    assert(plan.contains("band_idx") && plan.contains("band_val"))
+  }
+
   test("hot-shingle DF cap is active: no surviving shingle exceeds the cap") {
     val nDocs = Tables.documents(spark, sf).count()
     val cap = math.max(Dedup.MinShingleDfCap,
