@@ -481,6 +481,74 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       .orderBy("vec_a", "vec_b")
   }
 
+  /** LSH-bucketed embedding near-dup — the sublinear scale path that the
+    * exact [[cosinePairs]] block product defers to: vectors are bucketed
+    * by the sign pattern of Similarity's pinned hyperplanes (both
+    * tables), candidate pairs come from same-bucket plus Hamming-1-probe
+    * collisions, and only candidates get the exact cosine check. Cost is
+    * O(n · tables · (bits+1)) candidate lookups instead of O(n²).
+    * Approximate — a pair can miss every table — but DETERMINISTIC, so
+    * the oracle mirrors the bucketing bit-for-bit (same plane literals as
+    * the ANN oracle) and hash-checks the whole pipeline; the recall
+    * contract on planted near-dup structure lives in SimilaritySpec. */
+  def cosinePairsLsh(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import Similarity.{Bits, NumTables}
+    val emb0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.arrayDot(s, col("v"), col("v"))))
+    val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
+      df.withColumn(s"b$t", Similarity.bucketOf(s, col("v"), t))
+    }
+    val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
+    val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val probed = side.select(col("vec_id"), col("tbl"),
+      explode(probes).as("flip"), col("bucket"))
+      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
+    val cands = probed.select(col("vec_id").as("vec_a"), col("tbl"),
+        col("probe_bucket").as("bucket"))
+      .join(side.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e1 = emb0.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val e2 = emb0.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cands.join(e1, "vec_a").join(e2, "vec_b")
+      .withColumn("cosine",
+        round(graft.functions.GraftFunctions.arrayDot(s, col("va"), col("vb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def cosinePairsLshOracle(threshold: Double = 0.5): String = {
+    import Similarity.{Bits, NumTables}
+    val bCols = (0 until NumTables)
+      .map(t => s"(${Similarity.bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+    val sideUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL ")
+    s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  $bCols
+  FROM emb),
+side AS ($sideUnion),
+probed AS (
+  SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
+  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+cand AS (
+  SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
+  FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
+  WHERE p.vec_id < s.vec_id)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+FROM cand c JOIN emb a ON a.vec_id = c.vec_a JOIN emb bb ON bb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= $threshold
+ORDER BY vec_a, vec_b"""
+  }
+
   def cosinePairsOracle(threshold: Double = 0.4): String = s"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -499,6 +567,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
+    "dedup_cosine_lsh"    -> ((s: SparkSession, d: String) => cosinePairsLsh(s, d)),
     "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d))
   )
 
@@ -509,6 +578,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_simhash"       -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle(),
     "dedup_cosine"        -> cosinePairsOracle(),
+    "dedup_cosine_lsh"    -> cosinePairsLshOracle(),
     "dedup_clusters"      -> clustersOracle()
   )
 }

@@ -90,12 +90,19 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * recall lever: a near neighbor is a candidate if it collides in ANY
     * table, so recall compounds as 1-(1-p_t)^L while the scanned fraction
     * stays ~L·(Bits+1)/2^Bits of the corpus. */
-  private lazy val allPlanes: Array[Array[Array[Double]]] = {
+  private[graft] lazy val allPlanes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(Seed)
     Array.fill(NumTables, Bits, Dim)(rng.nextGaussian())
   }
 
-  private def bucketOf(s: SparkSession, v: Column, t: Int): Column =
+  /** SQL restatement of table `t`'s bucket computation with the planes as
+    * literal arrays — shared by the ANN and dedup LSH oracles. */
+  private[graft] def bucketCasesSql(t: Int): String = (0 until Bits).map { b =>
+    val lit = allPlanes(t)(b).mkString("[", ", ", "]")
+    s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
+  }.mkString("\n   + ")
+
+  private[graft] def bucketOf(s: SparkSession, v: Column, t: Int): Column =
     (0 until Bits).map { b =>
       when(dot(s, v, typedlit(allPlanes(t)(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -141,11 +148,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * DuckDB parses the identical doubles; the sign of the identical dot
     * product then yields the identical bucket in every table). */
   lazy val annLshOracle: String = {
-    def cases(t: Int): String = (0 until Bits).map { b =>
-      val lit = allPlanes(t)(b).mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
-    }.mkString("\n   + ")
-    val bCols = (0 until NumTables).map(t => s"(${cases(t)}) AS b$t").mkString(",\n  ")
+    val bCols = (0 until NumTables).map(t => s"(${bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
     val corpusUnion = (0 until NumTables)
       .map(t => s"SELECT vec_id, v, $t AS tbl, b$t AS bucket FROM b")
       .mkString("\nUNION ALL ")

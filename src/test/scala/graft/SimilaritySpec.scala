@@ -51,6 +51,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall $recall%.3f < 0.9")
   }
 
+  test("LSH-bucketed cosine dedup recovers >= 0.9 of the exact near-dup pairs on planted clusters") {
+    val exact = graft.ops.Dedup.cosinePairs(spark, plantedDir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.Dedup.cosinePairsLsh(spark, plantedDir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted clusters must contain cosine>=0.9 pairs")
+    // LSH output is a SUBSET of exact (candidates are exact-verified)...
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // ...and recalls nearly all of it at sublinear candidate cost
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"planted cosine-LSH dedup recall: $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
   test("Lloyd refinement yields unit centroids and reduces mean assignment distance") {
     val emb = Tables.embeddings(spark, plantedDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
