@@ -172,7 +172,63 @@ SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
        min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY keep_id"""
 
+  /** End-to-end corpus curation pipeline — the composition every
+    * pre-training data pipeline runs, in ONE narrow single-shuffle query:
+    * (1) keep exactly one doc per normalized-text group (dedup), (2) keep
+    * English-classified docs, (3) keep quality score ≥ 0.5, and report
+    * the per-stage survivor counts. Each stage reuses the already-oracled
+    * building blocks; the oracle restates the same funnel in SQL, so the
+    * composed semantics — not just the parts — are hash-checked. */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.!?,;:]", ""), " +", " "))
+    val docs = Tables.documents(s, d)
+      .withColumn("norm_hash", md5(norm))
+      // dedup: keep the lowest doc_id per normalized group (one window
+      // over the hash — the only shuffle in the pipeline)
+      .withColumn("dup_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("norm_hash").orderBy("doc_id")))
+    val scored = docs.filter(col("dup_rank") === 1)
+      .withColumn("is_en",
+        hitCount("en") > greatest(hitCount("es"), hitCount("de"), hitCount("fr")))
+      .withColumn("q",
+        least(size(ws).cast("double") / 100, lit(1.0)) * 0.4 +
+          ((length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+            .cast("double") / length(col("text"))) * 0.4 +
+          least(hitCount("en").cast("double") / size(ws) * lit(5.0), lit(1.0)) * 0.2)
+    scored
+      .agg(
+        count(lit(1)).as("n_deduped"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_english"),
+        sum(when(col("is_en") && col("q") >= 0.5, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  val corpusFilterOracle: String = s"""
+WITH dedup AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[.!?,;:]', '', 'g'), ' +', ' ', 'g')))
+           ORDER BY doc_id) AS dup_rank
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         ${hitCountSql("en")} > greatest(${hitCountSql("es")},
+           ${hitCountSql("de")}, ${hitCountSql("fr")}) AS is_en,
+         least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+           ((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0
+             / len(text)) * 0.4 +
+           least(${hitCountSql("en")} * 1.0 / len(string_split(text, ' ')) * 5.0,
+             1.0) * 0.2 AS q
+  FROM dedup WHERE dup_rank = 1)
+SELECT count(*) AS n_deduped,
+       CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+       CAST(sum(CASE WHEN is_en AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM scored"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter"        -> (corpusFilter _),
     "text_langid"          -> (langId _),
     "text_quality"         -> (quality _),
     "text_token_count"     -> (tokenCount _),
@@ -181,6 +237,7 @@ FROM documents GROUP BY 1 ORDER BY keep_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_filter"        -> corpusFilterOracle,
     "text_langid"          -> langIdOracle,
     "text_quality"         -> qualityOracle,
     "text_token_count"     -> tokenCountOracle,
