@@ -73,6 +73,18 @@ class AtomicTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AtomicTable.readVersion(spark, base, "_v1"))
   }
 
+  test("a DataFrame held across a reload survives when the writer publishes with keep=2") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(3), base, keep = 2)
+    val held = AtomicTable.read(spark, base) // pinned to _v1
+    AtomicTable.overwrite(df(5), base, keep = 2)
+    // the held plan still reads its complete snapshot (retention covers
+    // the read/prune race the scaladoc documents)...
+    assert(held.count() == 3)
+    // ...while fresh readers see the new version
+    assert(AtomicTable.read(spark, base).count() == 5)
+  }
+
   test("a failing writer leaves the previous version live") {
     val base = freshBase()
     AtomicTable.overwrite(df(3), base)
