@@ -90,10 +90,20 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * recall lever: a near neighbor is a candidate if it collides in ANY
     * table, so recall compounds as 1-(1-p_t)^L while the scanned fraction
     * stays ~L·(Bits+1)/2^Bits of the corpus. */
-  private[graft] lazy val allPlanes: Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(Seed)
-    Array.fill(NumTables, Bits, Dim)(rng.nextGaussian())
-  }
+  /** Seeded plane sets for any (tables, bits) — memoized so a given
+    * configuration always reuses identical planes; the default
+    * configuration's planes back the pinned-literal oracle. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap[(Int, Int), Array[Array[Array[Double]]]]()
+
+  private[graft] def planesFor(tables: Int, bits: Int): Array[Array[Array[Double]]] =
+    planeCache.getOrElseUpdate((tables, bits), {
+      val rng = new scala.util.Random(Seed)
+      Array.fill(tables, bits, Dim)(rng.nextGaussian())
+    })
+
+  private[graft] lazy val allPlanes: Array[Array[Array[Double]]] =
+    planesFor(NumTables, Bits)
 
   /** SQL restatement of table `t`'s bucket computation with the planes as
     * literal arrays — shared by the ANN and dedup LSH oracles. */
@@ -103,8 +113,11 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   }.mkString("\n   + ")
 
   private[graft] def bucketOf(s: SparkSession, v: Column, t: Int): Column =
-    (0 until Bits).map { b =>
-      when(dot(s, v, typedlit(allPlanes(t)(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
+    bucketOfPlanes(s, v, allPlanes(t))
+
+  private def bucketOfPlanes(s: SparkSession, v: Column, planes: Array[Array[Double]]): Column =
+    planes.indices.map { b =>
+      when(dot(s, v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-K: in each of the `NumTables` tables,
@@ -112,17 +125,25 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * candidates across tables, then exact-rank. Oracle-checked (planes
     * pinned as SQL literals); SimilaritySpec asserts recall@K ≥ 0.9
     * against [[annTopK]] on planted-cluster data. */
-  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+  def annLshTopK(s: SparkSession, d: String): DataFrame =
+    annLshTopK(s, d, Bits, NumTables)
+
+  /** Parameterized variant: the (bits, tables) knobs trade scanned
+    * fraction (~tables·(bits+1)/2^bits) against recall — swept on planted
+    * data in SimilaritySpec; the sweep numbers live in NOTES.md. The
+    * default configuration backs the pinned-literal oracle. */
+  def annLshTopK(s: SparkSession, d: String, bits: Int, tables: Int): DataFrame = {
+    val planes = planesFor(tables, bits)
     val emb0 = withNorm(s, d)
-    val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
-      df.withColumn(s"b$t", bucketOf(s, col("v"), t))
+    val emb = (0 until tables).foldLeft(emb0) { (df, t) =>
+      df.withColumn(s"b$t", bucketOfPlanes(s, col("v"), planes(t)))
     }
-    val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
+    val bucketArr = array((0 until tables).map(t => col(s"b$t")): _*)
     // corpus side: one (tbl, bucket) row per table — map-side only, the
     // broadcast query side keeps the corpus shuffle-free
     val corpus = emb.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val probes = array((lit(0) +: (0 until bits).map(b => lit(1 << b))): _*)
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         posexplode(bucketArr).as(Seq("tbl", "qb")))

@@ -65,6 +65,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
   }
 
+  test("LSH recall/cost tradeoff behaves monotonically across (bits, tables)") {
+    val brute = topkSet(Similarity.annTopK(spark, plantedDir))
+    def recallOf(bits: Int, tables: Int): Double = {
+      val got = topkSet(Similarity.annLshTopK(spark, plantedDir, bits, tables))
+      (brute & got).size.toDouble / brute.size
+    }
+    // sweep the two knobs; scanned fraction ~ tables*(bits+1)/2^bits
+    val sweep = for {
+      bits <- Seq(4, 6, 8); tables <- Seq(1, 2)
+    } yield ((bits, tables), recallOf(bits, tables))
+    sweep.foreach { case ((b, t), r) =>
+      info(f"bits=$b tables=$t scan~${t * (b + 1) / math.pow(2, b) * 100}%.0f%% recall=$r%.3f")
+    }
+    val m = sweep.toMap
+    // more tables at fixed bits never hurts recall
+    Seq(4, 6, 8).foreach { b =>
+      assert(m((b, 2)) >= m((b, 1)), s"second table reduced recall at bits=$b")
+    }
+    // the shipped operating point stays >= 0.9 on planted structure
+    assert(m((Similarity.Bits, Similarity.NumTables)) >= 0.9)
+  }
+
   test("Lloyd refinement yields unit centroids and reduces mean assignment distance") {
     val emb = Tables.embeddings(spark, plantedDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
