@@ -274,15 +274,22 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * (including both Lloyd rounds) is mirrored in SQL, so the APPROXIMATE
     * result is hash-checkable, not just rows-only; recall@K ≥ 0.9 on
     * planted-cluster data asserted in SimilaritySpec. */
-  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+  def annIvfTopK(s: SparkSession, d: String): DataFrame =
+    annIvfTopK(s, d, NProbe)
+
+  /** Parameterized variant: `nprobe` is the query-time cost knob —
+    * corpus fraction scanned ≈ nprobe/NumCentroids; swept on planted data
+    * in SimilaritySpec (numbers in NOTES.md). The default backs the
+    * oracle. */
+  def annIvfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = withNorm(s, d)
     val cents = lloydCentroids(s, emb)
     val assigned = emb.withColumn("cell",
       array_max(cellScores(s, col("v"), cents)).getField("cid"))
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        // probe the NProbe best cells: sort scores desc, take cids
-        explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, NProbe)
+        // probe the nprobe best cells: sort scores desc, take cids
+        explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, nprobe)
           .getField("cid")).as("probe_cell"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     assigned.join(broadcast(q),

@@ -87,6 +87,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m((Similarity.Bits, Similarity.NumTables)) >= 0.9)
   }
 
+  test("IVF recall grows monotonically with nprobe") {
+    val brute = topkSet(Similarity.annTopK(spark, plantedDir))
+    val sweep = Seq(1, 2, 4, 8).map { np =>
+      val got = topkSet(Similarity.annIvfTopK(spark, plantedDir, np))
+      np -> (brute & got).size.toDouble / brute.size
+    }
+    sweep.foreach { case (np, r) =>
+      info(f"nprobe=$np scan~${np * 100.0 / Similarity.NumCentroids}%.0f%% recall=$r%.3f")
+    }
+    sweep.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a, s"recall dropped as nprobe grew: $sweep")
+    }
+    assert(sweep.toMap.apply(Similarity.NProbe) >= 0.9)
+  }
+
   test("Lloyd refinement yields unit centroids and reduces mean assignment distance") {
     val emb = Tables.embeddings(spark, plantedDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
