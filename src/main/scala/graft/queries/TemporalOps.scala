@@ -95,6 +95,43 @@ WITH x AS (
 SELECT label, dim, round(avg(v), 6) AS centroid, count(*) AS n_vecs
 FROM x GROUP BY label, dim ORDER BY label, dim"""
 
+  /** Time-series gap-fill / resample — an operator Spark has no native
+    * form of: hourly event counts per type INCLUDING the empty hours.
+    * The dense hour calendar is generated from the observed bounds
+    * (sequence + explode), cross-joined with the (tiny, broadcast) type
+    * dimension, and the real counts left-join onto the dense grid with
+    * a zero fill. The only heavy operation is the hourly pre-aggregation
+    * (one shuffle of the events); the grid itself is |hours|×|types| —
+    * trivial at any scale. */
+  def gapfillHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+    val hourly = ev.groupBy("event_type", "hour_ts").agg(count(lit(1)).as("n"))
+    val cal = ev.agg(min("hour_ts").as("lo"), max("hour_ts").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour_ts"))
+    val types = ev.select("event_type").distinct()
+    cal.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  val gapfillHourlyOracle: String = """
+WITH h AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS lo,
+         max(time_bucket(INTERVAL '1 hour', ts)) AS hi
+  FROM events),
+cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_ts FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, c.hour_ts, CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+FROM cal c CROSS JOIN types t
+LEFT JOIN h ON h.event_type = t.event_type AND h.hour_ts = c.hour_ts
+ORDER BY t.event_type, c.hour_ts"""
+
   /** Array-function family over the embedding vectors: size, element
     * access, min/max, slicing, sort — the building blocks every
     * vector-column pipeline leans on. All elementwise/exact (no float
@@ -154,6 +191,7 @@ SELECT vec_id,
 FROM e ORDER BY vec_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
     "embedding_centroids" -> (embeddingCentroids _),
     "array_ops"           -> (arrayOps _),
@@ -161,6 +199,7 @@ FROM e ORDER BY vec_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,
     "embedding_centroids" -> embeddingCentroidsOracle,
     "array_ops"           -> arrayOpsOracle,
