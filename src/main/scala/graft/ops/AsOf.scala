@@ -127,11 +127,39 @@ SELECT purchase_id, user_id, ts AS purchase_ts,
 FROM w WHERE rtag = 1
 ORDER BY purchase_id"""
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store variant:
+    * a feature snapshot older than `toleranceUs` at example time is as
+    * good as missing (stale features poison training), so matches beyond
+    * the tolerance are nulled out rather than attached. Same single
+    * shuffle + window as [[asofEvents]]; the tolerance is a pure
+    * post-projection. */
+  def asofEventsTolerance(s: SparkSession, d: String,
+      toleranceUs: Long = 3600L * 1000000L): DataFrame = {
+    val joined = asofEvents(s, d)
+    val fresh = col("view_ts").isNotNull && col("gap_us") <= toleranceUs
+    joined.select(
+      col("purchase_id"), col("user_id"), col("purchase_ts"),
+      when(fresh, col("view_id")).as("view_id"),
+      when(fresh, col("view_ts")).as("view_ts"),
+      when(fresh, col("gap_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  def asofToleranceOracle(toleranceUs: Long = 3600L * 1000000L): String =
+    s"""WITH base AS (${asofEventsOracle.trim.stripSuffix("ORDER BY purchase_id")})
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN gap_us <= $toleranceUs THEN view_id END AS view_id,
+       CASE WHEN gap_us <= $toleranceUs THEN view_ts END AS view_ts,
+       CASE WHEN gap_us <= $toleranceUs THEN gap_us END AS gap_us
+FROM base ORDER BY purchase_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join_events" -> (asofEvents _)
+    "asof_join_events"    -> (asofEvents _),
+    "asof_join_tolerance" -> ((s: SparkSession, d: String) => asofEventsTolerance(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
-    "asof_join_events" -> asofEventsOracle
+    "asof_join_events"    -> asofEventsOracle,
+    "asof_join_tolerance" -> asofToleranceOracle()
   )
 }
