@@ -352,7 +352,70 @@ LIMIT 20"""
       .orderBy("line_sk")
   }
 
+  /** §2.8-ABSENT extension: the string-manipulation family, restricted to
+    * functions with EXACT cross-engine twins (upper/lower, trim variants,
+    * pad, substring, replace, reverse, split_part, position, repeat,
+    * left/right slicing via substring). Locale-free ASCII semantics on
+    * this data, so every output hash-matches. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uc"),
+      lower(col("c_mktsegment")).as("lc"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("replaced"),
+      reverse(col("c_name")).as("revd"),
+      element_at(split(col("c_name"), "#"), 2).as("name_num"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      repeat(lit("ab"), 3).as("repeated"),
+      length(rtrim(ltrim(concat(lit("  "), col("c_name"), lit("  ")))))
+        .cast("long").as("trimmed_len"))
+      .orderBy("c_custkey")
+
+  val stringFuncsOracle: String = """
+SELECT c_custkey,
+       upper(c_name) AS uc,
+       lower(c_mktsegment) AS lc,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       substr(c_name, 1, 8) AS prefix,
+       regexp_replace(c_name, 'Customer', 'Cust', 'g') AS replaced,
+       reverse(c_name) AS revd,
+       split_part(c_name, '#', 2) AS name_num,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       repeat('ab', 3) AS repeated,
+       CAST(len(rtrim(ltrim('  ' || c_name || '  '))) AS BIGINT) AS trimmed_len
+FROM customer ORDER BY c_custkey"""
+
+  /** §2.8 extension: date-arithmetic family beyond the dim_date
+    * derivations — day offsets, day differences, month boundaries,
+    * truncation, day-of-year. Date-typed results are surfaced as tz-less
+    * timestamps (a Spark DATE never string-matches a DuckDB DATE through
+    * the harness's pandas round-trip). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame = {
+    val od = to_date(col("o_orderdate"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_add(od, 30).cast("timestamp_ntz").as("plus_30d"),
+      datediff(lit("1998-12-31").cast("date"), od).cast("long").as("days_to_eoy98"),
+      last_day(od).cast("timestamp_ntz").as("month_end"),
+      trunc(od, "month").cast("timestamp_ntz").as("month_start"),
+      dayofyear(od).cast("int").as("doy"))
+      .orderBy("o_orderkey")
+  }
+
+  val dateFuncsOracle: String = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus_30d,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy98,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy
+FROM orders ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_funcs"          -> (stringFuncs _),
+    "date_funcs"            -> (dateFuncs _),
     "sk_scalable_fact"      -> (skScalableFact _),
     "scan_project_filter"   -> (scanProjectFilter _),
     "sql_over_views"        -> (sqlOverViews _),
@@ -382,6 +445,8 @@ LIMIT 20"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "string_funcs" -> stringFuncsOracle,
+    "date_funcs" -> dateFuncsOracle,
     "sk_scalable_fact" -> """
 SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS line_sk,
        l_orderkey, l_linenumber
