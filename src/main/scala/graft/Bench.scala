@@ -36,12 +36,33 @@ object Bench {
     val pass1 = timeAll()
     val pass2 = timeAll()
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warmup_etl_sec":$warmup,"passes":2,"failed":$fl,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    def r3(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    def entries(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":2,"failed":$fl,"queries":${entries(results.toSeq)},"sf":"$sfDir"}"""
+    // The harness that collects this output keeps only a ~2000-char tail of
+    // stdout, and the full per-query map overflows it — the JSON line must
+    // stay short enough to survive the tail capture INTACT. Print a line
+    // capped at ~1600 chars: keep the slowest queries (the ones that matter
+    // for a perf read), elide the fastest, record how many were elided. The
+    // complete map is persisted to bench_out.json below either way.
+    val budget = 1600
+    val stdoutJson =
+      if (json.length <= budget) json
+      else {
+        val bySlowest = results.toSeq.sortBy(-_._2)
+        var kept = bySlowest
+        var line = json
+        while (line.length > budget && kept.nonEmpty) {
+          kept = kept.dropRight(math.max(1, kept.size / 8))
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":2,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"sf":"$sfDir"}"""
+        }
+        line
+      }
+    println(stdoutJson)
     // stdout tail-capture can truncate the (long) JSON line — persist it to
     // a file as well so the numbers are always machine-readable. Best-effort:
     // a read-only CWD must not fail the bench after valid results printed.
