@@ -13,7 +13,8 @@ object SparkEntry {
       graft.streaming.EventsStream.queries ++ graft.queries.PipelineOps.queries ++
       graft.queries.ScaleOps.queries ++ graft.ops.AsOf.queries ++
       graft.queries.TemporalOps.queries ++ graft.queries.ProfileOps.queries ++
-      graft.queries.ChangeOps.queries ++ graft.ops.TopK.queries
+      graft.queries.ChangeOps.queries ++ graft.ops.TopK.queries ++
+      graft.queries.ExtraOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.streaming.EventsStream.oracleSql ++ graft.queries.PipelineOps.oracleSql ++
       graft.queries.ScaleOps.oracleSql ++ graft.ops.AsOf.oracleSql ++
       graft.queries.TemporalOps.oracleSql ++ graft.queries.ProfileOps.oracleSql ++
-      graft.queries.ChangeOps.oracleSql ++ graft.ops.TopK.oracleSql
+      graft.queries.ChangeOps.oracleSql ++ graft.ops.TopK.oracleSql ++
+      graft.queries.ExtraOps.oracleSql
 }

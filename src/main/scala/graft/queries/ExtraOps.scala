@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 coverage extensions — operator families a large-scale curation /
+  * lakehouse engine needs beyond the reference's surface (reference has none
+  * of these; cited gaps are SURVEY.md §2 ABSENT rows and the LLM-pipeline
+  * mandate):
+  *
+  *  - [[piiScrub]] — PII redaction over text columns (regex email/phone
+  *    masking), the standard pre-training scrub pass.
+  *  - [[conditionalAgg]] — FILTER-clause / conditional aggregation family
+  *    (count_if, conditional sum/min/max in one grouped pass).
+  *  - [[argmaxPerGroup]] — max_by/arg_max: "row attribute at the group's
+  *    extremum" without a self-join or window.
+  *  - [[histogramPrices]] — fixed-width bucketing (the groupBy form of a
+  *    histogram; linear single-shuffle profile pass).
+  *  - [[orcRoundtrip]] — ORC source/sink surface (columnar-format coverage
+  *    beyond parquet/CSV; ORC ships in /opt/spark/jars).
+  *  - [[lateralExplode]] — ordinal-preserving array explode (posexplode):
+  *    tokenization fan-out with stable positions, the shape every
+  *    shingle/n-gram pipeline starts from.
+  *  - [[zorderCluster]] — Z-order (Morton) interleaved sort key over two
+  *    join/filter dimensions: the lakehouse data-clustering technique that
+  *    makes min/max file skipping effective on BOTH columns at once.
+  *  - [[randomProjection]] — sparse sign random projection (Achlioptas-style
+  *    ±1 matrix) 64-dim → 8-dim: the cheap linear dimensionality reduction
+  *    used before LSH/clustering at corpus scale.
+  *  - [[timeTravelRead]] — versioned-table time travel through
+  *    [[graft.util.AtomicTable]]: read version N-1 while N is live.
+  *
+  * All queries keep the project's determinism rules: total output order,
+  * exact integer/floor quantization for computed doubles, identical column
+  * aliases in the Spark plan and the oracle SQL.
+  */
+object ExtraOps {
+
+  // ---------------------------------------------------------------- pii
+
+  /** The synthetic testdata carries no real PII, so the query derives the
+    * email/phone columns deterministically from customer fields first, then
+    * applies the redaction — the redaction expressions are the operator
+    * under test, the derivation just feeds them realistic shapes. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = concat(
+      lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+      lit("@example.com"))
+    val phone = concat(lit("+1-"), lpad(col("c_custkey").cast("string"), 7, "0"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      email.as("email_raw"),
+      regexp_replace(email, "[a-z0-9.]+@", "[EMAIL]@").as("email_redacted"),
+      regexp_replace(phone, "[0-9]", "#").as("phone_redacted"))
+      .orderBy("c_custkey")
+  }
+
+  val piiScrubOracle: String = """
+WITH pii AS (
+  SELECT c_custkey,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com' AS email_raw,
+         '+1-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS phone_raw
+  FROM customer)
+SELECT c_custkey, email_raw,
+       regexp_replace(email_raw, '[a-z0-9.]+@', '[EMAIL]@', 'g') AS email_redacted,
+       regexp_replace(phone_raw, '[0-9]', '#', 'g') AS phone_redacted
+FROM pii ORDER BY c_custkey"""
+
+  // ------------------------------------------------- conditional aggregates
+
+  /** count_if + conditional sum/min/max in ONE grouped pass (no per-branch
+    * re-scan). Conditional min/max stay float-hazard-free (no arithmetic);
+    * the conditional sum is a 2dp-value sum, safe to round at 2dp. */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L)).as("n_big"),
+      round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+        .otherwise(0.0)), 2).as("sales_f"),
+      min(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("min_f"),
+      max(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("max_f"))
+      .orderBy("o_orderpriority")
+
+  val conditionalAggOracle: String = """
+SELECT o_orderpriority,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sales_f,
+       min(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS min_f,
+       max(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS max_f
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // --------------------------------------------------------------- arg_max
+
+  /** Attribute-at-extremum per group without a self-join or window: one
+    * hash aggregate with map-side partials. The ordering value packs the
+    * tie-break into one BIGINT (n_chars · 10^6 + doc_id — doc_id < 10^6 at
+    * every SF), so both engines pick the same row deterministically. */
+  def argmaxPerGroup(s: SparkSession, d: String): DataFrame = {
+    val rank = col("n_chars") * lit(1000000L) + col("doc_id")
+    Tables.documents(s, d).groupBy("lang").agg(
+      max_by(col("doc_id"), rank).as("top_doc_id"),
+      max_by(col("n_chars"), rank).as("top_n_chars"),
+      count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val argmaxPerGroupOracle: String = """
+SELECT lang,
+       arg_max(doc_id, n_chars * 1000000 + doc_id) AS top_doc_id,
+       arg_max(n_chars, n_chars * 1000000 + doc_id) AS top_n_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ------------------------------------------------------------- histogram
+
+  /** Fixed-width histogram as floor-division bucketing + grouped agg.
+    * Bucket edges are exact multiples of 25000 (representable doubles), and
+    * both engines divide the same double by the same constant — IEEE says
+    * the quotients are bit-identical, so floor never straddles an edge. */
+  def histogramPrices(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("bucket")
+
+  val histogramPricesOracle: String = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1 ORDER BY bucket"""
+
+  // ------------------------------------------------------------------- orc
+
+  /** ORC round-trip: write supplier as ORC, read back with the explicit
+    * schema (engine contracts never rely on inference). Completes the
+    * columnar-format surface next to parquet (native) and CSV
+    * ([[PipelineOps.csvRoundtrip]]). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_orc/${graft.util.PathKeys.safe(d)}/supplier"
+    Tables.supplier(s, d).write.mode("overwrite").orc(out)
+    s.read.schema(Tables.supplier(s, d).schema).orc(out)
+      .orderBy("s_suppkey")
+  }
+
+  val orcRoundtripOracle: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
+  // -------------------------------------------------------- lateral explode
+
+  /** Ordinal-preserving tokenization fan-out: posexplode keeps each token's
+    * position, the prerequisite for positional n-grams/shingles. Bounded to
+    * 50 docs so the output stays diff-sized; the operator itself is a
+    * narrow per-row generate — linear at any corpus size. */
+  def lateralExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnsRenamed(Map("pos" -> "pos", "col" -> "tok"))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
+  /** DuckDB (this version) lacks WITH ORDINALITY — a lateral unnest over
+    * `range(len(list))` reproduces the 0-based position exactly. */
+  val lateralExplodeOracle: String = """
+SELECT d.doc_id, CAST(u.i AS INT) AS pos, d.l[u.i + 1] AS tok
+FROM (SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 50) d,
+     UNNEST(range(len(d.l))) AS u(i)
+ORDER BY doc_id, pos"""
+
+  // --------------------------------------------------------------- z-order
+
+  /** Bit-spread of a 10-bit value to even bit positions (Morton encoding
+    * step), emitted as engine-dialect SQL so the Spark plan and the oracle
+    * evaluate the identical integer formula. `shl` abstracts the only
+    * dialect difference (shiftleft() vs <<). */
+  private def zSpread(x0: String, shl: (String, Int) => String): String =
+    Seq(8 -> "16711935", 4 -> "252645135", 2 -> "858993459", 1 -> "1431655765")
+      .foldLeft(x0) { case (x, (sh, mask)) => s"((($x) | ${shl(x, sh)}) & $mask)" }
+
+  private def zValue(a: String, b: String, shl: (String, Int) => String): String =
+    s"(${zSpread(a, shl)} | ${shl(zSpread(b, shl), 1)})"
+
+  private val sparkShl = (x: String, n: Int) => s"shiftleft($x, $n)"
+  private val duckShl  = (x: String, n: Int) => s"(($x) << $n)"
+
+  /** Z-order clustering key over (part, supplier): interleaving the two
+    * keys' bits gives ONE sort column whose ordering is spatially local in
+    * BOTH dimensions — files written in z-order carry tight min/max ranges
+    * on part AND supplier simultaneously, so scans filtered on either key
+    * skip most files (single-column sorts only ever skip on that column).
+    * At 100 TB this is `repartitionByRange(zval) + sortWithinPartitions`
+    * at write time; the query verifies the encoding + total z-sort. */
+  def zorderCluster(s: SparkSession, d: String): DataFrame = {
+    val z = zValue("(l_partkey & 1023)", "(l_suppkey & 1023)", sparkShl)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        expr(s"CAST($z AS BIGINT)").as("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+  }
+
+  val zorderClusterOracle: String = {
+    val z = zValue("(l_partkey & 1023)", "(l_suppkey & 1023)", duckShl)
+    s"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST($z AS BIGINT) AS zval
+FROM lineitem
+ORDER BY zval, l_orderkey, l_linenumber"""
+  }
+
+  // ----------------------------------------------------- random projection
+
+  private val RpInDim  = 64
+  private val RpOutDim = 8
+
+  /** Fixed ±1 sign for matrix cell (j, i) — one deterministic generator
+    * emits both the Spark expression and the oracle SQL, so the "random"
+    * matrix is identical on both engines (same technique as the pinned LSH
+    * planes / IVF centroids in [[graft.ops.Similarity]]). */
+  private def rpSign(j: Int, i: Int): Int = {
+    val h = (j * 1315423911) ^ (i * 0x9E3779B1.toInt) ^ ((i + j) >>> 3)
+    if (((h * 0x85EBCA6B.toInt) >>> 16 & 1) == 0) 1 else -1
+  }
+
+  /** Sign-matrix product as a left-associated chain of +/- terms: both
+    * engines then add the SAME doubles in the SAME order, so the result is
+    * bit-identical (Dedup/Similarity's sequential-sum rule) and the 1e4
+    * floor quantization never straddles. `idx` maps to each engine's array
+    * indexing (Spark 0-based, DuckDB lists 1-based). */
+  private def rpChain(j: Int, idx: Int => String): String =
+    (0 until RpInDim).map { i =>
+      s"${if (rpSign(j, i) > 0) "+" else "-"} CAST(${idx(i)} AS DOUBLE)"
+    }.mkString("0.0 ", " ", "")
+
+  /** Achlioptas-style sparse random projection 64-dim → 8-dim: a narrow
+    * per-row projection (no shuffle, codegen arithmetic) that preserves
+    * pairwise distances within (1±ε) w.h.p. — the standard cheap front-end
+    * before LSH bucketing or clustering when the raw dimension is high.
+    * Cost is linear in rows; at 100 TB it pipelines inside the scan. */
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    val cols = (0 until RpOutDim).map { j =>
+      expr(s"CAST(floor((${rpChain(j, i => s"embedding[$i]")}) * 10000) AS BIGINT)")
+        .as(s"rp$j")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
+  val randomProjectionOracle: String = {
+    val cols = (0 until RpOutDim).map { j =>
+      s"CAST(floor((${rpChain(j, i => s"embedding[${i + 1}]")}) * 10000) AS BIGINT) AS rp$j"
+    }.mkString(",\n       ")
+    s"""
+SELECT vec_id,
+       $cols
+FROM embeddings ORDER BY vec_id"""
+  }
+
+  // ------------------------------------------------------------ time travel
+
+  /** Versioned-table time travel: publish nation twice through
+    * [[graft.util.AtomicTable]] (full, then filtered), read the FIRST
+    * retained version back while the second is live — the
+    * `VERSION AS OF N-1` read every transactional table format offers.
+    * The base dir is wiped first so the two-version history (and thus the
+    * result) is identical on every run. */
+  def timeTravelRead(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_tt/${graft.util.PathKeys.safe(d)}/nation"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    val nation = Tables.nation(s, d)
+    AtomicTable.publish(base, keep = 2)(dir => nation.write.parquet(dir))
+    AtomicTable.publish(base, keep = 2)(dir =>
+      nation.filter(col("n_nationkey") < 10).write.parquet(dir))
+    val v1 = AtomicTable.history(base).head
+    AtomicTable.readVersion(s, base, v1).orderBy("n_nationkey")
+  }
+
+  /** The live table is the filtered v2; reading v1 must yield ALL nations. */
+  val timeTravelReadOracle: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub"         -> (piiScrub _),
+    "conditional_agg"   -> (conditionalAgg _),
+    "argmax_per_group"  -> (argmaxPerGroup _),
+    "histogram_prices"  -> (histogramPrices _),
+    "orc_roundtrip"     -> (orcRoundtrip _),
+    "lateral_explode"   -> (lateralExplode _),
+    "zorder_cluster"    -> (zorderCluster _),
+    "random_projection" -> (randomProjection _),
+    "time_travel_read"  -> (timeTravelRead _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pii_scrub"         -> piiScrubOracle,
+    "conditional_agg"   -> conditionalAggOracle,
+    "argmax_per_group"  -> argmaxPerGroupOracle,
+    "histogram_prices"  -> histogramPricesOracle,
+    "orc_roundtrip"     -> orcRoundtripOracle,
+    "lateral_explode"   -> lateralExplodeOracle,
+    "zorder_cluster"    -> zorderClusterOracle,
+    "random_projection" -> randomProjectionOracle,
+    "time_travel_read"  -> timeTravelReadOracle
+  )
+}
