@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDot(exprs.head, exprs(1))))
     // declarative HOF dot products get the fused codegen kernel for free
     e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
+    // whole-operator extension: broadcast interval join (logical node +
+    // strategy + physical plan; see graft.plans.IntervalJoin)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

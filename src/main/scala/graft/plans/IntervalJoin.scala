@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Whole-operator Catalyst extension: a broadcast INTERVAL JOIN —
+  * `left` rows matched to every `right` interval with
+  * `probe ∈ [lo, hi)` — as a custom LogicalPlan + SparkStrategy +
+  * physical SparkPlan (the (c) tier of the extension ladder; the (a)
+  * compose-existing-ops route genuinely cannot express this: with no
+  * equality key, Spark can only plan the containment predicate as a
+  * BroadcastNestedLoopJoin, O(|probe| · |intervals|) comparisons).
+  *
+  * The physical operator sorts the (broadcast-sized) interval side by `lo`
+  * once, precomputes a running max of `hi`, and answers each probe row
+  * with binary search + a bounded backward scan — O(log m + k + overlap)
+  * per probe instead of O(m). The probe side is never shuffled, never
+  * collected: it streams through `mapPartitions` with the interval table
+  * broadcast, exactly like a broadcast hash join — so the operator scales
+  * to an arbitrarily large probe side (100 TB of events) as long as the
+  * interval side stays broadcastable (calendars, maintenance windows,
+  * price bands, validity ranges — all dimension-sized by nature).
+  *
+  * Semantics notes:
+  *  - half-open containment `lo <= probe < hi` (the natural time-window
+  *    convention; adjacent windows never double-match);
+  *  - NULL probe or NULL/empty interval rows match nothing (SQL comparison
+  *    semantics);
+  *  - inner join only — each output row is the concatenation of the probe
+  *    row and its matching interval row.
+  */
+object IntervalJoin {
+
+  /** Interval-join `left` to `right` on `left(probeCol) ∈
+    * [right(loCol), right(hiCol))`. Columns are resolved by NAME against
+    * each side's analyzed output (sidestepping cross-plan ambiguity); the
+    * three columns must share one comparable physical type — integral or
+    * timestamp (both are Long-backed internally). */
+  def join(left: DataFrame, right: DataFrame,
+    probeCol: String, loCol: String, hiCol: String): DataFrame = {
+    val s = left.sparkSession
+    PlanBridge.addStrategy(s, IntervalJoinStrategy)
+    val lplan = left.queryExecution.analyzed
+    val rplan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    val node = IntervalJoinPlan(lplan, rplan,
+      attr(lplan, probeCol, "left"), attr(rplan, loCol, "right"), attr(rplan, hiCol, "right"))
+    PlanBridge.ofRows(s, node)
+  }
+}
+
+/** Logical node: output = probe-side columns ++ interval-side columns. */
+case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
+  probe: Expression, lo: Expression, hi: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+    newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy for [[IntervalJoinPlan]] — registered both via
+  * [[graft.functions.GraftExtensions]] (deployment route) and lazily by
+  * [[IntervalJoin.join]] (works in any live session). */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, p, lo, hi) =>
+      IntervalJoinExec(planLater(l), planLater(r), p, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast interval join.
+  *
+  * Build side: `right.executeCollect()` (the same driver-side collect a
+  * BroadcastExchange performs), intervals sorted by `lo` with a prefix
+  * running-max of `hi`. Probe side: streamed per-partition; for each row,
+  * binary-search the last interval with `lo <= probe`, then walk backwards
+  * emitting matches while the running max of `hi` can still reach the
+  * probe — the prefix-max cutoff makes the scan proportional to genuine
+  * overlap, not to the whole prefix. */
+case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
+  probe: Expression, lo: Expression, hi: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+    newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  private def toLong(v: Any): Long = v match {
+    case l: java.lang.Long    => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short   => s.longValue()
+    case b: java.lang.Byte    => b.longValue()
+    case other => throw new IllegalArgumentException(
+      s"interval join keys must be integral/timestamp-backed, got ${other.getClass}")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val boundLo = BindReferences.bindReference(lo, right.output)
+    val boundHi = BindReferences.bindReference(hi, right.output)
+    val build = right.executeCollect().iterator.flatMap { r =>
+      val lv = boundLo.eval(r)
+      val hv = boundHi.eval(r)
+      if (lv == null || hv == null) None
+      else {
+        val l = toLong(lv); val h = toLong(hv)
+        if (h > l) Some((l, h, r)) else None // empty interval: matches nothing
+      }
+    }.toArray.sortBy(t => (t._1, t._2))
+    val los = build.map(_._1)
+    val his = build.map(_._2)
+    val rows: Array[InternalRow] = build.map(_._3)
+    val maxHi = new Array[Long](build.length)
+    var run = Long.MinValue
+    var i = 0
+    while (i < build.length) {
+      if (his(i) > run) run = his(i)
+      maxHi(i) = run
+      i += 1
+    }
+    val bc = session.sparkContext.broadcast((los, his, rows, maxHi))
+    val boundProbe = BindReferences.bindReference(probe, left.output)
+    val outAttrs = output
+    left.execute().mapPartitions { iter =>
+      val (los, his, rows, maxHi) = bc.value
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      iter.flatMap { lrow =>
+        val pv0 = boundProbe.eval(lrow)
+        if (pv0 == null || los.length == 0) Iterator.empty
+        else {
+          val pv = toLong(pv0)
+          // last index with lo <= pv
+          var a = 0; var b = los.length - 1; var last = -1
+          while (a <= b) {
+            val mid = (a + b) >>> 1
+            if (los(mid) <= pv) { last = mid; a = mid + 1 } else b = mid - 1
+          }
+          new Iterator[InternalRow] {
+            private var j = last
+            private var pending: InternalRow = null
+            private def advance(): Unit = {
+              pending = null
+              while (j >= 0 && pending == null) {
+                if (maxHi(j) <= pv) j = -1 // nothing earlier can reach pv
+                else {
+                  if (his(j) > pv) pending = rows(j)
+                  j -= 1
+                }
+              }
+            }
+            advance()
+            override def hasNext: Boolean = pending != null
+            override def next(): InternalRow = {
+              val out = proj(joined(lrow, pending))
+              advance()
+              out // reused buffer — standard per-iterator row-reuse contract
+            }
+          }
+        }
+      }
+    }
+  }
+}

@@ -79,6 +79,60 @@ FROM sess JOIN events ev
 GROUP BY sess.user_id, session_start, session_end
 ORDER BY sess.user_id, session_start"""
 
+  /** Equi-key-LESS interval join through the custom
+    * [[graft.plans.IntervalJoin]] operator (logical node + strategy +
+    * physical plan — the §2.11 whole-operator extension tier): events
+    * joined into GLOBAL activity islands (maximal runs of consecutive
+    * active minutes across ALL users — no user key to hash on, so built-in
+    * planning could only produce an O(n·m) BroadcastNestedLoopJoin; the
+    * custom operator answers each probe in O(log m + matches)).
+    *
+    * The island table is built from DISTINCT active minutes — calendar-
+    * bounded (≤ span/1min rows at any SF), so its global gap-and-islands
+    * window is dim-sized by construction, and the interval side stays
+    * broadcastable at any corpus scale. The differential gate proves the
+    * operator finds exactly the containing island for every event. */
+  def rangeJoinIslands(s: SparkSession, d: String): DataFrame = {
+    val minutes = Tables.events(s, d)
+      .select(date_trunc("minute", col("ts")).as("m")).distinct()
+    val wOrd = Window.orderBy("m")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = minutes
+      .withColumn("prev_m", lag("m", 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_m").isNull ||
+          unix_micros(col("m")) - unix_micros(col("prev_m")) > 60L * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(wRun))
+      .groupBy("sid")
+      .agg(min("m").as("island_start"),
+        (max("m") + expr("INTERVAL 1 MINUTE")).as("island_end_excl"))
+      .select("island_start", "island_end_excl")
+    val ev = Tables.events(s, d).select(col("ts"))
+    graft.plans.IntervalJoin
+      .join(ev, islands, "ts", "island_start", "island_end_excl")
+      .groupBy("island_start", "island_end_excl")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("island_start")
+  }
+
+  val rangeJoinIslandsOracle: String = """
+WITH m AS (SELECT DISTINCT time_bucket(INTERVAL '1 minute', ts) AS m FROM events),
+e AS (
+  SELECT m, CASE WHEN lag(m) OVER (ORDER BY m) IS NULL
+                   OR epoch_us(m) - epoch_us(lag(m) OVER (ORDER BY m)) > 60*1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM m),
+s AS (SELECT m, sum(new_s) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+isl AS (
+  SELECT sid, min(m) AS island_start, max(m) + INTERVAL 1 MINUTE AS island_end_excl
+  FROM s GROUP BY sid)
+SELECT island_start, island_end_excl, count(*) AS n_events
+FROM isl JOIN events ev
+  ON ev.ts >= island_start AND ev.ts < island_end_excl
+GROUP BY island_start, island_end_excl
+ORDER BY island_start"""
+
   /** Per-label dimension-wise embedding mean (class centroids), long
     * format (label, dim, centroid). */
   def embeddingCentroids(s: SparkSession, d: String): DataFrame =
@@ -193,6 +247,7 @@ FROM e ORDER BY vec_id"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
+    "range_join_islands"  -> (rangeJoinIslands _),
     "embedding_centroids" -> (embeddingCentroids _),
     "array_ops"           -> (arrayOps _),
     "vector_math"         -> (vectorMath _)
@@ -201,6 +256,7 @@ FROM e ORDER BY vec_id"""
   val oracleSql: Map[String, String] = Map(
     "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,
+    "range_join_islands"  -> rangeJoinIslandsOracle,
     "embedding_centroids" -> embeddingCentroidsOracle,
     "array_ops"           -> arrayOpsOracle,
     "vector_math"         -> vectorMathOracle

@@ -308,7 +308,47 @@ SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Stream-STREAM inner join: view events joined to purchase events of the
+    * same user within a 24-hour attribution window. Both sides are
+    * independent readStream sources with their own event-time watermark;
+    * the equality key (user_id) plus the two-sided time-range predicate is
+    * exactly the shape Spark's symmetric-hash stream join needs to bound
+    * its state — each side buffers only rows younger than watermark +
+    * window, keyed by user, and append mode emits a pair the moment both
+    * rows exist. The single-batch replay makes the result equal the batch
+    * interval join the oracle runs. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val views = eventsStream(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+    runToTable(s, joined, OutputMode.Append, "graft_stream_ss_join")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  val streamStreamJoinOracle: String = """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       a.ts AS view_ts, b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+ORDER BY a.user_id, view_id, purchase_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join"     -> (streamStreamJoin _),
     "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts"  -> (slidingCounts _),
@@ -319,6 +359,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_stream_join"     -> streamStreamJoinOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_sliding_counts"  -> slidingOracle,
