@@ -38,6 +38,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Fan a few-files scan out to full parallelism before a heavy derived
+    * computation (shingle explosion, simhash bit sums, norm/dot passes).
+    * The corpus parquet is a SINGLE file at bench scale, so everything
+    * upstream of the first exchange otherwise runs as one task — measured
+    * 2.5 s → 0.7 s on the bigram count at sf0.1. At 100 TB inputs arrive
+    * as many splits and this exchange moves data it would have shuffled
+    * anyway; use it only where real per-row compute follows. */
+  def fanout(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** All relational source tables, keyed by name — the analog of the
     * reference's bronze extraction list (etl_lakehouse.py:40). */
   val sourceNames: Seq[String] = Seq(

@@ -79,7 +79,7 @@ object Dedup {
       // the split/ngram/hash explosion feeds BOTH the hot-list aggregate
       // and the anti-join input — persist it so the dominant shingle pass
       // runs once, then release it after the capped table materializes
-      val ex = withShingles(Tables.documents(s, d))
+      val ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
         .select(col("doc_id"), explode(col("sh")).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sh is distinct per doc, so count == document frequency. The hot
@@ -210,7 +210,7 @@ ORDER BY doc_a, doc_b"""
     * are engine-specific. One narrow pass: explode words → 32 signed bit
     * sums per doc → reassemble. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    val words = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .withColumn("hv", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
     val bitAggs = (0 until SimhashBits).map { b =>
@@ -416,7 +416,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
   private def cosinePairsUncached(s: SparkSession, d: String, threshold: Double,
       blockRows: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.fanout(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       // count + the pair flatMap are two actions over the same narrow
@@ -493,7 +493,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     * contract on planted near-dup structure lives in SimilaritySpec. */
   def cosinePairsLsh(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     import Similarity.{Bits, NumTables}
-    val emb0 = Tables.embeddings(s, d)
+    val emb0 = Tables.fanout(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.arrayDot(s, col("v"), col("v"))))
     val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>

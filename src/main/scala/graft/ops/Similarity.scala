@@ -45,7 +45,7 @@ object Similarity {
 
   private def withNorm(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d),
-      Tables.embeddings(s, d)
+      Tables.fanout(s, Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dot(s, col("v"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

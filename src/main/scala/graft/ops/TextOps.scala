@@ -227,7 +227,58 @@ SELECT count(*) AS n_deduped,
        CAST(sum(CASE WHEN is_en AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM scored"""
 
+  /** TF-IDF top-5 terms per document. The weighting uses an exact integer
+    * rational surrogate for the idf — score = ⌊tf·(N+1)·10^6 / (df+1)⌋ —
+    * monotone in tf/(df+1) exactly like smoothed tf·idf but free of
+    * transcendental `ln`, whose last-ulp differences between libm
+    * implementations would make a cross-engine hash gate flaky (swap
+    * `ln((N+1)/(df+1))` in for the classic weighting; the pipeline shape is
+    * the operator). Shape at scale: explode is linear; tf aggregates on
+    * (doc, term) and df on term — both map-side partial; the tf⋈df join
+    * shuffles on term (vocab-sized right side; AQE broadcasts it when it
+    * fits); the per-doc ranking window partitions by doc_id, so no global
+    * funnel anywhere. */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = Tables.fanout(s, docs)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 3)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_q"), asc("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score_q", expr("(tf * (n + 1) * 1000000) DIV (df + 1)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score_q"), col("rnk").cast("int").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+t AS (SELECT doc_id, tok FROM toks WHERE len(tok) >= 3),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         (tf.tf * (n.n + 1) * 1000000) // (df.df + 1) AS score_q
+  FROM tf JOIN df USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, tf, df, score_q, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_q DESC, tok) AS INT) AS rnk
+  FROM scored) r
+WHERE rnk <= 5
+ORDER BY doc_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms"      -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "corpus_filter"        -> (corpusFilter _),
     "text_langid"          -> (langId _),
     "text_quality"         -> (quality _),
@@ -237,6 +288,7 @@ FROM scored"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tfidf_top_terms"      -> tfidfOracle,
     "corpus_filter"        -> corpusFilterOracle,
     "text_langid"          -> langIdOracle,
     "text_quality"         -> qualityOracle,

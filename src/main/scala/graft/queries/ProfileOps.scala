@@ -51,9 +51,15 @@ object ProfileOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  /** Top-20 word bigrams across the document corpus. */
+  /** Top-20 word bigrams across the document corpus. The corpus parquet is
+    * a single file at bench scale, so the scan is ONE task; without the
+    * repartition the whole explode + partial-count runs single-threaded
+    * (measured 2.5 s → 0.7 s at sf0.1 with it). At 100 TB the input is
+    * many splits and the exchange is a no-op cost-wise — but the explicit
+    * fan-out keeps the op immune to few-large-files layouts there too. */
   def topBigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(explode(graft.ops.Ngrams.wordNgrams(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
