@@ -22,6 +22,12 @@ object PlanBridge {
     * `SparkSessionExtensions.injectPlannerStrategy`, so the operator works
     * in sessions that were not built `.withExtensions(...)` (the driver
     * harness builds its own sessions). */
+  /** The strategies an extensions object would inject — lets tests assert
+    * the `withExtensions` deployment route wires the custom operator
+    * without building a second SparkContext-bearing session. */
+  def plannerStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
+    s: SparkSession): Seq[SparkStrategy] = e.buildPlannerStrategies(s)
+
   def addStrategy(s: SparkSession, st: SparkStrategy): Unit = {
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cs.experimental.extraStrategies.contains(st))

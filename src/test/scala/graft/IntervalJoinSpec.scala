@@ -62,6 +62,13 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(builtin.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("GraftExtensions injects the interval-join planner strategy") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(e)
+    assert(org.apache.spark.sql.graft.PlanBridge.plannerStrategies(e, spark)
+      .contains(graft.plans.IntervalJoinStrategy))
+  }
+
   test("works on plain integral keys too") {
     val bands = Seq(("low", 0L, 100L), ("mid", 100L, 500L), ("high", 500L, 1000L))
       .toDF("band", "lo", "hi")
