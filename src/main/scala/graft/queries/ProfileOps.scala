@@ -75,13 +75,72 @@ b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
 SELECT bigram, count(*) AS n FROM b
 GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
 
+  /** Top-20 bigram collocations by PMI — pointwise mutual information,
+    * the standard corpus-statistics measure of "these words co-occur more
+    * than chance". The inner probability ratio
+    * `P(xy) / (P(x)·P(y)) = n_xy·N_uni² / (N_big·n_x·n_y)` is computed as
+    * one fixed-association double expression (identical operand order on
+    * both engines ⇒ bit-identical result) and floor-quantized ×10⁶ —
+    * monotone in the classic `log` PMI, without the cross-libm `ln` ulp
+    * hazard in a hash gate. Shape at scale: two linear explodes, unigram/
+    * bigram hash aggregates (map-side partial), two vocab-sized joins, a
+    * global top-k (TakeOrderedAndProject). The `n_xy ≥ 5` support floor is
+    * the standard guard against PMI's low-count blow-up. */
+  def pmiBigrams(s: SparkSession, d: String, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val docs = Tables.fanout(s, Tables.documents(s, d))
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    val bigramRows = docs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(graft.ops.Ngrams.wordNgrams(col("text"), 2)).as("bigram"))
+    val nBig = bigramRows.agg(count(lit(1)).as("n_big"))
+    bigramRows.groupBy("bigram").agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("nw").as("nx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("ny")), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      // explicit DOUBLE casts, not `* 1.0`: a bare 1.0 literal is DOUBLE in
+      // Spark but DECIMAL in DuckDB, and decimal-exact intermediate math
+      // rounds differently at the floor boundary (off-by-one in the gate)
+      .withColumn("score_q", expr(
+        "CAST(floor((CAST(nxy AS DOUBLE) * n_uni * n_uni) / (CAST(n_big AS DOUBLE) * nx * ny) * 1000000) AS BIGINT)"))
+      .orderBy(desc("score_q"), asc("bigram"))
+      .limit(k)
+      .select("bigram", "nxy", "nx", "ny", "score_q")
+  }
+
+  val pmiBigramsOracle: String = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, count(*) AS nw FROM toks GROUP BY w),
+nu AS (SELECT count(*) AS n_uni FROM toks),
+bl AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       FROM (SELECT string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 2)),
+nb AS (SELECT count(*) AS n_big FROM bl),
+bc AS (SELECT bigram, count(*) AS nxy FROM bl GROUP BY bigram HAVING count(*) >= 5),
+j AS (SELECT bigram, nxy,
+             split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+      FROM bc)
+SELECT bigram, nxy, u1.nw AS nx, u2.nw AS ny,
+       CAST(floor((CAST(nxy AS DOUBLE) * n_uni * n_uni) / (CAST(n_big AS DOUBLE) * u1.nw * u2.nw) * 1000000) AS BIGINT) AS score_q
+FROM j JOIN uni u1 ON j.w1 = u1.w JOIN uni u2 ON j.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY score_q DESC, bigram LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
-    "text_top_bigrams" -> (topBigrams _)
+    "text_top_bigrams" -> (topBigrams _),
+    "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "profile_orders" -> profileOrdersOracle,
-    "text_top_bigrams" -> topBigramsOracle
+    "text_top_bigrams" -> topBigramsOracle,
+    "pmi_bigrams" -> pmiBigramsOracle
   )
 }

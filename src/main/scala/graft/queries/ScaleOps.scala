@@ -110,6 +110,51 @@ SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct,
        count(*) AS n_rows
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** SALTED SHUFFLE JOIN — the join-side twin of [[saltedDistinct]], for
+    * the regime where the build side is too big to broadcast AND the probe
+    * side has hot keys: a plain shuffle join sends every row of a hot key
+    * to ONE reducer. Salting gives each probe row a row-derived salt (NOT
+    * a function of the join key — a key-derived salt would land a hot key
+    * in one bucket again) and replicates each build row to all
+    * `SaltBuckets` salts, so the join key's hot partition fans out B ways.
+    * Cost: B× the (smaller) build side through the shuffle — the classic
+    * replicate-vs-skew trade. AQE's skew-join split is the automatic
+    * runtime version; this is the explicit, planner-independent form.
+    * The oracle proves answer-equality with the unsalted join;
+    * ScaleOpsSpec proves the reducer load spread on a hot-key corpus. */
+  def saltedJoinOn(fact: DataFrame, dim: DataFrame, fk: String, dk: String,
+    rowSalt: org.apache.spark.sql.Column): DataFrame = {
+    val salts = array((0 until SaltBuckets).map(i => lit(i.toLong)): _*)
+    val rep = dim.withColumn("dsalt", explode(salts))
+    fact.withColumn("fsalt", pmod(rowSalt, lit(SaltBuckets.toLong)))
+      // shuffle_hash hint: without it this dim would auto-broadcast (and
+      // need no salt at all) — the query pins the non-broadcast regime the
+      // technique exists for
+      .join(rep.hint("shuffle_hash"),
+        col(fk) === col(dk) && col("fsalt") === col("dsalt"))
+  }
+
+  /** Revenue per supplier nation through the salted join: lineitem (fact,
+    * salted per row) ⋈ supplier⋈nation (build side, replicated ×B). */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    saltedJoinOn(Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey",
+      xxhash64(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("nation")
+  }
+
+  val saltedJoinOracle: String = """
+SELECT n_name AS nation, count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation"""
+
   /** Exact percentiles per group (single-pass sort-based; for true 100 TB
     * percentiles switch to approx_percentile's GK sketch — see
     * [[approxDistinct]] for why approximate aggs are rows-only here). */
@@ -158,6 +203,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     "bucketed_join"   -> (bucketedJoin _),
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
+    "salted_join"     -> (saltedJoin _),
     "percentiles"     -> (percentiles _),
     "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct" -> (approxDistinct _)
@@ -167,6 +213,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     "bucketed_join"   -> bucketedJoinOracle,
     "salted_agg"      -> saltedAggOracle,
     "salted_distinct" -> saltedDistinctOracle,
+    "salted_join"     -> saltedJoinOracle,
     "percentiles"     -> percentilesOracle
     // approx_distinct: rows-only (sketches differ across engines by design)
   )

@@ -66,6 +66,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"salting should cut the hottest reducer by >=4x (got $keyOnly -> $keySalted)")
   }
 
+  test("salted join matches the plain join and defuses hot-key reducer load") {
+    import spark.implicits._
+    // fact with one hot FK (half the rows), small non-broadcastable-regime dim
+    val fact = spark.range(0, 200000, 1, 8)
+      .select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 100).as("fk"),
+        col("id").as("rowid"))
+    val dim = spark.range(0, 100).select(col("id").as("dk"),
+      concat(lit("grp"), col("id") % 10).as("grp"))
+    // 1. exact answer equality with the plain join
+    val salted = ScaleOps.saltedJoinOn(fact, dim, "fk", "dk", xxhash64(col("rowid")))
+      .groupBy("grp").agg(count(lit(1)).as("n")).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("grp").agg(count(lit(1)).as("n")).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(salted.sameElements(plain))
+    // 2. measured shuffle claim: partitioning the fact the way each join's
+    // exchange does — by fk alone vs by (fk, row-salt)
+    val p = 32
+    def maxPartitionLoad(parts: org.apache.spark.sql.Column*): Long =
+      fact.repartition(p, parts: _*)
+        .groupBy(spark_partition_id()).count()
+        .agg(max("count")).head().getLong(0)
+    val keyOnly = maxPartitionLoad(col("fk"))
+    val keySalted = maxPartitionLoad(col("fk"),
+      pmod(xxhash64(col("rowid")), lit(ScaleOps.SaltBuckets.toLong)))
+    info(s"hottest reducer: key-only=$keyOnly rows, salted=$keySalted rows")
+    assert(keyOnly >= 100000, "skew corpus lost its hot key")
+    assert(keySalted.toDouble <= keyOnly.toDouble / 4,
+      s"salting should cut the hottest reducer by >=4x (got $keyOnly -> $keySalted)")
+  }
+
   test("approx percentiles land within 2% of the exact percentiles") {
     val approx = ScaleOps.approxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
