@@ -360,15 +360,86 @@ SELECT query_id, vec_id, cosine, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
   }
 
+  /** Directed k-NN GRAPH over the whole corpus — every vector's top-k
+    * nearest neighbors among its LSH candidates (same pinned hyperplane
+    * buckets + Hamming-1 probes as [[graft.ops.Dedup.cosinePairsLsh]],
+    * but directed and ranked instead of thresholded). This is the
+    * structure semantic-dedup clustering, diversity sampling, and
+    * label-propagation pipelines consume. Cost: O(n · tables · (bits+1))
+    * candidate lookups + a per-vector ranking window — never all-pairs;
+    * vectors whose buckets collide with nothing emit no edges (the
+    * approximate trade, deterministic and mirrored in the oracle). */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = withNorm(s, d)
+    val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
+      df.withColumn(s"b$t", bucketOf(s, col("v"), t))
+    }
+    val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
+    val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val probed = side.select(col("vec_id"), col("tbl"),
+      explode(probes).as("flip"), col("bucket"))
+      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
+    val cands = probed.select(col("vec_id").as("vec_a"), col("tbl"),
+        col("probe_bucket").as("bucket"))
+      .join(side.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e1 = emb0.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val e2 = emb0.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_a").orderBy(desc("cosine"), asc("vec_b"))
+    cands.join(e1, "vec_a").join(e2, "vec_b")
+      .withColumn("cosine", round(dot(s, col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("rnk").cast("int").as("rnk"))
+      .orderBy("vec_a", "rnk")
+  }
+
+  def knnGraphOracle(k: Int = 3): String = {
+    val bCols = (0 until NumTables)
+      .map(t => s"(${bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+    val sideUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL ")
+    s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  $bCols
+  FROM emb),
+side AS ($sideUnion),
+probed AS (
+  SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
+  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+cand AS (
+  SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
+  FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
+  WHERE p.vec_id <> s.vec_id)
+SELECT vec_a, vec_b, cosine, rnk FROM (
+  SELECT c.vec_a, c.vec_b,
+         round(list_cosine_similarity(a.v, bb.v), 6) AS cosine,
+         CAST(row_number() OVER (PARTITION BY c.vec_a
+           ORDER BY round(list_cosine_similarity(a.v, bb.v), 6) DESC, c.vec_b) AS INT) AS rnk
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.vec_a
+  JOIN emb bb ON bb.vec_id = c.vec_b) t
+WHERE rnk <= $k
+ORDER BY vec_a, rnk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
-    "ann_topk_ivf"        -> (annIvfTopK _)
+    "ann_topk_ivf"        -> (annIvfTopK _),
+    "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_bruteforce" -> annTopKOracle,
     "ann_topk_lsh"        -> annLshOracle,
-    "ann_topk_ivf"        -> annIvfOracle
+    "ann_topk_ivf"        -> annIvfOracle,
+    "knn_graph"           -> knnGraphOracle()
   )
 }

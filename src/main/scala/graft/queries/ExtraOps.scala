@@ -188,6 +188,11 @@ ORDER BY doc_id, pos"""
   private val sparkShl = (x: String, n: Int) => s"shiftleft($x, $n)"
   private val duckShl  = (x: String, n: Int) => s"(($x) << $n)"
 
+  /** The Spark-dialect z-value SQL for arbitrary integer expressions —
+    * shared with ZOrderSpec's synthetic-grid locality test so the spec
+    * exercises the exact production encoding. */
+  private[graft] def zSparkSql(a: String, b: String): String = zValue(a, b, sparkShl)
+
   /** Z-order clustering key over (part, supplier): interleaving the two
     * keys' bits gives ONE sort column whose ordering is spatially local in
     * BOTH dimensions — files written in z-order carry tight min/max ranges
