@@ -267,6 +267,56 @@ SELECT vec_id,
 FROM embeddings ORDER BY vec_id"""
   }
 
+  // ----------------------------------------------------- quantile bucketing
+
+  /** Per-group quantile bucketing — assign every order its within-status
+    * price quartile, the stratification primitive behind quality-score
+    * binning and balanced sampling in curation pipelines. Scale shape:
+    * boundaries are a tiny per-group aggregate (percentile_disc picks an
+    * ACTUAL data value — no interpolated float to disagree on), broadcast
+    * back onto the fact; no global window, no single-task funnel. The
+    * oracle derives the same boundaries from first principles
+    * (smallest value with cume_dist ≥ q — percentile_disc's definition),
+    * so the two engines must agree on the exact data value chosen. */
+  def quantileBuckets(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.orders(s, d).groupBy("o_orderstatus").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("q1"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("q3"))
+    Tables.orders(s, d)
+      .join(broadcast(bounds), "o_orderstatus")
+      .withColumn("quartile",
+        when(col("o_totalprice") <= col("q1"), 1)
+          .when(col("o_totalprice") <= col("q2"), 2)
+          .when(col("o_totalprice") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy("o_orderstatus", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderstatus", "quartile")
+  }
+
+  val quantileBucketsOracle: String = """
+WITH cd AS (
+  SELECT o_orderstatus, o_totalprice,
+         cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS c
+  FROM orders),
+b AS (
+  SELECT o_orderstatus,
+         min(o_totalprice) FILTER (WHERE c >= 0.25) AS q1,
+         min(o_totalprice) FILTER (WHERE c >= 0.50) AS q2,
+         min(o_totalprice) FILTER (WHERE c >= 0.75) AS q3
+  FROM cd GROUP BY o_orderstatus)
+SELECT o.o_orderstatus AS o_orderstatus,
+       CASE WHEN o_totalprice <= q1 THEN 1
+            WHEN o_totalprice <= q2 THEN 2
+            WHEN o_totalprice <= q3 THEN 3
+            ELSE 4 END AS quartile,
+       count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ------------------------------------------------------------ time travel
 
   /** Versioned-table time travel: publish nation twice through
@@ -302,6 +352,7 @@ FROM embeddings ORDER BY vec_id"""
     "lateral_explode"   -> (lateralExplode _),
     "zorder_cluster"    -> (zorderCluster _),
     "random_projection" -> (randomProjection _),
+    "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _)
   )
 
@@ -314,6 +365,7 @@ FROM embeddings ORDER BY vec_id"""
     "lateral_explode"   -> lateralExplodeOracle,
     "zorder_cluster"    -> zorderClusterOracle,
     "random_projection" -> randomProjectionOracle,
+    "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle
   )
 }
