@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-document scoring (SURVEY.md §7.5 extensions): within-document
+  * repetition scoring (the Gopher dup-n-gram filters), benchmark
+  * contamination detection (n-gram overlap against a held-out set),
+  * deterministic per-source mixing/sampling, and token sequence packing.
+  *
+  * Everything is engine-neutral (array transforms, md5-derived hashes,
+  * integer threshold arithmetic), so each query has an exact DuckDB oracle.
+  */
+object CorpusOps {
+
+  private def ws: Column = split(col("text"), " ")
+
+  /** Adjacent n-gram strings over the token array, empty below n tokens.
+    * (The guard matters: Spark's `sequence(1, 0)` yields the DESCENDING
+    * [1, 0], not an empty array like DuckDB's generate_series.) */
+  private def grams(n: Int): Column = {
+    val mk = transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*))
+    when(size(ws) >= n, mk).otherwise(array().cast("array<string>"))
+  }
+
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(ws) - ${n - 1}), i -> $parts)"
+  }
+
+  /** Within-document repetition scoring — the Gopher-style duplicate-n-gram
+    * ratios (fraction of word/bigram/trigram occurrences that are repeats of
+    * an earlier occurrence in the same document). Pure per-row array math:
+    * no shuffle at all except the presentation sort, so it scales linearly
+    * and composes with `corpus_filter` as another pass/fail column. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    def dupRatio(g: Column): Column =
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        greatest(size(g), lit(1)), 6)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      dupRatio(ws).as("dup_word_ratio"),
+      dupRatio(grams(2)).as("dup_bigram_ratio"),
+      dupRatio(grams(3)).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionOracle: String = s"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, ws, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM w)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       round((len(ws) - len(list_distinct(ws))) * 1.0 / greatest(len(ws), 1), 6) AS dup_word_ratio,
+       round((len(g2) - len(list_distinct(g2))) * 1.0 / greatest(len(g2), 1), 6) AS dup_bigram_ratio,
+       round((len(g3) - len(list_distinct(g3))) * 1.0 / greatest(len(g3), 1), 6) AS dup_trigram_ratio
+FROM g ORDER BY doc_id"""
+
+  /** Benchmark-contamination check: which corpus documents share 4-gram
+    * spans with a held-out benchmark set (here: every 20th document stands
+    * in for the eval suite). Per surviving doc: its distinct-4-gram count,
+    * how many of those appear anywhere in the benchmark, and the
+    * contaminated fraction.
+    *
+    * Shape at scale: each side reduces to DISTINCT 16-hex-char gram hashes
+    * per doc BEFORE anything moves (`array_distinct` map-side, 8-byte-ish
+    * keys, never the text). The benchmark side is eval-suite-sized — tiny
+    * relative to a 100 TB corpus — so it broadcasts and the corpus's gram
+    * stream never shuffles for the probe; the only exchange is the per-doc
+    * count aggregation on doc_id. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val gramHashes = array_distinct(transform(
+      sequence(lit(1), size(ws) - 3),
+      i => substring(md5(concat_ws(" ",
+        element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2), element_at(ws, i + 3))), 1, 16)))
+    val docs = Tables.fanout(s, Tables.documents(s, d))
+      .filter(size(ws) >= 4)
+      .select(col("doc_id"), gramHashes.as("ghs"))
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("ghs")).as("gh")).distinct()
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), size(col("ghs")).cast("long").as("n_grams"),
+        explode(col("ghs")).as("gh"))
+    corpus.join(broadcast(bench), "gh")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("hit_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationOracle: String = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 4),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(ws) - 3),
+          i -> substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 16))) AS ghs
+      FROM w),
+bench AS (SELECT DISTINCT unnest(ghs) AS gh FROM g WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, CAST(len(ghs) AS BIGINT) AS n_grams, unnest(ghs) AS gh
+           FROM g WHERE doc_id % 20 <> 0)
+SELECT doc_id, n_grams, count(*) AS n_hit,
+       round(count(*) * 1.0 / n_grams, 6) AS hit_ratio
+FROM corpus JOIN bench USING (gh)
+GROUP BY doc_id, n_grams ORDER BY doc_id"""
+
+  /** Deterministic source-mixing sampler: each source gets a target keep
+    * rate (k/5 with k = source number mod 4 + 1 — standing in for the
+    * domain-mixture weights of a training recipe), and a document survives
+    * iff a salted-md5 uniform draw on its id clears the rate. The keep
+    * decision is `u32 * 5 < k * 2^32` — pure integer arithmetic, so there
+    * is no float-comparison edge to diverge across engines, and the sample
+    * is exactly reproducible given (salt, id): resampling a grown corpus
+    * keeps every previously-kept doc whose rate didn't change. One narrow
+    * filter, no shuffle. */
+  def mixSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("u32",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("k", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      .filter(col("u32") * 5 < col("k") * 4294967296L)
+      .select(col("doc_id"), col("source"), col("k").as("rate_fifths"))
+      .orderBy("doc_id")
+
+  val mixSampleOracle: String = """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS rate_fifths,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef',
+                  substr(md5('mix:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS u32
+  FROM documents)
+SELECT doc_id, source, rate_fifths
+FROM s WHERE u32 * 5 < rate_fifths * 4294967296 ORDER BY doc_id"""
+
+  /** Token sequence packing: assign documents (in id order) to fixed-
+    * capacity training sequences of 256 tokens by greedy next-fit — the
+    * standard pre-tokenization batching step. Packing is inherently
+    * sequential, so the scalable shape shards the corpus (here by
+    * `doc_id DIV 100` — in production, by input split), packs each shard
+    * independently in one pass, and sequence ids are per-shard: ONE hash
+    * exchange on the shard key + an in-partition sort, then a linear
+    * stateful scan. This is the genuine per-partition-imperative case the
+    * DataFrame API can't express declaratively — cumulative sum with
+    * reset-on-overflow is not a window function — so `mapPartitions` is
+    * the right tool (SURVEY §7.2 preference order, last resort, used
+    * deliberately). */
+  def sequencePack(s: SparkSession, d: String, capacity: Long = 256L): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("doc_id DIV 100").as("shard"),
+        size(ws).cast("long").as("tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seq = 0L
+        var acc = 0L
+        it.map { case (docId, shard, tokens) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; acc = tokens }
+          else if (acc + tokens > capacity) { seq += 1; acc = tokens }
+          else acc += tokens
+          (docId, shard, tokens, seq)
+        }
+      }
+      .toDF("doc_id", "shard", "tokens", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  // Greedy next-fit restated as a recursive scan per shard — the oracle
+  // walks rn = 1, 2, … within each shard carrying (seq_id, fill) state.
+  val sequencePackOracle: String = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id // 100 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT) AS seq_id, tokens AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.tokens,
+         CASE WHEN p.acc + b.tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + b.tokens > 256 THEN b.tokens ELSE p.acc + b.tokens END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+SELECT doc_id, shard, tokens, seq_id FROM pack ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"      -> (repetition _),
+    "contamination_ngrams" -> (contamination _),
+    "mix_sample"           -> (mixSample _),
+    "sequence_pack"        -> ((s: SparkSession, d: String) => sequencePack(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repetition"      -> repetitionOracle,
+    "contamination_ngrams" -> contaminationOracle,
+    "mix_sample"           -> mixSampleOracle,
+    "sequence_pack"        -> sequencePackOracle
+  )
+}
