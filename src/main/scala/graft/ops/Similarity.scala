@@ -429,8 +429,63 @@ WHERE rnk <= $k
 ORDER BY vec_a, rnk"""
   }
 
+  /** Int8-quantized ANN: symmetric per-vector quantization
+    * (scale = 127 / max|v_i|, q_i = ⌊v_i·scale⌋), ranking on the quantized
+    * cosine qa·qb / (|qa||qb|). The memory/bandwidth story of real vector
+    * stores — int8 codes are 4× smaller than float32, so 4× more corpus
+    * fits in executor cache / a broadcast, and the inner product is exact
+    * integer arithmetic (order-independent, overflow-free at 127²·Dim ≈
+    * 10⁶) — which also makes the APPROXIMATE result hash-checkable
+    * cross-engine, unlike a float-sum rerank. Same broadcast-query /
+    * corpus-never-shuffles shape as [[annTopK]]; recall vs the exact
+    * ranking is asserted in SimilaritySpec. */
+  def annInt8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(s, d)
+      .withColumn("sc", lit(127.0) / greatest(
+        array_max(transform(col("v"), abs(_))), lit(1e-12)))
+      .withColumn("q", transform(col("v"), x => floor(x * col("sc")).cast("long")))
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("q"), x => x * x), lit(0L), _ + _).cast("double")))
+      .select("vec_id", "q", "qn")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
+    val qdot = aggregate(zip_with(col("q"), col("qq"), _ * _), lit(0L), _ + _)
+    val w = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("vec_id"))
+    emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", round(qdot.cast("double") / (col("qn") * col("qqn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("query_id", "vec_id", "qcos", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val annInt8Oracle: String = s"""
+WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x * (127.0 /
+           greatest(list_max(list_transform(v, y -> abs(y))), 1e-12))) AS BIGINT)) AS q
+  FROM emb0),
+emb AS (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qn
+  FROM qz),
+scored AS (
+  SELECT qe.vec_id AS query_id, e.vec_id,
+         round(CAST(list_sum(list_transform(generate_series(1, $Dim),
+             i -> e.q[i] * qe.q[i])) AS DOUBLE) / (e.qn * qe.qn), 6) AS qcos
+  FROM emb e JOIN emb qe ON qe.vec_id % 100 = 0 AND e.vec_id <> qe.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, qcos,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY qcos DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored)
+SELECT query_id, vec_id, qcos, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
+    "ann_topk_int8"       -> (annInt8TopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
     "ann_topk_ivf"        -> (annIvfTopK _),
     "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
@@ -438,6 +493,7 @@ ORDER BY vec_a, rnk"""
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_bruteforce" -> annTopKOracle,
+    "ann_topk_int8"       -> annInt8Oracle,
     "ann_topk_lsh"        -> annLshOracle,
     "ann_topk_ivf"        -> annIvfOracle,
     "knn_graph"           -> knnGraphOracle()

@@ -43,6 +43,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"LSH recall $recall%.3f < 0.9")
   }
 
+  test("int8-quantized ANN reaches recall@5 >= 0.9 against the exact float ranking") {
+    // quantization noise is the only approximation — no bucketing — so the
+    // top-k should survive nearly unchanged on BOTH planted and real data
+    Seq(plantedDir, sf).foreach { dir =>
+      val brute = topkSet(Similarity.annTopK(spark, dir))
+      val int8 = topkSet(Similarity.annInt8TopK(spark, dir))
+      val recall = (brute & int8).size.toDouble / brute.size
+      info(f"int8 recall@${Similarity.K} on $dir: $recall%.3f")
+      assert(recall >= 0.9, f"int8 recall $recall%.3f < 0.9 on $dir")
+    }
+  }
+
   test("IVF ANN reaches recall@5 >= 0.9 on planted clusters") {
     val brute = topkSet(Similarity.annTopK(spark, plantedDir))
     val ivf = topkSet(Similarity.annIvfTopK(spark, plantedDir))
