@@ -193,17 +193,106 @@ pack AS (
   FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
 SELECT doc_id, shard, tokens, seq_id FROM pack ORDER BY doc_id"""
 
+  /** Quality-aware dedup survivor selection: group near-copies (here by
+    * normalized-text hash — the cascade's stage-1 key), score every member
+    * with the composite quality heuristic, and keep the HIGHEST-QUALITY
+    * member instead of the arbitrary lowest-id one — what a production
+    * dedup actually wants when copies differ in cruft. One shuffle on the
+    * 16-byte group hash; the argmax is a packed struct max (no window, so
+    * the aggregation stays partial map-side). Tie-break: lowest doc_id. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.!?,;:]", ""), " +", " "))
+    val nWords = size(ws)
+    val alpha = length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))
+    val stops = size(filter(ws, w => w.isInCollection(TextOps.stopwords("en"))))
+    val q = round(least(nWords.cast("double") / 100, lit(1.0)) * 0.4 +
+      (alpha.cast("double") / length(col("text"))) * 0.4 +
+      least(stops.cast("double") / nWords * lit(5.0), lit(1.0)) * 0.2, 6)
+    Tables.documents(s, d)
+      .select(md5(norm).as("norm_hash"), col("doc_id"), q.as("q"))
+      // argmax via struct max: (q, -doc_id) so higher quality wins and the
+      // LOWER id wins ties — packed, so one partial-aggregable max
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("norm_hash"), col("n_copies"),
+        (-col("best.neg_id")).as("keep_id"), col("best.q").as("keep_q"))
+      .orderBy("keep_id")
+  }
+
+  val keepBestOracle: String = s"""
+WITH scored AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+           ' +', ' ', 'g'))) AS norm_hash,
+         doc_id,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+           ((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0
+             / len(text)) * 0.4 +
+           least(len(list_filter(string_split(text, ' '),
+               w -> w IN (${TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")})))
+             * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2, 6) AS q
+  FROM documents),
+ranked AS (
+  SELECT norm_hash, doc_id, q,
+         row_number() OVER (PARTITION BY norm_hash ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY norm_hash) AS n_copies
+  FROM scored)
+SELECT norm_hash, n_copies, doc_id AS keep_id, q AS keep_q
+FROM ranked WHERE rn = 1 ORDER BY keep_id"""
+
+  /** Vocabulary coverage curve — the tokenizer-training diagnostic: rank
+    * words by corpus frequency and report each rank's cumulative share of
+    * all token occurrences ("a 1k vocab covers 93% of tokens"). The
+    * explode+count is corpus-linear with map-side partials; the ranking
+    * window runs over the VOCABULARY (orders of magnitude smaller than the
+    * corpus), which is the inherent scale of the curve itself. */
+  def vocabCoverage(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.fanout(s, Tables.documents(s, d))
+      .select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val ord = Window.orderBy(desc("freq"), asc("word"))
+    freq
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("cum", sum("freq").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum("freq").over(
+        Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rnk") <= topK)
+      .select(col("rnk").cast("int").as("rnk"), col("word"), col("freq"),
+        round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("rnk")
+  }
+
+  val vocabCoverageOracle: String = """
+WITH freq AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+counts AS (SELECT word, count(*) AS freq FROM freq GROUP BY word),
+ranked AS (
+  SELECT word, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS INT) AS rnk,
+         sum(freq) OVER (ORDER BY freq DESC, word ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(freq) OVER () AS total
+  FROM counts)
+SELECT rnk, word, freq, round(cum * 1.0 / total, 6) AS coverage
+FROM ranked WHERE rnk <= 100 ORDER BY rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"      -> (repetition _),
     "contamination_ngrams" -> (contamination _),
     "mix_sample"           -> (mixSample _),
-    "sequence_pack"        -> ((s: SparkSession, d: String) => sequencePack(s, d))
+    "sequence_pack"        -> ((s: SparkSession, d: String) => sequencePack(s, d)),
+    "dedup_keep_best"      -> (keepBest _),
+    "vocab_coverage"       -> ((s: SparkSession, d: String) => vocabCoverage(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_repetition"      -> repetitionOracle,
     "contamination_ngrams" -> contaminationOracle,
     "mix_sample"           -> mixSampleOracle,
-    "sequence_pack"        -> sequencePackOracle
+    "sequence_pack"        -> sequencePackOracle,
+    "dedup_keep_best"      -> keepBestOracle,
+    "vocab_coverage"       -> vocabCoverageOracle
   )
 }

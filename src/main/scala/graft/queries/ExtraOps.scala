@@ -341,6 +341,58 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
   val timeTravelReadOracle: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** Change-data-feed between two stored table versions: publish customer
+    * twice through [[graft.util.AtomicTable]] (v2 = deletes at key%11=0,
+    * segment updates at key%7=0, inserts at key+1000000 for key%13=0), then
+    * derive the CDC rows — insert / delete / update with before+after
+    * images — from the STORED VERSIONS by a keyed full-outer join. This is
+    * `table_changes(v1, v2)` of a transactional format, recovered from
+    * plain versioned parquet: one shuffle on the key, arbitrary-width
+    * change batches, no driver materialization. The oracle recomputes the
+    * same feed from the mutation rules directly, so the version-store
+    * round-trip is what's actually under test. */
+  def versionDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_vdiff/${graft.util.PathKeys.safe(d)}/customer"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    AtomicTable.publish(base, keep = 2)(dir => cust.write.parquet(dir))
+    val v2data = cust.filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("UPDATED")).otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWSEG").as("c_mktsegment")))
+    AtomicTable.publish(base, keep = 2)(dir => v2data.write.parquet(dir))
+    val versions = AtomicTable.history(base)
+    val v1 = AtomicTable.readVersion(s, base, versions.head)
+      .select(col("c_custkey").as("k1"), col("c_mktsegment").as("old_seg"))
+    val v2 = AtomicTable.readVersion(s, base, versions.last)
+      .select(col("c_custkey").as("k2"), col("c_mktsegment").as("new_seg"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("op",
+        when(col("k1").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("old_seg") =!= col("new_seg"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("op") =!= "unchanged")
+      .select(coalesce(col("k1"), col("k2")).as("c_custkey"),
+        col("op"), col("old_seg"), col("new_seg"))
+      .orderBy("c_custkey")
+  }
+
+  /** Same feed from the mutation rules (original segments are never the
+    * sentinel values, so rule-derived ops match the stored-version diff). */
+  val versionDiffOracle: String = """
+SELECT c_custkey, 'delete' AS op, c_mktsegment AS old_seg, NULL AS new_seg
+FROM customer WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT c_custkey, 'update', c_mktsegment, 'UPDATED'
+FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'insert', NULL, 'NEWSEG'
+FROM customer WHERE c_custkey % 13 = 0
+ORDER BY c_custkey"""
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,7 +405,8 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "zorder_cluster"    -> (zorderCluster _),
     "random_projection" -> (randomProjection _),
     "quantile_buckets"  -> (quantileBuckets _),
-    "time_travel_read"  -> (timeTravelRead _)
+    "time_travel_read"  -> (timeTravelRead _),
+    "version_diff"      -> (versionDiff _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -366,6 +419,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "zorder_cluster"    -> zorderClusterOracle,
     "random_projection" -> randomProjectionOracle,
     "quantile_buckets"  -> quantileBucketsOracle,
-    "time_travel_read"  -> timeTravelReadOracle
+    "time_travel_read"  -> timeTravelReadOracle,
+    "version_diff"      -> versionDiffOracle
   )
 }
