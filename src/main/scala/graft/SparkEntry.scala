@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.ScaleOps.queries ++ graft.ops.AsOf.queries ++
       graft.queries.TemporalOps.queries ++ graft.queries.ProfileOps.queries ++
       graft.queries.ChangeOps.queries ++ graft.ops.TopK.queries ++
-      graft.queries.ExtraOps.queries ++ graft.ops.CorpusOps.queries
+      graft.queries.ExtraOps.queries ++ graft.ops.CorpusOps.queries ++
+      graft.ops.GraphOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.ScaleOps.oracleSql ++ graft.ops.AsOf.oracleSql ++
       graft.queries.TemporalOps.oracleSql ++ graft.queries.ProfileOps.oracleSql ++
       graft.queries.ChangeOps.oracleSql ++ graft.ops.TopK.oracleSql ++
-      graft.queries.ExtraOps.oracleSql ++ graft.ops.CorpusOps.oracleSql
+      graft.queries.ExtraOps.oracleSql ++ graft.ops.CorpusOps.oracleSql ++
+      graft.ops.GraphOps.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the LSH-derived k-NN graph
+  * ([[Similarity.knnGraph]]) — the shape of graph-based corpus curation
+  * (quality propagation, centrality-weighted sampling, community-ish
+  * dedup seeds).
+  *
+  * PageRank here is the canonical distributed power iteration: each round
+  * is one shuffle (contributions aggregated on the destination key) joined
+  * back to the node table — no driver-side state, no adjacency
+  * materialization beyond the edge list, so a 10¹²-edge graph runs the
+  * same plan per round. Iterations are a fixed small constant and UNROLLED
+  * into the lineage (3 rounds ⇒ 3 shuffles), the same way the Lloyd
+  * refinement pins its rounds.
+  *
+  * Cross-engine determinism: ranks are kept in integer micro-units with
+  * floor division per contribution — `(85 · q) DIV (100 · outdeg)` — so
+  * every intermediate is an exact integer, sums are order-independent,
+  * and the DuckDB oracle reproduces the iteration bit-for-bit (a float
+  * PageRank would drift by summation order and never hash-match).
+  */
+object GraphOps {
+
+  val Iters = 3
+  val ScaleMicro = 1000000L
+
+  /** 3-round integer PageRank (d = 0.85) over the directed 3-NN graph.
+    * Nodes with no bucket collisions contribute no mass (standard dangling
+    * simplification, identical in the oracle); every vector still receives
+    * the teleport base, so the output covers the whole corpus. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraph(s, d, 3)
+      .select(col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val n = nodes.count()
+    val base = (ScaleMicro * 15 / 100) / n // floor((0.15·10⁶)/N)
+    val q0 = ScaleMicro / n
+    val outdeg = edges.groupBy("vec_a").agg(count(lit(1)).as("od"))
+    val withDeg = edges.join(outdeg, "vec_a")
+
+    var pr = nodes.withColumn("q", lit(q0))
+    for (_ <- 0 until Iters) {
+      val contrib = withDeg
+        .join(pr.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .select(col("vec_b").as("vec_id"),
+          expr(s"(85 * q) DIV (100 * od)").as("c"))
+        .groupBy("vec_id").agg(sum("c").as("in_mass"))
+      pr = nodes.join(contrib, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("q"))
+    }
+    val out = pr.select(col("vec_id"), col("q").as("rank_micro"))
+      .orderBy("vec_id")
+    edges.unpersist()
+    out
+  }
+
+  /** The same unrolled iteration in SQL, over the same pinned-LSH edge
+    * list (the k-NN oracle embedded as a subquery). */
+  lazy val pagerankOracle: String = {
+    val knn = Similarity.knnGraphOracle(3)
+    def iter(k: Int): String = s"""
+c$k AS (
+  SELECT e.vec_b AS vec_id, sum((85 * p.q) // (100 * e.od)) AS in_mass
+  FROM deg e JOIN pr$k p ON p.vec_id = e.vec_a
+  GROUP BY e.vec_b),
+pr${k + 1} AS (
+  SELECT n.vec_id, (SELECT base FROM consts) + COALESCE(c.in_mass, 0) AS q
+  FROM nodes n LEFT JOIN c$k c USING (vec_id)),"""
+    s"""
+WITH edges AS (SELECT vec_a, vec_b FROM ($knn) knn_t),
+nodes AS (SELECT vec_id FROM embeddings),
+consts AS (SELECT CAST(150000 // count(*) AS BIGINT) AS base,
+                  CAST(1000000 // count(*) AS BIGINT) AS q0 FROM nodes),
+outdeg AS (SELECT vec_a, count(*) AS od FROM edges GROUP BY vec_a),
+deg AS (SELECT e.vec_a, e.vec_b, o.od FROM edges e JOIN outdeg o USING (vec_a)),
+pr0 AS (SELECT vec_id, (SELECT q0 FROM consts) AS q FROM nodes),${(0 until Iters).map(iter).mkString}
+final_pr AS (SELECT vec_id, q FROM pr$Iters)
+SELECT vec_id, CAST(q AS BIGINT) AS rank_micro FROM final_pr ORDER BY vec_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle
+  )
+}
