@@ -73,22 +73,32 @@ FROM g ORDER BY doc_id"""
     * stream never shuffles for the probe; the only exchange is the per-doc
     * count aggregation on doc_id. */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val gramHashes = array_distinct(transform(
-      sequence(lit(1), size(ws) - 3),
-      i => substring(md5(concat_ws(" ",
-        element_at(ws, i), element_at(ws, i + 1),
-        element_at(ws, i + 2), element_at(ws, i + 3))), 1, 16)))
-    val docs = Tables.fanout(s, Tables.documents(s, d))
+    import org.apache.spark.sql.expressions.Window
+    // Gram construction stays on the codegen path: explode words once,
+    // form each 4-gram with lead() windows + plain string expressions.
+    // (The HOF formulation — transform/element_at lambdas — evaluates
+    // interpreted AND gets duplicated into an inferred generator filter:
+    // measured 4x slower at sf0.1.) The window shuffle partitions by
+    // doc_id; the distinct gram set then aggregates map-side first.
+    val wv = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.fanout(s, Tables.documents(s, d))
       .filter(size(ws) >= 4)
-      .select(col("doc_id"), gramHashes.as("ghs"))
-    val bench = docs.filter(col("doc_id") % 20 === 0)
-      .select(explode(col("ghs")).as("gh")).distinct()
-    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), size(col("ghs")).cast("long").as("n_grams"),
-        explode(col("ghs")).as("gh"))
-    corpus.join(broadcast(bench), "gh")
-      .groupBy("doc_id", "n_grams")
+      .select(col("doc_id"), posexplode(ws).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(wv))
+      .withColumn("w2", lead("w", 2).over(wv))
+      .withColumn("w3", lead("w", 3).over(wv))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"))), 1, 16)
+          .as("gh"))
+      .distinct()
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val bench = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "gh")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"))
+      .join(perDoc, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_grams"), 6).as("hit_ratio"))
       .orderBy("doc_id")
