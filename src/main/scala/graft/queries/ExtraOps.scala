@@ -393,6 +393,28 @@ SELECT c_custkey + 1000000, 'insert', NULL, 'NEWSEG'
 FROM customer WHERE c_custkey % 13 = 0
 ORDER BY c_custkey"""
 
+  /** Scan the custom DSv2 generated table ([[graft.sources.GraftGen]])
+    * through a range predicate and projection — exercising the connector's
+    * filter pushdown (the scan only PLANS partitions inside [5000, 5200)),
+    * column pruning, and split planning against the DuckDB oracle
+    * generating the identical rows from `range()`. */
+  def genSourceScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GraftGen")
+      .option("rows", "100000").option("splits", "16").load()
+      .filter(col("id") >= 5000 && col("id") < 5200)
+      .select(col("id"), col("bucket"), col("val_hash"),
+        round(col("payload"), 6).as("payload_r"))
+      .orderBy("id")
+
+  val genSourceScanOracle: String = """
+SELECT i AS id, CAST(i % 16 AS INT) AS bucket,
+       md5('g:' || CAST(i AS VARCHAR)) AS val_hash,
+       round(CAST(list_sum(list_transform(generate_series(1, 8),
+         j -> CAST((strpos('0123456789abcdef',
+                substr(md5('g:' || CAST(i AS VARCHAR)), j, 1)) - 1) AS BIGINT)
+              * CAST(power(16, 8 - j) AS BIGINT))) AS DOUBLE) / 4294967296.0, 6) AS payload_r
+FROM range(5000, 5200) t(i) ORDER BY id"""
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -406,7 +428,8 @@ ORDER BY c_custkey"""
     "random_projection" -> (randomProjection _),
     "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _),
-    "version_diff"      -> (versionDiff _)
+    "version_diff"      -> (versionDiff _),
+    "gen_source_scan"   -> (genSourceScan _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -420,6 +443,7 @@ ORDER BY c_custkey"""
     "random_projection" -> randomProjectionOracle,
     "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle,
-    "version_diff"      -> versionDiffOracle
+    "version_diff"      -> versionDiffOracle,
+    "gen_source_scan"   -> genSourceScanOracle
   )
 }
