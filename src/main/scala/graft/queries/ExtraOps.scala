@@ -393,6 +393,40 @@ SELECT c_custkey + 1000000, 'insert', NULL, 'NEWSEG'
 FROM customer WHERE c_custkey % 13 = 0
 ORDER BY c_custkey"""
 
+  /** Small-file compaction — the OPTIMIZE/maintenance pass every lakehouse
+    * table needs: publish orders fragmented into 64 files (the steady state
+    * of frequent small appends), then republish the SAME rows compacted to
+    * 4 right-sized files through the atomic pointer swap, so readers flip
+    * from the fragmented to the compacted layout with zero downtime and
+    * bit-identical content. At 100 TB the win is file-listing and
+    * open-per-file overhead: scan tasks per partition drop ~16×. The query
+    * returns the compacted table's aggregate fingerprint; the oracle
+    * computes it straight from the source — content preservation IS the
+    * check (file counts are asserted in CompactionSpec). */
+  def compactSmallFiles(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_compact/${graft.util.PathKeys.safe(d)}/orders"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    val orders = Tables.orders(s, d)
+    AtomicTable.publish(base, keep = 2)(dir =>
+      orders.repartition(64).write.parquet(dir))
+    val fragmented = AtomicTable.read(s, base)
+    AtomicTable.publish(base, keep = 2)(dir =>
+      fragmented.repartition(4).write.parquet(dir))
+    AtomicTable.read(s, base)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("double")), 2).as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  val compactSmallFilesOracle: String = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** Scan the custom DSv2 generated table ([[graft.sources.GraftGen]])
     * through a range predicate and projection — exercising the connector's
     * filter pushdown (the scan only PLANS partitions inside [5000, 5200)),
@@ -429,7 +463,8 @@ FROM range(5000, 5200) t(i) ORDER BY id"""
     "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _),
     "version_diff"      -> (versionDiff _),
-    "gen_source_scan"   -> (genSourceScan _)
+    "gen_source_scan"   -> (genSourceScan _),
+    "compact_small_files" -> (compactSmallFiles _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -444,6 +479,7 @@ FROM range(5000, 5200) t(i) ORDER BY id"""
     "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle,
     "version_diff"      -> versionDiffOracle,
-    "gen_source_scan"   -> genSourceScanOracle
+    "gen_source_scan"   -> genSourceScanOracle,
+    "compact_small_files" -> compactSmallFilesOracle
   )
 }

@@ -16,6 +16,33 @@ class PropertySpec extends AnyFunSuite {
 
   private val rng = new scala.util.Random(0xc0ffee)
 
+  test("sequence packing matches a sequential reference on random corpora (30 trials)") {
+    import spark.implicits._
+    (1 to 30).foreach { trial =>
+      val n = 1 + rng.nextInt(120)
+      // token counts straddle the shard boundary sizes and the capacity
+      val docs = (0L until n.toLong).map(id => (id, 1L + rng.nextInt(300)))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_pack_$trial").toString
+      docs.map { case (id, toks) => (id, Seq.fill(toks.toInt)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // reference: greedy next-fit per shard, sequential
+      val expected = docs.groupBy(_._1 / 100).flatMap { case (shard, ds) =>
+        var seq = 0L; var acc = 0L
+        ds.sortBy(_._1).zipWithIndex.map { case ((id, toks), i) =>
+          if (i == 0) { seq = 0; acc = toks }
+          else if (acc + toks > 256) { seq += 1; acc = toks }
+          else acc += toks
+          (id, shard, toks, seq)
+        }
+      }.toSet
+      val got = graft.ops.CorpusOps.sequencePack(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("asofJoin matches a brute-force reference on random inputs (50 trials)") {
     import spark.implicits._
     (1 to 50).foreach { trial =>
