@@ -558,6 +558,94 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= $threshold
 ORDER BY vec_a, vec_b"""
 
+  // ---- end-to-end semantic dedup funnel ----
+
+  /** The full semantic-dedup pipeline a training corpus runs, composed
+    * from the already-gated stages: LSH-bucketed cosine candidate pairs
+    * ([[cosinePairsLsh]], never all-pairs) → distributed connected
+    * components ([[clustersFromPairs]]) → ONE quality-chosen survivor per
+    * semantic cluster (the [[graft.ops.CorpusOps.keepBest]] rule, on the
+    * 1:1 doc for each vector). Singletons survive as their own cluster.
+    * Output: one row per cluster with its size, the kept doc and its
+    * quality score — i.e. the deduplicated corpus manifest. The oracle
+    * restates the whole funnel (pinned LSH planes → recursive closure →
+    * quality argmax), so the COMPOSED semantics are hash-checked. */
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = cosinePairsLsh(s, d, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = clustersFromPairs(pairs)
+    val allIds = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    val labeled = allIds.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"))
+    val ws = split(col("text"), " ")
+    val alpha = length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))
+    val stops = size(filter(ws, w => w.isInCollection(TextOps.stopwords("en"))))
+    val q = round(least(size(ws).cast("double") / 100, lit(1.0)) * 0.4 +
+      (alpha.cast("double") / length(col("text"))) * 0.4 +
+      least(stops.cast("double") / size(ws) * lit(5.0), lit(1.0)) * 0.2, 6)
+    val quality = Tables.documents(s, d).select(col("doc_id"), q.as("q"))
+    labeled.join(quality, "doc_id")
+      .groupBy("cluster_root")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_root"), col("n_members"),
+        (-col("best.neg_id")).as("keep_id"), col("best.q").as("keep_q"))
+      .orderBy("cluster_root")
+  }
+
+  def semanticDedupOracle(threshold: Double = 0.5): String = {
+    import Similarity.{Bits, NumTables}
+    val bCols = (0 until NumTables)
+      .map(t => s"(${Similarity.bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+    val sideUnion = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL ")
+    val stopList = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""
+WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  $bCols
+  FROM emb),
+side AS ($sideUnion),
+probed AS (
+  SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
+  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+cand AS (
+  SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
+  FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
+  WHERE p.vec_id < s.vec_id),
+dup AS (
+  SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_a JOIN emb bb ON bb.vec_id = c.vec_b
+  WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= $threshold),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+r(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a),
+roots AS (SELECT n AS doc_id, min(m) AS cluster_root FROM r GROUP BY n),
+lab AS (
+  SELECT e.vec_id AS doc_id, COALESCE(ro.cluster_root, e.vec_id) AS cluster_root
+  FROM emb e LEFT JOIN roots ro ON ro.doc_id = e.vec_id),
+quality AS (
+  SELECT doc_id,
+         round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+           ((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0
+             / len(text)) * 0.4 +
+           least(len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+             * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2, 6) AS q
+  FROM documents),
+ranked AS (
+  SELECT l.cluster_root, l.doc_id, qu.q,
+         row_number() OVER (PARTITION BY l.cluster_root
+           ORDER BY qu.q DESC, l.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_root) AS n_members
+  FROM lab l JOIN quality qu USING (doc_id))
+SELECT cluster_root, n_members, doc_id AS keep_id, q AS keep_q
+FROM ranked WHERE rn = 1 ORDER BY cluster_root"""
+  }
+
   // ---- registration ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -568,7 +656,8 @@ ORDER BY vec_a, vec_b"""
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
     "dedup_cosine_lsh"    -> ((s: SparkSession, d: String) => cosinePairsLsh(s, d)),
-    "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d))
+    "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d)),
+    "dedup_semantic"      -> ((s: SparkSession, d: String) => semanticDedup(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -579,6 +668,7 @@ ORDER BY vec_a, vec_b"""
     "dedup_simhash_pairs" -> simhashPairsOracle(),
     "dedup_cosine"        -> cosinePairsOracle(),
     "dedup_cosine_lsh"    -> cosinePairsLshOracle(),
-    "dedup_clusters"      -> clustersOracle()
+    "dedup_clusters"      -> clustersOracle(),
+    "dedup_semantic"      -> semanticDedupOracle()
   )
 }
