@@ -153,7 +153,46 @@ fact_sales AS (
 
   // ---- registration ----
 
+  /** TPC-H Q1-shaped pricing summary: the canonical multi-aggregate scan —
+    * 8 aggregates over a date-filtered lineitem, grouped by two low-
+    * cardinality flags. All aggregation is map-side partial onto 6 groups,
+    * so the exchange moves ~6 rows per task regardless of fact size, and
+    * the date filter reaches the parquet scan. Money sums on computed
+    * products (price·(1−disc)·(1+tax)) stay double and are rounded at 2dp
+    * only AFTER the full sum — the 2dp-input sums land on exact cents in
+    * both engines (NOTES.md cross-engine rounding rule). */
+  def tpchPricingSummary(s: SparkSession, d: String): DataFrame =
+    graft.Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val tpchPricingSummaryOracle: String = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_pricing_summary" -> (tpchPricingSummary _),
     "gold_dim_customer" -> (goldDimCustomer _),
     "gold_dim_part"     -> (goldDimPart _),
     "gold_dim_supplier" -> (goldDimSupplier _),
@@ -167,6 +206,7 @@ fact_sales AS (
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_pricing_summary" -> tpchPricingSummaryOracle,
     "gold_dim_customer" -> (ctes +
       "SELECT * FROM dim_customer ORDER BY customer_sk"),
     "gold_dim_part" -> (ctes +

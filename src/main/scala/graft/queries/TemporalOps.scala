@@ -244,7 +244,48 @@ SELECT vec_id,
        round(sqrt(list_dot_product(v, v)), 6) AS l2_norm
 FROM e ORDER BY vec_id"""
 
+  /** Ordered-sequence funnel analysis — the product-analytics staple:
+    * of the users who VIEWED, how many later CLICKED, and of those, how
+    * many later PURCHASED (strictly after, per user). Three stage
+    * aggregations that all hash-partition on user_id, so after the first
+    * exchange the stage joins are co-partitioned; no window over the raw
+    * event stream, no per-user event sorting — each stage is a
+    * filter + min, the cheapest order-respecting formulation. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+      .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+        round(col("n_clicked").cast("double") / col("n_viewed"), 6).as("click_rate"),
+        round(col("n_purchased").cast("double") / col("n_viewed"), 6).as("purchase_rate"))
+  }
+
+  val eventFunnelOracle: String = """
+WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased,
+       round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6) AS click_rate,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6) AS purchase_rate"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel"        -> (eventFunnel _),
     "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
     "range_join_islands"  -> (rangeJoinIslands _),
@@ -254,6 +295,7 @@ FROM e ORDER BY vec_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "event_funnel"        -> eventFunnelOracle,
     "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,
     "range_join_islands"  -> rangeJoinIslandsOracle,
