@@ -26,12 +26,12 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
     "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "que"))
 
-  private def ws: Column = split(col("text"), " ")
+  private[graft] def ws: Column = split(col("text"), " ")
 
-  private def hitCount(lang: String): Column =
+  private[graft] def hitCount(lang: String): Column =
     size(filter(ws, w => w.isInCollection(stopwords(lang))))
 
-  private def hitCountSql(lang: String): String = {
+  private[graft] def hitCountSql(lang: String): String = {
     val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), w -> w IN ($list)))"
   }

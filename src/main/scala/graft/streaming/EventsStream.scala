@@ -370,7 +370,66 @@ FROM events a JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
 ORDER BY a.user_id, view_id, purchase_id"""
 
+  /** Streaming corpus ingestion — the LLM-pipeline filters running as a
+    * structured stream: documents arrive as files, each micro-batch is
+    * language-classified and quality-scored with the SAME Column
+    * expressions the batch path uses ([[graft.ops.TextOps]]), and the
+    * running per-language keep counts aggregate in the state store. One
+    * unified declarative definition serving both batch backfill and
+    * streaming ingestion is exactly the Spark argument; the oracle runs
+    * the batch equivalent. */
+  def corpusFilterStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    val ss = streamSession(s)
+    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_docs")
+    val staged = stageDir.resolve("documents.parquet")
+    val fresh = java.nio.file.Files.exists(staged) &&
+      java.nio.file.Files.size(staged) == java.nio.file.Files.size(src)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(stageDir)
+      val tmp = stageDir.resolve("documents.parquet.tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val schema = graft.Tables.documents(ss, d).schema
+    val isEn = TextOps.hitCount("en") > greatest(TextOps.hitCount("es"),
+      TextOps.hitCount("de"), TextOps.hitCount("fr"))
+    val q = least(size(TextOps.ws).cast("double") / 100, lit(1.0)) * 0.4 +
+      ((length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+        .cast("double") / length(col("text"))) * 0.4 +
+      least(TextOps.hitCount("en").cast("double") / size(TextOps.ws) * lit(5.0),
+        lit(1.0)) * 0.2
+    val agg = ss.readStream.schema(schema).parquet(stageDir.toString)
+      .filter(isEn && q >= 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_corpus")
+      .orderBy("lang")
+  }
+
+  val corpusFilterStreamOracle: String = {
+    import graft.ops.TextOps
+    s"""
+WITH scored AS (
+  SELECT lang,
+         ${TextOps.hitCountSql("en")} > greatest(${TextOps.hitCountSql("es")},
+           ${TextOps.hitCountSql("de")}, ${TextOps.hitCountSql("fr")}) AS is_en,
+         least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4 +
+           ((len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0
+             / len(text)) * 0.4 +
+           least(${TextOps.hitCountSql("en")} * 1.0 / len(string_split(text, ' ')) * 5.0,
+             1.0) * 0.2 AS q
+  FROM documents)
+SELECT lang, count(*) AS n_kept FROM scored
+WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_corpus_filter"   -> (corpusFilterStream _),
     "stream_stream_join"     -> (streamStreamJoin _),
     "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
@@ -382,6 +441,7 @@ ORDER BY a.user_id, view_id, purchase_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_corpus_filter"   -> corpusFilterStreamOracle,
     "stream_stream_join"     -> streamStreamJoinOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
