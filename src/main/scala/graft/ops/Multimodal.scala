@@ -52,6 +52,27 @@ SELECT doc_id,
        CAST(n_chars % 48 + 16 AS INT) AS height
 FROM documents ORDER BY doc_id"""
 
+  /** Binary-content exact dedup — the first stage of any media pipeline:
+    * hash the raw payload BYTES (before any decode), keep one copy per
+    * content hash. Deduping on the 16-byte digest means the shuffle moves
+    * hashes, never payloads — at 100 TB of media that is the difference
+    * between shuffling kilobyte-to-megabyte blobs and fixed 16-byte keys
+    * (same design as [[Dedup.exact]] for text). The hash is taken over the
+    * engine-neutral hex rendering of the bytes so DuckDB (whose md5 only
+    * accepts VARCHAR) reproduces it exactly. */
+  def contentDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(md5(hex(col("payload"))).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min("format").as("format"))
+      .orderBy("keep_id")
+
+  val contentDedupOracle: String = """
+SELECT md5(hex(unhex(repeat(md5(text), 8)))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies,
+       min(['jpeg', 'png', 'wav'][CAST(doc_id % 3 + 1 AS INT)]) AS format
+FROM documents GROUP BY 1 ORDER BY keep_id"""
+
   case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
     h0: Long, h1: Long, h2: Long, h3: Long)
 
@@ -184,13 +205,15 @@ FROM p ORDER BY doc_id"""
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
-    "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d))
+    "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
+    "multimodal_dedup"    -> (contentDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta"     -> metaOracle,
     "multimodal_features" -> featuresOracle,
     "multimodal_frames"   -> frameSampleOracle,
-    "multimodal_resize"   -> resizeOracle
+    "multimodal_resize"   -> resizeOracle,
+    "multimodal_dedup"    -> contentDedupOracle
   )
 }
