@@ -155,6 +155,51 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY nation"""
 
+  /** RUNTIME BLOOM-FILTER JOIN PRUNING — drop fact rows that cannot match
+    * the (filtered) build side BEFORE the join's shuffle. The build side's
+    * key SET compresses into a few hundred KB of bloom even when its rows
+    * don't fit a broadcast join, so a selective dimension filter turns into
+    * a pre-shuffle fact filter: at 100 TB the scan emits ~sel% of the fact
+    * into the exchange instead of all of it. False positives pass the bloom
+    * and are removed by the exact join that follows — the answer is
+    * provably identical (the oracle checks it); false negatives cannot
+    * happen. This is the explicit form of Spark's own runtime filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), useful when the
+    * planner can't see the opportunity (cross-pipeline reuse, a persisted
+    * bloom shared across jobs, pruning before an expensive per-row op). */
+  def bloomPrune(s: SparkSession, fact: DataFrame, factKey: String,
+    build: DataFrame, buildKey: String, expectedKeys: Long = 100000L): DataFrame = {
+    // one aggregate pass over the build side; the sketch merges per
+    // partition (bitwise OR) and only the final ~KB bitset reaches the driver
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    fact.filter(mightContain(col(factKey)))
+  }
+
+  /** Urgent-order revenue by return flag through the bloom-pruned join:
+    * lineitem is pruned by the bloom of urgent order keys (~20% selectivity
+    * + 1% fp) before the shuffle join that finalizes exactness. */
+  def bloomPruneJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val pruned = bloomPrune(s, Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+    // shuffle_hash hint pins the non-broadcast regime the technique exists
+    // for (a broadcastable build side would never need the bloom)
+    pruned.join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomPruneJoinOracle: String = """
+SELECT l_returnflag, count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Exact percentiles per group (single-pass sort-based; for true 100 TB
     * percentiles switch to approx_percentile's GK sketch — see
     * [[approxDistinct]] for why approximate aggs are rows-only here). */
@@ -204,6 +249,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
     "salted_join"     -> (saltedJoin _),
+    "bloom_prune_join" -> (bloomPruneJoin _),
     "percentiles"     -> (percentiles _),
     "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct" -> (approxDistinct _)
@@ -214,6 +260,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
     "salted_agg"      -> saltedAggOracle,
     "salted_distinct" -> saltedDistinctOracle,
     "salted_join"     -> saltedJoinOracle,
+    "bloom_prune_join" -> bloomPruneJoinOracle,
     "percentiles"     -> percentilesOracle
     // approx_distinct: rows-only (sketches differ across engines by design)
   )

@@ -99,6 +99,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"salting should cut the hottest reducer by >=4x (got $keyOnly -> $keySalted)")
   }
 
+  test("bloom prune never drops a matching row and prunes most non-matches") {
+    val fact = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val pruned = ScaleOps.bloomPrune(spark, fact, "l_orderkey", urgent, "o_orderkey")
+    val total = fact.count()
+    val prunedN = pruned.count()
+    // true matches: semi join (what the bloom approximates from above)
+    val matches = fact.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    info(s"fact=$total, bloom-passed=$prunedN, true matches=$matches")
+    // no false negatives: every matching row must survive the bloom
+    val survivedMatches = pruned
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(survivedMatches == matches, "bloom dropped a matching row (false negative)")
+    // measured pruning: passes >= matches (fp-only overshoot) and well under total
+    assert(prunedN >= matches)
+    assert(prunedN <= matches + math.max(100L, (total * 0.02).toLong),
+      s"false-positive rate way over the configured 1% ($prunedN vs $matches matches)")
+    assert(prunedN.toDouble / total < 0.35,
+      s"bloom should prune ~80% of the fact at 20% dim selectivity ($prunedN / $total)")
+  }
+
   test("approx percentiles land within 2% of the exact percentiles") {
     val approx = ScaleOps.approxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -16,13 +16,16 @@ OUT = "/tmp/graft_verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
+
 if "--skip-run" not in sys.argv:
     # wipe stale outputs: a query that THROWS leaves its previous run's
     # parquet in place, which would silently compare-pass
     import shutil
     shutil.rmtree(OUT, ignore_errors=True)
+    only_arg = f" {ONLY}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{only_arg}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
