@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Behavioral / co-occurrence analytics over the fact tables — the
+  * user-journey and market-basket query family a warehouse on top of the
+  * reference's star schema would grow next (reference has only the five
+  * static aggregation queries, test_queries/test_queries.py:100-158; none of
+  * these shapes exist there):
+  *
+  *  - [[copurchasePairs]] — market-basket co-occurrence: which part pairs
+  *    appear in the same order, with support counts.
+  *  - [[cohortRetention]] — weekly signup-cohort retention over the events
+  *    stream, the canonical product-analytics triangle table.
+  *  - [[eventTransitions]] — first-order Markov transition matrix between
+  *    event types per user session stream.
+  *
+  * All three keep the project's determinism rules: total output order,
+  * integer-exact derived metrics (ppm via integer floor division, never a
+  * float ratio), identical aliases in plan and oracle.
+  */
+object BehaviorOps {
+
+  // ------------------------------------------------------------ co-purchase
+
+  /** Part pairs co-occurring in an order, top-100 by support. Scale shape:
+    * ONE shuffle (groupBy orderkey with map-side partial sets), then the
+    * pair fan-out runs per order and is bounded by the basket size — a
+    * ~7-line order yields ≤21 pairs, so the expansion is linear in orders,
+    * never the all-pairs self-join (which would shuffle the fact twice and
+    * explode on hot orders). The nested-lambda expansion is interpreted
+    * (CodegenFallback) but runs on tiny arrays after the aggregate; the
+    * hash-agg + TakeOrderedAndProject downstream dominate. */
+  def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("p1"), col("p2"))
+      .limit(100)
+
+  val copurchasePairsOracle: String = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT p1, p2, count(*) AS n_orders
+FROM pr GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2 LIMIT 100"""
+
+  // -------------------------------------------------------------- retention
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event, distinct-user counts per (cohort, week-offset). Scale shape:
+    * the first-seen pass is a hash aggregate on user_id (map-side partial
+    * min), the join is user-keyed (broadcast at dim scale, shuffle-hash at
+    * 100 TB where the user dim itself is big), and the triangle output is
+    * O(weeks²) rows regardless of event volume. Week index is exact
+    * integer day-arithmetic — no timestamp division. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"),
+      expr("datediff(date(ts), DATE'2024-01-01') div 7").as("wk"))
+    val firstSeen = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val cohortRetentionOracle: String = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+  FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+SELECT f.cohort_wk, ev.wk - f.cohort_wk AS week_offset,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN f ON ev.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------ transitions
+
+  /** First-order event-type transition matrix with per-source probabilities
+    * in exact ppm (integer floor division — both engines compute the same
+    * BIGINT). Scale shape: one shuffle on user_id for the lead() window
+    * (per-user streams are small), then the matrix aggregate is |types|²
+    * rows; the final probability window runs on that tiny matrix. The
+    * (ts, event_id) order key is total, so the successor of every event is
+    * engine-independent. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob_ppm",
+        expr("n_trans * 1000000L div sum(n_trans) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsOracle: String = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_trans,
+       CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+FROM t ORDER BY from_type, to_type"""
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "copurchase_pairs"  -> (copurchasePairs _),
+    "cohort_retention"  -> (cohortRetention _),
+    "event_transitions" -> (eventTransitions _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "copurchase_pairs"  -> copurchasePairsOracle,
+    "cohort_retention"  -> cohortRetentionOracle,
+    "event_transitions" -> eventTransitionsOracle
+  )
+}
