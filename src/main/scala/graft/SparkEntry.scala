@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TemporalOps.queries ++ graft.queries.ProfileOps.queries ++
       graft.queries.ChangeOps.queries ++ graft.ops.TopK.queries ++
       graft.queries.ExtraOps.queries ++ graft.ops.CorpusOps.queries ++
-      graft.ops.GraphOps.queries ++ graft.queries.BehaviorOps.queries
+      graft.ops.GraphOps.queries ++ graft.queries.BehaviorOps.queries ++
+      graft.ops.TokenOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TemporalOps.oracleSql ++ graft.queries.ProfileOps.oracleSql ++
       graft.queries.ChangeOps.oracleSql ++ graft.ops.TopK.oracleSql ++
       graft.queries.ExtraOps.oracleSql ++ graft.ops.CorpusOps.oracleSql ++
-      graft.ops.GraphOps.oracleSql ++ graft.queries.BehaviorOps.oracleSql
+      graft.ops.GraphOps.oracleSql ++ graft.queries.BehaviorOps.oracleSql ++
+      graft.ops.TokenOps.oracleSql
 }

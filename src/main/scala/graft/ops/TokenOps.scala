@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Token-level corpus operators — the frequency-table family a pre-training
+  * data pipeline runs between raw text and the tokenizer (absent from the
+  * reference, which has no text surface at all; part of the LLM-pipeline
+  * mandate alongside [[TextOps]]/[[CorpusOps]]):
+  *
+  *  - [[tokenRarity]] — per-document rarity profile against the corpus
+  *    unigram frequency table (hapax counts, mean token frequency): the
+  *    signal behind "remove boilerplate / keep information-dense docs"
+  *    curation filters.
+  *  - [[bpePairCounts]] — adjacent character-pair frequencies within words:
+  *    the first merge-candidate scan of BPE tokenizer training.
+  *  - [[docChunking]] — overlapping fixed-size token-window chunking
+  *    (size 64, stride 32): the context-window packing step before
+  *    embedding or indexing a long document.
+  *  - [[dedupIncremental]] — new-snapshot-vs-corpus dedup: drop arriving
+  *    documents whose normalized content hash already exists in the stored
+  *    corpus (and dedup inside the batch), the incremental form of
+  *    [[Dedup.exact]] every recurring crawl needs.
+  *
+  * Determinism: counts and integer floor-division metrics only (no float
+  * ratios), md5 content keys, total output order, aliases mirrored in the
+  * oracles.
+  */
+object TokenOps {
+
+  // ------------------------------------------------------------ token rarity
+
+  /** Scale shape: one explode (linear), one hash-agg on token for the
+    * frequency table, one token-keyed join back (vocab is heavy-tailed —
+    * at corpus scale this is a shuffle-hash join; at test scale AQE
+    * broadcasts the freq side), then a per-doc hash-agg. No windows, no
+    * driver state. Mean token frequency is reported as an exact integer sum
+    * plus a ppm rate — both engines do the same BIGINT arithmetic. */
+  def tokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+    tok.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("f").as("sum_freq"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("rarity_ppm", expr("n_hapax * 1000000L div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenRarityOracle: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY 1)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(f) AS BIGINT) AS sum_freq,
+       CAST(count(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) FILTER (WHERE f = 1) * 1000000 // count(*) AS BIGINT) AS rarity_ppm
+FROM tok JOIN freq USING (tok)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------- BPE pair counts
+
+  /** Top-50 adjacent character pairs inside lowercased alphabetic words —
+    * the candidate ranking of the first BPE merge iteration. Scale shape:
+    * two generators (word explode, position explode) kept on the codegen
+    * path (substring arithmetic, no higher-order lambdas — the
+    * interpreted-HOF trap in NOTES.md), partial-aggregated map-side, then
+    * TakeOrderedAndProject for the cut. Linear in corpus characters. */
+  def bpePairCounts(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(s, Tables.documents(s, d))
+      .select(explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), expr("explode(sequence(1, length(w) - 1))").as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(50)
+
+  val bpePairCountsOracle: String = """
+WITH w AS (
+  SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS w
+  FROM documents),
+p AS (
+  SELECT substr(w.w, CAST(u.i AS INT), 2) AS pair
+  FROM w, UNNEST(range(1, len(w.w))) AS u(i)
+  WHERE len(w.w) >= 2)
+SELECT pair, count(*) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair LIMIT 50"""
+
+  // ---------------------------------------------------------- doc chunking
+
+  /** Overlapping token windows: chunk c covers tokens [c·32+1, c·32+64],
+    * c = 0 .. (n_tokens-1) div 32 — a pure integer rule both engines apply
+    * identically (trailing chunks may be short; the rule stays branch-free).
+    * Scale shape: per-row generate bounded by doc length (≤2× token
+    * duplication at stride = size/2), chunk content reduced to an md5 so
+    * the output is fingerprint-sized. Linear, shuffle-free until the final
+    * sort. */
+  def docChunking(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        expr("explode(sequence(0L, (n - 1) div 32))").as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("slice(ws, CAST(chunk_id * 32 + 1 AS INT), 64)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunkingOracle: String = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+         ws[(CAST(u.i AS INT) * 32 + 1):(CAST(u.i AS INT) * 32 + 64)] AS chunk
+  FROM w, UNNEST(range((len(ws) - 1) // 32 + 1)) AS u(i))
+SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_toks,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_id"""
+
+  // ----------------------------------------------------- incremental dedup
+
+  /** Same normalization as [[Dedup]]/[[CorpusOps.keepBest]] (lowercase,
+    * strip sentence punctuation, collapse whitespace). */
+  private def normHash = md5(trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[.!?,;:]", ""), " +", " ")))
+
+  /** Incremental snapshot dedup: the arriving batch (doc_id % 10 = 0 — a
+    * stand-in for "this week's crawl") keeps only documents whose
+    * normalized content hash is NOT already in the stored corpus, deduped
+    * within the batch to the lowest doc_id. Scale shape: everything moves
+    * as 16-byte hashes — one anti-join (shuffle-hash on the digest; the
+    * CORPUS side streams, never collected) + one hash-agg. This is the
+    * production form of exact dedup: re-crawls check against the lake
+    * without rereading it into memory. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d).select(col("doc_id"), normHash.as("content_hash"))
+    val batch  = hashed.filter(col("doc_id") % 10 === 0)
+    val corpus = hashed.filter(col("doc_id") % 10 =!= 0).select("content_hash")
+    batch.join(corpus, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalOracle: String = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+                  ' +', ' ', 'g'))) AS content_hash
+  FROM documents),
+batch AS (SELECT * FROM d WHERE doc_id % 10 = 0)
+SELECT content_hash, min(doc_id) AS doc_id
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM d c
+                  WHERE c.doc_id % 10 <> 0 AND c.content_hash = b.content_hash)
+GROUP BY content_hash ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_rarity"      -> (tokenRarity _),
+    "bpe_pair_counts"   -> (bpePairCounts _),
+    "doc_chunking"      -> (docChunking _),
+    "dedup_incremental" -> (dedupIncremental _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "token_rarity"      -> tokenRarityOracle,
+    "bpe_pair_counts"   -> bpePairCountsOracle,
+    "doc_chunking"      -> docChunkingOracle,
+    "dedup_incremental" -> dedupIncrementalOracle
+  )
+}
