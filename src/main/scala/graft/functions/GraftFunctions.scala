@@ -86,9 +86,16 @@ case class ArrayDot(left: Expression, right: Expression)
 object GraftFunctions {
 
   /** Register the custom expressions with the session (idempotent). */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGriesAgg(
+        exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 
   /** Fused dot product over two array<double> columns (codegen'd). */
   def arrayDot(s: SparkSession, a: Column, b: Column): Column = {

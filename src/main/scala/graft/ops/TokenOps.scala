@@ -161,19 +161,56 @@ WHERE NOT EXISTS (SELECT 1 FROM d c
                   WHERE c.doc_id % 10 <> 0 AND c.content_hash = b.content_hash)
 GROUP BY content_hash ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- heavy hitters
+
+  /** Exact frequent tokens (> 1% of the stream) WITHOUT a full-vocabulary
+    * groupBy, via the custom [[graft.functions.MisraGriesAgg]] Catalyst
+    * aggregate: pass 1 streams every token through k=200 bounded-memory
+    * counters (partials merge map-side, O(k) state per task — nothing
+    * vocabulary-sized ever shuffles); pass 2 exactly re-counts only the
+    * ≤ 200 surviving candidates through a broadcast semi-join and applies
+    * the threshold. The MG guarantee (no item above N/(k+1) is evicted,
+    * 1% > 1/201) makes the final set EXACT — identical to the oracle's
+    * full groupBy-HAVING — while the heavy pass stays sketch-sized. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tok = Tables.fanout(s, Tables.documents(s, d))
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = tok.agg(
+      call_function("misra_gries", col("tok"), lit(200)).as("cands"),
+      count(lit(1)).as("n"))
+    val cands = sketch.select(col("n"), explode(col("cands")).as("tok"))
+    tok.join(broadcast(cands), "tok")
+      .groupBy("tok", "n")
+      .agg(count(lit(1)).as("n_occur"))
+      .filter(col("n_occur") * 100 > col("n"))
+      .select(col("tok"), col("n_occur"))
+      .orderBy(desc("n_occur"), col("tok"))
+  }
+
+  val heavyHittersOracle: String = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+n AS (SELECT count(*) AS n FROM tok)
+SELECT tok, count(*) AS n_occur
+FROM tok, n GROUP BY tok, n.n
+HAVING count(*) * 100 > n.n
+ORDER BY n_occur DESC, tok"""
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_rarity"      -> (tokenRarity _),
     "bpe_pair_counts"   -> (bpePairCounts _),
     "doc_chunking"      -> (docChunking _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "heavy_hitters"     -> (heavyHitters _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "token_rarity"      -> tokenRarityOracle,
     "bpe_pair_counts"   -> bpePairCountsOracle,
     "doc_chunking"      -> docChunkingOracle,
-    "dedup_incremental" -> dedupIncrementalOracle
+    "dedup_incremental" -> dedupIncrementalOracle,
+    "heavy_hitters"     -> heavyHittersOracle
   )
 }
