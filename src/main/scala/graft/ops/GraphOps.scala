@@ -85,11 +85,74 @@ final_pr AS (SELECT vec_id, q FROM pr$Iters)
 SELECT vec_id, CAST(q AS BIGINT) AS rank_micro FROM final_pr ORDER BY vec_id"""
   }
 
+  /** Triangle count + global clustering coefficient over the symmetrized
+    * 3-NN graph — the standard cohesion metric of a similarity graph (dense
+    * triangles ⇒ tight duplicate/topic clusters; a near-zero coefficient ⇒
+    * the corpus has little local structure worth graph-clustering).
+    *
+    * Algorithm: canonicalize every edge to u < v, then count paths
+    * u→v→w (u<v<w by construction) that close with edge (u, w) — each
+    * triangle counted exactly once. Scale shape: two equi-joins on vertex
+    * keys; the per-vertex fan-out is bounded by the k-NN degree (≤ k + the
+    * in-degree of popular vectors), so no hot-key explosion — on a general
+    * graph the production refinement is degree-ordering each edge before
+    * the join, which this canonical form already approximates. The
+    * clustering coefficient is exact integer ppm: 3·T·10⁶ div wedges, with
+    * wedges = Σ deg·(deg−1)/2. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = Similarity.knnGraph(s, d, 3)
+      .select(least(col("vec_a"), col("vec_b")).as("u"),
+        greatest(col("vec_a"), col("vec_b")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = und.toDF("a", "b")
+    val e2 = und.toDF("b", "c")
+    val e3 = und.toDF("a", "c")
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    val wedges = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+      .agg(sum(expr("dg * (dg - 1) div 2")).as("wedges"))
+    // the result is ONE row — evaluate it while the edge cache is alive,
+    // then republish as a local DataFrame so unpersist can't trigger a
+    // recompute of the whole join tree in the caller
+    val row = tri.crossJoin(edges).crossJoin(wedges)
+      .withColumn("global_cc_ppm",
+        expr("3 * n_triangles * 1000000L div wedges"))
+      .head()
+    und.unpersist()
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toDF("n_triangles", "n_edges", "wedges", "global_cc_ppm")
+  }
+
+  lazy val trianglesOracle: String = {
+    val knn = Similarity.knnGraphOracle(3)
+    s"""
+WITH raw AS (SELECT vec_a, vec_b FROM ($knn) knn_t),
+und AS (SELECT DISTINCT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v FROM raw),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+deg AS (SELECT node, count(*) AS dg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) nn GROUP BY 1),
+w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS wedges FROM deg)
+SELECT tri.n_triangles,
+       (SELECT count(*) FROM und) AS n_edges,
+       w.wedges,
+       CAST(3 * tri.n_triangles * 1000000 // w.wedges AS BIGINT) AS global_cc_ppm
+FROM tri, w"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _)
+    "graph_pagerank"  -> (pagerank _),
+    "graph_triangles" -> (triangles _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankOracle
+    "graph_pagerank"  -> pagerankOracle,
+    "graph_triangles" -> trianglesOracle
   )
 }

@@ -132,13 +132,49 @@ FROM j JOIN uni u1 ON j.w1 = u1.w JOIN uni u2 ON j.w2 = u2.w
 CROSS JOIN nu CROSS JOIN nb
 ORDER BY score_q DESC, bigram LIMIT 20"""
 
+  /** Shuffle-skew profile of a join/agg key — the diagnostic a planner (or
+    * an engineer sizing `spark.sql.shuffle.partitions` / deciding to salt)
+    * runs BEFORE shipping a 100 TB shuffle: per-key group sizes reduced to
+    * exact distribution stats (min/max/percentile-disc picks actual data
+    * values — no interpolation to disagree on) plus a max-vs-mean skew
+    * ratio in exact ppm. Two hash aggregates, the second over one row per
+    * key; nothing wider than (key, count) ever moves. */
+  def skewStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("sz").as("n_rows"),
+        min("sz").as("min_sz"),
+        max("sz").as("max_sz"),
+        // percentile_disc picks an actual data value but Spark types it
+        // DOUBLE — cast back to the exact integer it is
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY sz) AS BIGINT)").as("p50_sz"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY sz) AS BIGINT)").as("p90_sz"),
+        expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY sz) AS BIGINT)").as("p99_sz"))
+      .withColumn("skew_ratio_ppm",
+        expr("max_sz * 1000000L * n_keys div n_rows"))
+
+  val skewStatsOracle: String = """
+WITH s AS (SELECT l_partkey, count(*) AS sz FROM lineitem GROUP BY 1)
+SELECT count(*) AS n_keys,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       min(sz) AS min_sz,
+       max(sz) AS max_sz,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY sz) AS p50_sz,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY sz) AS p90_sz,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY sz) AS p99_sz,
+       CAST(max(sz) * 1000000 * count(*) // sum(sz) AS BIGINT) AS skew_ratio_ppm
+FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_stats"     -> (skewStats _),
     "profile_orders" -> (profileOrders _),
     "text_top_bigrams" -> (topBigrams _),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "skew_stats" -> skewStatsOracle,
     "profile_orders" -> profileOrdersOracle,
     "text_top_bigrams" -> topBigramsOracle,
     "pmi_bigrams" -> pmiBigramsOracle

@@ -413,7 +413,41 @@ SELECT o_orderkey,
        CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy
 FROM orders ORDER BY o_orderkey"""
 
+  /** Pivot→unpivot round-trip: widen order counts per (priority × status)
+    * with the pivot, then melt the wide frame back to long form with the
+    * built-in `unpivot` (Spark's UNPIVOT/MELT relational operator —
+    * reference has no reshaping surface at all). Missing combinations
+    * surface as 0 (the pivot's count never saw them), so the long output
+    * equals the direct grouped count. Scale shape: the pivot is a single
+    * hash aggregate (statuses are a known tiny set); unpivot is a per-row
+    * expand — no extra shuffle. */
+  def unpivotMelt(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")),
+      "status", "n")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .orderBy("o_orderpriority", "status")
+  }
+
+  val unpivotMeltOracle: String = """
+WITH w AS (
+  SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'F' AS status, f AS n FROM w
+UNION ALL SELECT o_orderpriority, 'O', o FROM w
+UNION ALL SELECT o_orderpriority, 'P', p FROM w
+ORDER BY o_orderpriority, status"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_melt"          -> (unpivotMelt _),
     "string_funcs"          -> (stringFuncs _),
     "date_funcs"            -> (dateFuncs _),
     "sk_scalable_fact"      -> (skScalableFact _),
@@ -445,6 +479,7 @@ FROM orders ORDER BY o_orderkey"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "unpivot_melt" -> unpivotMeltOracle,
     "string_funcs" -> stringFuncsOracle,
     "date_funcs" -> dateFuncsOracle,
     "sk_scalable_fact" -> """
