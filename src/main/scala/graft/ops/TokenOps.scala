@@ -161,6 +161,50 @@ WHERE NOT EXISTS (SELECT 1 FROM d c
                   WHERE c.doc_id % 10 <> 0 AND c.content_hash = b.content_hash)
 GROUP BY content_hash ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- span dedup
+
+  /** Duplicated-span profile (the C4/RefinedWeb "repeated passage" signal):
+    * cut every document into disjoint 16-token spans, fingerprint each span
+    * (md5), call a span duplicated when the same fingerprint occurs in ≥ 2
+    * DISTINCT documents, and report the per-document duplicated-span rate
+    * as an integer ppm. Scale shape: one bounded generator (≤ n/16 spans
+    * per doc), a hash-agg on the 16-byte fingerprint for the document
+    * frequency, one fingerprint-keyed join back, one per-doc hash-agg —
+    * the [[tokenRarity]] shape at span granularity; only fingerprints ever
+    * shuffle, never text. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        expr("explode(sequence(0L, (n - 1) div 16))").as("c"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          expr("slice(ws, CAST(c * 16 + 1 AS INT), 16)"))).as("h"))
+    val docFreq = spans.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+    spans.join(docFreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("n_dup_spans * 1000000L div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupOracle: String = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           ws[(CAST(u.c AS INT) * 16 + 1):(CAST(u.c AS INT) * 16 + 16)],
+           ' ')) AS h
+  FROM w, UNNEST(range((len(ws) - 1) // 16 + 1)) AS u(c)),
+df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY 1)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(count(*) FILTER (WHERE ndocs >= 2) AS BIGINT) AS n_dup_spans,
+       CAST(count(*) FILTER (WHERE ndocs >= 2) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM sp JOIN df USING (h)
+GROUP BY doc_id ORDER BY doc_id"""
+
   // ---------------------------------------------------------- heavy hitters
 
   /** Exact frequent tokens (> 1% of the stream) WITHOUT a full-vocabulary
@@ -203,7 +247,8 @@ ORDER BY n_occur DESC, tok"""
     "bpe_pair_counts"   -> (bpePairCounts _),
     "doc_chunking"      -> (docChunking _),
     "dedup_incremental" -> (dedupIncremental _),
-    "heavy_hitters"     -> (heavyHitters _)
+    "heavy_hitters"     -> (heavyHitters _),
+    "span_dedup"        -> (spanDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -211,6 +256,7 @@ ORDER BY n_occur DESC, tok"""
     "bpe_pair_counts"   -> bpePairCountsOracle,
     "doc_chunking"      -> docChunkingOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
-    "heavy_hitters"     -> heavyHittersOracle
+    "heavy_hitters"     -> heavyHittersOracle,
+    "span_dedup"        -> spanDedupOracle
   )
 }

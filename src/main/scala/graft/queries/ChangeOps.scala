@@ -153,15 +153,69 @@ SELECT c_mktsegment, rnk, c_custkey, c_name FROM (
 WHERE rnk <= $SamplePerStratum
 ORDER BY c_mktsegment, rnk"""
 
+  // ------------------------------------------------- deletion propagation
+
+  /** Right-to-be-forgotten cascade: given a deletion list of customer keys
+    * (every 97th key — key 0 always qualifies, so the set is non-empty at
+    * every scale factor), drop those customers, their orders, and those
+    * orders' line items, then report what survives. Scale shape: the
+    * deletion list is key-only and tiny relative to the fact tables —
+    * explicitly broadcast into an anti-join against orders; the
+    * order-cascade leg (orders of deleted customers → lineitem anti-join)
+    * is left unhinted because at 100 TB it is fact-vs-1% — a shuffle-hash
+    * anti-join on the join key, which AQE picks (and can still demote to
+    * broadcast when the runtime size allows). Nothing row-sized ever
+    * reaches the driver; in the lakehouse this pairs with the
+    * [[graft.util.AtomicTable]] pointer swap to republish the purged
+    * tables atomically. */
+  def forgetKeys(s: SparkSession, d: String): DataFrame = {
+    val del = Tables.customer(s, d)
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    val orders = Tables.orders(s, d)
+    val keptOrders = orders.join(broadcast(del),
+      orders("o_custkey") === del("c_custkey"), "left_anti")
+    val deadOrders = orders.join(broadcast(del),
+      orders("o_custkey") === del("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    val keptLines = Tables.lineitem(s, d).join(deadOrders,
+      col("l_orderkey") === deadOrders("o_orderkey"), "left_anti")
+    val custLeft = Tables.customer(s, d)
+      .filter(col("c_custkey") % 97 =!= 0)
+      .agg(count(lit(1)).as("n_customers_kept"))
+    val ordersLeft = keptOrders.agg(count(lit(1)).as("n_orders_kept"))
+    val linesLeft = keptLines.agg(count(lit(1)).as("n_lineitems_kept"),
+      sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("kept_cents"))
+    custLeft.crossJoin(ordersLeft).crossJoin(linesLeft)
+  }
+
+  val forgetKeysOracle: String = """
+WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+dead_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del)),
+kept_lines AS (
+  SELECT * FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders))
+SELECT
+  (SELECT count(*) FROM customer WHERE c_custkey % 97 <> 0) AS n_customers_kept,
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM del)) AS n_orders_kept,
+  (SELECT count(*) FROM kept_lines) AS n_lineitems_kept,
+  (SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+   FROM kept_lines) AS kept_cents"""
+
+  // ---------------------------------------------------------------- wiring
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd1_upsert"       -> (scd1Upsert _),
     "scd2_history"      -> (scd2History _),
-    "stratified_sample" -> (stratifiedSample _)
+    "stratified_sample" -> (stratifiedSample _),
+    "forget_keys"       -> (forgetKeys _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "scd1_upsert"       -> scd1UpsertOracle,
     "scd2_history"      -> scd2HistoryOracle,
-    "stratified_sample" -> stratifiedSampleOracle
+    "stratified_sample" -> stratifiedSampleOracle,
+    "forget_keys"       -> forgetKeysOracle
   )
 }

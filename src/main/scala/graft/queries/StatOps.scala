@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical / windowed analytics beyond the reference's five queries
+  * (SURVEY.md §2.5 marks windows ABSENT in the reference — this module
+  * extends the window family the engine already built in [[RelOps]]):
+  *
+  *  - [[windowRangeFrame]] — time-RANGE window frames (rolling 30-day
+  *    spend per customer): value-based frames, not row-counted ones.
+  *  - [[ntileDeciles]] — equi-depth decile assignment per order-status
+  *    partition (ntile) reduced to per-decile revenue stats.
+  *  - [[outlierZscore]] — classic two-pass z-score outlier screen per
+  *    event type (the numeric cousin of the text quality filters).
+  *  - [[embeddingCovariance]] — the upper triangle of the corpus
+  *    embedding Gram/covariance matrix, integer-exact via micro-unit
+  *    quantization: the one-pass distributed linear-algebra reduction
+  *    behind PCA/whitening of an embedding store.
+  *
+  * Determinism: cents/micro-unit BIGINT arithmetic wherever a sum feeds
+  * the hash; stats that are inherently floating (stddev, mean) are
+  * rounded to 4dp in BOTH engines before comparison.
+  */
+object StatOps {
+
+  // ------------------------------------------------------- time-RANGE frame
+
+  /** Rolling 30-day spend per customer via a RANGE frame over the epoch-day
+    * ordering — a value-based frame (all orders within 29 preceding days),
+    * which rows-based frames cannot express when order density varies.
+    * Scale shape: one shuffle on o_custkey (the window partition key), then
+    * a linear per-partition sweep; cents arithmetic keeps the rolling sum
+    * hash-exact. Peer rows (same customer, same day) correctly share one
+    * frame, so tie order never matters. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    o.withColumn("spend_30d_cents", sum("cents").over(w))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val windowRangeFrameOracle: String = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_custkey, o_orderkey, day, cents,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS spend_30d_cents
+FROM o ORDER BY o_custkey, day, o_orderkey"""
+
+  // ----------------------------------------------------------- ntile deciles
+
+  /** Equi-depth deciles of order value within each order status (ntile(10)
+    * with a full deterministic tie-break), reduced to per-decile count and
+    * revenue. Scale note: ntile needs a total order per partition — the
+    * window partitions by o_orderstatus so each sort is distributed across
+    * status groups, and the scalable alternative for a GLOBAL equi-depth
+    * bucketing is [[ExtraOps.quantileBuckets]] (percentile boundaries, no
+    * total sort); this query is the exact-rank form. */
+  def ntileDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderstatus", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .orderBy("o_orderstatus", "decile")
+  }
+
+  val ntileDecilesOracle: String = """
+WITH o AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         ntile(10) OVER (PARTITION BY o_orderstatus
+                         ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                                  o_orderkey) AS decile
+  FROM orders)
+SELECT o_orderstatus, decile, count(*) AS n,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM o GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------------------------- z-score outliers
+
+  /** Two-pass outlier screen: per event type compute mean/stddev, then
+    * count events beyond 2σ. Scale shape: pass 1 is a hash-agg to a
+    * types-sized frame; pass 2 joins it back (broadcast — the stats side is
+    * tiny by construction) and re-aggregates. Nothing event-sized ever sits
+    * on the driver. The 2σ cut compares doubles computed identically from
+    * identical parquet bits; reported stats are rounded to 4dp. */
+  def outlierZscore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_type", "value")
+    val st = e.groupBy("event_type").agg(
+      avg("value").as("mu"), stddev_samp("value").as("sd"))
+    e.join(broadcast(st), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("mu")) > col("sd") * 2, 1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("mu")), 4).as("mu"),
+        round(first(col("sd")), 4).as("sd"))
+      .orderBy("event_type")
+  }
+
+  val outlierZscoreOracle: String = """
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n,
+       CAST(count(*) FILTER (WHERE abs(e.value - st.mu) > st.sd * 2) AS BIGINT) AS n_outliers,
+       round(any_value(st.mu), 4) AS mu, round(any_value(st.sd), 4) AS sd
+FROM events e JOIN st USING (event_type)
+GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------------------- embedding covariance
+
+  /** Upper triangle of the corpus Gram matrix G[i][j] = Σ_rows q_i·q_j over
+    * micro-unit-quantized embeddings (floor(x·1000) as BIGINT — identical
+    * double→int in both engines, so the reduction is hash-exact). This is
+    * the distributed reduction at the heart of PCA / covariance whitening
+    * of an embedding store: each row contributes its outer product, partial
+    * sums combine map-side, and only the dim²-sized triangle (2080 rows for
+    * dim 64) ever shuffles. The j ≥ i constraint is applied INSIDE the
+    * generator (slice from i) so no filtered-out pair is ever produced. */
+  def embeddingCovariance(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(s, Tables.embeddings(s, d))
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"),
+        posexplode(expr("slice(q, i + 1, size(q) - i)")).as(Seq("p", "qj")))
+      .select(col("i"), (col("i") + col("p")).as("j"), (col("qi") * col("qj")).as("prod"))
+      .groupBy("i", "j")
+      .agg(sum("prod").as("gram"))
+      .orderBy("i", "j")
+
+  val embeddingCovarianceOracle: String = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+pairs AS (
+  SELECT CAST(u.i AS INT) AS i, CAST(v.j AS INT) AS j,
+         q.q[CAST(u.i AS INT) + 1] * q.q[CAST(v.j AS INT) + 1] AS prod
+  FROM q, UNNEST(range(len(q.q))) AS u(i), UNNEST(range(len(q.q))) AS v(j)
+  WHERE v.j >= u.i)
+SELECT i, j, CAST(sum(prod) AS BIGINT) AS gram
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range_frame"   -> (windowRangeFrame _),
+    "ntile_deciles"        -> (ntileDeciles _),
+    "outlier_zscore"       -> (outlierZscore _),
+    "embedding_covariance" -> (embeddingCovariance _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_range_frame"   -> windowRangeFrameOracle,
+    "ntile_deciles"        -> ntileDecilesOracle,
+    "outlier_zscore"       -> outlierZscoreOracle,
+    "embedding_covariance" -> embeddingCovarianceOracle
+  )
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{ChangeOps, StatOps}
+import graft.ops.TokenOps
+
+class StatOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("range frame: rolling 30-day spend equals a hand-built self-join window") {
+    val r = StatOps.windowRangeFrame(spark, sf).cache()
+    // oracle by construction: sum of cents over the explicit day interval
+    val o = r.select("o_custkey", "o_orderkey", "day", "cents")
+    val a = o.toDF("ck", "ok", "d", "c")
+    val b = o.toDF("ck2", "ok2", "d2", "c2")
+    val viaJoin = a.join(b,
+        a("ck") === b("ck2") && b("d2").between(a("d") - 29, a("d")))
+      .groupBy("ck", "ok").agg(sum("c2").as("expect"))
+    val bad = r.join(viaJoin,
+        r("o_custkey") === viaJoin("ck") && r("o_orderkey") === viaJoin("ok"))
+      .filter(col("spend_30d_cents") =!= col("expect"))
+    assert(bad.count() == 0)
+    // every row's rolling sum includes at least its own order
+    assert(r.filter(col("spend_30d_cents") < col("cents")).count() == 0)
+    r.unpersist()
+  }
+
+  test("ntile deciles: counts balanced within 1 and deciles cover 1..10") {
+    val r = StatOps.ntileDeciles(spark, sf).cache()
+    val byStatus = r.groupBy("o_orderstatus")
+      .agg(min("n").as("lo"), max("n").as("hi"),
+        countDistinct("decile").as("nd"),
+        min("decile").as("dmin"), max("decile").as("dmax"))
+      .collect()
+    byStatus.foreach { row =>
+      assert(row.getAs[Long]("hi") - row.getAs[Long]("lo") <= 1) // equi-depth
+      assert(row.getAs[Long]("nd") == 10 &&
+        row.getAs[Long]("dmin") == 1 && row.getAs[Long]("dmax") == 10)
+    }
+    // decile value ranges must not overlap: max(cents) of decile k <= min of k+1
+    import spark.implicits._
+    val ordered = r.orderBy("o_orderstatus", "decile")
+      .select("o_orderstatus", "min_cents", "max_cents").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    ordered.values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._3 <= hi._2)
+        case _             =>
+      }
+    }
+    r.unpersist()
+  }
+
+  test("z-score outliers: bounded by Chebyshev and never exceed group size") {
+    val r = StatOps.outlierZscore(spark, sf).collect()
+    r.foreach { row =>
+      val n = row.getAs[Long]("n"); val out = row.getAs[Long]("n_outliers")
+      assert(out <= n)
+      // Chebyshev: P(|X-mu| > 2 sigma) <= 1/4 for the SAMPLE itself the
+      // bound is slightly looser; allow 30% as a sanity ceiling
+      assert(out.toDouble / n <= 0.30)
+      assert(row.getAs[Double]("sd") >= 0.0)
+    }
+  }
+
+  test("embedding covariance: diagonal positive, symmetric triangle complete") {
+    val r = StatOps.embeddingCovariance(spark, sf).cache()
+    val dim = 64
+    assert(r.count() == dim.toLong * (dim + 1) / 2) // full upper triangle
+    // G[i][i] = sum of squares > 0 unless the whole column is zero
+    assert(r.filter(col("i") === col("j")).filter(col("gram") <= 0).count() == 0)
+    // spot-check one off-diagonal entry against a direct computation
+    val direct = Tables.embeddings(spark, sf)
+      .select(expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000) AS BIGINT)").as("q0"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)").as("q1"))
+      .agg(sum(col("q0") * col("q1"))).head().getLong(0)
+    val g01 = r.filter(col("i") === 0 && col("j") === 1).head().getAs[Long]("gram")
+    assert(g01 == direct)
+    r.unpersist()
+  }
+
+  test("span dedup: planted duplicate spans are detected, ppm bounded") {
+    val r = TokenOps.spanDedup(spark, sf).cache()
+    assert(r.filter(col("dup_ppm") > 1000000L).count() == 0)
+    assert(r.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    // planted check: two synthetic docs sharing one exact 16-token span
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " extra unique tail one", "en", "s", 0L),
+      (2L, span + " different unique tail two", "en", "s", 0L),
+      (3L, "completely different words " + (1 to 13).map(i => s"only$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("__span_docs")
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        expr("explode(sequence(0L, (n - 1) div 16))").as("c"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr("slice(ws, CAST(c * 16 + 1 AS INT), 16)"))).as("h"))
+    val dup = spans.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+    assert(dup.count() == 1) // exactly the planted shared span
+    r.unpersist()
+  }
+
+  test("forget keys: cascade is consistent and strictly smaller than source") {
+    val row = ChangeOps.forgetKeys(spark, sf).head()
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf).count()
+    val nLi = Tables.lineitem(spark, sf).count()
+    assert(row.getAs[Long]("n_customers_kept") < nCust) // key 0 always deleted
+    assert(row.getAs[Long]("n_orders_kept") <= nOrd)
+    assert(row.getAs[Long]("n_lineitems_kept") <= nLi)
+    // no kept lineitem may reference a deleted order
+    val del = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    val deadOrders = Tables.orders(spark, sf)
+      .join(del, col("o_custkey") === col("c_custkey"), "left_semi")
+    val keptViaCounts = nLi - Tables.lineitem(spark, sf)
+      .join(deadOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(row.getAs[Long]("n_lineitems_kept") == keptViaCounts)
+  }
+}
