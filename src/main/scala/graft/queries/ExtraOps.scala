@@ -449,9 +449,84 @@ SELECT i AS id, CAST(i % 16 AS INT) AS bucket,
               * CAST(power(16, 8 - j) AS BIGINT))) AS DOUBLE) / 4294967296.0, 6) AS payload_r
 FROM range(5000, 5200) t(i) ORDER BY id"""
 
+  // ------------------------------------------------------- schema evolution
+
+  /** Lakehouse schema evolution: an old partition written with two columns,
+    * a newer one with three, read back as ONE table via mergeSchema — the
+    * v1 rows surface NULL for the late-added column, exactly how a growing
+    * lakehouse absorbs schema drift without rewriting history. The merged
+    * read is then aggregated per writer version (count, non-null count of
+    * the evolved column, cents sum). Scale shape: schema merge happens at
+    * footer-planning time (per-file schemas union on the driver, data
+    * never rewritten); the aggregation is an ordinary pruned-column scan. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_evo/${graft.util.PathKeys.safe(d)}/customer"
+    val c = Tables.customer(s, d)
+    c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$base/v=1")
+    c.filter(col("c_custkey") % 2 =!= 0)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$base/v=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_with_bal"),
+        sum(expr("CAST(floor(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+      .withColumn("v", col("v").cast("int"))
+      .orderBy("v")
+  }
+
+  val schemaEvolutionOracle: String = """
+SELECT CAST(1 + c_custkey % 2 AS INT) AS v, count(*) AS n,
+       CAST(count(CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END) AS BIGINT) AS n_with_bal,
+       CAST(sum(CASE WHEN c_custkey % 2 <> 0
+                THEN CAST(floor(c_acctbal * 100) AS BIGINT) END) AS BIGINT) AS bal_cents
+FROM customer
+GROUP BY 1 ORDER BY v"""
+
+  // ------------------------------------------------------------ map columns
+
+  /** MapType plumbing (ABSENT in the reference, SURVEY.md §2.8): per nation
+    * build a segment→customer-count map with map_from_entries over a
+    * grouped collect, then consume it with map typed accessors (size,
+    * element_at, sorted keys). The map is INTERNAL plumbing — the output is
+    * scalar columns, so the differential hash stays engine-neutral (DuckDB
+    * map literals would not hash-compare). Scale shape: maps are
+    * per-nation and segment-bounded (≤ 5 entries) — never data-sized;
+    * one hash-agg by (nation, segment), one by nation. */
+  def mapOps(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("n_name")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("c_mktsegment"), col("cnt"))))).as("seg_map"))
+      .select(col("n_name"),
+        size(col("seg_map")).as("n_segments"),
+        coalesce(element_at(col("seg_map"), "BUILDING"), lit(0L)).as("n_building"),
+        concat_ws(",", map_keys(col("seg_map"))).as("segments"),
+        expr("aggregate(map_values(seg_map), 0L, (a, x) -> a + x)").as("n_customers"))
+      .orderBy("n_name")
+
+  val mapOpsOracle: String = """
+WITH seg AS (
+  SELECT n.n_name, c.c_mktsegment, count(*) AS cnt
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name,
+       CAST(count(*) AS INT) AS n_segments,
+       CAST(coalesce(sum(cnt) FILTER (WHERE c_mktsegment = 'BUILDING'), 0) AS BIGINT) AS n_building,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       CAST(sum(cnt) AS BIGINT) AS n_customers
+FROM seg GROUP BY n_name ORDER BY n_name"""
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_evolution"  -> (schemaEvolution _),
+    "map_ops"           -> (mapOps _),
     "pii_scrub"         -> (piiScrub _),
     "conditional_agg"   -> (conditionalAgg _),
     "argmax_per_group"  -> (argmaxPerGroup _),
@@ -468,6 +543,8 @@ FROM range(5000, 5200) t(i) ORDER BY id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "schema_evolution"  -> schemaEvolutionOracle,
+    "map_ops"           -> mapOpsOracle,
     "pii_scrub"         -> piiScrubOracle,
     "conditional_agg"   -> conditionalAggOracle,
     "argmax_per_group"  -> argmaxPerGroupOracle,

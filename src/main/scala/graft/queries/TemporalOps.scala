@@ -284,6 +284,69 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
        round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6) AS click_rate,
        round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6) AS purchase_rate"""
 
+  // ------------------------------------------------ distributed sweep-line
+
+  /** Total covered time (interval UNION length) per order priority, with
+    * NO global sort — the distributed form of the classic sweep-line.
+    * Intervals are derived deterministically from orders (start =
+    * order-date epoch day, length = 5 + o_orderkey mod 20 days, half-open).
+    *
+    * Scale shape: each interval explodes into the 32-day bins it touches
+    * (bounded ≤ 2 bins here; in general len/binW + 1), is clipped to the
+    * bin, and every (priority, bin) cell runs an independent mini-sweep —
+    * a window partitioned by (prio, bin), ordered by clipped start, with a
+    * strictly-preceding running max of clipped end: contribution =
+    * max(0, cen - max(cst, prev_max)). Clipping makes per-bin unions
+    * disjoint, so the per-priority sum is EXACTLY the union length, and no
+    * window partition ever exceeds a bin's worth of segments — this is how
+    * a 100 TB interval union runs without a single-task sort. The per-row
+    * running max depends on tie order among equal starts, but the SUM is
+    * invariant under any tie permutation (the sweep identity), so the
+    * hash-checked output is deterministic. */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("st"),
+      (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        + lit(5L) + col("o_orderkey") % 20L).as("en"))
+    val seg = iv
+      .select(col("prio"), col("st"), col("en"),
+        expr("explode(sequence(st div 32, (en - 1) div 32))").as("b"))
+      .select(col("prio"), col("b"),
+        greatest(col("st"), col("b") * 32).as("cst"),
+        least(col("en"), (col("b") + 1) * 32).as("cen"))
+    val w = Window.partitionBy("prio", "b").orderBy("cst")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    seg.withColumn("pm", max("cen").over(w))
+      .select(col("prio"),
+        greatest(lit(0L), col("cen") - greatest(col("cst"), coalesce(col("pm"), col("cst")))).as("contrib"))
+      .groupBy("prio")
+      .agg(sum("contrib").as("covered_days"), count(lit(1)).as("n_segments"))
+      .orderBy("prio")
+  }
+
+  val intervalCoverageOracle: String = """
+WITH iv AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS st,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 5
+              + o_orderkey % 20 AS BIGINT) AS en
+  FROM orders),
+seg AS (
+  SELECT prio, CAST(u.b AS BIGINT) AS b,
+         greatest(st, CAST(u.b AS BIGINT) * 32) AS cst,
+         least(en, (CAST(u.b AS BIGINT) + 1) * 32) AS cen
+  FROM iv, UNNEST(range(st // 32, (en - 1) // 32 + 1)) AS u(b)),
+sw AS (
+  SELECT prio, cst, cen,
+         max(cen) OVER (PARTITION BY prio, b ORDER BY cst
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM seg)
+SELECT prio,
+       CAST(sum(greatest(0, cen - greatest(cst, coalesce(pm, cst)))) AS BIGINT) AS covered_days,
+       count(*) AS n_segments
+FROM sw GROUP BY prio ORDER BY prio"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_funnel"        -> (eventFunnel _),
     "timeseries_gapfill"  -> (gapfillHourly _),
@@ -291,7 +354,8 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
     "range_join_islands"  -> (rangeJoinIslands _),
     "embedding_centroids" -> (embeddingCentroids _),
     "array_ops"           -> (arrayOps _),
-    "vector_math"         -> (vectorMath _)
+    "vector_math"         -> (vectorMath _),
+    "interval_coverage"   -> (intervalCoverage _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,6 +365,7 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
     "range_join_islands"  -> rangeJoinIslandsOracle,
     "embedding_centroids" -> embeddingCentroidsOracle,
     "array_ops"           -> arrayOpsOracle,
-    "vector_math"         -> vectorMathOracle
+    "vector_math"         -> vectorMathOracle,
+    "interval_coverage"   -> intervalCoverageOracle
   )
 }

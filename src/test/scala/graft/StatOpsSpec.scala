@@ -107,6 +107,57 @@ class StatOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("interval coverage: binned sweep equals brute-force day explosion") {
+    import graft.queries.TemporalOps
+    val r = TemporalOps.intervalCoverage(spark, sf).cache()
+    // brute force: explode every interval into its covered days, count
+    // distinct (prio, day) — the definition of union length
+    val brute = Tables.orders(spark, sf).select(
+        col("o_orderpriority").as("prio"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("st"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          + lit(5L) + col("o_orderkey") % 20L).as("en"))
+      .select(col("prio"), expr("explode(sequence(st, en - 1))").as("day"))
+      .groupBy("prio").agg(countDistinct("day").as("expect"))
+    val bad = r.join(brute, "prio")
+      .filter(col("covered_days") =!= col("expect"))
+    assert(bad.count() == 0)
+    // the sweep never produces more covered time than total interval length
+    val totalLen = Tables.orders(spark, sf)
+      .agg(sum(lit(5L) + col("o_orderkey") % 20L)).head().getLong(0)
+    val covered = r.agg(sum("covered_days")).head().getLong(0)
+    assert(covered <= totalLen && covered > 0)
+    r.unpersist()
+  }
+
+  test("schema evolution: merged read surfaces NULLs for the late column") {
+    import graft.queries.ExtraOps
+    val r = ExtraOps.schemaEvolution(spark, sf).collect()
+    assert(r.length == 2)
+    val v1 = r.find(_.getAs[Int]("v") == 1).get
+    val v2 = r.find(_.getAs[Int]("v") == 2).get
+    assert(v1.getAs[Long]("n_with_bal") == 0) // v1 lacks the evolved column
+    assert(v2.getAs[Long]("n_with_bal") == v2.getAs[Long]("n"))
+    assert(v1.isNullAt(v1.fieldIndex("bal_cents")))
+  }
+
+  test("map ops: map totals reconcile with a plain per-nation count") {
+    import graft.queries.ExtraOps
+    val r = ExtraOps.mapOps(spark, sf).cache()
+    val direct = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("expect"))
+    assert(r.join(direct, "n_name")
+      .filter(col("n_customers") =!= col("expect")).count() == 0)
+    // keys in the concat are sorted, so segments string is lexicographic
+    import spark.implicits._
+    r.select("segments").as[String].collect().foreach { sgs =>
+      val ks = sgs.split(",")
+      assert(ks.sameElements(ks.sorted))
+    }
+    r.unpersist()
+  }
+
   test("forget keys: cascade is consistent and strictly smaller than source") {
     val row = ChangeOps.forgetKeys(spark, sf).head()
     val nCust = Tables.customer(spark, sf).count()
