@@ -95,6 +95,8 @@ object GraftFunctions {
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
   }
 
   /** Fused dot product over two array<double> columns (codegen'd). */

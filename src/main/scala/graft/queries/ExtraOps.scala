@@ -485,6 +485,32 @@ SELECT CAST(1 + c_custkey % 2 AS INT) AS v, count(*) AS n,
 FROM customer
 GROUP BY 1 ORDER BY v"""
 
+  // ---------------------------------------------------------- JSONL source
+
+  /** JSON-lines write → schema-first read-back → aggregate, completing the
+    * format matrix (Parquet everywhere, CSV [[RelOps]], ORC above). The
+    * read goes through [[graft.sources.Connectors.json]] with the writer's
+    * schema — never inference, per the engine's schema contract (SURVEY.md
+    * §1.5). Doubles survive the text roundtrip exactly (Spark emits
+    * shortest-round-trip literals), which the floor-cents hash proves. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_jsonl/${graft.util.PathKeys.safe(d)}/part"
+    val p = Tables.part(s, d)
+    p.write.mode("overwrite").json(out)
+    graft.sources.Connectors.json(s, out, p.schema)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size").cast("long")).as("sum_size"),
+        sum(expr("CAST(floor(p_retailprice * 100) AS BIGINT)")).as("retail_cents"))
+      .orderBy("p_brand")
+  }
+
+  val jsonlRoundtripOracle: String = """
+SELECT p_brand, count(*) AS n,
+       CAST(sum(p_size) AS BIGINT) AS sum_size,
+       CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+FROM part GROUP BY p_brand ORDER BY p_brand"""
+
   // ------------------------------------------------------------ map columns
 
   /** MapType plumbing (ABSENT in the reference, SURVEY.md §2.8): per nation
@@ -527,6 +553,7 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_evolution"  -> (schemaEvolution _),
     "map_ops"           -> (mapOps _),
+    "jsonl_roundtrip"   -> (jsonlRoundtrip _),
     "pii_scrub"         -> (piiScrub _),
     "conditional_agg"   -> (conditionalAgg _),
     "argmax_per_group"  -> (argmaxPerGroup _),
@@ -545,6 +572,7 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
   val oracleSql: Map[String, String] = Map(
     "schema_evolution"  -> schemaEvolutionOracle,
     "map_ops"           -> mapOpsOracle,
+    "jsonl_roundtrip"   -> jsonlRoundtripOracle,
     "pii_scrub"         -> piiScrubOracle,
     "conditional_agg"   -> conditionalAggOracle,
     "argmax_per_group"  -> argmaxPerGroupOracle,

@@ -166,17 +166,48 @@ SELECT count(*) AS n_keys,
        CAST(max(sz) * 1000000 * count(*) // sum(sz) AS BIGINT) AS skew_ratio_ppm
 FROM s"""
 
+  // ------------------------------------------------------- custom generator
+
+  /** Top-20 word trigrams via the custom [[graft.functions.WordNgrams]]
+    * Catalyst table-generating function — the UDTF member of the
+    * extension-type matrix (scalar [[graft.functions.ArrayDot]], aggregate
+    * [[graft.functions.MisraGriesAgg]], whole-operator
+    * [[graft.plans.IntervalJoin]]). One Generate node produces each n-gram
+    * string directly from a single tokenization (no token-array
+    * duplication, no interpreted HOF lambdas); the count is partial-agg'd
+    * map-side and cut with TakeOrderedAndProject. */
+  def ngramUdtf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.fanout(s, Tables.documents(s, d))
+      .select(expr("word_ngrams(text, 3)").as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("ngram"))
+      .limit(20)
+  }
+
+  val ngramUdtfOracle: String = """
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT array_to_string(ws[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 3)], ' ') AS ngram
+  FROM t, UNNEST(range(len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3)
+SELECT ngram, count(*) AS n FROM g
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_stats"     -> (skewStats _),
     "profile_orders" -> (profileOrders _),
     "text_top_bigrams" -> (topBigrams _),
-    "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d))
+    "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d)),
+    "ngram_udtf" -> (ngramUdtf _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "skew_stats" -> skewStatsOracle,
     "profile_orders" -> profileOrdersOracle,
     "text_top_bigrams" -> topBigramsOracle,
-    "pmi_bigrams" -> pmiBigramsOracle
+    "pmi_bigrams" -> pmiBigramsOracle,
+    "ngram_udtf" -> ngramUdtfOracle
   )
 }
