@@ -161,6 +161,127 @@ WHERE NOT EXISTS (SELECT 1 FROM d c
                   WHERE c.doc_id % 10 <> 0 AND c.content_hash = b.content_hash)
 GROUP BY content_hash ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- BPE training
+
+  /** Two unrolled rounds of distributed BPE tokenizer TRAINING (the
+    * iterative continuation of [[bpePairCounts]], which only scores the
+    * first round's candidates): each round counts adjacent token pairs
+    * across the corpus, picks the most frequent pair (ties broken
+    * lexicographically so the argmax is total), and applies the merge
+    * everywhere. Output is the trained vocabulary's top-30 tokens — the
+    * learned merges surface as multi-char tokens.
+    *
+    * Representation: a word is its token sequence joined by U+001F, so a
+    * merge is one literal regexp_replace (left-to-right, non-overlapping —
+    * exactly BPE's leftmost-first merge rule, and identical in DuckDB's
+    * regex engine). Scale shape per round: one generator pass for pairs, a
+    * hash-agg keyed by pair, and a 1-row argmax to the driver (the same
+    * driver-coordination footprint as Lloyd's k centroids in Similarity or
+    * the pagerank rounds in GraphOps — constant-size, never data-sized);
+    * the merge application is a pipelined narrow map. Real BPE training
+    * runs this loop to 30k+ merges with the SAME dataflow. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val SEP = "\u001f"
+    def repr0 = Tables.fanout(s, Tables.documents(s, d))
+      .select(explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + SEP), SEP).as("r"))
+    def pairs(df: DataFrame): DataFrame = df
+      .select(split(col("r"), SEP).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("ts"), expr("explode(sequence(1, size(ts) - 1))").as("i"))
+      .select(expr("element_at(ts, i)").as("a"), expr("element_at(ts, i + 1)").as("b"))
+    def bestMerge(df: DataFrame): (String, String) = {
+      val row = pairs(df).groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1).head()
+      (row.getString(0), row.getString(1))
+    }
+    def applyMerge(df: DataFrame, m: (String, String)): DataFrame =
+      df.select(regexp_replace(col("r"), m._1 + SEP + m._2, m._1 + m._2).as("r"))
+    val r1 = applyMerge(repr0, bestMerge(repr0))
+    val r2 = applyMerge(r1, bestMerge(r1))
+    r2.select(explode(split(col("r"), SEP)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(30)
+  }
+
+  val bpeTrainOracle: String = """
+WITH w0 AS (
+  SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS w
+  FROM documents),
+r0 AS (
+  SELECT rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS r
+  FROM w0 WHERE len(w) >= 2),
+p1 AS (
+  SELECT ts[CAST(u.i AS INT)] AS a, ts[CAST(u.i AS INT) + 1] AS b
+  FROM (SELECT string_split(r, chr(31)) AS ts FROM r0) t, UNNEST(range(1, len(ts))) AS u(i)),
+m1 AS (SELECT a, b FROM p1 GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1),
+r1 AS (
+  SELECT regexp_replace(r, (SELECT a || chr(31) || b FROM m1),
+                        (SELECT a || b FROM m1), 'g') AS r FROM r0),
+p2 AS (
+  SELECT ts[CAST(u.i AS INT)] AS a, ts[CAST(u.i AS INT) + 1] AS b
+  FROM (SELECT string_split(r, chr(31)) AS ts FROM r1) t, UNNEST(range(1, len(ts))) AS u(i)),
+m2 AS (SELECT a, b FROM p2 GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1),
+r2 AS (
+  SELECT regexp_replace(r, (SELECT a || chr(31) || b FROM m2),
+                        (SELECT a || b FROM m2), 'g') AS r FROM r1)
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(r, chr(31))) AS tok FROM r2)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""
+
+  // ---------------------------------------------------------- bigram LM score
+
+  /** Corpus-trained bigram-LM fluency proxy (the shape of a CCNet/KenLM
+    * perplexity filter, arithmetic kept exact): train P(w2|w1) =
+    * c(w1,w2)/c(w1·) on the whole corpus, then score every document by the
+    * mean transition probability of its own bigrams, in ppm via integer
+    * floor division — no logs, no floats, so both engines agree bit-for-bit.
+    * Low scores mark token sequences the corpus model finds improbable —
+    * the fluency cut of a pre-training quality pipeline.
+    *
+    * Scale shape: bigram extraction is one generator pass (lead over a
+    * per-doc window would shuffle; adjacent-pair slicing stays pipelined);
+    * the LM is a hash-agg keyed by bigram; scoring joins docs' bigrams back
+    * to the LM on the bigram key (heavy-tailed — shuffle-hash join at
+    * corpus scale) and hash-aggs per doc. The model never sits on the
+    * driver. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        expr("explode(sequence(1, size(ws) - 1))").as("i"))
+      .select(col("doc_id"),
+        expr("element_at(ws, i)").as("w1"),
+        expr("element_at(ws, i + 1)").as("w2"))
+    val unigram = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bigram  = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lm = bigram.join(unigram, "w1")
+      .select(col("w1"), col("w2"), expr("c2 * 1000000L div c1").as("p_ppm"))
+    big.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("fluency_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreOracle: String = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, ws[CAST(u.i AS INT)] AS w1, ws[CAST(u.i AS INT) + 1] AS w2
+  FROM ws, UNNEST(range(1, len(ws))) AS u(i)),
+uni AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+bi  AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+lm  AS (SELECT w1, w2, c2 * 1000000 // c1 AS p_ppm
+        FROM bi JOIN uni USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(p_ppm) // count(*) AS BIGINT) AS fluency_ppm
+FROM big JOIN lm USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id"""
+
   // ------------------------------------------------------------- span dedup
 
   /** Duplicated-span profile (the C4/RefinedWeb "repeated passage" signal):
@@ -248,7 +369,9 @@ ORDER BY n_occur DESC, tok"""
     "doc_chunking"      -> (docChunking _),
     "dedup_incremental" -> (dedupIncremental _),
     "heavy_hitters"     -> (heavyHitters _),
-    "span_dedup"        -> (spanDedup _)
+    "span_dedup"        -> (spanDedup _),
+    "lm_score"          -> (lmScore _),
+    "bpe_train"         -> (bpeTrain _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -257,6 +380,8 @@ ORDER BY n_occur DESC, tok"""
     "doc_chunking"      -> docChunkingOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "heavy_hitters"     -> heavyHittersOracle,
-    "span_dedup"        -> spanDedupOracle
+    "span_dedup"        -> spanDedupOracle,
+    "lm_score"          -> lmScoreOracle,
+    "bpe_train"         -> bpeTrainOracle
   )
 }

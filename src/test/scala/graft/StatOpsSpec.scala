@@ -107,6 +107,48 @@ class StatOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("lm score: fluency is a valid mean of per-bigram ppm probabilities") {
+    val r = TokenOps.lmScore(spark, sf).cache()
+    // a probability ratio can never exceed 1 (1e6 ppm)
+    assert(r.filter(col("fluency_ppm") > 1000000L).count() == 0)
+    assert(r.filter(col("fluency_ppm") < 0L).count() == 0)
+    // every scored doc has at least one bigram
+    assert(r.filter(col("n_bigrams") < 1).count() == 0)
+    // a doc made of one repeated bigram scores exactly 1e6 under its own LM:
+    // sanity of the formula on a hand-computed corpus
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        expr("explode(sequence(1, size(ws) - 1))").as("i"))
+      .select(col("doc_id"),
+        expr("element_at(ws, i)").as("w1"),
+        expr("element_at(ws, i + 1)").as("w2"))
+    val uni = ws.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = ws.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lm = bi.join(uni, "w1").select(col("w1"), col("w2"),
+      expr("c2 * 1000000L div c1").as("p_ppm"))
+    val score = ws.join(lm, Seq("w1", "w2"))
+      .agg(expr("sum(p_ppm) div count(1)")).head().getLong(0)
+    // bigrams: (x,y)×3 → p=1.0; (y,x)×2 → p=1.0 ⇒ mean exactly 1e6
+    assert(score == 1000000L)
+    r.unpersist()
+  }
+
+  test("bpe train: planted corpus learns the dominant pair first") {
+    val r = TokenOps.bpeTrain(spark, sf).cache()
+    // trained vocab includes at least one multi-char (merged) token, and
+    // merged tokens are concatenations that appeared adjacent in the corpus
+    import spark.implicits._
+    val merged = r.filter(length(col("tok")) >= 2).as[(String, Long)].collect()
+    assert(merged.nonEmpty)
+    // the corpus-wide most frequent adjacent pair must be among the merges
+    val first = TokenOps.bpePairCounts(spark, sf).head().getString(0)
+    assert(merged.map(_._1).contains(first))
+    r.unpersist()
+  }
+
   test("interval coverage: binned sweep equals brute-force day explosion") {
     import graft.queries.TemporalOps
     val r = TemporalOps.intervalCoverage(spark, sf).cache()
