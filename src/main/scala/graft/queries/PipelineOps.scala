@@ -108,17 +108,95 @@ GROUP BY event_type ORDER BY event_type"""
   val csvRoundtripOracle: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  // ---------------------------------------------------- replica verification
+
+  /** Merkle-style replica diff: verify two copies of a table by comparing
+    * per-bucket digests instead of rows — the anti-entropy check a
+    * multi-region lakehouse runs nightly. Each row reduces to a 32-bit
+    * integer fingerprint (md5 over a canonical string; doubles enter as
+    * floor-cents so the canonical form is engine-neutral); a bucket's
+    * digest is the SUM of its row fingerprints — commutative, so no
+    * per-bucket ordering is ever needed. Only (bucket, digest, count)
+    * tuples shuffle: verifying a 100 TB table moves kilobytes. Buckets
+    * whose digest or count disagree are exactly the repair set. The
+    * "replica" here is derived with planted drift — every 131st key
+    * modified, every 173rd dropped — so the mismatch set is non-empty and
+    * deterministic at every scale factor.
+    *
+    * In production the bucket key is a hash of the primary key (uniform);
+    * modulo keeps the planted example readable. */
+  def tableDiffBuckets(s: SparkSession, d: String): DataFrame = {
+    def digests(df: DataFrame, sumName: String, nName: String): DataFrame = df
+      .select((col("c_custkey") % 32).as("bucket"),
+        conv(substring(md5(concat_ws("|",
+          col("c_custkey"), col("c_name"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)"),
+          col("c_mktsegment"))), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("bucket")
+      .agg(sum("h").as(sumName), count(lit(1)).as(nName))
+    val base = Tables.customer(s, d)
+    val replica = base
+      .filter(col("c_custkey") % 173 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 131 === 0, col("c_acctbal") + lit(1.0))
+          .otherwise(col("c_acctbal")))
+    digests(base, "base_digest", "base_n")
+      .join(digests(replica, "rep_digest", "rep_n"), Seq("bucket"), "full_outer")
+      .filter(col("base_digest") =!= col("rep_digest") ||
+        col("base_n") =!= col("rep_n") ||
+        col("base_digest").isNull || col("rep_digest").isNull)
+      .orderBy("bucket")
+  }
+
+  val tableDiffBucketsOracle: String = """
+WITH canon AS (
+  SELECT c_custkey % 32 AS bucket,
+         md5(concat_ws('|', c_custkey, c_name,
+             CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment)) AS hx,
+         c_custkey
+  FROM customer),
+bh AS (
+  SELECT bucket,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef', substr(hx, j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS h
+  FROM canon),
+base AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS base_digest, count(*) AS base_n
+         FROM bh GROUP BY bucket),
+rcanon AS (
+  SELECT c_custkey % 32 AS bucket,
+         md5(concat_ws('|', c_custkey, c_name,
+             CAST(floor(CASE WHEN c_custkey % 131 = 0 THEN c_acctbal + 1.0
+                             ELSE c_acctbal END * 100) AS BIGINT),
+             c_mktsegment)) AS hx
+  FROM customer WHERE c_custkey % 173 <> 0),
+rh AS (
+  SELECT bucket,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef', substr(hx, j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) AS h
+  FROM rcanon),
+rep AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS rep_digest, count(*) AS rep_n
+        FROM rh GROUP BY bucket)
+SELECT bucket, base_digest, base_n, rep_digest, rep_n
+FROM base FULL OUTER JOIN rep USING (bucket)
+WHERE base_digest <> rep_digest OR base_n <> rep_n
+   OR base_digest IS NULL OR rep_digest IS NULL
+ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_write_roundtrip" -> (writeRoundtrip _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "json_extract_props"       -> (jsonExtract _),
-    "csv_roundtrip"            -> (csvRoundtrip _)
+    "csv_roundtrip"            -> (csvRoundtrip _),
+    "table_diff_buckets"       -> (tableDiffBuckets _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "json_extract_props"       -> jsonExtractOracle,
-    "csv_roundtrip"            -> csvRoundtripOracle
+    "csv_roundtrip"            -> csvRoundtripOracle,
+    "table_diff_buckets"       -> tableDiffBucketsOracle
   )
 }

@@ -200,6 +200,23 @@ class StatOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("table diff buckets: mismatch set is exactly the planted-drift buckets") {
+    import graft.queries.PipelineOps
+    val r = PipelineOps.tableDiffBuckets(spark, sf).cache()
+    // expected repair set: buckets containing a modified or dropped key
+    import spark.implicits._
+    val expected = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 131 === 0 || col("c_custkey") % 173 === 0)
+      .select((col("c_custkey") % 32).as("bucket")).distinct()
+      .as[Long].collect().toSet
+    val got = r.select("bucket").as[Long].collect().toSet
+    assert(got == expected)
+    // dropped rows show up as count deltas, modifications as digest-only deltas
+    val modOnly = r.filter(col("base_n") === col("rep_n"))
+    assert(modOnly.filter(col("base_digest") === col("rep_digest")).count() == 0)
+    r.unpersist()
+  }
+
   test("forget keys: cascade is consistent and strictly smaller than source") {
     val row = ChangeOps.forgetKeys(spark, sf).head()
     val nCust = Tables.customer(spark, sf).count()
