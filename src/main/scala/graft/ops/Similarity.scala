@@ -379,7 +379,19 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * candidate lookups + a per-vector ranking window — never all-pairs;
     * vectors whose buckets collide with nothing emit no edges (the
     * approximate trade, deterministic and mirrored in the oracle). */
-  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  // three consumers rebuild the same edge set (knn_graph, graph_pagerank,
+  // graph_triangles) — memoize the ranked edges per (session, dataset, k)
+  // like the IVF index above; the graph is k·n rows, far smaller than the
+  // candidate join that produces it
+  private val knnCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Int), DataFrame]()
+
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    knnCache.getOrElseUpdate((s, d, k),
+      knnGraphUncached(s, d, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def knnGraphUncached(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb0 = withNorm(s, d)
     val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>

@@ -166,6 +166,66 @@ SELECT count(*) AS n_keys,
        CAST(max(sz) * 1000000 * count(*) // sum(sz) AS BIGINT) AS skew_ratio_ppm
 FROM s"""
 
+  // -------------------------------------------------------- data quality
+
+  /** Declarative data-quality expectations over the fact table (the
+    * dbt-test / Delta-constraint shape): each rule reduces to
+    * (check_name, n_checked, n_violations) — null checks, range checks, a
+    * referential-integrity check against orders, and a composite-key
+    * uniqueness check. The range-40 rule is deliberately tighter than the
+    * data so a NON-zero violation count proves the counting path.
+    * Scale shape: the column rules share one scan (one aggregate pass
+    * each, unioned); the FK rule is a keyed left join probing the orders
+    * key set (shuffle-hash at scale — never collected); uniqueness is
+    * count vs distinct-count of the composite key. All counts, no floats. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def rule(name: String, viol: org.apache.spark.sql.Column): DataFrame =
+      li.agg(count(lit(1)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    val fk = li
+      .join(Tables.orders(s, d).select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("fk_orderkey").as("check_name"), col("n_checked"), col("n_violations"))
+    val uniq = li
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
+      .select(lit("unique_line").as("check_name"), col("n_checked"), col("n_violations"))
+    rule("not_null_shipdate", col("l_shipdate").isNull)
+      .unionByName(rule("range_quantity_le40", col("l_quantity") < 1 || col("l_quantity") > 40))
+      .unionByName(rule("range_discount", col("l_discount") < 0 || col("l_discount") > 0.1))
+      .unionByName(fk)
+      .unionByName(uniq)
+      .orderBy("check_name")
+  }
+
+  val dqChecksOracle: String = """
+SELECT * FROM (
+  SELECT 'not_null_shipdate' AS check_name, count(*) AS n_checked,
+         CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'range_quantity_le40', count(*),
+         CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 40) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range_discount', count(*),
+         CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'fk_orderkey', count(*),
+         CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'unique_line', count(*),
+         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+  FROM lineitem
+) ORDER BY check_name"""
+
   // ------------------------------------------------------- custom generator
 
   /** Top-20 word trigrams via the custom [[graft.functions.WordNgrams]]
@@ -200,7 +260,8 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
     "profile_orders" -> (profileOrders _),
     "text_top_bigrams" -> (topBigrams _),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d)),
-    "ngram_udtf" -> (ngramUdtf _)
+    "ngram_udtf" -> (ngramUdtf _),
+    "dq_checks" -> (dqChecks _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -208,6 +269,7 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
     "profile_orders" -> profileOrdersOracle,
     "text_top_bigrams" -> topBigramsOracle,
     "pmi_bigrams" -> pmiBigramsOracle,
-    "ngram_udtf" -> ngramUdtfOracle
+    "ngram_udtf" -> ngramUdtfOracle,
+    "dq_checks" -> dqChecksOracle
   )
 }

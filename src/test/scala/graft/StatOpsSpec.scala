@@ -200,6 +200,27 @@ class StatOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("dq checks: clean constraints report zero, tight range reports violations") {
+    import graft.queries.ProfileOps
+    val r = ProfileOps.dqChecks(spark, sf).collect()
+      .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(r.size == 5)
+    // the data is referentially clean and fully populated
+    assert(r("not_null_shipdate")._2 == 0)
+    assert(r("fk_orderkey")._2 == 0)
+    // a REAL finding: the synthetic lineitem reuses (orderkey, linenumber)
+    // pairs — the uniqueness rule must report exactly the duplicate count
+    val li = Tables.lineitem(spark, sf)
+    val dups = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(dups > 0 && r("unique_line")._2 == dups)
+    // the deliberately tight quantity bound must catch real rows
+    assert(r("range_quantity_le40")._2 > 0)
+    // every rule checked the full table
+    val n = Tables.lineitem(spark, sf).count()
+    r.values.foreach { case (checked, _) => assert(checked == n) }
+  }
+
   test("table diff buckets: mismatch set is exactly the planted-drift buckets") {
     import graft.queries.PipelineOps
     val r = PipelineOps.tableDiffBuckets(spark, sf).cache()
