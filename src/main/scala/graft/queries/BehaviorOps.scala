@@ -126,15 +126,51 @@ FROM t ORDER BY from_type, to_type"""
 
   // ---------------------------------------------------------------- wiring
 
+  // ------------------------------------------------- rolling active users
+
+  /** Trailing-7-day active users per day (the WAU curve). A DISTINCT over a
+    * sliding window cannot use a window function (no distinct-agg frames in
+    * either engine) and a 7-way self-join re-scans the input; instead each
+    * (user, active-day) pair EXPLODES into the 7 window-end days it
+    * contributes to — a bounded ×7 generator — and one hash-agg per day
+    * counts distinct users. Linear, partial-agg friendly, and the exact
+    * same dataflow handles 30/90-day windows by widening the sequence.
+    * Days trail past the last event (a user stays "active this week" for
+    * 6 days after their last click) — both engines agree on the full
+    * range. */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+      .orderBy("day")
+
+  val rollingActiveUsersOracle: String = """
+WITH ev AS (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         user_id
+  FROM events),
+x AS (
+  SELECT user_id, CAST(u.d AS BIGINT) AS day
+  FROM ev, UNNEST(range(day, day + 7)) AS u(d))
+SELECT day, count(DISTINCT user_id) AS wau
+FROM x GROUP BY day ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
-    "event_transitions" -> (eventTransitions _)
+    "event_transitions" -> (eventTransitions _),
+    "rolling_active_users" -> (rollingActiveUsers _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
+    "rolling_active_users" -> rollingActiveUsersOracle,
     "event_transitions" -> eventTransitionsOracle
   )
 }
