@@ -244,7 +244,47 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  // ------------------------------------------- pre-aggregation through join
+
+  /** Manual partial-aggregation pushdown through a join — the rewrite
+    * Catalyst does NOT do automatically: revenue per nation computed by
+    * first collapsing lineitem to one row per order (6:1 here, often
+    * 100:1 in clickstream fact tables) BEFORE joining orders and the
+    * nation dim. The join input shrinks by the collapse factor, the final
+    * aggregate is over pre-summed cents, and the answer is provably
+    * unchanged — the oracle states the naive join-then-aggregate form, so
+    * the differential gate IS the equivalence proof. At 100 TB this is the
+    * difference between shuffling the fact table and shuffling one row
+    * per order key. */
+  def preaggJoin(s: SparkSession, d: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("order_cents"),
+        count(lit(1)).as("n_lines"))
+    perOrder
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("order_cents").as("revenue_cents"),
+        sum("n_lines").as("n_lines"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val preaggJoinOracle: String = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "preagg_join"     -> (preaggJoin _),
     "bucketed_join"   -> (bucketedJoin _),
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
@@ -256,6 +296,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "preagg_join"     -> preaggJoinOracle,
     "bucketed_join"   -> bucketedJoinOracle,
     "salted_agg"      -> saltedAggOracle,
     "salted_distinct" -> saltedDistinctOracle,
