@@ -15,6 +15,46 @@ import graft.streaming.EventsStream
 class MultiBatchStreamSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("watermark drops late rows deterministically across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows in the 10:00 window + one at 10:25 that pushes
+      // the post-batch watermark to 10:15
+      mem.addData((t("10:00"), 1L), (t("10:05"), 2L), (t("10:25"), 3L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the 10:00 window (10:02 < watermark 10:15
+      // -> must be dropped) plus an on-time row; the 10:00 window is
+      // finalized this batch WITHOUT the late row
+      mem.addData((t("10:02"), 4L), (t("10:26"), 5L))
+      q.processAllAvailable()
+      // batch 3: advance far enough to close the 10:20 window too
+      mem.addData((t("11:00"), 6L))
+      q.processAllAvailable()
+      val rows = spark.table("wm_late")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(rows(t("10:00")) == 2L,  // late 10:02 row dropped, not 3
+        s"10:00 window must exclude the late row; got ${rows.get(t("10:00"))}")
+      assert(rows(t("10:20")) == 2L)  // 10:25 + 10:26 both on time
+      // total received vs dropped is visible in the progress metrics too
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"exactly the one late row is dropped, got $dropped")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert merge survives multi-batch Update-mode replay") {
     val src = "/tmp/graft_multibatch_src"
     val stateDir = "/tmp/graft_multibatch_state/user_totals"
