@@ -511,6 +511,44 @@ SELECT p_brand, count(*) AS n,
        CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
 FROM part GROUP BY p_brand ORDER BY p_brand"""
 
+  // -------------------------------------------------------- corrupt records
+
+  /** PERMISSIVE-mode ingestion accounting: a JSONL feed with planted bad
+    * lines (unparseable JSON; a type-mismatched key field) reads into the
+    * declared schema with the failures captured in a corrupt-record column
+    * instead of failing the job — then one aggregate reports delivered vs
+    * quarantined rows. This is the dead-letter pattern every production
+    * feed needs: the pipeline stays up, the bad lines stay auditable.
+    * (The .cache() is Spark's documented requirement for queries that
+    * touch the internal corrupt-record column.) */
+  def jsonBadRecords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val out = s"/tmp/graft_badjson/${graft.util.PathKeys.safe(d)}/nation"
+    val n = Tables.nation(s, d)
+    val good = n.select(to_json(struct(n.columns.map(col): _*)).as("line"))
+    import s.implicits._
+    val bad = Seq("{ this is not json",
+      """{"n_nationkey": "not-an-int", "n_name": "X", "n_regionkey": 0}""")
+      .toDF("line")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(out)
+    val withCorrupt = n.schema.add("_corrupt", StringType)
+    val parsed = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .cache()
+    parsed.agg(
+      count(lit(1)).as("n_lines"),
+      count(col("n_nationkey")).as("n_delivered"),
+      count(col("_corrupt")).as("n_quarantined"))
+  }
+
+  val jsonBadRecordsOracle: String = """
+SELECT count(*) + 2 AS n_lines,
+       count(*) AS n_delivered,
+       CAST(2 AS BIGINT) AS n_quarantined
+FROM nation"""
+
   // ------------------------------------------------------------ map columns
 
   /** MapType plumbing (ABSENT in the reference, SURVEY.md §2.8): per nation
@@ -554,6 +592,7 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
     "schema_evolution"  -> (schemaEvolution _),
     "map_ops"           -> (mapOps _),
     "jsonl_roundtrip"   -> (jsonlRoundtrip _),
+    "json_bad_records"  -> (jsonBadRecords _),
     "pii_scrub"         -> (piiScrub _),
     "conditional_agg"   -> (conditionalAgg _),
     "argmax_per_group"  -> (argmaxPerGroup _),
@@ -573,6 +612,7 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
     "schema_evolution"  -> schemaEvolutionOracle,
     "map_ops"           -> mapOpsOracle,
     "jsonl_roundtrip"   -> jsonlRoundtripOracle,
+    "json_bad_records"  -> jsonBadRecordsOracle,
     "pii_scrub"         -> piiScrubOracle,
     "conditional_agg"   -> conditionalAggOracle,
     "argmax_per_group"  -> argmaxPerGroupOracle,

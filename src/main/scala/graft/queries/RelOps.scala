@@ -301,6 +301,28 @@ LIMIT 20"""
       .agg(round(sum("o_totalprice"), 2).as("total_sales"), count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** ROLLUP with GROUPING-ID markers: the bitmask distinguishes a
+    * subtotal row's NULL (column rolled away) from a NULL that is data —
+    * the semantic corner every BI layer on top of rollups depends on.
+    * Spark's grouping_id() and DuckDB's multi-arg GROUPING() emit the
+    * same bitmask, so the marker itself is oracle-checked. */
+  def rollupGroupingId(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("gid"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val rollupGroupingIdOracle: String = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   /** §2.7-ABSENT extension: INTERSECT — customers active in BOTH 1995H1
     * and 1996H1 (completes the set-op family with union/except). */
   def intersectRepeatCustomers(s: SparkSession, d: String): DataFrame = {
@@ -462,6 +484,7 @@ ORDER BY o_orderpriority, status"""
     "distinct_segments"     -> (distinctSegments _),
     "stringagg_per_nation"  -> (stringAggPerNation _),
     "rollup_sales"          -> (rollupSales _),
+    "rollup_grouping_id"    -> (rollupGroupingId _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
     "window_analytics"      -> (windowAnalytics _),
@@ -539,6 +562,7 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS year_val,
       FROM orders) t
 GROUP BY ROLLUP (year_val, quarter_val)
 ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
+    "rollup_grouping_id" -> rollupGroupingIdOracle,
     "cube_sales" -> """
 SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
        count(*) AS n_orders
