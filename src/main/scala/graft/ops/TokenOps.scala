@@ -180,27 +180,58 @@ GROUP BY content_hash ORDER BY doc_id"""
     * the pagerank rounds in GraphOps — constant-size, never data-sized);
     * the merge application is a pipelined narrow map. Real BPE training
     * runs this loop to 30k+ merges with the SAME dataflow. */
+  private val SEP = "\u001f"
+
+  /** Per-word token representation (doc_id carried), shared by train and
+    * encode - persisted per (session, dataset) like the embedding cache in
+    * [[Similarity]]: the char-split regex is the dominant cost and every
+    * merge round re-reads this frame. */
+  private val reprCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def wordRepr(s: SparkSession, d: String): DataFrame =
+    reprCache.getOrElseUpdate((s, d),
+      Tables.fanout(s, Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(col("doc_id"),
+          rtrim(regexp_replace(col("w"), "(.)", "$1" + SEP), SEP).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def pairs(df: DataFrame): DataFrame = df
+    .select(split(col("r"), SEP).as("ts"))
+    .filter(size(col("ts")) >= 2)
+    .select(col("ts"), expr("explode(sequence(1, size(ts) - 1))").as("i"))
+    .select(expr("element_at(ts, i)").as("a"), expr("element_at(ts, i + 1)").as("b"))
+
+  private def bestMerge(df: DataFrame): (String, String) = {
+    val row = pairs(df).groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b")).limit(1).head()
+    (row.getString(0), row.getString(1))
+  }
+
+  private def applyMerge(df: DataFrame, m: (String, String)): DataFrame =
+    df.withColumn("r", regexp_replace(col("r"), m._1 + SEP + m._2, m._1 + m._2))
+
+  /** The two learned merges, derived once per (session, dataset) - a
+    * trained tokenizer is a reusable artifact; [[bpeEncode]] must not pay
+    * for training again. */
+  private val mergeCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), ((String, String), (String, String))]()
+
+  private def merges(s: SparkSession, d: String): ((String, String), (String, String)) =
+    mergeCache.getOrElseUpdate((s, d), {
+      val r0 = wordRepr(s, d)
+      val m1 = bestMerge(r0)
+      val m2 = bestMerge(applyMerge(r0, m1))
+      (m1, m2)
+    })
+
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
-    val SEP = "\u001f"
-    def repr0 = Tables.fanout(s, Tables.documents(s, d))
-      .select(explode(split(regexp_replace(lower(col("text")), "[^a-z ]", ""), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + SEP), SEP).as("r"))
-    def pairs(df: DataFrame): DataFrame = df
-      .select(split(col("r"), SEP).as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("ts"), expr("explode(sequence(1, size(ts) - 1))").as("i"))
-      .select(expr("element_at(ts, i)").as("a"), expr("element_at(ts, i + 1)").as("b"))
-    def bestMerge(df: DataFrame): (String, String) = {
-      val row = pairs(df).groupBy("a", "b").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("a"), col("b")).limit(1).head()
-      (row.getString(0), row.getString(1))
-    }
-    def applyMerge(df: DataFrame, m: (String, String)): DataFrame =
-      df.select(regexp_replace(col("r"), m._1 + SEP + m._2, m._1 + m._2).as("r"))
-    val r1 = applyMerge(repr0, bestMerge(repr0))
-    val r2 = applyMerge(r1, bestMerge(r1))
-    r2.select(explode(split(col("r"), SEP)).as("tok"))
+    val (m1, m2) = merges(s, d)
+    applyMerge(applyMerge(wordRepr(s, d), m1), m2)
+      .select(explode(split(col("r"), SEP)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("tok"))
       .limit(30)
@@ -230,6 +261,60 @@ r2 AS (
 SELECT tok, count(*) AS n
 FROM (SELECT unnest(string_split(r, chr(31))) AS tok FROM r2)
 GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""
+
+  // ------------------------------------------------------------- BPE encode
+
+  /** Apply the tokenizer [[bpeTrain]] learns: re-derive the two merge
+    * rounds (the argmaxes are deterministic), encode every document with
+    * them, and report per-document token counts before/after plus the
+    * compression in ppm — the train→apply loop of a real tokenizer
+    * pipeline. Scale shape: identical to training (narrow regexp maps)
+    * with doc_id carried through; the per-doc reduce is one hash-agg. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (m1, m2) = merges(s, d)
+    val r2 = applyMerge(applyMerge(wordRepr(s, d), m1), m2)
+    r2.select(col("doc_id"),
+        size(split(col("r"), SEP)).cast("long").as("toks"),
+        length(regexp_replace(col("r"), SEP, "")).cast("long").as("chars"))
+      .groupBy("doc_id")
+      .agg(sum("chars").as("n_char_tokens"),
+        sum("toks").as("n_bpe_tokens"))
+      .withColumn("saved_ppm",
+        expr("(n_char_tokens - n_bpe_tokens) * 1000000L div n_char_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeOracle: String = """
+WITH w0 AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS w
+  FROM documents),
+r0 AS (
+  SELECT doc_id, rtrim(regexp_replace(w, '(.)', '\1' || chr(31), 'g'), chr(31)) AS r
+  FROM w0 WHERE len(w) >= 2),
+p1 AS (
+  SELECT ts[CAST(u.i AS INT)] AS a, ts[CAST(u.i AS INT) + 1] AS b
+  FROM (SELECT string_split(r, chr(31)) AS ts FROM r0) t, UNNEST(range(1, len(ts))) AS u(i)),
+m1 AS (SELECT a, b FROM p1 GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1),
+r1 AS (
+  SELECT doc_id, regexp_replace(r, (SELECT a || chr(31) || b FROM m1),
+                        (SELECT a || b FROM m1), 'g') AS r FROM r0),
+p2 AS (
+  SELECT ts[CAST(u.i AS INT)] AS a, ts[CAST(u.i AS INT) + 1] AS b
+  FROM (SELECT string_split(r, chr(31)) AS ts FROM r1) t, UNNEST(range(1, len(ts))) AS u(i)),
+m2 AS (SELECT a, b FROM p2 GROUP BY a, b ORDER BY count(*) DESC, a, b LIMIT 1),
+r2 AS (
+  SELECT doc_id, regexp_replace(r, (SELECT a || chr(31) || b FROM m2),
+                        (SELECT a || b FROM m2), 'g') AS r FROM r1),
+enc AS (
+  SELECT doc_id,
+         CAST(len(string_split(r, chr(31))) AS BIGINT) AS toks,
+         CAST(len(replace(r, chr(31), '')) AS BIGINT) AS chars
+  FROM r2)
+SELECT doc_id, CAST(sum(chars) AS BIGINT) AS n_char_tokens,
+       CAST(sum(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST((sum(chars) - sum(toks)) * 1000000 // sum(chars) AS BIGINT) AS saved_ppm
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
 
   // ---------------------------------------------------------- bigram LM score
 
@@ -371,7 +456,8 @@ ORDER BY n_occur DESC, tok"""
     "heavy_hitters"     -> (heavyHitters _),
     "span_dedup"        -> (spanDedup _),
     "lm_score"          -> (lmScore _),
-    "bpe_train"         -> (bpeTrain _)
+    "bpe_train"         -> (bpeTrain _),
+    "bpe_encode"        -> (bpeEncode _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -382,6 +468,7 @@ ORDER BY n_occur DESC, tok"""
     "heavy_hitters"     -> heavyHittersOracle,
     "span_dedup"        -> spanDedupOracle,
     "lm_score"          -> lmScoreOracle,
-    "bpe_train"         -> bpeTrainOracle
+    "bpe_train"         -> bpeTrainOracle,
+    "bpe_encode"        -> bpeEncodeOracle
   )
 }

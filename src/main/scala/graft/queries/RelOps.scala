@@ -323,6 +323,41 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  /** NULL-semantics corner suite: a planted NULL-bearing key (nullif)
+    * grouped — NULL forms its own group — with count(*) vs count(col)
+    * skipping, null-skipping sums, and a NULL-SAFE self-equality probe
+    * (Spark `<=>` ≡ DuckDB `IS NOT DISTINCT FROM`: the NULL group matches
+    * itself exactly once, where `=` would match nothing). These are the
+    * semantics every outer-join/cleanup pipeline silently leans on. */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val g = c.groupBy("seg").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("seg")).as("n_nonnull"),
+      sum("cents").as("cents"))
+    val probe = g.select(col("seg").as("seg2"))
+    g.join(probe, col("seg") <=> col("seg2"))
+      .groupBy("seg", "n_rows", "n_nonnull", "cents")
+      .agg(count(lit(1)).as("n_nullsafe_matches"))
+      .orderBy(asc_nulls_first("seg"))
+  }
+
+  val nullSemanticsOracle: String = """
+WITH c AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+g AS (
+  SELECT seg, count(*) AS n_rows, count(seg) AS n_nonnull,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM c GROUP BY seg)
+SELECT g.seg, g.n_rows, g.n_nonnull, g.cents,
+       (SELECT count(*) FROM g g2
+        WHERE g2.seg IS NOT DISTINCT FROM g.seg) AS n_nullsafe_matches
+FROM g ORDER BY seg NULLS FIRST"""
+
   /** §2.7-ABSENT extension: INTERSECT — customers active in BOTH 1995H1
     * and 1996H1 (completes the set-op family with union/except). */
   def intersectRepeatCustomers(s: SparkSession, d: String): DataFrame = {
@@ -485,6 +520,7 @@ ORDER BY o_orderpriority, status"""
     "stringagg_per_nation"  -> (stringAggPerNation _),
     "rollup_sales"          -> (rollupSales _),
     "rollup_grouping_id"    -> (rollupGroupingId _),
+    "null_semantics"        -> (nullSemantics _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
     "window_analytics"      -> (windowAnalytics _),
@@ -563,6 +599,7 @@ FROM (SELECT CAST(year(o_orderdate) AS INT) AS year_val,
 GROUP BY ROLLUP (year_val, quarter_val)
 ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
     "rollup_grouping_id" -> rollupGroupingIdOracle,
+    "null_semantics" -> nullSemanticsOracle,
     "cube_sales" -> """
 SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
        count(*) AS n_orders
