@@ -108,6 +108,53 @@ GROUP BY event_type ORDER BY event_type"""
   val csvRoundtripOracle: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  // ----------------------------------------------- dynamic partition pruning
+
+  // one materialized lake per (session, dataset): dpp_star_scan reads the
+  // PUBLISHED fact (partition pruning only exists against storage), and
+  // re-running the whole ETL per query would time the write, not the scan
+  private val lakeCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private def ensureLake(s: SparkSession, d: String): String =
+    lakeCache.getOrElseUpdate((s, d), {
+      val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
+      Medallion.writeAll(s, d, lake)
+      lake
+    })
+
+  /** Dynamic partition pruning against the year-partitioned gold fact: the
+    * date-dim filter (a calendar range) is only known to restrict
+    * `sale_year` at RUNTIME — Catalyst inserts a dynamicpruning subquery on
+    * the fact's partition column, so the scan lists ONLY the matching year
+    * directories (reusing the broadcast it builds for the join). At 100 TB
+    * this is the difference between reading one year and the whole fact;
+    * the plan shape is asserted in StatOpsSpec, the answer here. */
+  def dppStarScan(s: SparkSession, d: String): DataFrame = {
+    val lake = ensureLake(s, d)
+    val fact = graft.util.AtomicTable.read(s, s"$lake/gold/fact_sales")
+    val years = graft.util.AtomicTable.read(s, s"$lake/gold/dim_date")
+      .filter(col("full_date") >= to_date(lit("1995-02-01")) &&
+        col("full_date") <= to_date(lit("1995-11-30")))
+      .select(col("year_val").as("y")).distinct()
+    fact.join(years, col("sale_year") === col("y"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(price * 100) AS BIGINT)")).as("cents"))
+  }
+
+  val dppStarScanOracle: String = Analytics.ctes + """,
+cal AS (
+  SELECT unnest(generate_series(
+    (SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+    INTERVAL 1 DAY)) AS d),
+years AS (
+  SELECT DISTINCT CAST(year(d) AS INT) AS y FROM cal
+  WHERE d BETWEEN DATE '1995-02-01' AND DATE '1995-11-30')
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM fact_sales WHERE date_sk // 10000 IN (SELECT y FROM years)"""
+
   // ---------------------------------------------------- replica verification
 
   /** Merkle-style replica diff: verify two copies of a table by comparing
@@ -189,7 +236,8 @@ ORDER BY bucket"""
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "json_extract_props"       -> (jsonExtract _),
     "csv_roundtrip"            -> (csvRoundtrip _),
-    "table_diff_buckets"       -> (tableDiffBuckets _)
+    "table_diff_buckets"       -> (tableDiffBuckets _),
+    "dpp_star_scan"            -> (dppStarScan _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -197,6 +245,7 @@ ORDER BY bucket"""
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "json_extract_props"       -> jsonExtractOracle,
     "csv_roundtrip"            -> csvRoundtripOracle,
-    "table_diff_buckets"       -> tableDiffBucketsOracle
+    "table_diff_buckets"       -> tableDiffBucketsOracle,
+    "dpp_star_scan"            -> dppStarScanOracle
   )
 }

@@ -221,6 +221,26 @@ class StatOpsSpec extends AnyFunSuite {
     r.values.foreach { case (checked, _) => assert(checked == n) }
   }
 
+  test("dpp star scan: fact partitions are pruned by a dynamic subquery") {
+    import graft.queries.PipelineOps
+    val df = PipelineOps.dppStarScan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the partitioned fact scan must carry a dynamicpruning expression on
+    // sale_year — NOT read all year directories statically
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in plan:\n${plan.take(2000)}")
+    // and the answer must equal the statically-filtered computation
+    val viaStatic = {
+      val fact = graft.pipeline.Medallion.factSales(spark, sf)
+      fact.filter((col("date_sk") / 10000).cast("int") === 1995)
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(price * 100) AS BIGINT)")).as("c")).head()
+    }
+    val got = df.head()
+    assert(got.getLong(0) == viaStatic.getLong(0))
+    assert(got.getLong(1) == viaStatic.getLong(1))
+  }
+
   test("table diff buckets: mismatch set is exactly the planted-drift buckets") {
     import graft.queries.PipelineOps
     val r = PipelineOps.tableDiffBuckets(spark, sf).cache()
