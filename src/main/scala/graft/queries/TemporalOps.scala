@@ -303,18 +303,17 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
     * running max depends on tie order among equal starts, but the SUM is
     * invariant under any tie permutation (the sweep identity), so the
     * hash-checked output is deterministic. */
-  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
-    val iv = Tables.orders(s, d).select(
-      col("o_orderpriority").as("prio"),
-      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("st"),
-      (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
-        + lit(5L) + col("o_orderkey") % 20L).as("en"))
+  /** The binned-sweep core over any (prio, st, en) interval frame —
+    * half-open [st, en), bin width `binW`. The result is invariant in
+    * `binW` (clipping makes per-bin unions disjoint), which the property
+    * suite exercises with random intervals across several widths. */
+  private[graft] def coverage(iv: DataFrame, binW: Long): DataFrame = {
     val seg = iv
       .select(col("prio"), col("st"), col("en"),
-        expr("explode(sequence(st div 32, (en - 1) div 32))").as("b"))
+        expr(s"explode(sequence(st div $binW, (en - 1) div $binW))").as("b"))
       .select(col("prio"), col("b"),
-        greatest(col("st"), col("b") * 32).as("cst"),
-        least(col("en"), (col("b") + 1) * 32).as("cen"))
+        greatest(col("st"), col("b") * binW).as("cst"),
+        least(col("en"), (col("b") + 1) * binW).as("cen"))
     val w = Window.partitionBy("prio", "b").orderBy("cst")
       .rowsBetween(Window.unboundedPreceding, -1)
     seg.withColumn("pm", max("cen").over(w))
@@ -324,6 +323,13 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
       .agg(sum("contrib").as("covered_days"), count(lit(1)).as("n_segments"))
       .orderBy("prio")
   }
+
+  def intervalCoverage(s: SparkSession, d: String): DataFrame =
+    coverage(Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("st"),
+      (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        + lit(5L) + col("o_orderkey") % 20L).as("en")), 32L)
 
   val intervalCoverageOracle: String = """
 WITH iv AS (

@@ -43,6 +43,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval coverage is bin-width invariant and equals brute force (15 trials)") {
+    import spark.implicits._
+    (1 to 15).foreach { trial =>
+      val n = 1 + rng.nextInt(60)
+      val iv = (0 until n).map { _ =>
+        val prio = s"g${rng.nextInt(3)}"
+        val st = rng.nextInt(200).toLong
+        (prio, st, st + 1 + rng.nextInt(40)) // half-open, non-empty
+      }
+      val df = iv.toDF("prio", "st", "en")
+      // brute force: distinct covered integer points per group
+      val brute = iv.groupBy(_._1).map { case (p, rows) =>
+        p -> rows.flatMap { case (_, s, e) => s until e }.toSet.size.toLong
+      }
+      Seq(1L, 7L, 32L, 1000L).foreach { binW =>
+        val got = graft.queries.TemporalOps.coverage(df, binW)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == brute,
+          s"trial $trial binW=$binW: got $got expected $brute")
+      }
+    }
+  }
+
   test("asofJoin matches a brute-force reference on random inputs (50 trials)") {
     import spark.implicits._
     (1 to 50).foreach { trial =>
