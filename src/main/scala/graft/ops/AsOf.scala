@@ -44,7 +44,7 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
     leftTs: String, rightTs: String, rightOrd: String,
-    carry: Seq[String]): DataFrame = {
+    carry: Seq[String], forward: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
@@ -61,8 +61,18 @@ object AsOf {
         carry.map(c => lit(null).cast(rightSchema(c).dataType).as(c)) ++:
         leftCols.filterNot(_ == key).map(col)): _*)
 
-    val w = Window.partitionBy("__key")
-      .orderBy("__ts", "__rtag", "__ord")
+    // backward (default): ascending scan — the last right row seen at a
+    // left row is the latest one with ts <= left ts (ties: largest ord).
+    // forward: DESCENDING scan — the last right row seen is the EARLIEST
+    // one with ts >= left ts (right still sorts before left at equal ts so
+    // simultaneous rows match; ties resolved to the smallest ord by
+    // scanning ord descending). Same single shuffle either way.
+    val w = (if (forward)
+      Window.partitionBy("__key")
+        .orderBy(col("__ts").desc, col("__rtag").asc, col("__ord").desc)
+    else
+      Window.partitionBy("__key")
+        .orderBy(col("__ts").asc, col("__rtag").asc, col("__ord").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // ONE ignore-nulls window over a struct of all carry columns: per-column
@@ -127,6 +137,54 @@ SELECT purchase_id, user_id, ts AS purchase_ts,
 FROM w WHERE rtag = 1
 ORDER BY purchase_id"""
 
+  /** FORWARD as-of: attach to each 'view' the user's NEXT 'purchase' at or
+    * after it (ties → smallest purchase_id) — the attribution direction
+    * ("which purchase did this view lead to"), symmetric to the backward
+    * feature-lookup direction of [[asofEvents]]. Same one-shuffle
+    * union + window machinery, scanned descending. */
+  def asofEventsForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    asofJoin(views, purchases, key = "user_id",
+      leftTs = "view_ts", rightTs = "purchase_ts", rightOrd = "purchase_id",
+      carry = Seq("purchase_id", "purchase_ts"), forward = true)
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lead_us"))
+      .orderBy("view_id")
+  }
+
+  val asofEventsForwardOracle: String = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+      WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, purchase_ts AS ts, 0 AS rtag, purchase_id AS ord,
+         purchase_id, purchase_ts, CAST(NULL AS BIGINT) AS view_id
+  FROM p
+  UNION ALL
+  SELECT user_id, view_ts, 1, 0,
+         NULL, NULL, view_id
+  FROM v),
+w AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER win AS m_purchase_id,
+         last_value(purchase_ts IGNORE NULLS) OVER win AS m_purchase_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, rtag ASC, ord DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT view_id, user_id, ts AS view_ts,
+       m_purchase_id AS purchase_id, m_purchase_ts AS purchase_ts,
+       epoch_us(m_purchase_ts) - epoch_us(ts) AS lead_us
+FROM w WHERE rtag = 1
+ORDER BY view_id"""
+
   /** As-of join with a STALENESS TOLERANCE — the feature-store variant:
     * a feature snapshot older than `toleranceUs` at example time is as
     * good as missing (stale features poison training), so matches beyond
@@ -155,11 +213,13 @@ FROM base ORDER BY purchase_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join_events"    -> (asofEvents _),
-    "asof_join_tolerance" -> ((s: SparkSession, d: String) => asofEventsTolerance(s, d))
+    "asof_join_tolerance" -> ((s: SparkSession, d: String) => asofEventsTolerance(s, d)),
+    "asof_join_forward"   -> (asofEventsForward _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "asof_join_events"    -> asofEventsOracle,
-    "asof_join_tolerance" -> asofToleranceOracle()
+    "asof_join_tolerance" -> asofToleranceOracle(),
+    "asof_join_forward"   -> asofEventsForwardOracle
   )
 }

@@ -20,6 +20,31 @@ class AsOfSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("forward asof: next purchase at-or-after, brute-force equal") {
+    val r = AsOf.asofEventsForward(spark, sf).cache()
+    // point-in-time in the forward direction: never a PAST purchase
+    assert(r.filter(col("lead_us") < 0).count() == 0)
+    // left-outer on views
+    val totalViews = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(r.count() == totalViews)
+    // brute force: min purchase_ts >= view_ts per (user, view), tie ->
+    // smallest purchase_id
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val brute = v.join(p, col("vu") === col("pu") && col("pts") >= col("vts"), "left")
+      .groupBy("vid")
+      .agg(min(struct(col("pts"), col("pid"))).as("best"))
+      .select(col("vid"), col("best.pid").as("expect_pid"))
+    val bad = r.join(brute, r("view_id") === brute("vid"))
+      .filter(!(col("purchase_id") <=> col("expect_pid")))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
   test("generic asofJoin picks the latest tie by rightOrd and stays left-outer") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
