@@ -214,6 +214,32 @@ SELECT vec_id,
        round(v[1:4][4], 6) AS fourth_val
 FROM e ORDER BY vec_id"""
 
+  /** Higher-order array lambdas — filter / exists / forall (the family
+    * [[arrayOps]]' positional functions don't touch). Note these are
+    * CodegenFallback in Spark (NOTES.md's interpreted-HOF trap), fine for
+    * semantics coverage on bounded arrays but kept OUT of hot paths —
+    * the custom [[graft.functions.ArrayDot]] exists precisely because of
+    * this. Threshold comparisons act on identical parquet doubles, so the
+    * booleans/counts are engine-exact. */
+  def arrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        expr("CAST(size(filter(v, x -> x > 0.0d)) AS BIGINT)").as("n_pos"),
+        expr("CAST(size(filter(v, x -> x < 0.0d)) AS BIGINT)").as("n_neg"),
+        expr("exists(v, x -> x > 0.4d)").as("has_large"),
+        expr("forall(v, x -> abs(x) <= 1.0d)").as("bounded"))
+      .orderBy("vec_id")
+
+  val arrayHofOracle: String = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0.0)) AS BIGINT) AS n_pos,
+       CAST(len(list_filter(v, x -> x < 0.0)) AS BIGINT) AS n_neg,
+       len(list_filter(v, x -> x > 0.4)) > 0 AS has_large,
+       len(list_filter(v, x -> abs(x) > 1.0)) = 0 AS bounded
+FROM e ORDER BY vec_id"""
+
   /** Vector math with BUILT-INS only — `zip_with` for the elementwise
     * product, `aggregate` for the fold — the no-custom-Expression way to
     * do dot products (the codegen'd `ArrayDot` in GraftFunctions is the
@@ -360,6 +386,7 @@ FROM sw GROUP BY prio ORDER BY prio"""
     "range_join_islands"  -> (rangeJoinIslands _),
     "embedding_centroids" -> (embeddingCentroids _),
     "array_ops"           -> (arrayOps _),
+    "array_hof"           -> (arrayHof _),
     "vector_math"         -> (vectorMath _),
     "interval_coverage"   -> (intervalCoverage _)
   )
@@ -371,6 +398,7 @@ FROM sw GROUP BY prio ORDER BY prio"""
     "range_join_islands"  -> rangeJoinIslandsOracle,
     "embedding_centroids" -> embeddingCentroidsOracle,
     "array_ops"           -> arrayOpsOracle,
+    "array_hof"           -> arrayHofOracle,
     "vector_math"         -> vectorMathOracle,
     "interval_coverage"   -> intervalCoverageOracle
   )
