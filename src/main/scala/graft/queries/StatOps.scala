@@ -125,6 +125,44 @@ SELECT e.event_type, count(*) AS n,
 FROM events e JOIN st USING (event_type)
 GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------- MAD
+
+  /** Median absolute deviation per event type — the ROBUST spread measure
+    * ([[outlierZscore]]'s stddev is inflated by the very outliers it
+    * screens; MAD is not). Exact and engine-neutral because
+    * percentile_disc picks actual data values (no interpolation): pass 1
+    * takes the per-type median, pass 2 the median of absolute deviations
+    * from it. Scale shape: two hash-aggs with the types-sized median frame
+    * broadcast between them — same two-pass join-back as the z-score
+    * screen, no window over the data. */
+  def robustMad(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_type", "value")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    e.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("ad"))
+      .groupBy("event_type", "med")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").as("mad"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val robustMadOracle: String = """
+WITH med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type))
+SELECT event_type, round(med, 6) AS med,
+       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad), 6) AS mad,
+       count(*) AS n
+FROM dev GROUP BY event_type, med ORDER BY event_type"""
+
   // --------------------------------------------------- embedding covariance
 
   /** Upper triangle of the corpus Gram matrix G[i][j] = Σ_rows q_i·q_j over
@@ -164,6 +202,7 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
     "window_range_frame"   -> (windowRangeFrame _),
     "ntile_deciles"        -> (ntileDeciles _),
     "outlier_zscore"       -> (outlierZscore _),
+    "robust_mad"           -> (robustMad _),
     "embedding_covariance" -> (embeddingCovariance _)
   )
 
@@ -171,6 +210,7 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
     "window_range_frame"   -> windowRangeFrameOracle,
     "ntile_deciles"        -> ntileDecilesOracle,
     "outlier_zscore"       -> outlierZscoreOracle,
+    "robust_mad"           -> robustMadOracle,
     "embedding_covariance" -> embeddingCovarianceOracle
   )
 }
