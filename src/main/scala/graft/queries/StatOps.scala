@@ -125,6 +125,34 @@ SELECT e.event_type, count(*) AS n,
 FROM events e JOIN st USING (event_type)
 GROUP BY 1 ORDER BY 1"""
 
+  // ----------------------------------------------------------- forward fill
+
+  /** Last-observation-carried-forward: every event carries the user's most
+    * recent purchase value (NULL until their first purchase) — the
+    * sensor-gap / sparse-feature fill every time-series pipeline needs.
+    * One ignore-nulls window over a (partition, time, tiebreak) order:
+    * a single shuffle on user_id, linear per-partition scan; the same
+    * machinery [[graft.ops.AsOf]] builds its point-in-time join from. */
+  def forwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase_value",
+        round(last(col("pv"), ignoreNulls = true).over(w), 6))
+      .select("event_id", "user_id", "event_type", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
+  val forwardFillOracle: String = """
+SELECT event_id, user_id, event_type,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS last_purchase_value
+FROM events ORDER BY event_id"""
+
   // --------------------------------------------------------------- MAD
 
   /** Median absolute deviation per event type — the ROBUST spread measure
@@ -203,6 +231,7 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
     "ntile_deciles"        -> (ntileDeciles _),
     "outlier_zscore"       -> (outlierZscore _),
     "robust_mad"           -> (robustMad _),
+    "forward_fill"         -> (forwardFill _),
     "embedding_covariance" -> (embeddingCovariance _)
   )
 
@@ -211,6 +240,7 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
     "ntile_deciles"        -> ntileDecilesOracle,
     "outlier_zscore"       -> outlierZscoreOracle,
     "robust_mad"           -> robustMadOracle,
+    "forward_fill"         -> forwardFillOracle,
     "embedding_covariance" -> embeddingCovarianceOracle
   )
 }
