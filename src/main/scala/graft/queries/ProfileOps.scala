@@ -166,6 +166,37 @@ SELECT count(*) AS n_keys,
        CAST(max(sz) * 1000000 * count(*) // sum(sz) AS BIGINT) AS skew_ratio_ppm
 FROM s"""
 
+  // ------------------------------------------------------- observed metrics
+
+  /** Observability as a first-class operator (SURVEY.md §2.4 A6 — the
+    * reference instruments frames with memory_usage; the Spark-native form
+    * is `Dataset.observe`): a CollectMetrics node rides ON the scan and
+    * accumulates named aggregates as the data flows — zero extra passes,
+    * which at 100 TB is the entire point (a separate metrics query would
+    * re-read the table). The observed values are then republished as the
+    * query result, so the DuckDB oracle hash-checks the instrumentation
+    * itself, not just a spec bound. */
+  def observedScan(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val df = Tables.lineitem(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+      count(col("l_shipdate")).as("n_shipdate"))
+    df.foreach(_ => ()) // one full pass; metrics accumulate alongside it
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("cents").asInstanceOf[Long],
+      m("n_shipdate").asInstanceOf[Long]))
+      .toDF("n_rows", "cents", "n_shipdate")
+  }
+
+  val observedScanOracle: String = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       count(l_shipdate) AS n_shipdate
+FROM lineitem"""
+
   // -------------------------------------------------------- data quality
 
   /** Declarative data-quality expectations over the fact table (the
@@ -261,7 +292,8 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
     "text_top_bigrams" -> (topBigrams _),
     "pmi_bigrams" -> ((s: SparkSession, d: String) => pmiBigrams(s, d)),
     "ngram_udtf" -> (ngramUdtf _),
-    "dq_checks" -> (dqChecks _)
+    "dq_checks" -> (dqChecks _),
+    "observed_scan" -> (observedScan _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +302,7 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
     "text_top_bigrams" -> topBigramsOracle,
     "pmi_bigrams" -> pmiBigramsOracle,
     "ngram_udtf" -> ngramUdtfOracle,
-    "dq_checks" -> dqChecksOracle
+    "dq_checks" -> dqChecksOracle,
+    "observed_scan" -> observedScanOracle
   )
 }
