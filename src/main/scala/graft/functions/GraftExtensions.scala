@@ -19,6 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGriesAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordNgrams(exprs.head, exprs(1))))
     // declarative HOF dot products get the fused codegen kernel for free
     e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
     // whole-operator extension: broadcast interval join (logical node +

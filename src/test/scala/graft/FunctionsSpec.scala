@@ -48,9 +48,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<double>"))
   }
 
-  test("GraftExtensions injects array_dot into a SparkSessionExtensions instance") {
+  test("GraftExtensions injects all three functions into a SparkSessionExtensions instance") {
     // structural: the injection itself must not throw (a second in-JVM
-    // SparkContext can't be built to exercise the full builder path here)
+    // SparkContext can't be built to exercise the full builder path here);
+    // array_dot, misra_gries, AND word_ngrams must all register so a
+    // deployment via spark.sql.extensions gets the full function library
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
   }
