@@ -288,7 +288,43 @@ ranked AS (
 SELECT rnk, word, freq, round(cum * 1.0 / total, 6) AS coverage
 FROM ranked WHERE rnk <= 100 ORDER BY rnk"""
 
+  // ------------------------------------------------- temperature weighting
+
+  /** Temperature-scaled source-mixing weights (the Pile/ROOTS balancing
+    * rule at T=2, i.e. weights ∝ √count): big sources are down-weighted,
+    * small ones surface. Arithmetic kept exact: each source's √count is
+    * floored to integer micro-units FIRST, then the normalization is pure
+    * BIGINT division — no cross-engine float summation order anywhere
+    * (a raw sum of doubles over groups is shuffle-order-dependent).
+    * upsample_x1000 = how much the source's share grows vs proportional
+    * sampling. Scale shape: one hash-agg to a sources-sized frame; the
+    * normalizing total is a 1-row cross join. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("q", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val tot = bySrc.agg(sum("q").as("qt"), sum("n_docs").as("nt"))
+    bySrc.crossJoin(tot)
+      .select(col("source"), col("n_docs"),
+        expr("q * 1000000L div qt").as("weight_ppm"),
+        expr("(q * 1000000L div qt) * 1000L div (n_docs * 1000000L div nt)").as("upsample_x1000"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureOracle: String = """
+WITH b AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(q) AS BIGINT) AS qt, CAST(sum(n_docs) AS BIGINT) AS nt FROM b)
+SELECT source, n_docs,
+       CAST(q * 1000000 // qt AS BIGINT) AS weight_ppm,
+       CAST((q * 1000000 // qt) * 1000 // (n_docs * 1000000 // nt) AS BIGINT) AS upsample_x1000
+FROM b, t ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_temperature"      -> (mixTemperature _),
     "text_repetition"      -> (repetition _),
     "contamination_ngrams" -> (contamination _),
     "mix_sample"           -> (mixSample _),
@@ -298,6 +334,7 @@ FROM ranked WHERE rnk <= 100 ORDER BY rnk"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mix_temperature"      -> mixTemperatureOracle,
     "text_repetition"      -> repetitionOracle,
     "contamination_ngrams" -> contaminationOracle,
     "mix_sample"           -> mixSampleOracle,
