@@ -323,6 +323,26 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
+  /** Keyset-free pagination: page 3 (rows 21-30) of the price-ranked part
+    * catalog via offset+limit over a total order. Spark plans this as a
+    * global sort with the offset folded into the limit (rows 1-20 are
+    * discarded at the take, not scanned twice). Note for 100 TB: deep
+    * OFFSET degrades linearly — production pagination should switch to a
+    * keyset predicate (WHERE (price, key) > (last_seen...)), which
+    * [[scanProjectFilter]]-style pushdown serves; this query covers the
+    * API semantics. */
+  def paginatedTopk(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .orderBy(desc("cents"), col("p_partkey"))
+      .offset(20)
+      .limit(10)
+
+  val paginatedTopkOracle: String = """
+SELECT p_partkey, p_name, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+FROM part ORDER BY cents DESC, p_partkey LIMIT 10 OFFSET 20"""
+
   /** NULL-semantics corner suite: a planted NULL-bearing key (nullif)
     * grouped — NULL forms its own group — with count(*) vs count(col)
     * skipping, null-skipping sums, and a NULL-SAFE self-equality probe
@@ -521,6 +541,7 @@ ORDER BY o_orderpriority, status"""
     "rollup_sales"          -> (rollupSales _),
     "rollup_grouping_id"    -> (rollupGroupingId _),
     "null_semantics"        -> (nullSemantics _),
+    "paginated_topk"        -> (paginatedTopk _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
     "window_analytics"      -> (windowAnalytics _),
@@ -600,6 +621,7 @@ GROUP BY ROLLUP (year_val, quarter_val)
 ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
     "rollup_grouping_id" -> rollupGroupingIdOracle,
     "null_semantics" -> nullSemanticsOracle,
+    "paginated_topk" -> paginatedTopkOracle,
     "cube_sales" -> """
 SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
        count(*) AS n_orders
