@@ -221,6 +221,35 @@ class StatOpsSpec extends AnyFunSuite {
     r.values.foreach { case (checked, _) => assert(checked == n) }
   }
 
+  test("rolling active users equals a brute-force trailing-window count") {
+    import graft.queries.BehaviorOps
+    val r = BehaviorOps.rollingActiveUsers(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+        col("user_id").as("u")).distinct().cache()
+    // brute force: for each output day D, distinct users active in [D-6, D]
+    val days = r.select(col("day")).distinct()
+    val brute = days.join(ev, col("d").between(col("day") - 6, col("day")))
+      .groupBy("day").agg(countDistinct("u").as("expect"))
+    assert(r.join(brute, "day").filter(col("wau") =!= col("expect")).count() == 0)
+    // the WAU curve is bounded by total distinct users
+    val totalUsers = ev.select("u").distinct().count()
+    assert(r.agg(max("wau")).head().getLong(0) <= totalUsers)
+    ev.unpersist(); r.unpersist()
+  }
+
+  test("preagg join: the aggregate sits BELOW the orders join in the plan") {
+    import graft.queries.ScaleOps
+    val df = ScaleOps.preaggJoin(spark, sf)
+    // the per-order aggregate is the only one keyed by l_orderkey — its
+    // presence plus a join proves the aggregation runs BEFORE the join
+    // (AQE wraps the tree, so assert on the rendered plan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"no join in plan:\n${plan.take(1500)}")
+    assert("HashAggregate\\(keys=\\[l_orderkey".r.findFirstIn(plan).isDefined,
+      s"no pre-join per-order aggregate found:\n${plan.take(1500)}")
+  }
+
   test("dpp star scan: fact partitions are pruned by a dynamic subquery") {
     import graft.queries.PipelineOps
     val df = PipelineOps.dppStarScan(spark, sf)
