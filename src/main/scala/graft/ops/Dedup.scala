@@ -291,52 +291,105 @@ ORDER BY doc_a, doc_b"""
   // ---- duplicate clustering (pairs → connected components) ----
 
   /** Collapse near-dup PAIRS into duplicate CLUSTERS via distributed
-    * min-label propagation (the keep-one-per-cluster step of corpus
-    * dedup): every doc in a connected component maps to the component's
-    * smallest doc_id. Iterative join until fixpoint — each round is one
-    * shuffle of (node, label) against the edge list; converges in
-    * O(component diameter) rounds (near-dup components are tiny and
-    * star-like, so 2-4 rounds in practice; localCheckpoint per round keeps
-    * the lineage flat). Docs not in any pair are their own cluster and are
-    * omitted, matching the oracle's recursive closure over the pair list. */
+    * connected components (the keep-one-per-cluster step of corpus dedup):
+    * every doc in a connected component maps to the component's smallest
+    * doc_id. Uses the alternating large-star/small-star algorithm (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * rounds are O(log n) and DIAMETER-INDEPENDENT, unlike plain min-label
+    * propagation whose round count tracks the longest chain in the graph
+    * (the round-4 implementation capped out at diameter 50). Each round is
+    * two groupBy-join passes over the shrinking edge list, reliably
+    * `checkpoint()`ed (HDFS-durable in production — a lost executor replays
+    * from the checkpoint file, not from a 2k-round lineage; r4 used
+    * executor-local localCheckpoint, which dies with the executor). Docs
+    * not in any pair are their own cluster and are omitted, matching the
+    * oracle's recursive closure over the pair list. */
   def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame =
     clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
 
+  /** Large-star: for every node u, hang each strictly-larger neighbor off
+    * m = min(N(u) ∪ {u}). Connectivity-preserving; output edges are
+    * (larger, smaller). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every node u, hang u and all its smaller neighbors
+    * off m = min of those neighbors. Output edges are (larger, smaller). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val c = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = c.groupBy("u").agg(min("v").as("mv"))
+    c.join(mins, "u")
+      .filter(col("v") =!= col("mv"))
+      .select(col("v").as("u"), col("mv").as("v"))
+      .unionByName(mins.select(col("u"), col("mv").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Exact signature of a (distinct) edge set — two independent 64-bit
+    * hash XOR-folds plus the count (xor never overflows under ANSI mode,
+    * unlike sum); equal signatures across a round ⇒ fixpoint (collision
+    * odds ~2⁻¹²⁸, and the result is oracle/property-gated). */
+  private def edgeSig(e: DataFrame): (Long, Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(u, v))"),
+      expr("bit_xor(xxhash64(1L, u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   /** The reusable core over any (doc_a, doc_b) pair set — also
-    * property-tested against a local union-find on random graphs
-    * (PropertySpec). */
+    * property-tested against a local union-find on random graphs including
+    * a 200-node path (diameter ≫ the old 50-round cap; PropertySpec).
+    * Converges when a full large-star+small-star round leaves the edge
+    * multiset unchanged, at which point the edges form min-rooted stars. */
   def clustersFromPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
+    val s = pairs.sparkSession
+    // reliable (filesystem) checkpoints: local tmp here; a production job
+    // points this at durable lake storage before calling
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ccomp-ckpt").toString)
+    var edges = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .checkpoint()
+    var sig = edgeSig(edges)
+    var converged = false
     var rounds = 0
-    val maxRounds = 50
-    while (changed > 0 && rounds < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("node", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("node"))
-        .agg(min("lbl").as("nlbl"))
-      // carry the previous label through the select so convergence
-      // detection needs no extra join against the old label set
-      val next = labels.join(viaNeighbor, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("node", "lbl")
+    val maxRounds = 60 // safety only: O(log n) rounds can't reach this
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).checkpoint()
+      val nsig = edgeSig(next)
+      converged = nsig == sig
+      edges = next
+      sig = nsig
       rounds += 1
     }
-    // a partially propagated labeling is WRONG, not approximate — fail
+    // a partially contracted edge set is WRONG, not approximate — fail
     // loudly instead of returning non-minimal roots
-    if (changed > 0) throw new IllegalStateException(
-      s"label propagation did not converge within $maxRounds rounds " +
-        s"($changed labels still changing) — component diameter exceeds the cap")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_root"))
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds " +
+        "large-star/small-star rounds")
+    // fixpoint edges are (node, component-min) stars; nodes that appear
+    // only as roots (or only in self-loops) label themselves
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    nodes.join(edges.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_root"))
       .orderBy("doc_id")
   }
 

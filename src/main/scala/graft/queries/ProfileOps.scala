@@ -51,21 +51,23 @@ object ProfileOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  /** Top-20 word bigrams across the document corpus. The corpus parquet is
-    * a single file at bench scale, so the scan is ONE task; without the
-    * repartition the whole explode + partial-count runs single-threaded
-    * (measured 2.5 s → 0.7 s at sf0.1 with it). At 100 TB the input is
-    * many splits and the exchange is a no-op cost-wise — but the explicit
-    * fan-out keeps the op immune to few-large-files layouts there too. */
-  def topBigrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(graft.ops.Ngrams.wordNgrams(col("text"), 2)).as("bigram"))
+  /** Top-20 word bigrams across the document corpus. Grams come from the
+    * [[graft.functions.WordNgrams]] generator (one Generate node, one
+    * tokenization, no interpreted HOF lambdas — the NOTES.md trap that cost
+    * `contamination_ngrams` 4× before its rebuild); documents shorter than
+    * 2 words yield no rows from the generator, matching the oracle's
+    * length filter. `Tables.fanout` spreads the single bench-scale parquet
+    * file across cores; at 100 TB the input is many splits and the
+    * exchange is a no-op cost-wise. */
+  def topBigrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.fanout(s, Tables.documents(s, d))
+      .select(expr("word_ngrams(text, 2)").as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
+  }
 
   val topBigramsOracle: String = """
 WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
@@ -82,18 +84,21 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
     * one fixed-association double expression (identical operand order on
     * both engines ⇒ bit-identical result) and floor-quantized ×10⁶ —
     * monotone in the classic `log` PMI, without the cross-libm `ln` ulp
-    * hazard in a hash gate. Shape at scale: two linear explodes, unigram/
+    * hazard in a hash gate. Shape at scale: two linear generates (the
+    * codegen-path [[graft.functions.WordNgrams]] UDTF for grams — NOT the
+    * interpreted-HOF build, which cost this query 7.9 s at sf0.1), unigram/
     * bigram hash aggregates (map-side partial), two vocab-sized joins, a
     * global top-k (TakeOrderedAndProject). The `n_xy ≥ 5` support floor is
     * the standard guard against PMI's low-count blow-up. */
   def pmiBigrams(s: SparkSession, d: String, k: Int = 20, minCount: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.fanout(s, Tables.documents(s, d))
     val toks = docs.select(explode(split(col("text"), " ")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("nw"))
     val nUni = toks.agg(count(lit(1)).as("n_uni"))
-    val bigramRows = docs
-      .filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(graft.ops.Ngrams.wordNgrams(col("text"), 2)).as("bigram"))
+    // generator yields no rows for sub-2-word docs — the oracle's length
+    // filter is implicit here
+    val bigramRows = docs.select(expr("word_ngrams(text, 2)").as("bigram"))
     val nBig = bigramRows.agg(count(lit(1)).as("n_big"))
     bigramRows.groupBy("bigram").agg(count(lit(1)).as("nxy"))
       .filter(col("nxy") >= minCount)
@@ -205,33 +210,42 @@ FROM lineitem"""
     * referential-integrity check against orders, and a composite-key
     * uniqueness check. The range-40 rule is deliberately tighter than the
     * data so a NON-zero violation count proves the counting path.
-    * Scale shape: the column rules share one scan (one aggregate pass
-    * each, unioned); the FK rule is a keyed left join probing the orders
-    * key set (shuffle-hash at scale — never collected); uniqueness is
-    * count vs distinct-count of the composite key. All counts, no floats. */
-  def dqChecks(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    def rule(name: String, viol: org.apache.spark.sql.Column): DataFrame =
-      li.agg(count(lit(1)).as("n_checked"),
-          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
-        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
-    val fk = li
-      .join(Tables.orders(s, d).select(col("o_orderkey")).distinct(),
-        col("l_orderkey") === col("o_orderkey"), "left")
-      .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
-      .select(lit("fk_orderkey").as("check_name"), col("n_checked"), col("n_violations"))
-    val uniq = li
-      .agg(count(lit(1)).as("n_checked"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
-      .select(lit("unique_line").as("check_name"), col("n_checked"), col("n_violations"))
-    rule("not_null_shipdate", col("l_shipdate").isNull)
-      .unionByName(rule("range_quantity_le40", col("l_quantity") < 1 || col("l_quantity") > 40))
-      .unionByName(rule("range_discount", col("l_discount") < 0 || col("l_discount") > 0.1))
-      .unionByName(fk)
-      .unionByName(uniq)
+    * Scale shape: the three column rules AND the composite-key uniqueness
+    * count are ONE combined aggregate pass — a single scan of the fact,
+    * unpivoted afterward into rule rows (the r4 plan scanned lineitem five
+    * times; at 100 TB that is five reads of a 100 TB table). The FK rule is
+    * the one remaining join, probing the orders key set (shuffle-hash at
+    * scale — never collected). All counts, no floats. */
+  def dqChecks(s: SparkSession, d: String): DataFrame =
+    dqColumnRules(s, d)
+      .unionByName(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("fk_orderkey").as("check_name"), col("n_checked"), col("n_violations")))
       .orderBy("check_name")
-  }
+
+  /** The non-join rules (3 column checks + uniqueness) as one aggregate
+    * over one scan of lineitem. The single count_distinct rides the same
+    * pass via Spark's single-distinct rewrite (keyed partial on the
+    * composite key — no Expand, unlike the multi-distinct profiler).
+    * DqPlanSpec asserts the one-scan shape. */
+  def dqColumnRules(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_null_ship"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 40, 1L).otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
+      .select(explode(array(
+        struct(lit("not_null_shipdate").as("check_name"), col("n_checked"), col("v_null_ship").as("n_violations")),
+        struct(lit("range_quantity_le40").as("check_name"), col("n_checked"), col("v_qty").as("n_violations")),
+        struct(lit("range_discount").as("check_name"), col("n_checked"), col("v_disc").as("n_violations")),
+        struct(lit("unique_line").as("check_name"), col("n_checked"), col("v_uniq").as("n_violations")))).as("r"))
+      .select("r.check_name", "r.n_checked", "r.n_violations")
 
   val dqChecksOracle: String = """
 SELECT * FROM (

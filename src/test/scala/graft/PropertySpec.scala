@@ -159,6 +159,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge on a 200-node path (diameter >> old 50-round cap)") {
+    import spark.implicits._
+    // a pure chain is the worst case for min-label propagation (rounds =
+    // diameter; the r4 implementation threw at 50) — large-star/small-star
+    // contracts it in O(log n) rounds
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = graft.ops.Dedup.clustersFromPairs(path.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L), "every node on the path joins component 0")
+    // and a forest of two chains + an isolated pair keeps components apart
+    val mixed = (100L until 150L).map(i => (i, i + 1)) ++
+      (200L until 220L).map(i => (i, i + 1)) ++ Seq((500L, 501L))
+    val got2 = graft.ops.Dedup.clustersFromPairs(mixed.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L to 150L).forall(got2(_) == 100L))
+    assert((200L to 220L).forall(got2(_) == 200L))
+    assert(got2(500L) == 500L && got2(501L) == 500L)
+  }
+
   test("scalable surrogate keys stay contiguous under random partitioning (10 trials)") {
     import spark.implicits._
     (1 to 10).foreach { _ =>

@@ -221,6 +221,20 @@ class StatOpsSpec extends AnyFunSuite {
     r.values.foreach { case (checked, _) => assert(checked == n) }
   }
 
+  test("dq checks: the column rules + uniqueness share ONE scan of the fact") {
+    import graft.queries.ProfileOps
+    // the r4 plan aggregated lineitem once per rule (5 scans); at 100 TB
+    // that is five reads of the fact — the combined pass must show exactly
+    // one lineitem scan, and the full query (rules + FK join) exactly two
+    // string form: AQE wraps the physical plan, hiding scan nodes from
+    // a tree collect until execution; toString prints the initial plan
+    def lineitemScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans(ProfileOps.dqColumnRules(spark, sf)) == 1)
+    assert(lineitemScans(ProfileOps.dqChecks(spark, sf)) == 2)
+  }
+
   test("rolling active users equals a brute-force trailing-window count") {
     import graft.queries.BehaviorOps
     val r = BehaviorOps.rollingActiveUsers(spark, sf).cache()
