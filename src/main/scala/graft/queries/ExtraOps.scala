@@ -330,9 +330,9 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     val base = s"/tmp/graft_tt/${graft.util.PathKeys.safe(d)}/nation"
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
     val nation = Tables.nation(s, d)
-    AtomicTable.publish(base, keep = 2)(dir => nation.write.parquet(dir))
+    AtomicTable.publish(base, keep = 2)(dir => nation.write.mode("overwrite").parquet(dir))
     AtomicTable.publish(base, keep = 2)(dir =>
-      nation.filter(col("n_nationkey") < 10).write.parquet(dir))
+      nation.filter(col("n_nationkey") < 10).write.mode("overwrite").parquet(dir))
     val v1 = AtomicTable.history(base).head
     AtomicTable.readVersion(s, base, v1).orderBy("n_nationkey")
   }
@@ -356,13 +356,13 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     val base = s"/tmp/graft_vdiff/${graft.util.PathKeys.safe(d)}/customer"
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
     val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-    AtomicTable.publish(base, keep = 2)(dir => cust.write.parquet(dir))
+    AtomicTable.publish(base, keep = 2)(dir => cust.write.mode("overwrite").parquet(dir))
     val v2data = cust.filter(col("c_custkey") % 11 =!= 0)
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 7 === 0, lit("UPDATED")).otherwise(col("c_mktsegment")))
       .unionByName(cust.filter(col("c_custkey") % 13 === 0)
         .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWSEG").as("c_mktsegment")))
-    AtomicTable.publish(base, keep = 2)(dir => v2data.write.parquet(dir))
+    AtomicTable.publish(base, keep = 2)(dir => v2data.write.mode("overwrite").parquet(dir))
     val versions = AtomicTable.history(base)
     val v1 = AtomicTable.readVersion(s, base, versions.head)
       .select(col("c_custkey").as("k1"), col("c_mktsegment").as("old_seg"))
@@ -409,10 +409,10 @@ ORDER BY c_custkey"""
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
     val orders = Tables.orders(s, d)
     AtomicTable.publish(base, keep = 2)(dir =>
-      orders.repartition(64).write.parquet(dir))
+      orders.repartition(64).write.mode("overwrite").parquet(dir))
     val fragmented = AtomicTable.read(s, base)
     AtomicTable.publish(base, keep = 2)(dir =>
-      fragmented.repartition(4).write.parquet(dir))
+      fragmented.repartition(4).write.mode("overwrite").parquet(dir))
     AtomicTable.read(s, base)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),

@@ -291,7 +291,7 @@ ORDER BY user_id, session_start"""
         // previous complete state readable (no delete-then-move window).
         // Restart idempotence comes from replaying the batch: the merge is
         // keyed, so re-merging the same batchId converges on the same state.
-        AtomicTable.publish(stateDir)(dir => merged.coalesce(1).write.parquet(dir))
+        AtomicTable.publish(stateDir)(dir => merged.coalesce(1).write.mode("overwrite").parquet(dir))
         ()
       }
       .start()

@@ -26,13 +26,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * window — stale versions are pruned only AFTER the pointer is live, and
   * a crash during pruning strands garbage, never the table.
   *
-  * Single-writer per table is assumed (matching the reference's
-  * truncate-and-reload batch model, etl_lakehouse.py:21-35); concurrent
-  * writers would need a lock or a CAS on the pointer. */
+  * Concurrent writers are safe (beyond the reference's single-writer
+  * truncate-and-reload batch model, etl_lakehouse.py:21-35):
+  *  - version ALLOCATION is an optimistic claim — `Files.createDirectory`
+  *    on `_v<N>` is atomic create-or-fail, and the loser retries with the
+  *    next number, so two racing publishes never write into one directory;
+  *  - the COMMIT section (pointer swap + log append + prune) is serialized
+  *    by a per-table JVM lock plus an OS file lock on `base/_LOCK`
+  *    (cross-process), so log entries cannot be lost to interleaved
+  *    read-modify-write — last committer's version wins the pointer, both
+  *    versions enter the lineage;
+  *  - pruning distinguishes PUBLISHED versions beyond the retention tail
+  *    (in the log — immutable, deleted immediately) from UNPUBLISHED dirs,
+  *    which are either crashed orphans or a concurrent writer's in-flight
+  *    claim: those are reaped only after `OrphanTtlMs` of inactivity,
+  *    exactly the VACUUM-retention-window reasoning of transactional table
+  *    formats. */
 object AtomicTable {
 
   private val Pointer = "_CURRENT"
   private val VersionRe = "_v(\\d+)".r
+
+  /** Unpublished version dirs younger than this are presumed in-flight
+    * concurrent writes and left alone by pruning (var: specs shrink it to
+    * exercise orphan reaping without waiting an hour). */
+  @volatile var OrphanTtlMs: Long = 60L * 60L * 1000L
+
+  // per-table intra-JVM commit locks (file locks alone throw
+  // OverlappingFileLockException for two threads of one JVM)
+  private val jvmLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def withCommitLock[T](root: Path)(body: => T): T = {
+    val jvmLock = jvmLocks.getOrElseUpdate(
+      root.toAbsolutePath.toString, new Object)
+    jvmLock.synchronized {
+      val ch = java.nio.channels.FileChannel.open(root.resolve("_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
+  }
 
   private def versions(root: Path): Seq[(Long, Path)] =
     if (!Files.isDirectory(root)) Seq.empty
@@ -90,37 +125,61 @@ object AtomicTable {
   }
 
   /** Atomically publish one new version of the table at `base`. `write` is
-    * handed the fresh version directory and must fully materialize it
-    * (e.g. `df.write.parquet(_)`); the version becomes visible only via
-    * the subsequent pointer swap. `keep` > 1 retains that many published
-    * versions for time travel ([[readVersion]]); older versions and
-    * crashed orphans are pruned only AFTER the new pointer is live. */
+    * handed the claimed version directory — which ALREADY EXISTS (empty;
+    * the atomic createDirectory IS the concurrent-writer claim), so
+    * writers must use overwrite mode (`df.write.mode("overwrite")
+    * .parquet(_)`) — and must fully materialize it; the version becomes
+    * visible only via the subsequent pointer swap. `keep` > 1 retains that
+    * many published versions for time travel ([[readVersion]]); aged-out
+    * published versions are pruned only AFTER the new pointer is live,
+    * unpublished dirs only after [[OrphanTtlMs]] of inactivity. */
   def publish(base: String, keep: Int = 1)(write: String => Unit): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val root = Paths.get(base)
     Files.createDirectories(root)
-    val existing = versions(root)
-    val name = s"_v${existing.map(_._1).maxOption.getOrElse(0L) + 1L}"
+    // optimistic version claim: atomic create-or-fail on the next number;
+    // a racing writer that claims it first just pushes us to number+1
+    var name: String = null
+    var n = versions(root).map(_._1).maxOption.getOrElse(0L) + 1L
+    while (name == null) {
+      try { Files.createDirectory(root.resolve(s"_v$n")); name = s"_v$n" }
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1L }
+    }
     write(base + "/" + name) // crash before the swap: pointer untouched
-    val tmp = root.resolve(Pointer + ".tmp")
-    Files.writeString(tmp, name)
-    Files.move(tmp, root.resolve(Pointer),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // lineage append — rewritten whole + atomic move (metadata only; a
-    // crash here costs time-travel history, never the live table)
-    val logPath = root.resolve(Log)
-    val prevLog = if (Files.exists(logPath)) Files.readString(logPath) else ""
-    val logTmp = root.resolve(Log + ".tmp")
-    Files.writeString(logTmp, prevLog + name + "\n")
-    Files.move(logTmp, logPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // only after the new version is live: prune everything outside the
-    // retained lineage tail — older published versions beyond `keep` AND
-    // crashed-orphan dirs (best-effort; failure strands disk, not
-    // correctness)
-    val retained = history(base).takeRight(keep).toSet
-    versions(root).filterNot(v => retained(v._2.getFileName.toString)).foreach { case (_, p) =>
-      try deleteRecursively(p) catch { case _: java.io.IOException => () }
+    withCommitLock(root) {
+      val tmp = root.resolve(Pointer + ".tmp")
+      Files.writeString(tmp, name)
+      Files.move(tmp, root.resolve(Pointer),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // lineage append — rewritten whole + atomic move under the commit
+      // lock (metadata only; a crash here costs time-travel history,
+      // never the live table)
+      val logPath = root.resolve(Log)
+      val prevLog = if (Files.exists(logPath)) Files.readString(logPath) else ""
+      val logTmp = root.resolve(Log + ".tmp")
+      Files.writeString(logTmp, prevLog + name + "\n")
+      Files.move(logTmp, logPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // only after the new version is live: prune published versions that
+      // aged out of the retention tail (in the log — immutable, never
+      // in-flight), and unpublished dirs only once older than OrphanTtlMs
+      // (they may be a concurrent writer's claim mid-write; cf. the VACUUM
+      // retention window). Best-effort; failure strands disk, not
+      // correctness.
+      val published = history(base)
+      val retained = published.takeRight(keep).toSet
+      val publishedSet = published.toSet
+      val now = System.currentTimeMillis()
+      versions(root)
+        .filterNot(v => retained(v._2.getFileName.toString))
+        .filter { case (_, p) =>
+          val vn = p.getFileName.toString
+          publishedSet(vn) ||
+            (now - Files.getLastModifiedTime(p).toMillis) > OrphanTtlMs
+        }
+        .foreach { case (_, p) =>
+          try deleteRecursively(p) catch { case _: java.io.IOException => () }
+        }
     }
   }
 

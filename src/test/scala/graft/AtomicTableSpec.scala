@@ -20,6 +20,12 @@ class AtomicTableSpec extends AnyFunSuite {
     (1 to n).toDF("x")
   }
 
+  /** Age a dir past the orphan TTL so pruning treats it as crashed, not
+    * as a concurrent writer's in-flight claim. */
+  private def backdate(p: java.nio.file.Path): Unit =
+    Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - AtomicTable.OrphanTtlMs - 60000L))
+
   test("publish then read round-trips; republish supersedes atomically") {
     val base = freshBase()
     assert(!AtomicTable.exists(base))
@@ -43,7 +49,10 @@ class AtomicTableSpec extends AnyFunSuite {
     Files.createDirectories(half)
     Files.writeString(half.resolve("part-00000.parquet"), "not parquet")
     assert(AtomicTable.read(spark, base).count() == 3, "reader must not see the crashed version")
-    // recovery: the next successful publish supersedes and prunes the orphan
+    // recovery: once past the orphan TTL (backdated here), the next
+    // successful publish supersedes and prunes the orphan — younger
+    // unpublished dirs are presumed in-flight concurrent writes
+    backdate(half)
     AtomicTable.overwrite(df(7), base)
     assert(AtomicTable.read(spark, base).count() == 7)
     assert(!Files.exists(half), "crashed orphan version must be pruned on next publish")
@@ -64,6 +73,7 @@ class AtomicTableSpec extends AnyFunSuite {
     AtomicTable.overwrite(df(2), base, keep = 2)
     // a crashed orphan must not pollute the history
     Files.createDirectories(Paths.get(base, "_v50"))
+    backdate(Paths.get(base, "_v50"))
     AtomicTable.overwrite(df(3), base, keep = 2)
     assert(AtomicTable.read(spark, base).count() == 3)
     val hist = AtomicTable.history(base)
@@ -83,6 +93,39 @@ class AtomicTableSpec extends AnyFunSuite {
     assert(held.count() == 3)
     // ...while fresh readers see the new version
     assert(AtomicTable.read(spark, base).count() == 5)
+  }
+
+  test("two concurrent publishers: distinct versions, both retained, pointer always valid") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(1), base, keep = 3)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    // the slow parquet job sits in the race window between version claim
+    // and pointer swap — both writers are in it simultaneously
+    def racer(n: Int) = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        AtomicTable.publish(base, keep = 3) { dir =>
+          df(n).write.mode("overwrite").parquet(dir)
+        }
+      }
+    })
+    val (a, b) = (racer(10), racer(20))
+    gate.countDown()
+    a.get(120, TimeUnit.SECONDS); b.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // both racers allocated distinct versions and both entered the lineage
+    val hist = AtomicTable.history(base)
+    assert(hist.size == 3, s"initial + both racing versions, got $hist")
+    assert(hist.distinct.size == 3, "racers must never share a version dir")
+    // the pointer is valid and points at one of the two racers' tables
+    assert(Set(10L, 20L).contains(AtomicTable.read(spark, base).count()))
+    // every retained version is independently readable (fully written)
+    hist.foreach { v =>
+      assert(Set(1L, 10L, 20L).contains(
+        AtomicTable.readVersion(spark, base, v).count()))
+    }
   }
 
   test("a failing writer leaves the previous version live") {
