@@ -308,7 +308,11 @@ FROM ranked WHERE rnk <= 100 ORDER BY rnk"""
     bySrc.crossJoin(tot)
       .select(col("source"), col("n_docs"),
         expr("q * 1000000L div qt").as("weight_ppm"),
-        expr("(q * 1000000L div qt) * 1000L div (n_docs * 1000000L div nt)").as("upsample_x1000"))
+        // greatest(1,·): a source under 1 ppm of the corpus floors its
+        // proportional share to 0 — Spark's div would return NULL and
+        // DuckDB's // error; the guard (mirrored in the oracle) clamps the
+        // denominator so extreme skew caps the ratio instead of diverging
+        expr("(q * 1000000L div qt) * 1000L div greatest(1L, n_docs * 1000000L div nt)").as("upsample_x1000"))
       .orderBy("source")
   }
 
@@ -320,7 +324,7 @@ WITH b AS (
 t AS (SELECT CAST(sum(q) AS BIGINT) AS qt, CAST(sum(n_docs) AS BIGINT) AS nt FROM b)
 SELECT source, n_docs,
        CAST(q * 1000000 // qt AS BIGINT) AS weight_ppm,
-       CAST((q * 1000000 // qt) * 1000 // (n_docs * 1000000 // nt) AS BIGINT) AS upsample_x1000
+       CAST((q * 1000000 // qt) * 1000 // greatest(1, n_docs * 1000000 // nt) AS BIGINT) AS upsample_x1000
 FROM b, t ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -211,8 +211,17 @@ GROUP BY content_hash ORDER BY doc_id"""
     (row.getString(0), row.getString(1))
   }
 
-  private def applyMerge(df: DataFrame, m: (String, String)): DataFrame =
+  private def applyMerge(df: DataFrame, m: (String, String)): DataFrame = {
+    // learned tokens are interpolated into a REGEX pattern — only safe
+    // because wordRepr strips to [a-z ] (no metacharacters can be
+    // learned). Assert that invariant so a future alphabet change (digits,
+    // punctuation) fails loudly here instead of silently corrupting
+    // merges; the oracle interpolates the same literal, so quoting must
+    // stay in lockstep on both sides if ever needed.
+    require((m._1 + m._2).matches("[a-z]+"),
+      s"merge tokens must stay in the [a-z] alphabet, got '${m._1}'+'${m._2}'")
     df.withColumn("r", regexp_replace(col("r"), m._1 + SEP + m._2, m._1 + m._2))
+  }
 
   /** The two learned merges, derived once per (session, dataset) - a
     * trained tokenizer is a reusable artifact; [[bpeEncode]] must not pay

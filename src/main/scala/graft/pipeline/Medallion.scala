@@ -218,6 +218,12 @@ object Medallion {
             .partitionBy("sale_year")
             .parquet(dir)
         })
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    // blocking{}: each future spends its life inside a blocking Spark
+    // action, and the global pool only holds #cores threads — without the
+    // marker a small machine serializes the tail of the 15 writes (ADVICE
+    // r4). On failure the Await rethrows; sibling publishes run to
+    // completion, which is harmless — each is independent and atomic.
+    Await.result(Future.sequence(
+      writes.map(w => Future(scala.concurrent.blocking(w())))), Duration.Inf)
   }
 }

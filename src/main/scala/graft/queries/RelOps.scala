@@ -343,6 +343,30 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 SELECT p_partkey, p_name, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
 FROM part ORDER BY cents DESC, p_partkey LIMIT 10 OFFSET 20"""
 
+  /** Keyset pagination — the 100 TB-safe companion to [[paginatedTopk]]:
+    * resume AFTER a (price, key) cursor with a predicate on the RAW
+    * columns, so it reaches the parquet scan as a pushed filter
+    * (row-group/page skipping via min-max stats) instead of sorting the
+    * world and discarding an ever-deeper prefix. In (price DESC, key ASC)
+    * order, "after (1500.00, 1000)" is `price < c OR (price = c AND key >
+    * k)` — OpsInvariantsSpec asserts the Or-predicate lands in
+    * PushedFilters. Cost is O(page) per page regardless of depth. */
+  def paginatedKeyset(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_retailprice") < 1500.0 ||
+        (col("p_retailprice") === 1500.0 && col("p_partkey") > 1000L))
+      .select(col("p_partkey"), col("p_name"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .orderBy(desc("cents"), col("p_partkey"))
+      .limit(10)
+
+  val paginatedKeysetOracle: String = """
+SELECT p_partkey, p_name, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+FROM part
+WHERE p_retailprice < CAST(1500.0 AS DOUBLE)
+   OR (p_retailprice = CAST(1500.0 AS DOUBLE) AND p_partkey > 1000)
+ORDER BY cents DESC, p_partkey LIMIT 10"""
+
   /** NULL-semantics corner suite: a planted NULL-bearing key (nullif)
     * grouped — NULL forms its own group — with count(*) vs count(col)
     * skipping, null-skipping sums, and a NULL-SAFE self-equality probe
@@ -542,6 +566,7 @@ ORDER BY o_orderpriority, status"""
     "rollup_grouping_id"    -> (rollupGroupingId _),
     "null_semantics"        -> (nullSemantics _),
     "paginated_topk"        -> (paginatedTopk _),
+    "paginated_keyset"      -> (paginatedKeyset _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
     "window_analytics"      -> (windowAnalytics _),
@@ -622,6 +647,7 @@ ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
     "rollup_grouping_id" -> rollupGroupingIdOracle,
     "null_semantics" -> nullSemanticsOracle,
     "paginated_topk" -> paginatedTopkOracle,
+    "paginated_keyset" -> paginatedKeysetOracle,
     "cube_sales" -> """
 SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
        count(*) AS n_orders

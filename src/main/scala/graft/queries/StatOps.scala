@@ -100,29 +100,54 @@ FROM o GROUP BY 1, 2 ORDER BY 1, 2"""
     * count events beyond 2σ. Scale shape: pass 1 is a hash-agg to a
     * types-sized frame; pass 2 joins it back (broadcast — the stats side is
     * tiny by construction) and re-aggregates. Nothing event-sized ever sits
-    * on the driver. The 2σ cut compares doubles computed identically from
-    * identical parquet bits; reported stats are rounded to 4dp. */
+    * on the driver.
+    *
+    * Determinism (ADVICE r4): a naive avg()/stddev_samp() over doubles
+    * sums in partition order — Spark and DuckDB can disagree in the last
+    * ulps, flipping events sitting ON the 2σ boundary. So values are
+    * quantized to exact integer micro-units first; n, Σv, Σv² are
+    * order-independent integer sums (Σv² in DECIMAL(38)), and µ/σ come
+    * from ONE fixed-association double formula evaluated identically on
+    * both engines — the boundary cut is bit-deterministic. Quantization at
+    * 1e-6 of the value unit is far below any physical meaning of a 2σ
+    * screen. */
   def outlierZscore(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select("event_type", "value")
+    val e = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("vq"))
     val st = e.groupBy("event_type").agg(
-      avg("value").as("mu"), stddev_samp("value").as("sd"))
+        count(lit(1)).as("n"),
+        sum("vq").as("s1"),
+        sum(expr("CAST(vq AS DECIMAL(38,0)) * vq")).as("s2"))
+      .select(col("event_type"),
+        expr("CAST(s1 AS DOUBLE) / n").as("mu_q"),
+        expr("sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))").as("sd_q"))
     e.join(broadcast(st), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(when(abs(col("value") - col("mu")) > col("sd") * 2, 1L).otherwise(0L)).as("n_outliers"),
-        round(first(col("mu")), 4).as("mu"),
-        round(first(col("sd")), 4).as("sd"))
+        sum(when(abs(col("vq").cast("double") - col("mu_q")) > col("sd_q") * 2, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(expr("first(mu_q) / CAST(1000000 AS DOUBLE)"), 4).as("mu"),
+        round(expr("first(sd_q) / CAST(1000000 AS DOUBLE)"), 4).as("sd"))
       .orderBy("event_type")
   }
 
   val outlierZscoreOracle: String = """
-WITH st AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-  FROM events GROUP BY 1)
-SELECT e.event_type, count(*) AS n,
-       CAST(count(*) FILTER (WHERE abs(e.value - st.mu) > st.sd * 2) AS BIGINT) AS n_outliers,
-       round(any_value(st.mu), 4) AS mu, round(any_value(st.sd), 4) AS sd
-FROM events e JOIN st USING (event_type)
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vq FROM events),
+st AS (
+  SELECT event_type, count(*) AS n, sum(vq) AS s1,
+         sum(CAST(vq AS HUGEINT) * vq) AS s2
+  FROM q GROUP BY 1),
+dd AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mu_q,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd_q
+  FROM st)
+SELECT q.event_type, count(*) AS n,
+       CAST(count(*) FILTER (WHERE abs(CAST(vq AS DOUBLE) - mu_q) > sd_q * 2) AS BIGINT) AS n_outliers,
+       round(any_value(mu_q) / CAST(1000000 AS DOUBLE), 4) AS mu,
+       round(any_value(sd_q) / CAST(1000000 AS DOUBLE), 4) AS sd
+FROM q JOIN dd USING (event_type)
 GROUP BY 1 ORDER BY 1"""
 
   // ----------------------------------------------------------- forward fill

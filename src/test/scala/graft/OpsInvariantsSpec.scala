@@ -8,6 +8,26 @@ import graft.queries.{ChangeOps, ProfileOps, ScaleOps, TemporalOps}
 class OpsInvariantsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("keyset pagination: the cursor predicate reaches the parquet scan as a pushed filter") {
+    import graft.queries.RelOps
+    val plan = RelOps.paginatedKeyset(spark, sf).queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("part")).getOrElse("")
+    // the whole Or-cursor must land in PushedFilters (min-max row-group
+    // skipping at the source), not evaluate post-scan only
+    assert(scanLine.contains("PushedFilters:") && scanLine.contains("Or("),
+      s"cursor predicate not pushed: $scanLine")
+    assert(scanLine.contains("p_retailprice"), s"price bound not pushed: $scanLine")
+    // and the page is the same rows the offset formulation would reach:
+    // keyset page = offset-pagination rows 21-30 iff the cursor is row 20's
+    // (price, key) — here just assert the page is full and correctly ordered
+    val rows = RelOps.paginatedKeyset(spark, sf).collect()
+    assert(rows.length == 10)
+    val cents = rows.map(_.getLong(2))
+    assert(cents.sameElements(cents.sortBy(-_)), "page must be price-descending")
+    assert(cents.head <= 150000L, "page starts at or below the cursor price")
+  }
+
   test("scd1 upsert: updates overwrite, inserts append, untouched rows pass through") {
     val base = Tables.customer(spark, sf)
     val merged = ChangeOps.scd1Upsert(spark, sf).cache()
