@@ -327,7 +327,158 @@ SELECT source, n_docs,
        CAST((q * 1000000 // qt) * 1000 // greatest(1, n_docs * 1000000 // nt) AS BIGINT) AS upsample_x1000
 FROM b, t ORDER BY source"""
 
+  // --------------------------------------------- cross-doc span pruning
+
+  /** C4-style cross-document span REMOVAL (the destructive sibling of
+    * [[graft.ops.TokenOps.spanDedup]]'s profiling): cut every document
+    * into disjoint 16-token spans, keep each distinct span's FIRST
+    * occurrence in global (doc_id, position) order, drop every later
+    * occurrence (across documents AND within one), and reassemble each
+    * document from its surviving spans in position order. The result row
+    * carries the reassembled text's fingerprint, so the hash gate checks
+    * the reassembly itself, not just the counts. Scale shape: one bounded
+    * generator, a 16-byte-fingerprint hash-agg picking min(encoded
+    * position) per span, one fingerprint join back, a per-doc sorted-array
+    * rebuild — spans shuffle as fingerprints + at most one surviving text
+    * copy each; never all-pairs. */
+  def spanPruneFirstWins(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"),
+        expr("explode(sequence(0L, (n - 1) div 16))").as("c"),
+        col("ws"))
+      .select(col("doc_id"), col("c"),
+        concat_ws(" ", expr("slice(ws, CAST(c * 16 + 1 AS INT), 16)")).as("span"))
+      // encoded global order: docs carry < 1000 spans (16-token cuts of
+      // bounded documents); the encoding keeps min() a single BIGINT agg
+      .withColumn("pos", expr("doc_id * 1000L + c"))
+    val keeper = spans.groupBy(md5(col("span")).as("h"))
+      .agg(min("pos").as("keep_pos"))
+    val flagged = spans.join(keeper, md5(col("span")) === col("h"))
+      .withColumn("kept", col("pos") === col("keep_pos"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("c"), col("span"))))),
+          x => x.getField("span")), " ")).as("new_text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val spanPruneFirstWinsOracle: String = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sp AS (
+  SELECT doc_id, CAST(u.c AS BIGINT) AS c,
+         array_to_string(
+           ws[(CAST(u.c AS INT) * 16 + 1):(CAST(u.c AS INT) * 16 + 16)],
+           ' ') AS span,
+         doc_id * 1000 + CAST(u.c AS BIGINT) AS pos
+  FROM w, UNNEST(range((len(ws) - 1) // 16 + 1)) AS u(c)),
+keep AS (SELECT md5(span) AS h, min(pos) AS keep_pos FROM sp GROUP BY 1)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(count(*) FILTER (WHERE pos = keep_pos) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(span, ' ' ORDER BY c)
+         FILTER (WHERE pos = keep_pos), '')) AS new_text_fp
+FROM sp JOIN keep ON md5(span) = keep.h
+GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------- dataset split + leakage
+
+  /** Deterministic train/val/test assignment plus a leakage audit — the
+    * step every training pipeline runs before anything touches the data.
+    * Split by a salted md5 of the STABLE key (not rand(): reshuffling
+    * partitions must never move a document across splits): first hex byte
+    * < 0xcc → train (~79.7%), < 0xe6 → val (~10.2%), else test (~10.2%).
+    * The audit then fingerprints each document's CONTENT and counts, per
+    * split, documents whose exact content also appears in a DIFFERENT
+    * split — the train/test contamination that silently inflates evals
+    * (zero on a content-clean corpus: the audit's green state, which the
+    * spec cross-checks by planting a duplicate and watching it flip).
+    * One linear scan, a fingerprint hash-agg, one join back. */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    datasetSplitOf(Tables.documents(s, d))
+
+  /** The reusable core over any (doc_id, text, n_chars) frame — the spec
+    * plants a cross-split duplicate through this entry. */
+  def datasetSplitOf(docs: DataFrame): DataFrame = {
+    val h = substring(md5(concat_ws(":", lit("split"), col("doc_id"))), 1, 2)
+    val sp = docs
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("fp"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+    val fpSplits = sp.groupBy("fp").agg(countDistinct("split").as("nsplits"))
+    sp.join(fpSplits, "fp")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum(when(col("nsplits") >= 2, 1L).otherwise(0L)).as("n_leaked"))
+      .orderBy("split")
+  }
+
+  val datasetSplitOracle: String = """
+WITH sp AS (
+  SELECT doc_id, n_chars, md5(text) AS fp,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+fps AS (SELECT fp, count(DISTINCT split) AS nsplits FROM sp GROUP BY 1)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(*) FILTER (WHERE nsplits >= 2) AS BIGINT) AS n_leaked
+FROM sp JOIN fps USING (fp)
+GROUP BY split ORDER BY split"""
+
+  // --------------------------------------------- adaptive quality threshold
+
+  /** Per-source ADAPTIVE quality filtering — instead of one global cutoff
+    * (which a heterogeneous corpus turns into "delete the weakest source
+    * whole"), each source keeps documents at or above its own median
+    * lexical-diversity score (distinct-word ratio in exact ppm). The
+    * median is percentile_disc — an actual data value, no interpolation to
+    * disagree on cross-engine. Scale shape: token explode → per-doc
+    * hash-agg (count + single distinct rides one pass), a sources-sized
+    * median agg, broadcast join back, final per-source rollup. Nothing
+    * document-sized reaches the driver. */
+  def qualityAdaptiveFilter(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("nw"), countDistinct("w").as("ndw"))
+      .withColumn("score_ppm", expr("ndw * 1000000L div nw"))
+    val med = scored.groupBy("source").agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY score_ppm) AS BIGINT)").as("median_score_ppm"))
+    scored.join(broadcast(med), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_ppm") >= col("median_score_ppm"), 1L).otherwise(0L)).as("n_kept"),
+        first("median_score_ppm").as("median_score_ppm"))
+      .orderBy("source")
+  }
+
+  val qualityAdaptiveFilterOracle: String = """
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+scored AS (
+  SELECT source, doc_id,
+         count(*) AS nw, count(DISTINCT w) AS ndw,
+         count(DISTINCT w) * 1000000 // count(*) AS score_ppm
+  FROM tok GROUP BY 1, 2),
+med AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY score_ppm) AS BIGINT) AS median_score_ppm
+  FROM scored GROUP BY 1)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE score_ppm >= median_score_ppm) AS BIGINT) AS n_kept,
+       any_value(median_score_ppm) AS median_score_ppm
+FROM scored JOIN med USING (source)
+GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_prune_firstwins" -> (spanPruneFirstWins _),
+    "dataset_split"        -> (datasetSplit _),
+    "quality_adaptive_filter" -> (qualityAdaptiveFilter _),
     "mix_temperature"      -> (mixTemperature _),
     "text_repetition"      -> (repetition _),
     "contamination_ngrams" -> (contamination _),
@@ -338,6 +489,9 @@ FROM b, t ORDER BY source"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "span_prune_firstwins" -> spanPruneFirstWinsOracle,
+    "dataset_split"        -> datasetSplitOracle,
+    "quality_adaptive_filter" -> qualityAdaptiveFilterOracle,
     "mix_temperature"      -> mixTemperatureOracle,
     "text_repetition"      -> repetitionOracle,
     "contamination_ngrams" -> contaminationOracle,
