@@ -281,6 +281,66 @@ SELECT o_orderpriority,
        true AS within_10pct
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Mergeable-sketch rollup — THE 100 TB distinct-count architecture: a
+    * DataSketches HLL sketch is built per fine-grained cell
+    * ((priority, status) here; per partition/day in production), then the
+    * COARSE counts come from `hll_union_agg` over the stored sketches —
+    * no second pass over raw data, ever. The exact re-count per priority
+    * exists here only to drive the same in-band error contract as
+    * [[approxDistinct]] (DuckDB computes the exact side, literal true).
+    * At scale the cell sketches are persisted; any rollup (day→month→year,
+    * status→priority→global) is a sketch union, which is associative,
+    * commutative, and idempotent — re-processing a cell twice cannot
+    * double-count. */
+  def sketchUnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val rolled = cells.groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val exact = Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    rolled.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          greatest(lit(1L), expr("exact_customers div 10"))).as("within_10pct"))
+      .orderBy("o_orderpriority")
+  }
+
+  val sketchUnionDistinctOracle: String = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       true AS within_10pct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Incremental aggregate maintenance — the algebraic-merge law behind
+    * every streaming aggregation and materialized-view refresh: a stored
+    * per-key state (count, cents) over events BEFORE the cutoff is merged
+    * with the same shape computed over only the NEW batch, by summing —
+    * never touching old raw data. The oracle states the full recompute
+    * over everything, so the hash gate IS the proof that merge(state,
+    * delta) ≡ recompute. At 100 TB the state is table-sized, the delta is
+    * day-sized; this query is the difference between reading a day and
+    * reading history. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "2024-06-01"
+    def shape(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+    val state = shape(Tables.events(s, d).filter(col("ts") < lit(cutoff)))
+    val delta = shape(Tables.events(s, d).filter(col("ts") >= lit(cutoff)))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+      .orderBy("event_type")
+  }
+
+  val incrementalAggOracle: String = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   // ------------------------------------------- pre-aggregation through join
 
   /** Manual partial-aggregation pushdown through a join — the rewrite
@@ -329,7 +389,9 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "bloom_prune_join" -> (bloomPruneJoin _),
     "percentiles"     -> (percentiles _),
     "approx_percentiles" -> (approxPercentiles _),
-    "approx_distinct" -> (approxDistinct _)
+    "approx_distinct" -> (approxDistinct _),
+    "sketch_union_distinct" -> (sketchUnionDistinct _),
+    "incremental_agg" -> (incrementalAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -344,6 +406,8 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     // in-bound boolean), so they are fully oracle-checked despite
     // cross-engine sketch divergence
     "approx_percentiles" -> approxPercentilesOracle,
-    "approx_distinct" -> approxDistinctOracle
+    "approx_distinct" -> approxDistinctOracle,
+    "sketch_union_distinct" -> sketchUnionDistinctOracle,
+    "incremental_agg" -> incrementalAggOracle
   )
 }
