@@ -76,6 +76,8 @@ class OpsInvariantsSpec extends AnyFunSuite {
     assert(p.forall(_.getLong(1) == 0L), "orders testdata has no nulls")
     val nd = p.map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(nd("o_orderkey") == Tables.orders(spark, sf).count())
+    // the HLL sketch must land within the error contract on every column
+    assert(p.forall(_.getBoolean(3)), "approx_count_distinct out of 10% bound")
   }
 
   test("range join recovers each session's own event count") {

@@ -235,6 +235,17 @@ class StatOpsSpec extends AnyFunSuite {
     assert(lineitemScans(ProfileOps.dqChecks(spark, sf)) == 2)
   }
 
+  test("column profiler plans with NO Expand (sketch pass, not multi-distinct replay)") {
+    import graft.queries.ProfileOps
+    // the r5 profiler's multiple count_distinct aggregates planned through
+    // an Expand that replayed every orders row ~|cols|+1×; the rebuilt
+    // profiler is one HLL-sketch aggregate + one keyed single-distinct —
+    // neither may reintroduce an Expand node anywhere in the tree
+    val plan = ProfileOps.profileOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profiler plan regressed to Expand:\n$plan")
+  }
+
   test("rolling active users equals a brute-force trailing-window count") {
     import graft.queries.BehaviorOps
     val r = BehaviorOps.rollingActiveUsers(spark, sf).cache()
