@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // builder-iteration aid: comma-separated exact names and/or prefixes
+    // (trailing '*') restrict the run, e.g. SPARK_GRAFT_BENCH_ONLY='stream_*'
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,37 +26,51 @@ object Bench {
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // a failed pass records NaN — the query is then EXCLUDED from the
+    // median/total (a time-until-exception would masquerade as fast and
+    // understate regressions); it survives only in the 'failed' list
+    def timeAll(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (if (failed.contains(name)) Double.NaN
+                 else (System.nanoTime() - t0) / 1e9)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // three passes, report the per-query MEDIAN: this host's per-query
-    // noise reaches 4× (identical-code totals measured 56.9-94.2s across
-    // back-to-back runs — NOTES.md), so min-of-2 still mixed one outlier
-    // pass into cross-round deltas; the median of 3 is robust to a single
-    // slow AND a single anomalously fast pass (pass count in the JSON)
+    // three passes; report per-query MEDIAN plus the (min, max) spread so a
+    // reader can separate host noise from real regression without NOTES.md
+    // archaeology: this host's per-query noise reaches 4× (identical-code
+    // totals measured 56.9-94.2s back-to-back), so the median of 3 is
+    // robust to a single slow AND a single anomalously fast pass
     val passes = Seq(timeAll(), timeAll(), timeAll())
-    val results = passes.head.keys.map { k =>
-      k -> passes.map(_(k)).sorted.apply(1)
+    val ok = passes.head.keys.filterNot(failed.contains).toSeq
+    val spread = ok.map { k =>
+      val ts = passes.map(_(k)).sorted
+      k -> (ts.head, ts(1), ts.last)
     }.toMap
+    val results = spread.map { case (k, (_, med, _)) => k -> med }
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r3(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     def entries(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"sf":"$sfDir"}"""
+    def spreadEntries(ks: Seq[String]): String =
+      ks.map { k =>
+        val (mn, md, mx) = spread(k)
+        "\"" + k + "\":[" + r3(mn) + "," + r3(md) + "," + r3(mx) + "]"
+      }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
     // capped at ~1600 chars: keep the slowest queries (the ones that matter
-    // for a perf read), elide the fastest, record how many were elided. The
-    // complete map is persisted to bench_out.json below either way.
+    // for a perf read) with their [min,median,max] spread, elide the
+    // fastest, record how many were elided. The complete map is persisted
+    // to bench_out.json below either way.
     val budget = 1600
     val stdoutJson =
       if (json.length <= budget) json
@@ -61,7 +80,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
         }
         line
       }

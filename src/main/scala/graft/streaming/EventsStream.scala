@@ -26,21 +26,29 @@ import graft.Tables
   */
 object EventsStream {
 
-  /** All streaming queries run on a per-base-session CLONE with 8 shuffle
+  /** All streaming queries run on a per-base-session CLONE with 4 shuffle
     * partitions: stateful operators fix their state-store partition count
     * at the first checkpoint, and each partition pays a per-micro-batch
     * store-commit cost regardless of data volume — at test volumes 32
     * partitions are pure fixed overhead (~30-40% of every stream query's
-    * wall clock), while the batch session's 32 stay untouched. A
-    * production deployment sizes this to cluster cores; the clone is
-    * memoized so both sides of a stream-stream join share one session. */
+    * wall clock), while the batch session's 32 stay untouched. The clone
+    * also disables the no-data micro-batch: it exists to advance the
+    * watermark so APPEND-mode aggregations can emit closed windows, but
+    * every query here either runs Complete mode (emits each batch) or
+    * emits within the data batch (inner stream-stream join,
+    * flatMapGroupsWithState) — the extra batch is one more full
+    * state-commit round per query for zero output. A production
+    * deployment sizes partitions to cluster cores and re-enables no-data
+    * batches for append-mode windowed sinks; the clone is memoized so
+    * both sides of a stream-stream join share one session. */
   private val streamSessions =
     scala.collection.concurrent.TrieMap[SparkSession, SparkSession]()
 
   private def streamSession(s: SparkSession): SparkSession =
     streamSessions.getOrElseUpdate(s, {
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 8)
+      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       ss
     })
 
