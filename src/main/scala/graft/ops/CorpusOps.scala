@@ -350,9 +350,11 @@ FROM b, t ORDER BY source"""
         col("ws"))
       .select(col("doc_id"), col("c"),
         concat_ws(" ", expr("slice(ws, CAST(c * 16 + 1 AS INT), 16)")).as("span"))
-      // encoded global order: docs carry < 1000 spans (16-token cuts of
-      // bounded documents); the encoding keeps min() a single BIGINT agg
-      .withColumn("pos", expr("doc_id * 1000L + c"))
+      // encoded global order: the encoding keeps min() a single BIGINT
+      // agg. The factor bounds spans per doc at 1M (a 16M-token document)
+      // — far beyond any real corpus row, where the old 1000 factor
+      // (16k-word docs) was a plausible silent-corruption edge
+      .withColumn("pos", expr("doc_id * 1000000L + c"))
     val keeper = spans.groupBy(md5(col("span")).as("h"))
       .agg(min("pos").as("keep_pos"))
     val flagged = spans.join(keeper, md5(col("span")) === col("h"))
@@ -374,7 +376,7 @@ sp AS (
          array_to_string(
            ws[(CAST(u.c AS INT) * 16 + 1):(CAST(u.c AS INT) * 16 + 16)],
            ' ') AS span,
-         doc_id * 1000 + CAST(u.c AS BIGINT) AS pos
+         doc_id * 1000000 + CAST(u.c AS BIGINT) AS pos
   FROM w, UNNEST(range((len(ws) - 1) // 16 + 1)) AS u(c)),
 keep AS (SELECT md5(span) AS h, min(pos) AS keep_pos FROM sp GROUP BY 1)
 SELECT doc_id, count(*) AS n_spans,

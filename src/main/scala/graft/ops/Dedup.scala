@@ -351,26 +351,39 @@ ORDER BY doc_a, doc_b"""
     * property-tested against a local union-find on random graphs including
     * a 200-node path (diameter ≫ the old 50-round cap; PropertySpec).
     * Converges when a full large-star+small-star round leaves the edge
-    * multiset unchanged, at which point the edges form min-rooted stars. */
-  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    * multiset unchanged, at which point the edges form min-rooted stars.
+    *
+    * Each round's edge set is persisted to parquet and read back — the
+    * same lineage truncation a reliable `checkpoint()` buys (a lost
+    * executor replays from the file, not a 2k-round lineage) with
+    * MANAGED lifetime: round k−1's files are deleted the moment round k
+    * is durable, and the final round's dir is reaped at JVM exit
+    * ([[graft.util.TempDirs]]) — the r5 advisor flagged the old
+    * checkpoint dir as an unbounded per-call disk leak. A production job
+    * passes `workDir` on durable lake storage. */
+  def clustersFromPairs(pairs: DataFrame, workDir: Option[String] = None): DataFrame = {
     val s = pairs.sparkSession
-    // reliable (filesystem) checkpoints: local tmp here; a production job
-    // points this at durable lake storage before calling
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ccomp-ckpt").toString)
-    var edges = pairs
+    val dir = workDir.map(java.nio.file.Paths.get(_))
+      .getOrElse(graft.util.TempDirs.scratch("graft-ccomp"))
+    def persistRound(df: DataFrame, r: Int): DataFrame = {
+      val p = dir.resolve(s"round-$r")
+      df.write.mode("overwrite").parquet(p.toString)
+      // superseded round: r was computed wholly from r−1, so r−1's files
+      // are dead the moment r's write commits
+      if (r > 0) graft.util.AtomicTable.deleteRecursively(dir.resolve(s"round-${r - 1}"))
+      s.read.parquet(p.toString)
+    }
+    var edges = persistRound(pairs
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct()
-      .checkpoint()
+      .distinct(), 0)
     var sig = edgeSig(edges)
     var converged = false
     var rounds = 0
     val maxRounds = 60 // safety only: O(log n) rounds can't reach this
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).checkpoint()
+      val next = persistRound(smallStar(largeStar(edges)), rounds + 1)
       val nsig = edgeSig(next)
       converged = nsig == sig
       edges = next

@@ -322,14 +322,24 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     * delta) ≡ recompute. At 100 TB the state is table-sized, the delta is
     * day-sized; this query is the difference between reading a day and
     * reading history. */
-  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
-    val cutoff = "2024-06-01"
+  def incrementalAgg(s: SparkSession, d: String): DataFrame =
+    incrementalAggFrom(Tables.events(s, d), "2024-06-01")
+
+  /** Core of [[incrementalAgg]] over any events frame — parameterized so
+    * the spec can plant NULL timestamps and prove the partition is total. */
+  def incrementalAggFrom(events: DataFrame, cutoff: String): DataFrame = {
     def shape(df: DataFrame): DataFrame = df
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
-    val state = shape(Tables.events(s, d).filter(col("ts") < lit(cutoff)))
-    val delta = shape(Tables.events(s, d).filter(col("ts") >= lit(cutoff)))
+    // NULL ts must be routed, not dropped: `ts < cutoff` and `ts >= cutoff`
+    // are BOTH false for NULL, which would silently lose those rows from
+    // state and delta while the full-recompute oracle still counts them —
+    // breaking the merge ≡ recompute identity the day a null timestamp
+    // appears. Nulls belong to the state side (they are by definition not
+    // "new since the cutoff"), making the partition total over the domain.
+    val state = shape(events.filter(col("ts") < lit(cutoff) || col("ts").isNull))
+    val delta = shape(events.filter(col("ts") >= lit(cutoff)))
     state.unionByName(delta)
       .groupBy("event_type")
       .agg(sum("n").as("n"), sum("cents").as("cents"))

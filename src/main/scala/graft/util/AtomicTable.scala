@@ -47,9 +47,12 @@ object AtomicTable {
   private val Pointer = "_CURRENT"
   private val VersionRe = "_v(\\d+)".r
 
-  /** Unpublished version dirs younger than this are presumed in-flight
-    * concurrent writes and left alone by pruning (var: specs shrink it to
-    * exercise orphan reaping without waiting an hour). */
+  /** Unpublished version dirs whose claim heartbeat is older than this are
+    * presumed crashed orphans and reaped by pruning (var: specs shrink it
+    * to exercise orphan reaping without waiting an hour). A LIVE writer is
+    * protected regardless of write duration: its heartbeat thread
+    * refreshes the claim marker every TTL/4, so only a writer whose JVM
+    * died stops refreshing. */
   @volatile var OrphanTtlMs: Long = 60L * 60L * 1000L
 
   // per-table intra-JVM commit locks (file locks alone throw
@@ -145,7 +148,30 @@ object AtomicTable {
       try { Files.createDirectory(root.resolve(s"_v$n")); name = s"_v$n" }
       catch { case _: java.nio.file.FileAlreadyExistsException => n += 1L }
     }
-    write(base + "/" + name) // crash before the swap: pointer untouched
+    // claim heartbeat, as a SIBLING file (inside the dir it would die to
+    // the parquet writer's overwrite): pruning judges in-flight-ness by
+    // this marker's mtime, not the version dir's — a Spark job that
+    // stages in _temporary for longer than OrphanTtlMs never refreshes
+    // the top-level dir mtime, and r5's mtime-based reaping could kill a
+    // live hour-long write. The daemon re-touches it every TTL/4, so the
+    // marker goes stale only when the writing JVM actually died.
+    val claim = root.resolve(name + "._claim")
+    Files.writeString(claim, java.lang.Long.toString(System.currentTimeMillis()))
+    val heartbeat = new Thread(() =>
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(250L, OrphanTtlMs / 4))
+          try Files.setLastModifiedTime(claim,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () } // marker gone: stop quietly
+        }
+      } catch { case _: InterruptedException => () },
+      s"graft-claim-heartbeat-$name")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    // crash before the swap: pointer untouched
+    try write(base + "/" + name)
+    finally { heartbeat.interrupt(); heartbeat.join() }
     withCommitLock(root) {
       val tmp = root.resolve(Pointer + ".tmp")
       Files.writeString(tmp, name)
@@ -166,6 +192,7 @@ object AtomicTable {
       // (they may be a concurrent writer's claim mid-write; cf. the VACUUM
       // retention window). Best-effort; failure strands disk, not
       // correctness.
+      Files.deleteIfExists(claim) // committed: no longer an in-flight claim
       val published = history(base)
       val retained = published.takeRight(keep).toSet
       val publishedSet = published.toSet
@@ -174,11 +201,19 @@ object AtomicTable {
         .filterNot(v => retained(v._2.getFileName.toString))
         .filter { case (_, p) =>
           val vn = p.getFileName.toString
-          publishedSet(vn) ||
-            (now - Files.getLastModifiedTime(p).toMillis) > OrphanTtlMs
+          val claimP = root.resolve(vn + "._claim")
+          // in-flight-ness = the claim marker's heartbeat (falling back to
+          // dir mtime for pre-claim-era or hand-made dirs)
+          val lastAlive =
+            if (Files.exists(claimP)) Files.getLastModifiedTime(claimP).toMillis
+            else Files.getLastModifiedTime(p).toMillis
+          publishedSet(vn) || (now - lastAlive) > OrphanTtlMs
         }
         .foreach { case (_, p) =>
-          try deleteRecursively(p) catch { case _: java.io.IOException => () }
+          try {
+            deleteRecursively(p)
+            Files.deleteIfExists(root.resolve(p.getFileName.toString + "._claim"))
+          } catch { case _: java.io.IOException => () }
         }
     }
   }

@@ -128,6 +128,32 @@ class AtomicTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer slower than the orphan TTL survives a concurrent publisher's pruning (claim heartbeat)") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(1), base)
+    val savedTtl = AtomicTable.OrphanTtlMs
+    AtomicTable.OrphanTtlMs = 1200L // heartbeat refreshes every ~300ms
+    try {
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(1)
+      // slow writer: claims a version, then its parquet job outlasts the
+      // TTL before any top-level file lands — under r5's dir-mtime rule a
+      // concurrent publisher would reap the claimed dir mid-write
+      val slow = pool.submit(new Runnable {
+        def run(): Unit = AtomicTable.publish(base, keep = 2) { dir =>
+          Thread.sleep(2500L)
+          df(42).write.mode("overwrite").parquet(dir)
+        }
+      })
+      Thread.sleep(1800L) // well past the TTL, writer still mid-write
+      AtomicTable.overwrite(df(2), base, keep = 2) // prunes as a side effect
+      slow.get(120, TimeUnit.SECONDS) // must complete, not lose its dir
+      pool.shutdown()
+      // the slow writer's version committed last and is fully readable
+      assert(AtomicTable.read(spark, base).count() == 42)
+    } finally AtomicTable.OrphanTtlMs = savedTtl
+  }
+
   test("a failing writer leaves the previous version live") {
     val base = freshBase()
     AtomicTable.overwrite(df(3), base)

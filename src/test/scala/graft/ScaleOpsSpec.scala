@@ -138,6 +138,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental agg: merge equals recompute even with NULL timestamps planted") {
+    import spark.implicits._
+    // rows straddling the cutoff PLUS null-ts rows — under the r5 filters
+    // (ts < cutoff / ts >= cutoff) the nulls vanished from both sides
+    val ev = Seq(
+      (Some("2024-05-30 10:00:00"), "a", 1.0),
+      (Some("2024-06-02 10:00:00"), "a", 2.0),
+      (None, "a", 4.0),
+      (None, "b", 8.0),
+      (Some("2024-06-01 00:00:00"), "b", 16.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val merged = ScaleOps.incrementalAggFrom(ev, "2024-06-01").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // full recompute over everything, nulls included
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == full, s"merge != recompute: $merged vs $full")
+    assert(merged("a") == ((3L, 700L)) && merged("b") == ((2L, 2400L)))
+  }
+
   test("approx distinct: every group's HLL estimate satisfies the in-band contract") {
     val rows = ScaleOps.approxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
