@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact substring-level duplicate detection — the "documents sharing a
+  * long verbatim passage" operator from the public deduplicating-training-
+  * data recipe (Lee et al. 2021 use suffix arrays on a single node; the
+  * distributed re-expression below is anchor-gram bucketing):
+  *
+  * every document emits its stride-1 windows of L consecutive words
+  * ("anchor grams", hashed); a common substring of m ≥ L words between two
+  * documents is EXACTLY a run of m−L+1 consecutive matches along one
+  * alignment diagonal (ia − jb constant), so grouping gram matches by
+  * (pair, diagonal) and measuring the longest consecutive-position island
+  * recovers the true longest-common-substring length — no approximation,
+  * and the pair candidates come only from shared-gram buckets, never an
+  * all-pairs product.
+  *
+  * Scale shape: the gram generate is linear in corpus tokens (stride 1 is
+  * the price of exactness — cf. [[TokenOps.spanDedup]]'s disjoint spans for
+  * the cheap profiling variant); grams shuffle as 16-byte hashes; the
+  * bucket self-join only ever pairs rows sharing a gram hash (at 100 TB,
+  * add a document-frequency cap on degenerate hot grams — the same hot-key
+  * defuse as [[Dedup.minhashLsh]] — and salt the residue); the verify is a
+  * window over matched positions only. Mirrors the reference's dedup
+  * surface (gravity-books has no curation ops; SURVEY.md §2 extension
+  * mandate).
+  */
+object SubstringDedup {
+
+  /** Document pairs sharing a verbatim run of ≥ `L` words, with the exact
+    * longest shared run length and the supporting anchor-match count. */
+  def substringPairs(s: SparkSession, d: String, L: Int = 12): DataFrame =
+    substringPairsFrom(Tables.fanout(s, Tables.documents(s, d)), L)
+
+  /** Core over any (doc_id, text) frame — parameterized so specs can plant
+    * known overlaps and cross-check against a brute-force LCS. */
+  def substringPairsFrom(docs: DataFrame, L: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= L)
+      .select(col("doc_id"),
+        expr(s"explode(sequence(0L, size(ws) - ${L}L))").as("pos"), col("ws"))
+      // hash the gram: grams shuffle as fixed-width digests, not word runs
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", expr(s"slice(ws, CAST(pos + 1 AS INT), $L)"))).as("gh"))
+    val matches = grams.select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("gh"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("jb"), col("gh")), "gh")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("ia") - col("jb"))
+    // islands of consecutive ia along a diagonal: a shared substring of
+    // m words is a run of m−L+1 matches, so run + L − 1 = its exact length
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    val runs = matches
+      .withColumn("isl", col("ia") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg((count(lit(1)) + lit(L - 1)).as("run_words"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(max("run_words").as("lcs_words"),
+        sum(col("run_words") - lit(L - 1)).as("n_anchor_matches"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def substringPairsOracle(L: Int = 12): String = s"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= $L),
+g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        md5(array_to_string(ws[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + $L)], ' ')) AS gh
+      FROM w, UNNEST(range(len(ws) - ${L - 1})) AS u(i)),
+m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia,
+             a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+r AS (SELECT doc_a, doc_b, count(*) + ${L - 1} AS run_words
+      FROM (SELECT *, ia - row_number() OVER (
+              PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS isl FROM m)
+      GROUP BY doc_a, doc_b, diag, isl)
+SELECT doc_a, doc_b, CAST(max(run_words) AS BIGINT) AS lcs_words,
+       CAST(sum(run_words - ${L - 1}) AS BIGINT) AS n_anchor_matches
+FROM r GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> ((s: SparkSession, d: String) => substringPairs(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_substring" -> substringPairsOracle()
+  )
+}
