@@ -23,14 +23,25 @@ import graft.Tables
   * Scale shape: the gram generate is linear in corpus tokens (stride 1 is
   * the price of exactness — cf. [[TokenOps.spanDedup]]'s disjoint spans for
   * the cheap profiling variant); grams shuffle as 16-byte hashes; the
-  * bucket self-join only ever pairs rows sharing a gram hash (at 100 TB,
-  * add a document-frequency cap on degenerate hot grams — the same hot-key
-  * defuse as [[Dedup.minhashLsh]] — and salt the residue); the verify is a
-  * window over matched positions only. Mirrors the reference's dedup
-  * surface (gravity-books has no curation ops; SURVEY.md §2 extension
-  * mandate).
+  * bucket self-join only ever pairs rows sharing a gram hash, and grams
+  * occurring in more than `maxDf` distinct documents are dropped before
+  * the join — the same hot-key defuse as [[Dedup.minhashLsh]]'s shingle
+  * DF cap, which bounds any bucket's pair fan-out at maxDf² instead of
+  * letting one viral sentence go quadratic. Such ultra-common grams are
+  * template text by definition (that detector is [[Boilerplate]]); runs
+  * anchored only by them go unreported, so lcs_words is exact for every
+  * pair whose overlap contains at least one sub-cap anchor — at the
+  * fixture scale no gram comes near the cap and the result is exact
+  * everywhere, which the DuckDB oracle (identical cap) certifies.
+  * Mirrors the reference's dedup surface (gravity-books has no curation
+  * ops; SURVEY.md §2 extension mandate).
   */
 object SubstringDedup {
+
+  /** Grams in more distinct docs than this never anchor a pair — the
+    * quadratic-bucket guard. 64² candidate pairs per degenerate gram is
+    * the worst case a single shuffle key can produce. */
+  val MaxGramDf = 64
 
   /** Document pairs sharing a verbatim run of ≥ `L` words, with the exact
     * longest shared run length and the supporting anchor-match count. */
@@ -38,9 +49,11 @@ object SubstringDedup {
     substringPairsFrom(Tables.fanout(s, Tables.documents(s, d)), L)
 
   /** Core over any (doc_id, text) frame — parameterized so specs can plant
-    * known overlaps and cross-check against a brute-force LCS. */
-  def substringPairsFrom(docs: DataFrame, L: Int): DataFrame = {
-    val grams = docs
+    * known overlaps (cross-checked against a brute-force LCS) and hot
+    * grams past a tiny `maxDf` to observe the cap. */
+  def substringPairsFrom(docs: DataFrame, L: Int,
+      maxDf: Int = MaxGramDf): DataFrame = {
+    val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= L)
       .select(col("doc_id"),
@@ -48,6 +61,13 @@ object SubstringDedup {
       // hash the gram: grams shuffle as fixed-width digests, not word runs
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", expr(s"slice(ws, CAST(pos + 1 AS INT), $L)"))).as("gh"))
+    // hot-gram defuse: one distinct-doc count per digest, anti-join the
+    // degenerate tail out before anything can pair on it
+    val hot = raw.groupBy("gh")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") > maxDf)
+      .select("gh")
+    val grams = raw.join(hot, Seq("gh"), "left_anti")
     val matches = grams.select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("gh"))
       .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("jb"), col("gh")), "gh")
       .filter(col("doc_a") < col("doc_b"))
@@ -65,12 +85,15 @@ object SubstringDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def substringPairsOracle(L: Int = 12): String = s"""
+  def substringPairsOracle(L: Int = 12, maxDf: Int = MaxGramDf): String = s"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
            WHERE len(string_split(text, ' ')) >= $L),
-g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+g0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
         md5(array_to_string(ws[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + $L)], ' ')) AS gh
       FROM w, UNNEST(range(len(ws) - ${L - 1})) AS u(i)),
+g AS (SELECT * FROM g0 WHERE gh NOT IN (
+        SELECT gh FROM g0 GROUP BY gh
+        HAVING count(DISTINCT doc_id) > $maxDf)),
 m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ia,
              a.pos - b.pos AS diag
       FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),

@@ -91,4 +91,24 @@ class SubstringDedupSpec extends AnyFunSuite {
     // d9 holds run20 TWICE: vs d2 (one copy) → two diagonals, 9 anchors each
     assert(byPair((2L, 9L)) === 2L * (20 - L + 1))
   }
+
+  test("grams past the document-frequency cap never anchor a pair") {
+    import spark.implicits._
+    val hot = (0 until 12).map(i => s"viral$i")   // appears in ALL four docs
+    val uniq = (0 until 14).map(i => s"uniq$i")   // only in 21 and 22
+    val docs = Seq(
+      21L -> (hot ++ filler(21, 3) ++ uniq).mkString(" "),
+      22L -> (filler(22, 2) ++ uniq ++ filler(22, 3, 100) ++ hot).mkString(" "),
+      23L -> (hot ++ filler(23, 5)).mkString(" "),
+      24L -> (filler(24, 4) ++ hot).mkString(" ")
+    ).toDF("doc_id", "text").repartition(2)
+    val got = SubstringDedup.substringPairsFrom(docs, L, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the viral gram (df = 4 > 2) is defused: only the sub-cap overlap
+    // between 21 and 22 survives, with its exact length
+    assert(got === Map((21L, 22L) -> 14L))
+    // and with the cap at the default the same corpus reports all pairs
+    val uncapped = SubstringDedup.substringPairsFrom(docs, L).collect()
+    assert(uncapped.length === 6) // C(4,2) pairs all share the viral run
+  }
 }
