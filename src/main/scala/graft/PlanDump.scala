@@ -50,7 +50,7 @@ object PlanDump {
     "paginated_keyset" -> "keyset cursor: the Or-predicate lands in PushedFilters on the part scan, O(page) at any depth",
     "span_prune_firstwins" -> "first-wins span prune: fingerprint min-agg, one join back, per-doc sorted rebuild - no all-pairs",
     "sketch_union_distinct" -> "mergeable HLL rollup: partial hll_sketch_agg map-side, union-agg over stored sketches, no raw re-pass",
-    "dedup_substring" -> "anchor-gram LCS: digest-keyed self-join after the DF-cap anti-join, diagonal windows on matches only, no cartesian",
+    "dedup_substring" -> "anchor-gram LCS: O(n) rolling_hash_windows Generate, digest-keyed self-join after the DF-cap anti-join, diagonal windows on matches only, no cartesian",
     "boilerplate_strip" -> "template strip: per-(source, digest) distinct count, one digest-keyed join back, per-doc ordered reassembly"
   )
 

@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordNgrams(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash_windows"),
+      new ExpressionInfo(classOf[RollingHashWindows].getName, "rolling_hash_windows"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHashWindows(exprs.head, exprs(1))))
     // declarative HOF dot products get the fused codegen kernel for free
     e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
     // whole-operator extension: broadcast interval join (logical node +

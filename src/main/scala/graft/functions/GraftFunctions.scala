@@ -97,6 +97,9 @@ object GraftFunctions {
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash_windows",
+      exprs => RollingHashWindows(exprs.head, exprs(1)), "built-in")
   }
 
   /** Fused dot product over two array<double> columns (codegen'd). */

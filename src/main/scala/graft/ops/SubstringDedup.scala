@@ -53,23 +53,29 @@ object SubstringDedup {
     * grams past a tiny `maxDf` to observe the cap. */
   def substringPairsFrom(docs: DataFrame, L: Int,
       maxDf: Int = MaxGramDf): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one O(n) Generate per document via the custom Rabin-Karp UDTF
+    // ([[graft.functions.RollingHashWindows]]): each word hashed once,
+    // two 2⁶⁴-ring polynomial accumulators slide — versus slice + concat
+    // + md5 re-touching every word L times. The (h1, h2) pair is the gram
+    // identity downstream (128-bit-equivalent, collision odds birthday
+    // 2¹²⁸ ≈ 0); the DuckDB oracle keeps md5 digests for the same grams —
+    // both sides are collision-free injections of the word run, so the
+    // PAIR output they derive is identical even though the digests differ.
     val raw = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= L)
       .select(col("doc_id"),
-        expr(s"explode(sequence(0L, size(ws) - ${L}L))").as("pos"), col("ws"))
-      // hash the gram: grams shuffle as fixed-width digests, not word runs
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", expr(s"slice(ws, CAST(pos + 1 AS INT), $L)"))).as("gh"))
+        expr(s"rolling_hash_windows(text, $L)").as(Seq("pos", "h1", "h2")))
     // hot-gram defuse: one distinct-doc count per digest, anti-join the
     // degenerate tail out before anything can pair on it
-    val hot = raw.groupBy("gh")
+    val hot = raw.groupBy("h1", "h2")
       .agg(countDistinct("doc_id").as("ndocs"))
       .filter(col("ndocs") > maxDf)
-      .select("gh")
-    val grams = raw.join(hot, Seq("gh"), "left_anti")
-    val matches = grams.select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("gh"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("jb"), col("gh")), "gh")
+      .select("h1", "h2")
+    val grams = raw.join(hot, Seq("h1", "h2"), "left_anti")
+    val matches = grams
+      .select(col("doc_id").as("doc_a"), col("pos").as("ia"), col("h1"), col("h2"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("jb"),
+        col("h1"), col("h2")), Seq("h1", "h2"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("diag", col("ia") - col("jb"))
     // islands of consecutive ia along a diagonal: a shared substring of
