@@ -165,12 +165,25 @@ ORDER BY doc_a, doc_b"""
     * recall at the threshold is ~1 (see class doc), which the oracle checks. */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val docs = shingleTable(s, d)
-    // The shingle hash itself is the base hash; the 64 "permutations" are
-    // XOR with per-permutation random constants (each XOR is a bijection on
-    // the 64-bit domain, so min-over-XOR is a valid minwise family, and it
-    // cannot overflow under ANSI mode the way multiply-add wraparound
-    // does). Engine-specific hashing is fine because only the
-    // exact-Jaccard-VERIFIED output is compared to the oracle.
+    val banded = bandedSignatures(docs)
+    val l = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+    val cands = l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(docs, cands, threshold)
+  }
+
+  /** Per-doc banded MinHash signature rows (doc_id, band_idx, band_val) —
+    * the LSH index structure. The shingle hash itself is the base hash;
+    * the 64 "permutations" are XOR with per-permutation random constants
+    * (each XOR is a bijection on the 64-bit domain, so min-over-XOR is a
+    * valid minwise family, and it cannot overflow under ANSI mode the way
+    * multiply-add wraparound does). Engine-specific hashing is fine
+    * because only the exact-Jaccard-VERIFIED output is compared to the
+    * oracle. At 100 TB this table IS the stored dedup index (banded rows
+    * keyed by (band_idx, band_val) — what [[minhashIncremental]] probes). */
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
     val rng = new scala.util.Random(0x5eed)
     val perms = Array.fill(NumHashes)(rng.nextLong())
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
@@ -182,23 +195,59 @@ ORDER BY doc_a, doc_b"""
     val bandCols = (0 until Bands).map { bnd =>
       hash((bnd * RowsPerBand until (bnd + 1) * RowsPerBand).map(i => col(s"h$i")): _*)
     }
-    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val l = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
-    val cands = l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // exact verification on the candidate set only
-    val withSets = cands
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets — shared by every LSH path; the approximation only ever prunes
+    * candidates, never invents or mis-scores a pair. */
+  private def verifyJaccard(docs: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
+    cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("m").as("ma")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("m").as("mb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("ma") + col("mb") - col("inter")), 6))
-    withSets.filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+
+  /** Incremental near-dup maintenance — the 100 TB ingestion pattern:
+    * the already-ingested corpus ("index", here doc_id < the 90%-boundary)
+    * has its banded signature table STORED; a new batch (the top decile)
+    * computes signatures for its own documents only and probes the index
+    * by (band_idx, band_val) equi-join, then exact-verifies the candidate
+    * pairs. Daily cost scales with the batch, never the corpus — the
+    * near-dup complement of [[graft.queries.ScaleOps]].incrementalAgg's
+    * "read the day, not the history" and of [[incremental]]'s exact-hash
+    * variant. Batch-internal duplicates are [[minhashLsh]]'s job on the
+    * batch alone; this query reports only new-vs-corpus collisions
+    * (doc_a = matched index doc, doc_b = batch doc). */
+  def minhashIncremental(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
+    val docs = shingleTable(s, d)
+    // the split point is a scalar of a 1-row max aggregate (kilobyte-scale
+    // driver value, same class as the IVF centroid means)
+    val maxId = Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
+    val thr = 9L * maxId / 10
+    val banded = bandedSignatures(docs)
+    val idx = banded.filter(col("doc_id") < thr)
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val bat = banded.filter(col("doc_id") >= thr)
+      .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+    val cands = idx.join(bat, Seq("band_idx", "band_val"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(docs, cands, threshold)
   }
+
+  def minhashIncrementalOracle(threshold: Double = 0.9): String =
+    shingleCte + s"""
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (ma + mb - inter), 6) AS jaccard
+FROM pairs, (SELECT 9 * max(doc_id) // 10 AS thr FROM documents)
+WHERE round(CAST(inter AS DOUBLE) / (ma + mb - inter), 6) >= $threshold
+  AND doc_a < thr AND doc_b >= thr
+ORDER BY doc_a, doc_b"""
 
   // ---- SimHash ----
 
@@ -718,6 +767,7 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_root"""
     "dedup_exact"         -> (exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "dedup_incremental_minhash" -> ((s: SparkSession, d: String) => minhashIncremental(s, d)),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
@@ -730,6 +780,7 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_root"""
     "dedup_exact"         -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle(),
     "dedup_minhash_lsh"   -> ngramJaccardOracle(0.9),
+    "dedup_incremental_minhash" -> minhashIncrementalOracle(),
     "dedup_simhash"       -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle(),
     "dedup_cosine"        -> cosinePairsOracle(),
