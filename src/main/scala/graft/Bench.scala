@@ -9,6 +9,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
+    // a typo'd filter must fail loudly, not print a plausible 0.0s total
+    if (!SparkEntry.queries.keys.exists(selected)) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")} matches no query — aborting")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

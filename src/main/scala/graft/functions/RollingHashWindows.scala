@@ -44,8 +44,9 @@ case class RollingHashWindows(child: Expression, lExpr: Expression)
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"rolling_hash_windows requires a string column, got ${child.dataType.catalogString}")
-    else if (lExpr.dataType != IntegerType || !lExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("rolling_hash_windows requires a literal int L")
+    else if (lExpr.dataType != IntegerType || !lExpr.foldable ||
+        lExpr.eval() == null) // a foldable NULL would NPE at first eval
+      TypeCheckResult.TypeCheckFailure("rolling_hash_windows requires a non-null literal int L")
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val l: Int = lExpr.eval().asInstanceOf[Number].intValue()

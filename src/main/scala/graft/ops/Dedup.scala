@@ -412,15 +412,20 @@ ORDER BY doc_a, doc_b"""
     * passes `workDir` on durable lake storage. */
   def clustersFromPairs(pairs: DataFrame, workDir: Option[String] = None): DataFrame = {
     val s = pairs.sparkSession
-    val dir = workDir.map(java.nio.file.Paths.get(_))
-      .getOrElse(graft.util.TempDirs.scratch("graft-ccomp"))
+    // path arithmetic stays string + Hadoop Path (NOT java.nio.Paths,
+    // which mangles scheme URIs like s3a:// and can only delete locally) —
+    // a caller-supplied workDir on lake storage must actually work
+    val base = workDir.getOrElse(graft.util.TempDirs.scratch("graft-ccomp").toString)
     def persistRound(df: DataFrame, r: Int): DataFrame = {
-      val p = dir.resolve(s"round-$r")
-      df.write.mode("overwrite").parquet(p.toString)
+      val p = s"$base/round-$r"
+      df.write.mode("overwrite").parquet(p)
       // superseded round: r was computed wholly from r−1, so r−1's files
       // are dead the moment r's write commits
-      if (r > 0) graft.util.AtomicTable.deleteRecursively(dir.resolve(s"round-${r - 1}"))
-      s.read.parquet(p.toString)
+      if (r > 0) {
+        val prev = new org.apache.hadoop.fs.Path(s"$base/round-${r - 1}")
+        prev.getFileSystem(s.sparkContext.hadoopConfiguration).delete(prev, true)
+      }
+      s.read.parquet(p)
     }
     var edges = persistRound(pairs
       .filter(col("doc_a") =!= col("doc_b"))

@@ -54,10 +54,15 @@ object ProfileOps {
       .select("p.*")
     val exact = melted.groupBy("column_name")
       .agg(count_distinct(col("v")).as("n_distinct"))
-    sketchSide.join(exact, "column_name")
-      .select(col("column_name"), col("n_nulls"), col("n_distinct"),
-        (abs(col("approx") - col("n_distinct")) <=
-          greatest(lit(1L), expr("n_distinct div 10"))).as("within_10pct"))
+    // left join + coalesce: on an EMPTY table the melted/exact side has no
+    // rows at all, but the profile contract (and the oracle's UNION ALL of
+    // global aggregates) is still one row per column with n_distinct = 0
+    sketchSide.join(exact, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (abs(col("approx") - coalesce(col("n_distinct"), lit(0L))) <=
+          greatest(lit(1L), coalesce(expr("n_distinct div 10"), lit(0L))))
+          .as("within_10pct"))
       .orderBy("column_name")
   }
 

@@ -192,7 +192,11 @@ object AtomicTable {
       // (they may be a concurrent writer's claim mid-write; cf. the VACUUM
       // retention window). Best-effort; failure strands disk, not
       // correctness.
-      Files.deleteIfExists(claim) // committed: no longer an in-flight claim
+      // committed: the claim marker is cleanup, not correctness — a
+      // transient IO failure here must not fail a publish whose pointer
+      // swap is already live (the orphan pruner reaps it after the TTL)
+      try Files.deleteIfExists(claim)
+      catch { case _: java.io.IOException => () }
       val published = history(base)
       val retained = published.takeRight(keep).toSet
       val publishedSet = published.toSet

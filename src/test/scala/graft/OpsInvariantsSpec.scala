@@ -28,6 +28,18 @@ class OpsInvariantsSpec extends AnyFunSuite {
     assert(cents.head <= 150000L, "page starts at or below the cursor price")
   }
 
+  test("profiler on an EMPTY table still emits one row per column") {
+    // the exact/melted side has zero rows on an empty table; the left
+    // join must keep the sketch side's per-column rows (n_distinct = 0)
+    val d = java.nio.file.Files.createTempDirectory("graft_emptyprof").toString
+    Tables.orders(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = ProfileOps.profileOrders(spark, d).collect()
+    assert(rows.length === Tables.orders(spark, sf).columns.length)
+    assert(rows.forall(r => r.getLong(2) == 0L), "n_distinct must be 0")
+    assert(rows.forall(r => r.getBoolean(3)), "0 ≈ 0 is within the bound")
+  }
+
   test("scd1 upsert: updates overwrite, inserts append, untouched rows pass through") {
     val base = Tables.customer(spark, sf)
     val merged = ChangeOps.scd1Upsert(spark, sf).cache()
