@@ -92,6 +92,34 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(byPair((2L, 9L)) === 2L * (20 - L + 1))
   }
 
+  test("random corpora with random planted overlaps match brute-force LCS (12 trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xd0c5)
+    // small word alphabet so overlaps ≥ L also arise BY CHANCE, not only
+    // by planting — the detector must agree with the DP on those too
+    (1 to 12).foreach { trial =>
+      val nDocs = 4 + rng.nextInt(8)
+      val shared = (0 until 3).map(k =>
+        (0 until (L + rng.nextInt(12))).map(i => s"s${k}r$i"))
+      val docs = (0L until nDocs.toLong).map { id =>
+        val parts = (0 until (1 + rng.nextInt(4))).flatMap { _ =>
+          if (rng.nextBoolean()) shared(rng.nextInt(3))
+          else (0 until (3 + rng.nextInt(15))).map(_ => s"v${rng.nextInt(6)}")
+        }
+        id -> parts.mkString(" ")
+      }
+      val got = SubstringDedup
+        .substringPairsFrom(docs.toDF("doc_id", "text").repartition(3), L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val words = docs.toMap.map { case (id, t) => id -> t.split(" ") }
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        l = lcsWords(words(a), words(b)) if l >= L
+      } yield (a, b) -> l.toLong).toMap
+      assert(got === expected, s"trial $trial (nDocs=$nDocs) diverged")
+    }
+  }
+
   test("grams past the document-frequency cap never anchor a pair") {
     import spark.implicits._
     val hot = (0 until 12).map(i => s"viral$i")   // appears in ALL four docs
