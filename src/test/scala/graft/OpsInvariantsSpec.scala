@@ -28,6 +28,23 @@ class OpsInvariantsSpec extends AnyFunSuite {
     assert(cents.head <= 150000L, "page starts at or below the cursor price")
   }
 
+  test("substring dedup plan: rolling-hash Generate, digest joins, no cartesian") {
+    val plan = graft.ops.SubstringDedup.substringPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rolling_hash_windows"),
+      "gram build must run through the custom O(n) generator")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pairing must come from digest equi-joins only")
+  }
+
+  test("boilerplate strip plan: digest-keyed join back, no cartesian") {
+    val plan = graft.ops.Boilerplate.boilerplateStrip(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("profiler on an EMPTY table still emits one row per column") {
     // the exact/melted side has zero rows on an empty table; the left
     // join must keep the sketch side's per-column rows (n_distinct = 0)
