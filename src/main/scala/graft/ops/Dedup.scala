@@ -415,7 +415,12 @@ ORDER BY doc_a, doc_b"""
     // path arithmetic stays string + Hadoop Path (NOT java.nio.Paths,
     // which mangles scheme URIs like s3a:// and can only delete locally) —
     // a caller-supplied workDir on lake storage must actually work
-    val base = workDir.getOrElse(graft.util.TempDirs.scratch("graft-ccomp").toString)
+    // the default scratch dir is explicitly file://-qualified: on a
+    // cluster whose fs.defaultFS is remote (hdfs/s3a), an unqualified
+    // local path would resolve round writes against the DEFAULT fs while
+    // the JVM-exit reaper (TempDirs, java.nio) cleans only the local dir
+    val base = workDir.getOrElse(
+      "file://" + graft.util.TempDirs.scratch("graft-ccomp").toString)
     def persistRound(df: DataFrame, r: Int): DataFrame = {
       val p = s"$base/round-$r"
       df.write.mode("overwrite").parquet(p)

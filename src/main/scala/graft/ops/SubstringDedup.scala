@@ -54,9 +54,21 @@ object SubstringDedup {
   /** Document pairs sharing a verbatim run of ≥ `L` words, with the exact
     * longest shared run length and the supporting anchor-match count. */
   def substringPairs(s: SparkSession, d: String, L: Int = 12): DataFrame = {
-    val grams = gramCache.getOrElseUpdate((s, d, L),
-      gramTable(Tables.fanout(s, Tables.documents(s, d)), L, MaxGramDf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val grams = gramCache.getOrElseUpdate((s, d, L), {
+      // the shingleTable build discipline (Dedup.scala): persist the raw
+      // generate (it feeds the hot-list aggregate AND the anti-join),
+      // materialize the capped table, release the intermediate — one
+      // O(n) Generate pass total, cache lifetime = session (same
+      // contract as shingleCache/knnCache: a bench or notebook session
+      // reuses it; batch jobs die with the JVM)
+      val raw = rawGrams(Tables.fanout(s, Tables.documents(s, d)), L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = capGrams(raw, MaxGramDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      capped.count()
+      raw.unpersist()
+      capped
+    })
     pairsFromGrams(grams, L)
   }
 
@@ -65,10 +77,10 @@ object SubstringDedup {
     * grams past a tiny `maxDf` to observe the cap. Unmemoized. */
   def substringPairsFrom(docs: DataFrame, L: Int,
       maxDf: Int = MaxGramDf): DataFrame =
-    pairsFromGrams(gramTable(docs, L, maxDf), L)
+    pairsFromGrams(capGrams(rawGrams(docs, L), maxDf), L)
 
-  /** DF-capped anchor-gram table (doc_id, pos, h1, h2): one O(n) Generate
-    * per document via the custom Rabin-Karp UDTF
+  /** Raw anchor-gram table (doc_id, pos, h1, h2): one O(n) Generate per
+    * document via the custom Rabin-Karp UDTF
     * ([[graft.functions.RollingHashWindows]]): each word hashed once,
     * two 2⁶⁴-ring polynomial accumulators slide — versus slice + concat
     * + md5 re-touching every word L times. The (h1, h2) pair is the gram
@@ -76,13 +88,15 @@ object SubstringDedup {
     * 2¹²⁸ ≈ 0); the DuckDB oracle keeps md5 digests for the same grams —
     * both sides are collision-free injections of the word run, so the
     * PAIR output they derive is identical even though the digests differ. */
-  private def gramTable(docs: DataFrame, L: Int, maxDf: Int): DataFrame = {
+  private def rawGrams(docs: DataFrame, L: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val raw = docs
-      .select(col("doc_id"),
-        expr(s"rolling_hash_windows(text, $L)").as(Seq("pos", "h1", "h2")))
-    // hot-gram defuse: one distinct-doc count per digest, anti-join the
-    // degenerate tail out before anything can pair on it
+    docs.select(col("doc_id"),
+      expr(s"rolling_hash_windows(text, $L)").as(Seq("pos", "h1", "h2")))
+  }
+
+  /** Hot-gram defuse: one distinct-doc count per digest, anti-join the
+    * degenerate tail out before anything can pair on it. */
+  private def capGrams(raw: DataFrame, maxDf: Int): DataFrame = {
     val hot = raw.groupBy("h1", "h2")
       .agg(countDistinct("doc_id").as("ndocs"))
       .filter(col("ndocs") > maxDf)

@@ -55,14 +55,15 @@ object ProfileOps {
     val exact = melted.groupBy("column_name")
       .agg(count_distinct(col("v")).as("n_distinct"))
     // left join + coalesce: on an EMPTY table the melted/exact side has no
-    // rows at all, but the profile contract (and the oracle's UNION ALL of
-    // global aggregates) is still one row per column with n_distinct = 0
+    // rows at all (and sum() over zero rows is NULL), but the profile
+    // contract is still one row per column with zero counts — the oracle
+    // coalesces identically, so the gate checks the same total semantics
     sketchSide.join(exact, Seq("column_name"), "left")
-      .select(col("column_name"), col("n_nulls"),
+      .select(col("column_name"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         (abs(col("approx") - coalesce(col("n_distinct"), lit(0L))) <=
-          greatest(lit(1L), coalesce(expr("n_distinct div 10"), lit(0L))))
-          .as("within_10pct"))
+          greatest(lit(1L), expr("n_distinct div 10"))).as("within_10pct"))
       .orderBy("column_name")
   }
 
@@ -71,7 +72,7 @@ object ProfileOps {
       "o_orderdate", "o_orderpriority")
     cols.map { c =>
       s"""SELECT '$c' AS column_name,
-         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
          |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
          |       true AS within_10pct
          |FROM orders""".stripMargin

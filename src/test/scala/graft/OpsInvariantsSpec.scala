@@ -41,6 +41,11 @@ class OpsInvariantsSpec extends AnyFunSuite {
   test("boilerplate strip plan: digest-keyed join back, no cartesian") {
     val plan = graft.ops.Boilerplate.boilerplateStrip(spark, sf)
       .queryExecution.executedPlan.toString
+    // positive shape: segments are md5-digested and the template set
+    // comes from a distinct-doc count joined back by digest
+    assert(plan.contains("md5("), "segment digesting missing from plan")
+    assert(plan.contains("count(distinct doc_id"),
+      "per-(source, digest) distinct-doc count missing from plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
@@ -48,7 +53,7 @@ class OpsInvariantsSpec extends AnyFunSuite {
   test("profiler on an EMPTY table still emits one row per column") {
     // the exact/melted side has zero rows on an empty table; the left
     // join must keep the sketch side's per-column rows (n_distinct = 0)
-    val d = java.nio.file.Files.createTempDirectory("graft_emptyprof").toString
+    val d = graft.util.TempDirs.scratch("graft_emptyprof").toString
     Tables.orders(spark, sf).limit(0)
       .write.mode("overwrite").parquet(s"$d/orders.parquet")
     val rows = ProfileOps.profileOrders(spark, d).collect()
