@@ -50,7 +50,9 @@ object Boilerplate {
       .select(col("source"), col("h"), lit(1L).as("is_boiler"))
     segs.join(boiler, Seq("source", "h"), "left")
       .groupBy("doc_id")
-      .agg(first("source").as("source"),
+      // source is functionally dependent on doc_id; max (not first) keeps
+      // the aggregate order-independent by construction
+      .agg(max("source").as("source"),
         count(lit(1)).as("n_segments"),
         sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler_segments"),
         // collect_list drops nulls, so only content segments survive;
