@@ -57,4 +57,43 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out(5L) === (("B", 2L, 0L, s"$header ${seg16("bodyFive")}")))
     assert(out(6L) === (("B", 2L, 0L, s"${seg16("bodySix")} ${seg16("tailSix")}")))
   }
+
+  test("random corpora match a sequential reference strip (10 trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xb01e)
+    (1 to 10).foreach { trial =>
+      val templates = (0 until 3).map(k => seg16(s"t${trial}x$k"))
+      var uid = 0
+      val docs = (0L until (6 + rng.nextInt(10)).toLong).map { id =>
+        val blocks = (0 until 1 + rng.nextInt(5)).map { _ =>
+          if (rng.nextBoolean()) templates(rng.nextInt(3))
+          else { uid += 1; seg16(s"u${trial}x$uid") }
+        }
+        // sometimes a short (<16-word) tail segment
+        val tail = if (rng.nextBoolean()) Seq(s"tail$id a b") else Nil
+        (s"src${rng.nextInt(2)}", id, (blocks ++ tail).mkString(" "))
+      }
+      // sequential reference: 16-word chunks, per-source distinct-doc
+      // counts, strip chunks in ≥2 docs of the same source
+      val chunksOf = docs.map { case (src, id, t) =>
+        (src, id, t.split(" ").grouped(16).map(_.mkString(" ")).toSeq)
+      }
+      // NB: not Map.collect{... => k} — tuple results rebuild a Map and
+      // keys silently overwrite per source; keySet keeps every template
+      val boiler = chunksOf.flatMap { case (src, id, cs) =>
+        cs.distinct.map(c => (src, c) -> id)
+      }.groupBy(_._1).filter { case (_, v) => v.map(_._2).distinct.size >= 2 }.keySet
+      val expected = chunksOf.map { case (src, id, cs) =>
+        id -> ((src, cs.size.toLong,
+          cs.count(c => boiler((src, c))).toLong,
+          cs.filterNot(c => boiler((src, c))).mkString(" ")))
+      }.toMap
+      val got = graft.ops.Boilerplate.boilerplateStripFrom(
+        docs.toDF("source", "doc_id", "text").repartition(3), K = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
 }
