@@ -477,7 +477,131 @@ SELECT source, count(*) AS n_docs,
 FROM scored JOIN med USING (source)
 GROUP BY source ORDER BY source"""
 
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007): item i draws u_i uniform on (0,1], gets
+    * priority w_i / u_i, and the m highest-priority items form the sample.
+    * Here w_i is the document's token count, so the draw is the standard
+    * token-budget-aware corpus subset (long documents proportionally
+    * favored — sampling docs uniformly would bias the token mixture toward
+    * short ones). The division w / u is the load-bearing choice: IEEE 754
+    * requires division (unlike log/exp, whose libm rounding varies) to be
+    * correctly rounded, so the priority is bit-identical across engines
+    * and the sample is exactly hash-checkable — the same reason
+    * Efraimidis–Spirakis u^(1/w) keys would NOT gate cleanly. The
+    * uniform is (u32+1)/2^32 ∈ (0,1] from a salted md5 of the doc id,
+    * so the priority is w·2^32/(u32+1): the numerator stays below 2^53
+    * (exact as a double) and the whole key is ONE division. Scale shape:
+    * narrow per-row projection into TakeOrderedAndProject — per-partition
+    * top-m heaps, driver merges m rows per partition; the corpus itself
+    * never shuffles or sorts. */
+  def weightedSample(s: SparkSession, d: String, m: Int = 50): DataFrame =
+    weightedSampleFrom(Tables.documents(s, d), m)
+
+  /** Core over any (doc_id, source, text) frame — parameterized so specs
+    * can plant corpora with known token weights. */
+  def weightedSampleFrom(docs: DataFrame, m: Int): DataFrame =
+    prioritized(docs)
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(m)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+
+  /** (doc_id, source, n_tokens, u, priority) — the shared scoring
+    * projection of [[weightedSampleFrom]] / [[prioritySubsetSumFrom]]. */
+  private def prioritized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") + 1L)
+      .withColumn("priority",
+        col("n_tokens").cast("double") * lit(4294967296.0) / col("u").cast("double"))
+
+  val weightedSampleOracle: String = """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef',
+                  substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) + 1 AS u
+  FROM documents),
+s AS (SELECT doc_id, source, n_tokens FROM w
+      ORDER BY CAST(n_tokens AS DOUBLE) * 4294967296.0 / CAST(u AS DOUBLE) DESC, doc_id
+      LIMIT 50)
+SELECT * FROM s ORDER BY doc_id"""
+
+  /** The 100 TB payoff of [[weightedSample]]: the THRESHOLD ESTIMATOR.
+    * With τ = the (m+1)-th highest priority, Σ over sampled items of
+    * max(w_i, τ) is an unbiased estimate of the full corpus token total
+    * (Duffield et al. Thm 1) — subset sums over 100 TB answered from an
+    * m-row sample, no second scan. This query demonstrates the contract
+    * the way `approx_distinct` does: it computes the exact total (the
+    * audit side a production pipeline would skip), the quantized estimate,
+    * and an in-bound boolean, and the gate hashes all three. Determinism:
+    * max() and floor() of correctly-rounded doubles are exact, and the
+    * per-item estimates are floored to integer 1e-4 units BEFORE summing,
+    * so addition order cannot produce engine-divergent rounding. The
+    * (m+1)-row window is bounded by construction — TakeOrderedAndProject
+    * feeds it, never the corpus. */
+  def prioritySubsetSum(s: SparkSession, d: String, m: Int = 50): DataFrame =
+    prioritySubsetSumFrom(Tables.documents(s, d), m)
+
+  def prioritySubsetSumFrom(docs: DataFrame, m: Int): DataFrame = {
+    val scored = prioritized(docs)
+    val topm1 = scored.orderBy(col("priority").desc, col("doc_id")).limit(m + 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id"))))
+    val tau = topm1.agg(
+      coalesce(max(when(col("rn") === m + 1, col("priority"))), lit(0.0)).as("tau"))
+    val est = topm1.filter(col("rn") <= m).crossJoin(tau)
+      .agg(count(lit(1)).as("n_sampled"),
+        max(floor(col("tau") * 1e4).cast("long")).as("tau_q4"),
+        sum(floor(greatest(col("n_tokens").cast("double"), col("tau")) * 1e4).cast("long"))
+          .as("est_total_q4"))
+    val exact = scored.agg(count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("exact_total_tokens"))
+    exact.crossJoin(est)
+      .withColumn("in_bound",
+        abs(col("est_total_q4") - col("exact_total_tokens") * 10000L)
+          <= col("exact_total_tokens") * 3500L)
+      .select("n_docs", "exact_total_tokens", "n_sampled", "tau_q4",
+        "est_total_q4", "in_bound")
+  }
+
+  val prioritySubsetSumOracle: String = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+           j -> CAST((strpos('0123456789abcdef',
+                  substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 8 - j) AS BIGINT))) AS BIGINT) + 1 AS u
+  FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             CAST(n_tokens AS DOUBLE) * 4294967296.0 / CAST(u AS DOUBLE) AS priority
+      FROM w),
+top AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        FROM p ORDER BY priority DESC, doc_id LIMIT 51),
+tau AS (SELECT coalesce(max(priority) FILTER (WHERE rn = 51), 0.0) AS tau FROM top),
+est AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+               max(CAST(floor(tau * 10000) AS BIGINT)) AS tau_q4,
+               CAST(sum(CAST(floor(greatest(CAST(n_tokens AS DOUBLE), tau) * 10000) AS BIGINT))
+                 AS BIGINT) AS est_total_q4
+        FROM top, tau WHERE rn <= 50),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS exact_total_tokens FROM w)
+SELECT n_docs, exact_total_tokens, n_sampled, tau_q4, est_total_q4,
+       abs(est_total_q4 - exact_total_tokens * 10000) <= exact_total_tokens * 3500
+         AS in_bound
+FROM exact, est"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample"      -> ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "priority_subset_sum"  -> ((s: SparkSession, d: String) => prioritySubsetSum(s, d)),
     "span_prune_firstwins" -> (spanPruneFirstWins _),
     "dataset_split"        -> (datasetSplit _),
     "quality_adaptive_filter" -> (qualityAdaptiveFilter _),
@@ -491,6 +615,8 @@ GROUP BY source ORDER BY source"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "weighted_sample"      -> weightedSampleOracle,
+    "priority_subset_sum"  -> prioritySubsetSumOracle,
     "span_prune_firstwins" -> spanPruneFirstWinsOracle,
     "dataset_split"        -> datasetSplitOracle,
     "quality_adaptive_filter" -> qualityAdaptiveFilterOracle,
