@@ -51,7 +51,9 @@ object PlanDump {
     "span_prune_firstwins" -> "first-wins span prune: fingerprint min-agg, one join back, per-doc sorted rebuild - no all-pairs",
     "sketch_union_distinct" -> "mergeable HLL rollup: partial hll_sketch_agg map-side, union-agg over stored sketches, no raw re-pass",
     "dedup_substring" -> "anchor-gram LCS: O(n) rolling_hash_windows Generate, digest-keyed self-join after the DF-cap anti-join, diagonal windows on matches only, no cartesian",
-    "boilerplate_strip" -> "template strip: per-(source, digest) distinct count, one digest-keyed join back, per-doc ordered reassembly"
+    "boilerplate_strip" -> "template strip: per-(source, digest) distinct count, one digest-keyed join back, per-doc ordered reassembly",
+    "weighted_sample" -> "priority sample: TakeOrderedAndProject merges per-partition top-m heaps, the corpus never sorts or shuffles",
+    "recursive_subtree_rollup" -> "WITH RECURSIVE closure: UnionLoop iterates a per-level parent-key hash join, rollup aggregates the closure once"
   )
 
   def main(args: Array[String]): Unit = {

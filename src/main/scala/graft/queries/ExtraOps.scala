@@ -588,7 +588,91 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
 
   // ---------------------------------------------------------------- wiring
 
+  // ------------------------------------------------------- recursive CTEs
+
+  /** Hierarchy walk via WITH RECURSIVE (SPARK-24497, shipped in Spark 4) —
+    * the org-chart / category-tree / BOM traversal every DWH eventually
+    * needs and the one classic OLAP family the engine didn't yet cover.
+    * The tree is derived deterministically from the data (parent =
+    * c_custkey DIV 10, keys below 10 are roots — keys are contiguous from
+    * 0 at every SF, so every parent exists): each node gets its root, its
+    * depth, and its materialized root-to-node path. Scale shape: Spark
+    * plans the recursion as depth-many iterations (≤ log10 n ≈ 5 levels
+    * even at 10^9 customers) of a hash join keyed on the parent — level
+    * sizes partition n, so total work is one extra pass over the table
+    * per level, never quadratic. */
+  def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS root_key, CAST(0 AS BIGINT) AS depth,
+         CAST(c_custkey AS STRING) AS path
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root_key, ch.depth + 1 AS depth,
+         concat(ch.path, '/', CAST(c.c_custkey AS STRING)) AS path
+  FROM customer c JOIN chain ch ON c.c_custkey DIV 10 = ch.c_custkey
+  WHERE c.c_custkey >= 10)
+SELECT c_custkey, root_key, depth, path FROM chain ORDER BY c_custkey""")
+  }
+
+  val recursiveHierarchyOracle: String = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS root_key, CAST(0 AS BIGINT) AS depth,
+         CAST(c_custkey AS VARCHAR) AS path
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root_key, ch.depth + 1 AS depth,
+         ch.path || '/' || CAST(c.c_custkey AS VARCHAR) AS path
+  FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.c_custkey
+  WHERE c.c_custkey >= 10)
+SELECT c_custkey, root_key, depth, path FROM chain ORDER BY c_custkey"""
+
+  /** The aggregate over the recursion: ancestor→descendant closure, then a
+    * per-ancestor subtree rollup (node count, depth below the ancestor,
+    * balance cents) — the BOM-explosion / org-rollup query. The closure
+    * materializes Σ depth(v) ≈ n·log10(n) rows; that is the honest cost of
+    * closure-based rollups, and for deeper trees the scale path is
+    * bottom-up iterative aggregation per level instead (same recursion,
+    * aggregated as it unwinds) — at 10-ary branching the closure is ~5×
+    * the table, well inside shuffle budget. Integer cents keep the rollup
+    * sum exact cross-engine. */
+  def recursiveSubtreeRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql("""
+WITH RECURSIVE closure AS (
+  SELECT c_custkey AS anc, c_custkey AS node, CAST(0 AS BIGINT) AS lvl
+  FROM customer
+  UNION ALL
+  SELECT cl.anc, c.c_custkey AS node, cl.lvl + 1 AS lvl
+  FROM closure cl JOIN customer c ON c.c_custkey DIV 10 = cl.node
+  WHERE c.c_custkey >= 10)
+SELECT cl.anc AS c_custkey,
+       count(*) AS subtree_nodes,
+       max(cl.lvl) AS subtree_depth,
+       sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS subtree_bal_cents
+FROM closure cl JOIN customer c ON c.c_custkey = cl.node
+GROUP BY cl.anc ORDER BY c_custkey""")
+  }
+
+  val recursiveSubtreeRollupOracle: String = """
+WITH RECURSIVE closure AS (
+  SELECT c_custkey AS anc, c_custkey AS node, CAST(0 AS BIGINT) AS lvl
+  FROM customer
+  UNION ALL
+  SELECT cl.anc, c.c_custkey AS node, cl.lvl + 1 AS lvl
+  FROM closure cl JOIN customer c ON c.c_custkey // 10 = cl.node
+  WHERE c.c_custkey >= 10)
+SELECT cl.anc AS c_custkey,
+       CAST(count(*) AS BIGINT) AS subtree_nodes,
+       max(cl.lvl) AS subtree_depth,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS subtree_bal_cents
+FROM closure cl JOIN customer c ON c.c_custkey = cl.node
+GROUP BY cl.anc ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recursive_hierarchy" -> (recursiveHierarchy _),
+    "recursive_subtree_rollup" -> (recursiveSubtreeRollup _),
     "schema_evolution"  -> (schemaEvolution _),
     "map_ops"           -> (mapOps _),
     "jsonl_roundtrip"   -> (jsonlRoundtrip _),
@@ -609,6 +693,8 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "recursive_hierarchy" -> recursiveHierarchyOracle,
+    "recursive_subtree_rollup" -> recursiveSubtreeRollupOracle,
     "schema_evolution"  -> schemaEvolutionOracle,
     "map_ops"           -> mapOpsOracle,
     "jsonl_roundtrip"   -> jsonlRoundtripOracle,
