@@ -443,6 +443,48 @@ GROUP BY split ORDER BY split"""
     * hash-agg (count + single distinct rides one pass), a sources-sized
     * median agg, broadcast join back, final per-source rollup. Nothing
     * document-sized reaches the driver. */
+  /** Cross-source quality-score CALIBRATION by quantile normalization:
+    * each document's lexical-diversity score is mapped to its percent
+    * rank WITHIN its source, so one global threshold (here the top
+    * quartile) means the same thing for every source — the standard fix
+    * for "source A's scorer runs hot" when assembling a mixed training
+    * corpus (complements [[qualityAdaptiveFilter]]'s per-source median
+    * cut, which keeps a fixed fraction; calibration exposes the whole
+    * comparable scale). Determinism: percent_rank is (rank−1)/(n−1) —
+    * one small-integer IEEE division, correctly rounded, so the floats
+    * gate bit-exactly; rank ties on equal scores share a value, so no
+    * tie-break ambiguity reaches the output. Scale shape: the per-doc
+    * score is one explode + hash-agg pass; the rank is one exchange on
+    * the source key + an in-partition sort — no global sort, and at
+    * 100 TB the window is per-source parallel. */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("nw"), countDistinct("w").as("ndw"))
+      .withColumn("score_ppm", expr("ndw * 1000000L div nw"))
+    scored
+      .withColumn("pct", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("score_ppm")))
+      .withColumn("top_quartile", col("pct") >= 0.75)
+      .select("doc_id", "source", "score_ppm", "pct", "top_quartile")
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibrationOracle: String = """
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+scored AS (
+  SELECT source, doc_id,
+         count(DISTINCT w) * 1000000 // count(*) AS score_ppm
+  FROM tok GROUP BY 1, 2)
+SELECT doc_id, source, score_ppm,
+       percent_rank() OVER (PARTITION BY source ORDER BY score_ppm) AS pct,
+       percent_rank() OVER (PARTITION BY source ORDER BY score_ppm) >= 0.75
+         AS top_quartile
+FROM scored ORDER BY doc_id"""
+
   def qualityAdaptiveFilter(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.fanout(s, Tables.documents(s, d))
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -605,6 +647,7 @@ FROM exact, est"""
     "span_prune_firstwins" -> (spanPruneFirstWins _),
     "dataset_split"        -> (datasetSplit _),
     "quality_adaptive_filter" -> (qualityAdaptiveFilter _),
+    "quality_calibration"  -> (qualityCalibration _),
     "mix_temperature"      -> (mixTemperature _),
     "text_repetition"      -> (repetition _),
     "contamination_ngrams" -> (contamination _),
@@ -620,6 +663,7 @@ FROM exact, est"""
     "span_prune_firstwins" -> spanPruneFirstWinsOracle,
     "dataset_split"        -> datasetSplitOracle,
     "quality_adaptive_filter" -> qualityAdaptiveFilterOracle,
+    "quality_calibration"  -> qualityCalibrationOracle,
     "mix_temperature"      -> mixTemperatureOracle,
     "text_repetition"      -> repetitionOracle,
     "contamination_ngrams" -> contaminationOracle,

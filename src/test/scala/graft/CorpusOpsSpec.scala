@@ -142,4 +142,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(row.getLong(2) <= row.getLong(1))
     }
   }
+
+  test("quality calibration: pct is a within-source rank scale, quartile ~25%") {
+    import org.apache.spark.sql.functions._
+    val cal = CorpusOps.qualityCalibration(spark, sf).cache()
+    // pct in [0,1]; exactly one 0 per singleton-free source ordering: the
+    // min-score doc(s) of each source sit at pct 0, max at 1 (n>1 sources)
+    assert(cal.filter(col("pct") < 0 || col("pct") > 1).count() == 0)
+    val perSource = cal.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("pct").as("lo"), max("pct").as("hi"),
+        sum(col("top_quartile").cast("long")).as("q"))
+      .collect()
+    perSource.foreach { r =>
+      assert(r.getDouble(2) === 0.0, s"${r.getString(0)} min pct")
+      assert(r.getDouble(3) === 1.0, s"${r.getString(0)} max pct")
+      // the top-quartile flag selects roughly a quarter (ties can widen it)
+      val (n, q) = (r.getLong(1), r.getLong(4))
+      assert(q >= n / 5 && q <= n / 2, s"${r.getString(0)}: $q of $n flagged")
+    }
+    // rank semantics: within a source, higher score never has lower pct
+    val viol = cal.as("a").join(cal.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.score_ppm") > col("b.score_ppm") &&
+        col("a.pct") < col("b.pct"))
+      .count()
+    assert(viol == 0, s"$viol monotonicity violations")
+    cal.unpersist()
+  }
 }
