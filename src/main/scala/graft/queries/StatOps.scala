@@ -249,9 +249,82 @@ pairs AS (
 SELECT i, j, CAST(sum(prod) AS BIGINT) AS gram
 FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------------- drift test
+
+  /** Exact two-sample Kolmogorov–Smirnov drift test — the distribution
+    * monitor a production pipeline runs between corpus versions, data
+    * splits, or (here) two source groups (even- vs odd-numbered sources,
+    * compared on document token counts). The statistic D = max |ECDF_A −
+    * ECDF_B| is computed in PURE INTEGERS — D·n_a·n_b = max |cum_a·n_b −
+    * cum_b·n_a| over the merged distinct-value order — with exactly one
+    * final division, so the float columns hash-gate bit-exactly; even the
+    * α=0.05 critical-value comparison is deterministic because IEEE 754
+    * requires sqrt (like division) to be correctly rounded. Scale shape:
+    * one hash-agg to per-value counts (distinct values ≪ rows), one
+    * ordered cumulative window over that small table (at extreme value
+    * cardinality, pre-bin or range-partition the cumsum), and 1-row
+    * broadcast joins for the totals. The integer cross products need
+    * n_a·n_b < 2^63 — beyond ~3·10^9 rows a side, bin first. */
+  def driftKs(s: SparkSession, d: String): DataFrame =
+    driftKsFrom(Tables.documents(s, d).select(
+      (substring(col("source"), 4, 10).cast("long") % 2).as("side"),
+      size(split(col("text"), " ")).cast("long").as("v")))
+
+  /** Core over any (side ∈ {0,1}, v) frame — parameterized so specs can
+    * plant shifted distributions and assert the detector fires. */
+  def driftKsFrom(tok: DataFrame): DataFrame = {
+    val counts = tok.groupBy("v").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+    val tot = tok.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    val dnum = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_num"))
+    tot.crossJoin(dnum)
+      .withColumn("d", col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .withColumn("crit", lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+        (col("n_a") * col("n_b")).cast("double")))
+      .withColumn("drift", col("d") > col("crit"))
+      .select("n_a", "n_b", "d_num", "d", "crit", "drift")
+  }
+
+  val driftKsOracle: String = """
+WITH tok AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS side,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents),
+counts AS (
+  SELECT v, CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb
+  FROM tok GROUP BY v),
+cum AS (
+  SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+  FROM counts),
+tot AS (
+  SELECT CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS n_b
+  FROM tok),
+dn AS (SELECT CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num
+       FROM cum, tot)
+SELECT n_a, n_b, d_num,
+       CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+       1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) AS crit,
+       CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) >
+         1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) AS drift
+FROM tot, dn"""
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_ks"             -> (driftKs _),
     "window_range_frame"   -> (windowRangeFrame _),
     "ntile_deciles"        -> (ntileDeciles _),
     "outlier_zscore"       -> (outlierZscore _),
@@ -261,6 +334,7 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "drift_ks"             -> driftKsOracle,
     "window_range_frame"   -> windowRangeFrameOracle,
     "ntile_deciles"        -> ntileDecilesOracle,
     "outlier_zscore"       -> outlierZscoreOracle,

@@ -330,4 +330,31 @@ class StatOpsSpec extends AnyFunSuite {
       .count()
     assert(row.getAs[Long]("n_lineitems_kept") == keptViaCounts)
   }
+
+  test("KS drift: exact D vs brute-force ECDFs; planted shift fires, identity doesn't") {
+    import spark.implicits._
+    // planted: side 0 ~ values 1..50, side 1 shifted by +20 — must drift
+    val shifted = ((1 to 200).map(i => (0L, (i % 50 + 1).toLong)) ++
+      (1 to 200).map(i => (1L, (i % 50 + 21).toLong))).toDF("side", "v")
+    val sRow = StatOps.driftKsFrom(shifted).head()
+    assert(sRow.getAs[Boolean]("drift"), "shifted distribution must drift")
+    // brute-force D on the planted data: max |ECDF_A - ECDF_B| over values
+    val a = (1 to 200).map(i => (i % 50 + 1).toLong)
+    val b = (1 to 200).map(i => (i % 50 + 21).toLong)
+    val vals = (a ++ b).distinct.sorted
+    val dBrute = vals.map { t =>
+      math.abs(a.count(_ <= t).toLong * b.size - b.count(_ <= t).toLong * a.size)
+    }.max
+    assert(sRow.getAs[Long]("d_num") === dBrute)
+    // identical samples: D = 0, no drift
+    val same = ((1 to 100).map(i => (0L, (i % 7).toLong)) ++
+      (1 to 100).map(i => (1L, (i % 7).toLong))).toDF("side", "v")
+    val idRow = StatOps.driftKsFrom(same).head()
+    assert(idRow.getAs[Long]("d_num") === 0L)
+    assert(!idRow.getAs[Boolean]("drift"))
+    // fixture run: even/odd sources are same-distributed — sane, finite stats
+    val fx = StatOps.driftKs(spark, sf).head()
+    assert(fx.getAs[Long]("n_a") > 0 && fx.getAs[Long]("n_b") > 0)
+    assert(fx.getAs[Double]("d") >= 0.0 && fx.getAs[Double]("d") <= 1.0)
+  }
 }
