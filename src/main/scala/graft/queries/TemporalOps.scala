@@ -379,7 +379,56 @@ SELECT prio,
        count(*) AS n_segments
 FROM sw GROUP BY prio ORDER BY prio"""
 
+  /** Per-user TIME-WEIGHTED average of the event value — the TWAP /
+    * metering integral (avg resource level × holding time) that a plain
+    * AVG gets wrong whenever observations are unevenly spaced: each
+    * event's value holds until the user's next event, weighted by that
+    * duration in whole seconds. Determinism: values quantize to integer
+    * micro-units BEFORE the weighted sum (Σ v_q·dur and Σ dur are exact
+    * BIGINTs; worst case ~5.6e14 per interval leaves 4 orders of
+    * magnitude under int64 at this value range — re-scale the quantum
+    * for wider domains), and the final (num/den)/1e6 is two correctly-
+    * rounded IEEE divisions, so the float gates exactly. A user's last
+    * event (and single-event users) carries no duration: den_s = 0 ⇒
+    * twap NULL, never a divide-by-zero. Scale shape: one shuffle on
+    * user_id (window partition key), linear per-partition sweep, then
+    * the same-keyed aggregation reuses the partitioning. */
+  def twapPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("vq"))
+      .withColumn("dur", lead("sec", 1).over(w) - col("sec"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum("dur"), lit(0L)).as("den_s"),
+        coalesce(sum(col("vq") * col("dur")), lit(0L)).as("num_q"))
+      .withColumn("twap", when(col("den_s") > 0,
+        (col("num_q").cast("double") / col("den_s").cast("double")) / lit(1000000.0)))
+      .select("user_id", "n_events", "den_s", "num_q", "twap")
+      .orderBy("user_id")
+  }
+
+  val twapPerUserOracle: String = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 1000000) AS BIGINT) AS vq
+  FROM events),
+d AS (
+  SELECT user_id, vq,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dur
+  FROM ev)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(dur), 0) AS BIGINT) AS den_s,
+       CAST(coalesce(sum(vq * dur), 0) AS BIGINT) AS num_q,
+       CASE WHEN coalesce(sum(dur), 0) > 0
+            THEN (CAST(sum(vq * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)) / 1000000.0
+       END AS twap
+FROM d GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "twap_per_user"       -> (twapPerUser _),
     "event_funnel"        -> (eventFunnel _),
     "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
@@ -392,6 +441,7 @@ FROM sw GROUP BY prio ORDER BY prio"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "twap_per_user"       -> twapPerUserOracle,
     "event_funnel"        -> eventFunnelOracle,
     "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,

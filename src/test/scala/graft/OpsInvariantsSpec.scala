@@ -134,4 +134,47 @@ class OpsInvariantsSpec extends AnyFunSuite {
       assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p90 per group")
     }
   }
+
+  test("twap: hand-built series integrates exactly; last/single events carry no time") {
+    val twap = TemporalOps.twapPerUser(spark, sf).cache()
+    // fixture invariants: den_s sums exactly the per-user first-to-last
+    // span, and twap sits inside the user's [min, max] value envelope
+    val ev = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "max(unix_micros(ts) div 1000000) - min(unix_micros(ts) div 1000000)").as("span"),
+        org.apache.spark.sql.functions.min("value").as("lo"),
+        org.apache.spark.sql.functions.max("value").as("hi"))
+    val joined = twap.join(ev, "user_id").collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("den_s") === r.getAs[Long]("span"), s"span of ${r.get(0)}")
+      if (r.getAs[Long]("den_s") > 0) {
+        val t = r.getAs[Double]("twap")
+        // floor-quantization can undershoot min by at most 1e-6
+        assert(t >= r.getAs[Double]("lo") - 1e-6 && t <= r.getAs[Double]("hi"),
+          s"twap envelope of ${r.get(0)}")
+      }
+    }
+    // planted: 10 held for 100s then 30 for 300s -> (10*100+30*300)/400 = 25,
+    // NOT the plain AVG of 20; the closing event adds no weight
+    import spark.implicits._
+    // raw events store ts as epoch NANOS (Tables.events converts) — mimic
+    val base = 1704067200L // 2024-01-01T00:00:00Z, seconds
+    def at(secs: Long): Long = (base + secs) * 1000000000L
+    val planted = Seq(
+      (1L, at(0), 7L, "x", 10.0, "{}"),
+      (2L, at(100), 7L, "x", 30.0, "{}"),
+      (3L, at(400), 7L, "x", 999.0, "{}"), // closing event: value unused
+      (4L, at(50), 8L, "x", 42.0, "{}")    // single event: no duration
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = "/tmp/graft_twap_spec" // twapPerUser reads only events
+    planted.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = TemporalOps.twapPerUser(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(7L).getAs[Double]("twap") === 25.0)
+    assert(got(7L).getAs[Long]("den_s") === 400L)
+    assert(got(8L).getAs[Long]("den_s") === 0L)
+    assert(got(8L).isNullAt(got(8L).fieldIndex("twap")))
+    twap.unpersist()
+  }
 }
