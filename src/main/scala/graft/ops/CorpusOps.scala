@@ -443,6 +443,57 @@ GROUP BY split ORDER BY split"""
     * hash-agg (count + single distinct rides one pass), a sources-sized
     * median agg, broadcast join back, final per-source rollup. Nothing
     * document-sized reaches the driver. */
+  /** TOKEN-MASS weighted median document length per source, next to the
+    * plain document-count median — the two answer different planning
+    * questions and diverge exactly when it matters: "half the DOCS are
+    * shorter than X" (count median) vs "half the TOKENS live in docs
+    * shorter than Y" (mass median, always ≥). Truncation budgets, packing
+    * capacity ([[sequencePack]]) and loss accounting follow token mass,
+    * not doc count. Both are exact integers: the mass median is the first
+    * length where 2·cum_mass ≥ total_mass (cumulative window per source
+    * over the tiny distinct-length table), the count median is
+    * percentile_disc — an actual data value, nothing interpolated, so the
+    * whole row hash-gates with no float in sight. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+    val counts = lens.groupBy("source", "v").agg(sum("v").as("w"))
+    val win = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy("source").agg(sum("w").as("total_tokens"))
+    val mass = counts.withColumn("cw", sum("w").over(win))
+      .join(tot, "source")
+      .filter(col("cw") * 2 >= col("total_tokens"))
+      .groupBy("source")
+      .agg(min("v").as("median_len_by_tokens"), max("total_tokens").as("total_tokens"))
+    val byDocs = lens.groupBy("source").agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+        .as("median_len_by_docs"))
+    mass.join(byDocs, "source")
+      .select("source", "total_tokens", "median_len_by_docs", "median_len_by_tokens")
+      .orderBy("source")
+  }
+
+  val weightedMedianOracle: String = """
+WITH lens AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+counts AS (
+  SELECT source, v, CAST(sum(v) AS BIGINT) AS w FROM lens GROUP BY source, v),
+cum AS (
+  SELECT source, v, CAST(sum(w) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS total_tokens
+  FROM counts),
+mass AS (
+  SELECT source, min(v) AS median_len_by_tokens, max(total_tokens) AS total_tokens
+  FROM cum WHERE cw * 2 >= total_tokens GROUP BY source),
+bydocs AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS median_len_by_docs
+  FROM lens GROUP BY source)
+SELECT source, total_tokens, median_len_by_docs, median_len_by_tokens
+FROM mass JOIN bydocs USING (source) ORDER BY source"""
+
   /** Cross-source quality-score CALIBRATION by quantile normalization:
     * each document's lexical-diversity score is mapped to its percent
     * rank WITHIN its source, so one global threshold (here the top
@@ -648,6 +699,7 @@ FROM exact, est"""
     "dataset_split"        -> (datasetSplit _),
     "quality_adaptive_filter" -> (qualityAdaptiveFilter _),
     "quality_calibration"  -> (qualityCalibration _),
+    "weighted_median"      -> (weightedMedian _),
     "mix_temperature"      -> (mixTemperature _),
     "text_repetition"      -> (repetition _),
     "contamination_ngrams" -> (contamination _),
@@ -664,6 +716,7 @@ FROM exact, est"""
     "dataset_split"        -> datasetSplitOracle,
     "quality_adaptive_filter" -> qualityAdaptiveFilterOracle,
     "quality_calibration"  -> qualityCalibrationOracle,
+    "weighted_median"      -> weightedMedianOracle,
     "mix_temperature"      -> mixTemperatureOracle,
     "text_repetition"      -> repetitionOracle,
     "contamination_ngrams" -> contaminationOracle,

@@ -313,6 +313,51 @@ SELECT o_orderpriority,
        true AS within_10pct
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Sketch-composed set INTERSECTION estimate by inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), all three read off HLL sketches
+    * (union is the sketch-native operation; intersection is not, and this
+    * identity is the standard workaround). The 100 TB use: estimate the
+    * overlap between two corpus slices (customers with both open and
+    * fulfilled orders here; in a training pipeline, documents shared by
+    * two crawls) from kilobyte sketches with NO exact join of the raw
+    * sets. Inclusion–exclusion amplifies the sketches' relative error —
+    * the error contract is on the INTERSECTION, the hard case, not the
+    * unions. One pass builds both sketches (conditional agg); the exact
+    * audit side is one groupBy the oracle restates. */
+  def sketchIntersection(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val est = o.agg(
+        expr("hll_sketch_agg(CASE WHEN o_orderstatus = 'O' THEN o_custkey END, 14)").as("ska"),
+        expr("hll_sketch_agg(CASE WHEN o_orderstatus = 'F' THEN o_custkey END, 14)").as("skb"))
+      .select(
+        expr("hll_sketch_estimate(ska)").as("ea"),
+        expr("hll_sketch_estimate(skb)").as("eb"),
+        expr("hll_sketch_estimate(hll_union(ska, skb))").as("eu"))
+      .select((col("ea") + col("eb") - col("eu")).as("approx_both"))
+    val exact = o.groupBy("o_custkey").agg(
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("ha"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("hb"))
+      .agg(sum(when(col("ha") === 1, 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("hb") === 1, 1L).otherwise(0L)).as("exact_b"),
+        sum(when(col("ha") === 1 && col("hb") === 1, 1L).otherwise(0L)).as("exact_both"))
+    exact.crossJoin(est)
+      .select(col("exact_a"), col("exact_b"), col("exact_both"),
+        (abs(col("approx_both") - col("exact_both")) <=
+          greatest(lit(2L), expr("exact_both div 10"))).as("within_10pct"))
+  }
+
+  val sketchIntersectionOracle: String = """
+WITH flags AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ha,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS hb
+  FROM orders GROUP BY o_custkey)
+SELECT CAST(sum(ha) AS BIGINT) AS exact_a,
+       CAST(sum(hb) AS BIGINT) AS exact_b,
+       CAST(sum(CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_both,
+       true AS within_10pct
+FROM flags"""
+
   /** Incremental aggregate maintenance — the algebraic-merge law behind
     * every streaming aggregation and materialized-view refresh: a stored
     * per-key state (count, cents) over events BEFORE the cutoff is merged
@@ -401,6 +446,7 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct" -> (approxDistinct _),
     "sketch_union_distinct" -> (sketchUnionDistinct _),
+    "sketch_intersection" -> (sketchIntersection _),
     "incremental_agg" -> (incrementalAgg _)
   )
 
@@ -418,6 +464,7 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "approx_percentiles" -> approxPercentilesOracle,
     "approx_distinct" -> approxDistinctOracle,
     "sketch_union_distinct" -> sketchUnionDistinctOracle,
+    "sketch_intersection" -> sketchIntersectionOracle,
     "incremental_agg" -> incrementalAggOracle
   )
 }

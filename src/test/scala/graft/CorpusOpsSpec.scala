@@ -143,6 +143,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted median: token-mass median dominates the doc-count median") {
+    import org.apache.spark.sql.functions._
+    val r = CorpusOps.weightedMedian(spark, sf).collect()
+    assert(r.length == 20)
+    // sequential recomputation of both medians from the raw lengths
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    r.foreach { row =>
+      val vs = lens(row.getString(0))
+      val docMed = vs((vs.size - 1) / 2) // percentile_disc(0.5): lower median
+      val total = vs.sum
+      val massMed = vs.distinct.find(t => vs.filter(_ <= t).sum * 2 >= total).get
+      assert(row.getAs[Long]("median_len_by_docs") === docMed, row.getString(0))
+      assert(row.getAs[Long]("median_len_by_tokens") === massMed, row.getString(0))
+      assert(row.getAs[Long]("total_tokens") === total)
+      assert(massMed >= docMed, "token mass concentrates in longer docs")
+    }
+  }
+
   test("quality calibration: pct is a within-source rank scale, quartile ~25%") {
     import org.apache.spark.sql.functions._
     val cal = CorpusOps.qualityCalibration(spark, sf).cache()

@@ -171,4 +171,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
+
+  test("sketch intersection: inclusion-exclusion estimate is in bound, exact side audited") {
+    val r = ScaleOps.sketchIntersection(spark, sf).head()
+    assert(r.getAs[Boolean]("within_10pct"))
+    // an intersection can never exceed either side
+    val both = r.getAs[Long]("exact_both")
+    assert(both <= r.getAs[Long]("exact_a") && both <= r.getAs[Long]("exact_b"))
+    // exact side re-derived through a different plan: distinct-set semi-join
+    val o = Tables.orders(spark, sf)
+    val viaJoin = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+      .join(o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct(),
+        Seq("o_custkey"), "left_semi")
+      .count()
+    assert(both === viaJoin)
+  }
 }
