@@ -321,10 +321,71 @@ SELECT n_a, n_b, d_num,
          1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) AS drift
 FROM tot, dn"""
 
+  /** Categorical companion to [[driftKs]]: Pearson's χ² independence test
+    * between a slice label and a categorical column — here, whether the
+    * event-type MIX differs between user cohorts (even vs odd user id).
+    * Numerically: each cell's (o−e)²/e is computed as
+    * (o·N − row·col)² / (row·col·N) — the numerator root is an exact
+    * BIGINT, both products stay under 2^53 so their double casts are
+    * exact, and the square/divide are correctly-rounded IEEE ops — then
+    * QUANTIZED to integer nano-units BEFORE the sum, so the engines'
+    * different addition orders cannot produce divergent rounding (the
+    * same discipline as the covariance micro-units). The α=0.05 critical
+    * value comes from a literal dof-indexed table (dof ≤ 12 here; a
+    * categorical column with more levels extends the literal). Scale
+    * shape: ONE hash-agg to the contingency table (cells = types ×
+    * cohorts, tiny), everything after is arithmetic on that table. */
+  def driftChi2(s: SparkSession, d: String): DataFrame =
+    driftChi2From(Tables.events(s, d).select(
+      (col("user_id") % 2).as("side"), col("event_type").as("cat")))
+
+  /** Core over any (side ∈ {0,1}, cat) frame — parameterized for specs. */
+  def driftChi2From(obs: DataFrame): DataFrame = {
+    val cells = obs.groupBy("side", "cat").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("side").agg(sum("o").as("rt"))
+    val cols = cells.groupBy("cat").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    val terms = cells.join(rows, "side").join(cols, "cat").crossJoin(broadcast(n))
+      .withColumn("root", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("term_q9",
+        floor(col("root").cast("double") * col("root").cast("double") /
+          (col("rt") * col("ct")).cast("double") / col("n").cast("double") * lit(1e9))
+          .cast("long"))
+    val dims = cells.agg(
+      ((countDistinct("side") - 1) * (countDistinct("cat") - 1)).as("dof"))
+    // χ²(0.05) critical values, dof 1..12 (literal table)
+    val crits = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+      15.507, 16.919, 18.307, 19.675, 21.026)
+    terms.agg(sum("term_q9").as("chi2_q9")).crossJoin(dims)
+      .withColumn("crit",
+        element_at(array(crits.map(lit): _*), col("dof").cast("int")))
+      .withColumn("drift", col("chi2_q9").cast("double") / lit(1e9) > col("crit"))
+      .select("chi2_q9", "dof", "crit", "drift")
+  }
+
+  val driftChi2Oracle: String = """
+WITH obs AS (
+  SELECT user_id % 2 AS side, event_type AS cat FROM events),
+cells AS (SELECT side, cat, CAST(count(*) AS BIGINT) AS o FROM obs GROUP BY side, cat),
+rws AS (SELECT side, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY side),
+cls AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY cat),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT CAST(floor(CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
+           / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS term_q9
+  FROM cells JOIN rws USING (side) JOIN cls USING (cat), tot),
+dims AS (SELECT (count(DISTINCT side) - 1) * (count(DISTINCT cat) - 1) AS dof FROM cells),
+crit AS (SELECT ([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+                  15.507, 16.919, 18.307, 19.675, 21.026])[dof] AS crit, dof FROM dims)
+SELECT CAST(sum(term_q9) AS BIGINT) AS chi2_q9, CAST(dof AS BIGINT) AS dof, crit,
+       CAST(sum(term_q9) AS DOUBLE) / 1e9 > crit AS drift
+FROM terms, crit GROUP BY dof, crit"""
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drift_ks"             -> (driftKs _),
+    "drift_chi2"           -> (driftChi2 _),
     "window_range_frame"   -> (windowRangeFrame _),
     "ntile_deciles"        -> (ntileDeciles _),
     "outlier_zscore"       -> (outlierZscore _),
@@ -335,6 +396,7 @@ FROM tot, dn"""
 
   val oracleSql: Map[String, String] = Map(
     "drift_ks"             -> driftKsOracle,
+    "drift_chi2"           -> driftChi2Oracle,
     "window_range_frame"   -> windowRangeFrameOracle,
     "ntile_deciles"        -> ntileDecilesOracle,
     "outlier_zscore"       -> outlierZscoreOracle,

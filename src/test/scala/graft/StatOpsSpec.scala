@@ -357,4 +357,32 @@ class StatOpsSpec extends AnyFunSuite {
     assert(fx.getAs[Long]("n_a") > 0 && fx.getAs[Long]("n_b") > 0)
     assert(fx.getAs[Double]("d") >= 0.0 && fx.getAs[Double]("d") <= 1.0)
   }
+
+  test("chi2 drift: hand-computed statistic; planted mix shift fires, identity is zero") {
+    import spark.implicits._
+    // planted: side 0 is 100a/100b, side 1 is 180a/20b — strong drift
+    val shifted = (Seq.fill(100)((0L, "a")) ++ Seq.fill(100)((0L, "b")) ++
+      Seq.fill(180)((1L, "a")) ++ Seq.fill(20)((1L, "b"))).toDF("side", "cat")
+    val sRow = StatOps.driftChi2From(shifted).head()
+    assert(sRow.getAs[Boolean]("drift"))
+    assert(sRow.getAs[Long]("dof") === 1L)
+    // sequential χ²: cells o, e = rt*ct/N over the 2×2 table
+    val cells = Map((0, "a") -> 100.0, (0, "b") -> 100.0,
+      (1, "a") -> 180.0, (1, "b") -> 20.0)
+    val n = cells.values.sum
+    val chi2 = cells.map { case ((s, c), o) =>
+      val rt = cells.collect { case ((`s`, _), v) => v }.sum
+      val ct = cells.collect { case ((_, `c`), v) => v }.sum
+      val e = rt * ct / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(sRow.getAs[Long]("chi2_q9") / 1e9 - chi2) < 1e-6,
+      s"chi2 ${sRow.getAs[Long]("chi2_q9") / 1e9} vs sequential $chi2")
+    // identical mixes: statistic exactly zero, no drift
+    val same = (Seq.fill(50)((0L, "a")) ++ Seq.fill(30)((0L, "b")) ++
+      Seq.fill(50)((1L, "a")) ++ Seq.fill(30)((1L, "b"))).toDF("side", "cat")
+    val idRow = StatOps.driftChi2From(same).head()
+    assert(idRow.getAs[Long]("chi2_q9") === 0L)
+    assert(!idRow.getAs[Boolean]("drift"))
+  }
 }
