@@ -313,6 +313,84 @@ SELECT o_orderpriority,
        true AS within_10pct
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Consistent-hashing shard assignment with a REBALANCE AUDIT — the
+    * operational cost that decides how a 100 TB store grows: naive
+    * `hash MOD n` reassigns ~(n−1)/n of ALL keys when a shard is added
+    * (a full-cluster rewrite), while a hash ring with virtual nodes moves
+    * only ~1/(n+1) (just the slice the new shard captures). This query
+    * assigns every document under both schemes at n=16 and n=17 and
+    * counts movement, plus the ≥8× improvement claim as a hashed boolean.
+    * Mechanics: 32 virtual points per shard on a 2^60 ring, each point
+    * tagged with its shard in the low 5 bits (so the winning shard is
+    * recoverable as `point % 32` — no tie-break join); a document goes to
+    * the clockwise-nearest point. The ring is 544 CONSTANTS (kilobytes,
+    * like the IVF centroid table) folded into the plan as a literal
+    * array, so assignment is one codegen'd lambda per row — no join, no
+    * shuffle, and the cross-engine gate is exact integer arithmetic. */
+  def shardRebalance(s: SparkSession, d: String): DataFrame = {
+    val MOD = 1L << 60
+    def u60(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    def ring(n: Int): Seq[Long] =
+      for { sh <- 0 until n; v <- 0 until 32 }
+        yield (u60(s"ring:$sh:$v") / 32) * 32 + sh
+    def asg(ringPts: Seq[Long]): org.apache.spark.sql.Column = {
+      val arr = array(ringPts.map(lit): _*)
+      val dmin = array_min(transform(arr, p => (p - col("h") + lit(MOD)) % lit(MOD)))
+      ((col("h") + dmin) % lit(MOD)) % lit(32L)
+    }
+    Tables.documents(s, d)
+      .select(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .select(col("h"), asg(ring(16)).as("a16"), asg(ring(17)).as("a17"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a16") =!= col("a17"), 1L).otherwise(0L)).as("moved_ring"),
+        sum(when(col("h") % 16 =!= col("h") % 17, 1L).otherwise(0L)).as("moved_naive"))
+      .withColumn("ring_wins_8x", col("moved_ring") * 8 <= col("moved_naive"))
+  }
+
+  val shardRebalanceOracle: String = """
+WITH shv AS (
+  SELECT n.n AS n, s.sh AS sh, v.v AS v
+  FROM (VALUES (16), (17)) n(n),
+       (SELECT unnest(range(17)) AS sh) s,
+       (SELECT unnest(range(32)) AS v) v
+  WHERE s.sh < n.n),
+ringpts AS (
+  SELECT n, (u60 // 32) * 32 + sh AS rp FROM (
+    SELECT n, sh,
+      CAST(list_sum(list_transform(generate_series(1, 15),
+        j -> CAST((strpos('0123456789abcdef',
+               substr(md5('ring:' || sh || ':' || v), j, 1)) - 1) AS BIGINT)
+             * CAST(power(16, 15 - j) AS BIGINT))) AS BIGINT) AS u60
+    FROM shv)),
+rings AS (
+  SELECT list(rp) FILTER (WHERE n = 16) AS r16,
+         list(rp) FILTER (WHERE n = 17) AS r17
+  FROM ringpts),
+docs AS (
+  SELECT CAST(list_sum(list_transform(generate_series(1, 15),
+           j -> CAST((strpos('0123456789abcdef',
+                  substr(md5('shard:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 15 - j) AS BIGINT))) AS BIGINT) AS h
+  FROM documents),
+asg AS (
+  SELECT h,
+    ((h + list_min(list_transform(r16,
+        p -> (p - h + 1152921504606846976) % 1152921504606846976)))
+      % 1152921504606846976) % 32 AS a16,
+    ((h + list_min(list_transform(r17,
+        p -> (p - h + 1152921504606846976) % 1152921504606846976)))
+      % 1152921504606846976) % 32 AS a17
+  FROM docs, rings)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a16 <> a17 THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+       CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END) AS BIGINT) AS moved_naive,
+       sum(CASE WHEN a16 <> a17 THEN 1 ELSE 0 END) * 8 <=
+         sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END) AS ring_wins_8x
+FROM asg"""
+
   /** Sketch-composed set INTERSECTION estimate by inclusion–exclusion:
     * |A∩B| ≈ est(A) + est(B) − est(A∪B), all three read off HLL sketches
     * (union is the sketch-native operation; intersection is not, and this
@@ -447,6 +525,7 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "approx_distinct" -> (approxDistinct _),
     "sketch_union_distinct" -> (sketchUnionDistinct _),
     "sketch_intersection" -> (sketchIntersection _),
+    "shard_rebalance" -> (shardRebalance _),
     "incremental_agg" -> (incrementalAgg _)
   )
 
@@ -465,6 +544,7 @@ GROUP BY n.n_name ORDER BY n.n_name"""
     "approx_distinct" -> approxDistinctOracle,
     "sketch_union_distinct" -> sketchUnionDistinctOracle,
     "sketch_intersection" -> sketchIntersectionOracle,
+    "shard_rebalance" -> shardRebalanceOracle,
     "incremental_agg" -> incrementalAggOracle
   )
 }
