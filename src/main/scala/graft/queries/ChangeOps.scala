@@ -205,9 +205,65 @@ SELECT
 
   // ---------------------------------------------------------------- wiring
 
+  /** POINT-IN-TIME join — the query [[scd2History]] exists to serve, and
+    * the correctness property that separates a versioned DWH from a
+    * lookup table: each event joins the dimension version whose validity
+    * interval CONTAINS the event's timestamp, so an updated user's events
+    * before the change date attribute to their OLD segment and events
+    * after it to the new one. Rewriting history (joining everything to
+    * is_current) silently reclassifies the past; the spec proves the two
+    * disagree exactly on pre-change events of changed users, and the
+    * coverage identity (every event matches exactly one version) rides
+    * the hashed n_events total. Scale shape: equi-join on the key with
+    * the interval predicate as a post-join filter — a hash join, not a
+    * nested loop, because the key pair is selective (the same shape as
+    * `range_join_sessions`); the dimension side is dim-sized, so at
+    * 100 TB it broadcasts. */
+  def pitJoin(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2History(s, d)
+    val ev = Tables.events(s, d)
+    ev.join(hist,
+        ev("user_id") === hist("c_custkey") &&
+        ev("ts") >= hist("valid_from").cast("timestamp") &&
+        (hist("valid_to").isNull || ev("ts") < hist("valid_to").cast("timestamp")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("value_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  val pitJoinOracle: String = """
+WITH up AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+         concat('NEW ', c_name), 0.0, 'NEWSEG'
+  FROM customer WHERE c_custkey % 13 = 0),
+hist AS (
+  SELECT b.c_custkey, b.c_mktsegment,
+         TIMESTAMP '2024-01-01' AS valid_from, TIMESTAMP '2024-06-01' AS valid_to
+  FROM customer b WHERE EXISTS (SELECT 1 FROM up u WHERE u.c_custkey = b.c_custkey)
+  UNION ALL
+  SELECT b.c_custkey, b.c_mktsegment,
+         TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP)
+  FROM customer b WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.c_custkey = b.c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+  FROM up)
+SELECT h.c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN hist h
+  ON e.user_id = h.c_custkey
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY h.c_mktsegment ORDER BY h.c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd1_upsert"       -> (scd1Upsert _),
     "scd2_history"      -> (scd2History _),
+    "pit_join"          -> (pitJoin _),
     "stratified_sample" -> (stratifiedSample _),
     "forget_keys"       -> (forgetKeys _)
   )
@@ -215,6 +271,7 @@ SELECT
   val oracleSql: Map[String, String] = Map(
     "scd1_upsert"       -> scd1UpsertOracle,
     "scd2_history"      -> scd2HistoryOracle,
+    "pit_join"          -> pitJoinOracle,
     "stratified_sample" -> stratifiedSampleOracle,
     "forget_keys"       -> forgetKeysOracle
   )

@@ -135,6 +135,31 @@ class OpsInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("pit join: every event matches exactly one version; current-only rewrites history") {
+    val pit = ChangeOps.pitJoin(spark, sf).cache()
+    // coverage identity: each event lands in exactly ONE validity interval
+    val total = pit.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    // the wrong query — joining everything to the CURRENT version — must
+    // disagree: changed users' pre-change events get reclassified
+    val hist = ChangeOps.scd2History(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val currentOnly = ev.join(hist.filter(col("is_current")),
+        ev("user_id") === hist("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pitBySeg = pit.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the fixture's events all PRECEDE the 2024-06-01 change, so PIT
+    // attributes nothing to the post-change segment — while current-only
+    // reclassifies every changed user's history into it
+    assert(pitBySeg !== currentOnly, "PIT join must not equal history-rewrite")
+    assert(!pitBySeg.contains("UPDATED"),
+      "no event may attribute to a version that postdates it")
+    assert(currentOnly.getOrElse("UPDATED", 0L) > 0L,
+      "current-only must misattribute changed users' history")
+    pit.unpersist()
+  }
+
   test("twap: hand-built series integrates exactly; last/single events carry no time") {
     val twap = TemporalOps.twapPerUser(spark, sf).cache()
     // fixture invariants: den_s sums exactly the per-user first-to-last
