@@ -249,6 +249,90 @@ pairs AS (
 SELECT i, j, CAST(sum(prod) AS BIGINT) AS gram
 FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Pairwise Pearson CORRELATION MATRIX over the lineitem numerics, from
+    * ONE scan: every moment the 6 pairwise correlations need (4 sums, 4
+    * sum-of-squares, 6 cross-sums — 15 accumulators: constant state, the
+    * way a 100 TB profile pass has to work) aggregates exactly over
+    * 1e-4-quantized BIGINTs (squares/products in DECIMAL(38) — the same
+    * discipline as the z-score screen's s2), and each correlation is ONE
+    * fixed-association double formula over those exact moments, written
+    * identically in both engines. No corr() builtin on raw doubles — its
+    * partition-order float summation would not gate. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("quantity", "extendedprice", "discount", "tax")
+    val q = Tables.lineitem(s, d).select(
+      cols.map(c => expr(s"CAST(floor(l_$c * 10000) AS BIGINT)").as(c)): _*)
+    val moments =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      cols.map(c => sum(col(c)).cast("decimal(38,0)").as(s"s_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"p_${a}_$b") }.toSeq ++
+      cols.map(c => sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as(s"q_$c"))
+    val m = q.agg(moments.head, moments.tail: _*)
+    def corr(a: String, b: String) = round(
+      (expr(s"CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)") -
+        expr(s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)")) /
+      sqrt(expr(s"CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)") -
+        expr(s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)")) /
+      sqrt(expr(s"CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)") -
+        expr(s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)")), 4)
+    val pairs = cols.combinations(2).toSeq
+    val withCorrs = pairs.foldLeft(m) { case (df, Seq(a, b)) =>
+      df.withColumn(s"c_${a}_$b", corr(a, b)) }
+    withCorrs.select(expr(s"stack(${pairs.size}, " + pairs.map { case Seq(a, b) =>
+        s"'$a', '$b', c_${a}_$b" }.mkString(", ") + ") AS (x_col, y_col, corr)"))
+      .orderBy("x_col", "y_col")
+  }
+
+  val corrMatrixOracle: String = """
+WITH q AS (
+  SELECT CAST(floor(l_quantity * 10000) AS BIGINT) AS quantity,
+         CAST(floor(l_extendedprice * 10000) AS BIGINT) AS extendedprice,
+         CAST(floor(l_discount * 10000) AS BIGINT) AS discount,
+         CAST(floor(l_tax * 10000) AS BIGINT) AS tax
+  FROM lineitem),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(quantity) AS s_quantity, sum(extendedprice) AS s_extendedprice,
+         sum(discount) AS s_discount, sum(tax) AS s_tax,
+         sum(CAST(quantity AS HUGEINT) * extendedprice) AS p_quantity_extendedprice,
+         sum(CAST(quantity AS HUGEINT) * discount) AS p_quantity_discount,
+         sum(CAST(quantity AS HUGEINT) * tax) AS p_quantity_tax,
+         sum(CAST(extendedprice AS HUGEINT) * discount) AS p_extendedprice_discount,
+         sum(CAST(extendedprice AS HUGEINT) * tax) AS p_extendedprice_tax,
+         sum(CAST(discount AS HUGEINT) * tax) AS p_discount_tax,
+         sum(CAST(quantity AS HUGEINT) * quantity) AS q_quantity,
+         sum(CAST(extendedprice AS HUGEINT) * extendedprice) AS q_extendedprice,
+         sum(CAST(discount AS HUGEINT) * discount) AS q_discount,
+         sum(CAST(tax AS HUGEINT) * tax) AS q_tax
+  FROM q)
+SELECT x_col, y_col,
+       round((CAST(n AS DOUBLE) * CAST(p AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 4) AS corr
+FROM (
+  SELECT 'discount' AS x_col, 'tax' AS y_col, p_discount_tax AS p,
+         s_discount AS sa, s_tax AS sb, q_discount AS qa, q_tax AS qb, n FROM m
+  UNION ALL
+  SELECT 'extendedprice', 'discount', p_extendedprice_discount,
+         s_extendedprice, s_discount, q_extendedprice, q_discount, n FROM m
+  UNION ALL
+  SELECT 'extendedprice', 'tax', p_extendedprice_tax,
+         s_extendedprice, s_tax, q_extendedprice, q_tax, n FROM m
+  UNION ALL
+  SELECT 'quantity', 'extendedprice', p_quantity_extendedprice,
+         s_quantity, s_extendedprice, q_quantity, q_extendedprice, n FROM m
+  UNION ALL
+  SELECT 'quantity', 'discount', p_quantity_discount,
+         s_quantity, s_discount, q_quantity, q_discount, n FROM m
+  UNION ALL
+  SELECT 'quantity', 'tax', p_quantity_tax,
+         s_quantity, s_tax, q_quantity, q_tax, n FROM m)
+ORDER BY x_col, y_col"""
+
   // ------------------------------------------------------------- drift test
 
   /** Exact two-sample Kolmogorov–Smirnov drift test — the distribution
@@ -385,6 +469,7 @@ FROM terms, crit GROUP BY dof, crit"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drift_ks"             -> (driftKs _),
+    "corr_matrix"          -> (corrMatrix _),
     "drift_chi2"           -> (driftChi2 _),
     "window_range_frame"   -> (windowRangeFrame _),
     "ntile_deciles"        -> (ntileDeciles _),
@@ -396,6 +481,7 @@ FROM terms, crit GROUP BY dof, crit"""
 
   val oracleSql: Map[String, String] = Map(
     "drift_ks"             -> driftKsOracle,
+    "corr_matrix"          -> corrMatrixOracle,
     "drift_chi2"           -> driftChi2Oracle,
     "window_range_frame"   -> windowRangeFrameOracle,
     "ntile_deciles"        -> ntileDecilesOracle,

