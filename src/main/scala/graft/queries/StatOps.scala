@@ -333,6 +333,60 @@ FROM (
          s_quantity, s_tax, q_quantity, q_tax, n FROM m)
 ORDER BY x_col, y_col"""
 
+  /** Per-group OLS TREND — slope and intercept of monthly revenue over the
+    * month index, per order status: the regression the dashboards behind
+    * every "is this segment growing?" question run, built on the same
+    * exact-moment discipline as [[corrMatrix]]. Both outputs come from
+    * INTEGER-EXACT numerators held in DECIMAL(38) — slope = num/den and
+    * intercept = (Σy·den − num·Σx)/(n·den) with num = nΣxy−ΣxΣy,
+    * den = nΣx²−(Σx)² — so each is exactly ONE correctly-rounded double
+    * division and the floats gate bit-exactly (no intermediate rounded
+    * slope feeding the intercept). Scale shape: a calendar-bucket
+    * hash-agg (months × statuses cells), then constant-state moments per
+    * status — the raw table is touched once. */
+  def olsTrend(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        ((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_orderstatus", "x")
+      .agg(sum("cents").as("y"))
+    monthly.groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("o_orderstatus"), col("n").cast("long").as("n_months"),
+        round(expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)"""), 4)
+          .as("slope_cents_per_month"),
+        round(expr("""CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+                      / CAST(n * (n * sxx - sx * sx) AS DOUBLE)"""), 4)
+          .as("intercept_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val olsTrendOracle: String = """
+WITH monthly AS (
+  SELECT o_orderstatus,
+         CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT o_orderstatus, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM monthly GROUP BY 1)
+SELECT o_orderstatus, CAST(n AS BIGINT) AS n_months,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_cents_per_month,
+       round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+             / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 4) AS intercept_cents
+FROM m ORDER BY o_orderstatus"""
+
   // ------------------------------------------------------------- drift test
 
   /** Exact two-sample Kolmogorov–Smirnov drift test — the distribution
@@ -470,6 +524,7 @@ FROM terms, crit GROUP BY dof, crit"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
+    "ols_trend"            -> (olsTrend _),
     "drift_chi2"           -> (driftChi2 _),
     "window_range_frame"   -> (windowRangeFrame _),
     "ntile_deciles"        -> (ntileDeciles _),
@@ -482,6 +537,7 @@ FROM terms, crit GROUP BY dof, crit"""
   val oracleSql: Map[String, String] = Map(
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
+    "ols_trend"            -> olsTrendOracle,
     "drift_chi2"           -> driftChi2Oracle,
     "window_range_frame"   -> windowRangeFrameOracle,
     "ntile_deciles"        -> ntileDecilesOracle,

@@ -358,6 +358,33 @@ class StatOpsSpec extends AnyFunSuite {
     assert(fx.getAs[Double]("d") >= 0.0 && fx.getAs[Double]("d") <= 1.0)
   }
 
+  test("ols trend: slope and intercept match a sequential least-squares fit") {
+    val got = StatOps.olsTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // sequential recomputation from the same monthly cells
+    val monthly = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"),
+        ((year(to_date(col("o_orderdate"))) - 1992) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("x"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_orderstatus", "x").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    monthly.foreach { case (st, cells) =>
+      val xs = cells.map(_._2.toDouble); val ys = cells.map(_._3.toDouble)
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val (nm, gs, gi) = got(st)
+      assert(nm === cells.size.toLong)
+      assert(math.abs(gs - slope) < 1e-2, s"$st slope $gs vs $slope")
+      assert(math.abs(gi - icept) < 1.0, s"$st intercept $gi vs $icept")
+    }
+  }
+
   test("corr matrix: bounded, matches the builtin estimator, finds the price-qty link") {
     val r = StatOps.corrMatrix(spark, sf).collect()
       .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
