@@ -402,6 +402,13 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corr matrix plan: exactly one scan of lineitem feeds all 15 moments") {
+    val plan = StatOps.corrMatrix(spark, sf).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"expected a single lineitem scan, got $scans")
+  }
+
   test("chi2 drift: hand-computed statistic; planted mix shift fires, identity is zero") {
     import spark.implicits._
     // planted: side 0 is 100a/100b, side 1 is 180a/20b — strong drift
