@@ -189,4 +189,80 @@ class PropertySpec extends AnyFunSuite {
       assert(sks.toSeq == (1L to nRows).toSeq)
     }
   }
+
+  test("twap matches sequential time-weighted integration on random event sets (10 trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x7ea9)
+    val base = 1704067200L // 2024-01-01T00:00:00Z seconds
+    (1 to 10).foreach { trial =>
+      var eid = 0L
+      val events = (0 until 3 + rng.nextInt(5)).flatMap { u =>
+        (0 until 1 + rng.nextInt(8)).map { _ =>
+          eid += 1
+          // distinct whole seconds; values with two decimals
+          (eid, (base + rng.nextInt(100000)) * 1000000000L, u.toLong, "t",
+            rng.nextInt(50000) / 100.0, "{}")
+        }
+      }
+      val dir = s"/tmp/graft_twap_prop/t$trial"
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // sequential reference: sort by (sec, event_id), integrate v*dur
+      val expected = events.groupBy(_._3).map { case (u, es) =>
+        val sorted = es.map(e => (e._2 / 1000000000L, e._1, math.floor(e._5 * 1e6).toLong))
+          .sortBy(e => (e._1, e._2))
+        val durs = sorted.zip(sorted.drop(1)).map { case ((s1, _, v), (s2, _, _)) =>
+          (v, s2 - s1) }
+        val den = durs.map(_._2).sum
+        val num = durs.map { case (v, d) => v * d }.sum
+        u -> ((es.size.toLong, den, num,
+          if (den > 0) Some(num.toDouble / den.toDouble / 1e6) else None))
+      }
+      val got = graft.queries.TemporalOps.twapPerUser(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      expected.foreach { case (u, (n, den, num, tw)) =>
+        val (gn, gden, gnum, gtw) = got(u)
+        assert(gn === n && gden === den && gnum === num, s"trial $trial user $u")
+        (tw, gtw) match {
+          case (Some(a), Some(b)) => assert(a === b, s"trial $trial user $u twap")
+          case (None, None)       =>
+          case other              => fail(s"trial $trial user $u: $other")
+        }
+      }
+    }
+  }
+
+  test("ring shard assignment matches a sequential argmin over the ring (whole fixture)") {
+    // recompute each document's ring-16 assignment sequentially and compare
+    // movement counts with the query's hashed output
+    def u60(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val MOD = 1L << 60
+    def ring(n: Int): Seq[Long] =
+      for { sh <- 0 until n; v <- 0 until 32 }
+        yield (u60(s"ring:$sh:$v") / 32) * 32 + sh
+    def asg(ringPts: Seq[Long], h: Long): Long = {
+      val d = ringPts.map(p => (p - h + MOD) % MOD).min
+      ((h + d) % MOD) % 32
+    }
+    val (r16, r17) = (ring(16), ring(17))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val moved = ids.count { id =>
+      val h = u60(s"shard:$id")
+      asg(r16, h) != asg(r17, h)
+    }
+    val row = graft.queries.ScaleOps.shardRebalance(spark, sf).head()
+    assert(row.getAs[Long]("moved_ring") === moved.toLong)
+    assert(row.getAs[Long]("n_docs") === ids.length.toLong)
+  }
+
+  test("pit join plans as a hash join, not a nested loop") {
+    val plan = graft.queries.ChangeOps.pitJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval predicate must ride the equi-join:\n${plan.take(1500)}")
+  }
 }
