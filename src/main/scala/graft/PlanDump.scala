@@ -53,7 +53,9 @@ object PlanDump {
     "dedup_substring" -> "anchor-gram LCS: O(n) rolling_hash_windows Generate, digest-keyed self-join after the DF-cap anti-join, diagonal windows on matches only, no cartesian",
     "boilerplate_strip" -> "template strip: per-(source, digest) distinct count, one digest-keyed join back, per-doc ordered reassembly",
     "weighted_sample" -> "priority sample: TakeOrderedAndProject merges per-partition top-m heaps, the corpus never sorts or shuffles",
-    "recursive_subtree_rollup" -> "WITH RECURSIVE closure: UnionLoop iterates a per-level parent-key hash join, rollup aggregates the closure once"
+    "recursive_subtree_rollup" -> "WITH RECURSIVE closure: UnionLoop iterates a per-level parent-key hash join, rollup aggregates the closure once",
+    "corr_matrix" -> "single-scan moment profile: 15 partial aggregates off ONE lineitem FileScan, stack() fans the 1-row moments out",
+    "pit_join" -> "point-in-time join: interval predicate rides the equi-key hash join (no nested loop), dim side broadcast"
   )
 
   def main(args: Array[String]): Unit = {
