@@ -96,6 +96,51 @@ SELECT event_type, count(*) AS n,
 FROM events
 GROUP BY event_type ORDER BY event_type"""
 
+  /** VARIANT-typed semi-structured shredding (Spark 4's open-schema type,
+    * SPARK-45891): a deterministic heterogeneous payload — three JSON
+    * shapes keyed off the row (nested object / array / string) — is
+    * parsed ONCE into VARIANT and every downstream field access is a
+    * typed `(try_)variant_get` path, including an array index and a
+    * 2-level nest. The VARIANT encoding is the point at scale: parse
+    * once at ingest, store the binary, and every later query shreds
+    * just the paths it needs instead of re-parsing JSON text per query
+    * (this is exactly what `json_extract_props`'s per-query
+    * get_json_object cannot avoid). try_variant_get returns NULL — not
+    * an error — when a path is absent from a row's shape, which is the
+    * open-schema contract heterogeneous event streams require. */
+  def variantShred(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("doc", expr(
+        """CASE WHEN k % 3 = 0 THEN concat('{"tag":"obj","nest":{"val":', k, '}}')
+                WHEN k % 3 = 1 THEN concat('{"tag":"arr","xs":[', k, ',', k + 1, ']}')
+                ELSE concat('{"tag":"str","s":"v', k, '"}') END"""))
+      .withColumn("v", parse_json(col("doc")))
+      .select(
+        expr("variant_get(v, '$.tag', 'string')").as("tag"),
+        expr("try_variant_get(v, '$.nest.val', 'long')").as("nv"),
+        expr("try_variant_get(v, '$.xs[1]', 'long')").as("x1"),
+        expr("try_variant_get(v, '$.s', 'string')").as("sv"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum("nv").as("sum_nest"),
+        sum("x1").as("sum_x1"), count("sv").as("n_str"))
+      .orderBy("tag")
+
+  val variantShredOracle: String = """
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+docs AS (
+  SELECT CASE WHEN k % 3 = 0 THEN concat('{"tag":"obj","nest":{"val":', k, '}}')
+              WHEN k % 3 = 1 THEN concat('{"tag":"arr","xs":[', k, ',', k + 1, ']}')
+              ELSE concat('{"tag":"str","s":"v', k, '"}') END AS doc
+  FROM base)
+SELECT json_extract_string(doc, '$.tag') AS tag,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(doc, '$.nest.val') AS BIGINT)) AS BIGINT) AS sum_nest,
+       CAST(sum(CAST(json_extract(doc, '$.xs[1]') AS BIGINT)) AS BIGINT) AS sum_x1,
+       CAST(count(json_extract_string(doc, '$.s')) AS BIGINT) AS n_str
+FROM docs GROUP BY tag ORDER BY tag"""
+
   /** CSV round-trip: write nation as headered CSV, read back with an
     * explicit StructType (never schema-inference for engine contracts). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
@@ -235,6 +280,7 @@ ORDER BY bucket"""
     "pipeline_write_roundtrip" -> (writeRoundtrip _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "json_extract_props"       -> (jsonExtract _),
+    "variant_shred"            -> (variantShred _),
     "csv_roundtrip"            -> (csvRoundtrip _),
     "table_diff_buckets"       -> (tableDiffBuckets _),
     "dpp_star_scan"            -> (dppStarScan _)
@@ -244,6 +290,7 @@ ORDER BY bucket"""
     "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "json_extract_props"       -> jsonExtractOracle,
+    "variant_shred"            -> variantShredOracle,
     "csv_roundtrip"            -> csvRoundtripOracle,
     "table_diff_buckets"       -> tableDiffBucketsOracle,
     "dpp_star_scan"            -> dppStarScanOracle

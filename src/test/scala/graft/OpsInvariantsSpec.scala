@@ -135,6 +135,34 @@ class OpsInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("variant shred: tags partition the stream; VARIANT survives a parquet roundtrip") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.PipelineOps.variantShred(spark, sf).collect()
+    assert(r.map(_.getString(0)).sorted.toSeq === Seq("arr", "obj", "str"))
+    assert(r.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
+    // each shape only yields its own fields
+    r.foreach { row =>
+      row.getString(0) match {
+        case "obj" => assert(!row.isNullAt(2) && row.isNullAt(3) && row.getLong(4) == 0)
+        case "arr" => assert(row.isNullAt(2) && !row.isNullAt(3) && row.getLong(4) == 0)
+        case "str" => assert(row.isNullAt(2) && row.isNullAt(3) &&
+          row.getLong(4) == row.getLong(1))
+      }
+    }
+    // the binary VARIANT encoding must survive storage: write, read, re-shred
+    val dir = "/tmp/graft_variant_rt"
+    val docs = Tables.events(spark, sf).limit(100)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+    docs.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select(col("event_id"), expr("variant_get(v, '$.k', 'long')").as("k"))
+    val direct = Tables.events(spark, sf).limit(100)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(back.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(back).count() === 0)
+  }
+
   test("pit join: every event matches exactly one version; current-only rewrites history") {
     val pit = ChangeOps.pitJoin(spark, sf).cache()
     // coverage identity: each event lands in exactly ONE validity interval
