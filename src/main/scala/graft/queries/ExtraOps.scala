@@ -670,7 +670,33 @@ SELECT cl.anc AS c_custkey,
 FROM closure cl JOIN customer c ON c.c_custkey = cl.node
 GROUP BY cl.anc ORDER BY c_custkey"""
 
+  /** LATERAL correlated-subquery top-N-per-key — the join-shaped dual of
+    * the window-function formulation (`window_rank_per_group` /
+    * `topk_per_group_agg`): each nation row invokes a correlated,
+    * ORDER-BY-LIMIT subquery over its customers. Spark decorrelates the
+    * lateral into a ranked join rather than re-executing the inner query
+    * per outer row — the plan to check is that no per-row re-scan
+    * survives. This completes the per-group-top-k matrix: window
+    * (general), partial-agg (bounded k, map-side), and LATERAL (SQL
+    * standard form, correlated-limit decorrelation). */
+  def lateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(lateralTopkSql)
+  }
+
+  private val lateralTopkSql: String = """
+SELECT n_name, c.c_name, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+ORDER BY n_name, c_acctbal DESC, c_name"""
+
+  val lateralTopkOracle: String = lateralTopkSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lateral_topk"        -> (lateralTopk _),
     "recursive_hierarchy" -> (recursiveHierarchy _),
     "recursive_subtree_rollup" -> (recursiveSubtreeRollup _),
     "schema_evolution"  -> (schemaEvolution _),
@@ -693,6 +719,7 @@ GROUP BY cl.anc ORDER BY c_custkey"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lateral_topk"        -> lateralTopkOracle,
     "recursive_hierarchy" -> recursiveHierarchyOracle,
     "recursive_subtree_rollup" -> recursiveSubtreeRollupOracle,
     "schema_evolution"  -> schemaEvolutionOracle,
