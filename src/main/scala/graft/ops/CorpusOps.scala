@@ -456,20 +456,29 @@ GROUP BY split ORDER BY split"""
     * whole row hash-gates with no float in sight. */
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = Tables.documents(s, d)
+    // ONE corpus scan: the per-(source, length) cell carries both doc
+    // count and token mass, and BOTH medians fall out of the same
+    // cumulative window — the lower count-median (percentile_disc(0.5)
+    // semantics) is the first length where 2·cum_docs ≥ total_docs,
+    // exactly as the mass median is over cum_mass
+    val counts = Tables.documents(s, d)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
-    val counts = lens.groupBy("source", "v").agg(sum("v").as("w"))
+      .groupBy("source", "v")
+      .agg(count(lit(1)).as("nd"), sum("v").as("w"))
     val win = Window.partitionBy("source").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = counts.groupBy("source").agg(sum("w").as("total_tokens"))
-    val mass = counts.withColumn("cw", sum("w").over(win))
+    val tot = counts.groupBy("source")
+      .agg(sum("w").as("total_tokens"), sum("nd").as("total_docs"))
+    val cum = counts
+      .withColumn("cw", sum("w").over(win))
+      .withColumn("cn", sum("nd").over(win))
       .join(tot, "source")
-      .filter(col("cw") * 2 >= col("total_tokens"))
+    val mass = cum.filter(col("cw") * 2 >= col("total_tokens"))
       .groupBy("source")
       .agg(min("v").as("median_len_by_tokens"), max("total_tokens").as("total_tokens"))
-    val byDocs = lens.groupBy("source").agg(
-      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-        .as("median_len_by_docs"))
+    val byDocs = cum.filter(col("cn") * 2 >= col("total_docs"))
+      .groupBy("source")
+      .agg(min("v").as("median_len_by_docs"))
     mass.join(byDocs, "source")
       .select("source", "total_tokens", "median_len_by_docs", "median_len_by_tokens")
       .orderBy("source")
@@ -479,18 +488,21 @@ GROUP BY split ORDER BY split"""
 WITH lens AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
 counts AS (
-  SELECT source, v, CAST(sum(v) AS BIGINT) AS w FROM lens GROUP BY source, v),
+  SELECT source, v, CAST(count(*) AS BIGINT) AS nd, CAST(sum(v) AS BIGINT) AS w
+  FROM lens GROUP BY source, v),
 cum AS (
-  SELECT source, v, CAST(sum(w) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw,
-         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS total_tokens
+  SELECT source, v,
+         CAST(sum(w) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw,
+         CAST(sum(nd) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cn,
+         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS total_tokens,
+         CAST(sum(nd) OVER (PARTITION BY source) AS BIGINT) AS total_docs
   FROM counts),
 mass AS (
   SELECT source, min(v) AS median_len_by_tokens, max(total_tokens) AS total_tokens
   FROM cum WHERE cw * 2 >= total_tokens GROUP BY source),
 bydocs AS (
-  SELECT source,
-         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS median_len_by_docs
-  FROM lens GROUP BY source)
+  SELECT source, min(v) AS median_len_by_docs
+  FROM cum WHERE cn * 2 >= total_docs GROUP BY source)
 SELECT source, total_tokens, median_len_by_docs, median_len_by_tokens
 FROM mass JOIN bydocs USING (source) ORDER BY source"""
 
@@ -508,13 +520,19 @@ FROM mass JOIN bydocs USING (source) ORDER BY source"""
     * score is one explode + hash-agg pass; the rank is one exchange on
     * the source key + an in-partition sort — no global sort, and at
     * 100 TB the window is per-source parallel. */
-  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.fanout(s, Tables.documents(s, d))
+  /** The shared lexical-diversity score (distinct-word ratio in exact
+    * ppm) both [[qualityCalibration]] and [[qualityAdaptiveFilter]]
+    * rank on — one definition so the two queries cannot silently
+    * diverge. (source, doc_id, nw, ndw, score_ppm). */
+  private def scoredPpm(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(s, Tables.documents(s, d))
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "doc_id")
       .agg(count(lit(1)).as("nw"), countDistinct("w").as("ndw"))
       .withColumn("score_ppm", expr("ndw * 1000000L div nw"))
-    scored
+
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    scoredPpm(s, d)
       .withColumn("pct", percent_rank().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("score_ppm")))
@@ -537,11 +555,7 @@ SELECT doc_id, source, score_ppm,
 FROM scored ORDER BY doc_id"""
 
   def qualityAdaptiveFilter(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.fanout(s, Tables.documents(s, d))
-      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("source", "doc_id")
-      .agg(count(lit(1)).as("nw"), countDistinct("w").as("ndw"))
-      .withColumn("score_ppm", expr("ndw * 1000000L div nw"))
+    val scored = scoredPpm(s, d)
     val med = scored.groupBy("source").agg(
       expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY score_ppm) AS BIGINT)").as("median_score_ppm"))
     scored.join(broadcast(med), "source")

@@ -111,6 +111,10 @@ GROUP BY event_type ORDER BY event_type"""
   def variantShred(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      // k-less rows are excluded EXPLICITLY: Spark's concat propagates a
+      // NULL k to a NULL doc while DuckDB's concat skips NULL arguments,
+      // so letting NULLs reach the CASE would silently diverge the gate
+      .filter(col("k").isNotNull)
       .withColumn("doc", expr(
         """CASE WHEN k % 3 = 0 THEN concat('{"tag":"obj","nest":{"val":', k, '}}')
                 WHEN k % 3 = 1 THEN concat('{"tag":"arr","xs":[', k, ',', k + 1, ']}')
@@ -128,7 +132,8 @@ GROUP BY event_type ORDER BY event_type"""
 
   val variantShredOracle: String = """
 WITH base AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
 docs AS (
   SELECT CASE WHEN k % 3 = 0 THEN concat('{"tag":"obj","nest":{"val":', k, '}}')
               WHEN k % 3 = 1 THEN concat('{"tag":"arr","xs":[', k, ',', k + 1, ']}')

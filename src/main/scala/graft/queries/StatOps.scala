@@ -264,7 +264,9 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
       cols.map(c => expr(s"CAST(floor(l_$c * 10000) AS BIGINT)").as(c)): _*)
     val moments =
       Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
-      cols.map(c => sum(col(c)).cast("decimal(38,0)").as(s"s_$c")) ++
+      // cast INSIDE the sum: a LongType sum of 1e-4-quantized prices
+      // overflows 2^63 around 9e9 rows — the scale this pass is for
+      cols.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
       cols.combinations(2).map { case Seq(a, b) =>
         sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"p_${a}_$b") }.toSeq ++
       cols.map(c => sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as(s"q_$c"))
@@ -419,9 +421,9 @@ FROM m ORDER BY o_orderstatus"""
     val cum = counts
       .withColumn("cuma", sum("ca").over(w))
       .withColumn("cumb", sum("cb").over(w))
-    val tot = tok.agg(
-      sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_b"))
+    // totals fall out of the tiny counts table — re-aggregating the raw
+    // frame would be a second full corpus pass for two numbers
+    val tot = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
     val dnum = cum.crossJoin(broadcast(tot))
       .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))).as("d_num"))
     tot.crossJoin(dnum)
@@ -447,9 +449,8 @@ cum AS (
          CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
   FROM counts),
 tot AS (
-  SELECT CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS n_a,
-         CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS n_b
-  FROM tok),
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts),
 dn AS (SELECT CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num
        FROM cum, tot)
 SELECT n_a, n_b, d_num,
@@ -479,24 +480,33 @@ FROM tot, dn"""
 
   /** Core over any (side ∈ {0,1}, cat) frame — parameterized for specs. */
   def driftChi2From(obs: DataFrame): DataFrame = {
-    val cells = obs.groupBy("side", "cat").agg(count(lit(1)).as("o"))
-    val rows = cells.groupBy("side").agg(sum("o").as("rt"))
-    val cols = cells.groupBy("cat").agg(sum("o").as("ct"))
-    val n = cells.agg(sum("o").as("n"))
-    val terms = cells.join(rows, "side").join(cols, "cat").crossJoin(broadcast(n))
+    val observed = obs.groupBy("side", "cat").agg(count(lit(1)).as("o"))
+    val rows = observed.groupBy("side").agg(sum("o").as("rt"))
+    val cols = observed.groupBy("cat").agg(sum("o").as("ct"))
+    val n = observed.agg(sum("o").as("n"))
+    // the COMPLETE grid, not just observed cells: a category absent from
+    // one cohort still contributes (0 − e)²/e = e, and dropping it
+    // understates χ² on exactly the inputs that drift hardest
+    val cells = rows.crossJoin(cols)
+      .join(observed, Seq("side", "cat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val terms = cells.crossJoin(broadcast(n))
       .withColumn("root", col("o") * col("n") - col("rt") * col("ct"))
       .withColumn("term_q9",
         floor(col("root").cast("double") * col("root").cast("double") /
           (col("rt") * col("ct")).cast("double") / col("n").cast("double") * lit(1e9))
           .cast("long"))
-    val dims = cells.agg(
+    val dims = observed.agg(
       ((countDistinct("side") - 1) * (countDistinct("cat") - 1)).as("dof"))
-    // χ²(0.05) critical values, dof 1..12 (literal table)
+    // χ²(0.05) critical values, dof 1..12; try_element_at keeps degenerate
+    // dof (0, or beyond the table) a NULL crit in BOTH engines, not a crash
     val crits = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
       15.507, 16.919, 18.307, 19.675, 21.026)
     terms.agg(sum("term_q9").as("chi2_q9")).crossJoin(dims)
       .withColumn("crit",
-        element_at(array(crits.map(lit): _*), col("dof").cast("int")))
+        // CAST AS DOUBLE: bare 3.841 in SQL text is a DECIMAL literal,
+        // which would silently retype the column vs the oracle
+        expr(s"try_element_at(array(${crits.map(c => s"CAST($c AS DOUBLE)").mkString(", ")}), CAST(dof AS INT))"))
       .withColumn("drift", col("chi2_q9").cast("double") / lit(1e9) > col("crit"))
       .select("chi2_q9", "dof", "crit", "drift")
   }
@@ -504,15 +514,19 @@ FROM tot, dn"""
   val driftChi2Oracle: String = """
 WITH obs AS (
   SELECT user_id % 2 AS side, event_type AS cat FROM events),
-cells AS (SELECT side, cat, CAST(count(*) AS BIGINT) AS o FROM obs GROUP BY side, cat),
-rws AS (SELECT side, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY side),
-cls AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY cat),
-tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+observed AS (SELECT side, cat, CAST(count(*) AS BIGINT) AS o FROM obs GROUP BY side, cat),
+rws AS (SELECT side, CAST(sum(o) AS BIGINT) AS rt FROM observed GROUP BY side),
+cls AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM observed GROUP BY cat),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM observed),
+cells AS (
+  SELECT rws.side, cls.cat, rws.rt, cls.ct, coalesce(observed.o, 0) AS o
+  FROM rws CROSS JOIN cls
+  LEFT JOIN observed ON observed.side = rws.side AND observed.cat = cls.cat),
 terms AS (
   SELECT CAST(floor(CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
            / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS term_q9
-  FROM cells JOIN rws USING (side) JOIN cls USING (cat), tot),
-dims AS (SELECT (count(DISTINCT side) - 1) * (count(DISTINCT cat) - 1) AS dof FROM cells),
+  FROM cells, tot),
+dims AS (SELECT (count(DISTINCT side) - 1) * (count(DISTINCT cat) - 1) AS dof FROM observed),
 crit AS (SELECT ([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
                   15.507, 16.919, 18.307, 19.675, 21.026])[dof] AS crit, dof FROM dims)
 SELECT CAST(sum(term_q9) AS BIGINT) AS chi2_q9, CAST(dof AS BIGINT) AS dof, crit,

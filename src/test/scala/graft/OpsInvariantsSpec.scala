@@ -150,13 +150,15 @@ class OpsInvariantsSpec extends AnyFunSuite {
       }
     }
     // the binary VARIANT encoding must survive storage: write, read, re-shred
+    // (deterministic row set via a key filter — two bare limit(100) reads
+    // would not be guaranteed to pick the same rows)
     val dir = "/tmp/graft_variant_rt"
-    val docs = Tables.events(spark, sf).limit(100)
+    val docs = Tables.events(spark, sf).filter(col("event_id") < 100)
       .select(col("event_id"), expr("parse_json(props)").as("v"))
     docs.write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)
       .select(col("event_id"), expr("variant_get(v, '$.k', 'long')").as("k"))
-    val direct = Tables.events(spark, sf).limit(100)
+    val direct = Tables.events(spark, sf).filter(col("event_id") < 100)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     assert(back.exceptAll(direct).count() === 0)

@@ -435,5 +435,23 @@ class StatOpsSpec extends AnyFunSuite {
     val idRow = StatOps.driftChi2From(same).head()
     assert(idRow.getAs[Long]("chi2_q9") === 0L)
     assert(!idRow.getAs[Boolean]("drift"))
+    // ZERO-OBSERVED cell: 'b' absent from side 1 entirely — the (1,'b')
+    // cell still contributes (0−e)²/e = e; dropping it (the original
+    // observed-cells-only formulation) computed 41.67 instead of 66.67
+    val zero = (Seq.fill(50)((0L, "a")) ++ Seq.fill(50)((0L, "b")) ++
+      Seq.fill(100)((1L, "a"))).toDF("side", "cat")
+    val zRow = StatOps.driftChi2From(zero).head()
+    val zCells = Map((0, "a") -> 50.0, (0, "b") -> 50.0,
+      (1, "a") -> 100.0, (1, "b") -> 0.0)
+    val zn = zCells.values.sum
+    val zChi2 = zCells.map { case ((s2, c2), o) =>
+      val rt = zCells.collect { case ((`s2`, _), v) => v }.sum
+      val ct = zCells.collect { case ((_, `c2`), v) => v }.sum
+      val e = rt * ct / zn
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(zRow.getAs[Long]("chi2_q9") / 1e9 - zChi2) < 1e-6,
+      s"zero-cell chi2 ${zRow.getAs[Long]("chi2_q9") / 1e9} vs sequential $zChi2")
+    assert(zRow.getAs[Boolean]("drift"))
   }
 }
