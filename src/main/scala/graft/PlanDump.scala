@@ -64,6 +64,7 @@ object PlanDump {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("# PLANS - physical-plan audit (generated by graft.PlanDump at sf0.01)")

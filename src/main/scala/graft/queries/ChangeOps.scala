@@ -217,15 +217,23 @@ SELECT
     * the hashed n_events total. Scale shape: equi-join on the key with
     * the interval predicate as a post-join filter — a hash join, not a
     * nested loop, because the key pair is selective (the same shape as
-    * `range_join_sessions`); the dimension side is dim-sized, so at
-    * 100 TB it broadcasts. */
+    * `range_join_sessions`); the dimension side is dim-sized, so it is
+    * explicitly broadcast — at sf0.01 the planner would otherwise pick
+    * whichever side sampled smaller (it picked the FACT side once, the
+    * shape a 100 TB events table cannot survive), so the scale-safe
+    * build side is pinned in code and asserted by a plan spec, not
+    * left to small-scale statistics. The interval comparison happens in
+    * the timestamp_ntz domain (events.ts cast to ntz, matching the ntz
+    * validity bounds from [[scd2History]]) so the boundary semantics do
+    * not depend on spark.sql.session.timeZone. */
   def pitJoin(s: SparkSession, d: String): DataFrame = {
     val hist = scd2History(s, d)
     val ev = Tables.events(s, d)
-    ev.join(hist,
+    val ts = ev("ts").cast("timestamp_ntz")
+    ev.join(broadcast(hist),
         ev("user_id") === hist("c_custkey") &&
-        ev("ts") >= hist("valid_from").cast("timestamp") &&
-        (hist("valid_to").isNull || ev("ts") < hist("valid_to").cast("timestamp")))
+        ts >= hist("valid_from") &&
+        (hist("valid_to").isNull || ts < hist("valid_to")))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("value_cents"))

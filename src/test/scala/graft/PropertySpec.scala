@@ -265,4 +265,25 @@ class PropertySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval predicate must ride the equi-join:\n${plan.take(1500)}")
   }
+
+  test("pit join broadcasts the DIMENSION history, never the fact") {
+    // r6 verdict: the planner once picked BuildLeft (events — the 100 TB
+    // side) because it sampled smaller at sf0.01. The broadcast(hist)
+    // hint pins the scale-safe shape; this spec fails if it regresses.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val exec = graft.queries.ChangeOps.pitJoin(spark, sf)
+      .queryExecution.executedPlan
+    val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a BroadcastHashJoin:\n${exec.toString.take(1500)}")
+    bhj.foreach { j =>
+      val buildSide = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      val buildCols = buildSide.output.map(_.name).toSet
+      assert(buildCols.contains("valid_from") && !buildCols.contains("event_id"),
+        s"build side must be the SCD2 history (dim), got columns $buildCols")
+    }
+  }
 }
