@@ -21,10 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * duplication per output row (the same argument as [[WordNgrams]],
   * which stays the right tool when the gram STRING itself is needed).
   *
-  * Two independent odd bases make the pair effectively a 128-bit digest:
-  * cross-gram collision odds are birthday(2¹²⁸) — vanishing at any corpus
-  * size — so downstream equality on (h1, h2) is equality of the word run,
-  * exactly like the md5 digest it replaces.
+  * The pair is genuinely 128-bit: each accumulator slides over its OWN
+  * word hash (two multiply-xor hashes with independent offsets and
+  * multipliers) under its own polynomial base. That independence is
+  * load-bearing — if both polynomials consumed the same 64-bit word
+  * hash, a single word-level collision would collide h1 AND h2
+  * simultaneously, capping the pair at a 64-bit birthday bound on
+  * VOCABULARY (~2³² distinct tokens — plausibly reached by a 100 TB web
+  * corpus of URLs, numbers, and typos; the r6 ADVICE finding). With
+  * independent word hashes a cross-gram collision needs simultaneous
+  * collisions in two unrelated 64-bit rings: birthday(2¹²⁸), vanishing
+  * at any corpus size, so downstream equality on (h1, h2) is equality
+  * of the word run, exactly like the md5 digest it replaces.
   *
   * Semantics: strings shorter than L words yield no rows; NULL yields no
   * rows (like explode of NULL); L must be a foldable positive int literal.
@@ -63,14 +71,21 @@ case class RollingHashWindows(child: Expression, lExpr: Expression)
     r
   }
 
-  /** FNV-1a 64 over the word's UTF-8 bytes — stable across JVMs. */
-  private def wordHash(w: String): Long = {
+  /** Multiply-xor (FNV-1a-shaped) 64-bit hash over the word's UTF-8
+    * bytes, parameterized by offset basis + odd multiplier so the two
+    * accumulators consume INDEPENDENT word hashes — stable across JVMs. */
+  private def wordHash(w: String, offset: Long, mult: Long): Long = {
     val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var h = 0xcbf29ce484222325L
+    var h = offset
     var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= mult; i += 1 }
     h
   }
+
+  // hash 1: canonical FNV-1a 64; hash 2: distinct offset + murmur3
+  // fmix odd multiplier — unrelated ring, see the class doc
+  private final val O1 = 0xcbf29ce484222325L; private final val M1 = 0x100000001b3L
+  private final val O2 = 0x9ae16a3b2f90404fL; private final val M2 = 0xff51afd7ed558ccdL
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
@@ -79,12 +94,17 @@ case class RollingHashWindows(child: Expression, lExpr: Expression)
     // and DuckDB string_split (the WordNgrams lesson, ADVICE r4)
     val words = raw.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (words.length < l) return Iterator.empty
-    val wh = new Array[Long](words.length)
+    val wh1 = new Array[Long](words.length)
+    val wh2 = new Array[Long](words.length)
     var i = 0
-    while (i < words.length) { wh(i) = wordHash(words(i)); i += 1 }
+    while (i < words.length) {
+      wh1(i) = wordHash(words(i), O1, M1)
+      wh2(i) = wordHash(words(i), O2, M2)
+      i += 1
+    }
     var h1 = 0L; var h2 = 0L
     i = 0
-    while (i < l) { h1 = h1 * B1 + wh(i); h2 = h2 * B2 + wh(i); i += 1 }
+    while (i < l) { h1 = h1 * B1 + wh1(i); h2 = h2 * B2 + wh2(i); i += 1 }
     val n = words.length - l + 1
     new Iterator[InternalRow] {
       private var pos = 0
@@ -93,8 +113,8 @@ case class RollingHashWindows(child: Expression, lExpr: Expression)
         val row = InternalRow(pos.toLong, h1, h2)
         // slide AFTER emitting: drop word[pos], append word[pos + l]
         if (pos + 1 < n) {
-          h1 = (h1 - wh(pos) * pw1) * B1 + wh(pos + l)
-          h2 = (h2 - wh(pos) * pw2) * B2 + wh(pos + l)
+          h1 = (h1 - wh1(pos) * pw1) * B1 + wh1(pos + l)
+          h2 = (h2 - wh2(pos) * pw2) * B2 + wh2(pos + l)
         }
         pos += 1
         row

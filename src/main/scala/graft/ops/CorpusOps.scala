@@ -133,7 +133,7 @@ GROUP BY doc_id, n_grams ORDER BY doc_id"""
       .withColumn("u32",
         conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
           .cast("long"))
-      .withColumn("k", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      .withColumn("k", expr("substring(source, 4)").cast("long") % 4 + 1)
       .filter(col("u32") * 5 < col("k") * 4294967296L)
       .select(col("doc_id"), col("source"), col("k").as("rate_fifths"))
       .orderBy("doc_id")

@@ -58,7 +58,7 @@ object Dedup {
     * branch). At 100 TB this table is what you'd write to storage once and
     * reuse across dedup runs. */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("dedup.shingles")
 
   /** Hot-shingle document-frequency cap: shingles present in more than
     * max(5, 1% of the corpus) documents are dropped from every shingle
@@ -240,6 +240,16 @@ ORDER BY doc_a, doc_b"""
     verifyJaccard(docs, cands, threshold)
   }
 
+  /** Oracle caveat (same accepted assumption as [[minhashLshOracle]], r6
+    * ADVICE): the SQL side computes EXACT all-pairs Jaccard restricted to
+    * index×batch, so gate-green additionally asserts that 16-band/4-row
+    * banding recalls EVERY ≥0.9 pair at this SF and perm seed (expected
+    * misses ≈ Σ 1−(1−s⁴)¹⁶ < 10⁻⁶ per pair at s ≥ 0.9 — recall-1 is the
+    * overwhelmingly likely outcome, not a certainty). A near-threshold
+    * pair missed by all 16 bands would fail the gate probabilistically at
+    * another SF or seed; that failure mode indicts the PROBABILITY, not
+    * the algorithm — mirror the banding in SQL (as simhashPairsOracle
+    * does) if it ever fires. */
   def minhashIncrementalOracle(threshold: Double = 0.9): String =
     shingleCte + s"""
 SELECT doc_a, doc_b,
@@ -531,7 +541,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
   // passes, specs, clusters) must not stack fresh persist() entries —
   // the round-2 style per-call cache leak, now shared like shingleCache
   private val cosineCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, Double, Int), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String, Double, Int)]("dedup.cosine")
 
   def cosinePairs(s: SparkSession, d: String, threshold: Double = 0.4,
       blockRows: Int = 1 << 16): DataFrame =

@@ -9,12 +9,16 @@ import graft.Tables
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batch via `mapPartitions`.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (byte-level statistics standing in
-  * for pixel decoding). Everything around it — the binary column, the
-  * metadata schema, partition-batched processing, the feature-vector
-  * output shape — is the real Spark plumbing a production decode UDF would
-  * drop into.
+  * The container has no image/audio codec LIBRARIES, so the
+  * compressed-format (jpeg/png) decode steps are clearly-marked
+  * deterministic STUBS (byte-level statistics standing in for pixel
+  * decoding). Everything around them — the binary column, the metadata
+  * schema, partition-batched processing, the feature-vector output shape —
+  * is the real Spark plumbing a production decode UDF would drop into.
+  * The AUDIO path, however, is fully real: uncompressed RIFF/WAVE PCM
+  * needs no library, and [[WavCodec]] implements the actual byte-level
+  * encode + chunk-walking decode; [[decodeWav]] below runs it end-to-end
+  * against spec-complete WAV blobs synthesized per row.
   *
   * Scale notes: media payloads dominate row size, so the feature pass maps
   * partitions 1:1 with no shuffle (narrow dependency); only the small
@@ -201,12 +205,93 @@ SELECT doc_id,
           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS INT) AS first_byte
 FROM p ORDER BY doc_id"""
 
+  case class WavFeatures(doc_id: Long, n_bytes: Int, sample_rate: Int,
+    n_channels: Int, n_frames: Int, duration_ms: Long, peak: Int, sum_sq: Long)
+
+  /** REAL audio decode (no stub): per row, synthesize a spec-complete
+    * 16-bit PCM WAV blob (deterministic LCG-ish samples + a junk LIST
+    * chunk so the parser must chunk-walk), then run [[WavCodec.decode]]
+    * on the bytes and emit features computed ONLY from the decoded
+    * stream. The oracle re-derives every feature from the generator's
+    * closed form — so a header misparse (wrong rate/channels/data
+    * offset) or a sample-endianness bug breaks the hash gate.
+    *
+    * Scale shape: generation and decode are per-row CPU inside one
+    * `mapPartitions` (narrow, zero shuffle before the tiny feature rows);
+    * with real files the generator disappears and `payload` arrives from
+    * parquet — the decode/feature body is unchanged. */
+  def decodeWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val rate = Array(8000, 16000, 22050)((id % 3).toInt)
+          val ch = 1 + (id % 2).toInt
+          val nf = (500 + (id % 7) * 250).toInt
+          val junk = (id % 5).toInt + 1
+          val samples = new Array[Short](nf * ch)
+          var i = 0
+          while (i < samples.length) {
+            val t = i / ch; val c = i % ch
+            samples(i) = (((id * 37 + t * 13 + c * 101) % 4096) - 2048).toShort
+            i += 1
+          }
+          val bytes = WavCodec.encode(rate, ch, samples, junk)
+          // From here on, ONLY the decoded stream is consulted.
+          val wav = WavCodec.decode(bytes)
+          var peak = 0; var sumSq = 0L
+          var j = 0
+          while (j < wav.samples.length) {
+            val v = wav.samples(j).toInt
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v.toLong * v
+            j += 1
+          }
+          WavFeatures(id, bytes.length, wav.sampleRate, wav.channels,
+            wav.frames, wav.frames * 1000L / wav.sampleRate, peak, sumSq)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The generator's closed form restated in SQL: params from doc_id,
+    * samples re-derived via a lateral generate_series, container size
+    * from RIFF arithmetic (44-byte canonical header + 8+junk+pad LIST
+    * chunk + data). Agreement here certifies the DECODER, because the
+    * Spark side only reports what [[WavCodec.decode]] parsed back out. */
+  val decodeWavOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST([8000, 16000, 22050][CAST(doc_id % 3 AS INT) + 1] AS INT) AS rate,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(500 + (doc_id % 7) * 250 AS INT) AS nf,
+         CAST(doc_id % 5 + 1 AS INT) AS junk
+  FROM documents),
+i AS (
+  SELECT doc_id, rate, ch, nf, junk,
+         unnest(generate_series(0, nf * ch - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, rate, ch, nf, junk,
+         ((doc_id * 37 + (i // ch) * 13 + (i % ch) * 101) % 4096) - 2048 AS v
+  FROM i)
+SELECT doc_id,
+       CAST(52 + junk + junk % 2 + nf * ch * 2 AS INT) AS n_bytes,
+       rate AS sample_rate,
+       ch AS n_channels,
+       nf AS n_frames,
+       CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id, rate, ch, nf, junk ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
-    "multimodal_dedup"    -> (contentDedup _)
+    "multimodal_dedup"    -> (contentDedup _),
+    "multimodal_decode_wav" -> (decodeWav _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -214,6 +299,7 @@ FROM p ORDER BY doc_id"""
     "multimodal_features" -> featuresOracle,
     "multimodal_frames"   -> frameSampleOracle,
     "multimodal_resize"   -> resizeOracle,
-    "multimodal_dedup"    -> contentDedupOracle
+    "multimodal_dedup"    -> contentDedupOracle,
+    "multimodal_decode_wav" -> decodeWavOracle
   )
 }

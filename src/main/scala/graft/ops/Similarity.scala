@@ -41,7 +41,7 @@ object Similarity {
   // re-reads this narrow projection; one shared persisted copy replaces
   // ~5 parquet rescans per annIvfTopK call and survives bench passes
   private val embCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.emb")
 
   private def withNorm(s: SparkSession, d: String): DataFrame =
     embCache.getOrElseUpdate((s, d),
@@ -249,7 +249,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   // a vector store persists its index; both Lloyd assignment passes rerun
   // only when the corpus changes
   private val centroidCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[(Int, Array[Double])]]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.centroids")
 
   private[graft] def lloydCentroidsCached(s: SparkSession, d: String, emb: DataFrame): Seq[(Int, Array[Double])] =
     centroidCache.getOrElseUpdate((s, d), lloydCentroids(s, emb))
@@ -384,7 +384,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   // like the IVF index above; the graph is k·n rows, far smaller than the
   // candidate join that produces it
   private val knnCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, Int), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String, Int)]("similarity.knn")
 
   def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
     knnCache.getOrElseUpdate((s, d, k),

@@ -49,7 +49,7 @@ object SubstringDedup {
   // references (and repeat bench passes). At 100 TB this table is the
   // stored artifact a real pipeline writes once per corpus version.
   private val gramCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, Int), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String, Int)]("substring.grams")
 
   /** Document pairs sharing a verbatim run of ≥ `L` words, with the exact
     * longest shared run length and the supporting anchor-match count. */

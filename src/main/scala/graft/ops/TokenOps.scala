@@ -187,7 +187,7 @@ GROUP BY content_hash ORDER BY doc_id"""
     * [[Similarity]]: the char-split regex is the dominant cost and every
     * merge round re-reads this frame. */
   private val reprCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("token.repr")
 
   private def wordRepr(s: SparkSession, d: String): DataFrame =
     reprCache.getOrElseUpdate((s, d),
@@ -226,8 +226,8 @@ GROUP BY content_hash ORDER BY doc_id"""
   /** The two learned merges, derived once per (session, dataset) - a
     * trained tokenizer is a reusable artifact; [[bpeEncode]] must not pay
     * for training again. */
-  private val mergeCache = scala.collection.concurrent.TrieMap[
-    (SparkSession, String), ((String, String), (String, String))]()
+  private val mergeCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("token.merges")
 
   private def merges(s: SparkSession, d: String): ((String, String), (String, String)) =
     mergeCache.getOrElseUpdate((s, d), {

@@ -43,7 +43,7 @@ object Medallion {
     * you'd read the written gold zone (columnar, partition-pruned); dims
     * remain cacheable at any scale. */
   private val goldCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    graft.util.SessionCaches.memo[(SparkSession, String, String)]("medallion.gold")
 
   // keyed by the session INSTANCE (reference equality) — an identity
   // hashCode is a hash, not an identity, and a collision would hand a new

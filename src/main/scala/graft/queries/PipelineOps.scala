@@ -164,7 +164,7 @@ FROM docs GROUP BY tag ORDER BY tag"""
   // PUBLISHED fact (partition pruning only exists against storage), and
   // re-running the whole ETL per query would time the write, not the scan
   private val lakeCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("pipeline.lake")
 
   private def ensureLake(s: SparkSession, d: String): String =
     lakeCache.getOrElseUpdate((s, d), {

@@ -407,7 +407,7 @@ FROM m ORDER BY o_orderstatus"""
     * n_a·n_b < 2^63 — beyond ~3·10^9 rows a side, bin first. */
   def driftKs(s: SparkSession, d: String): DataFrame =
     driftKsFrom(Tables.documents(s, d).select(
-      (substring(col("source"), 4, 10).cast("long") % 2).as("side"),
+      (expr("substring(source, 4)").cast("long") % 2).as("side"),
       size(split(col("text"), " ")).cast("long").as("v")))
 
   /** Core over any (side ∈ {0,1}, v) frame — parameterized so specs can

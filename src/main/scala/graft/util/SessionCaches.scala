@@ -1,0 +1,59 @@
+package graft.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE place the session-lifetime memo contract is stated (r6 ADVICE:
+  * the per-op TrieMap caches — shingles, grams, k-NN edges, gold tables,
+  * BPE merges… — each restated "lives for the JVM" locally and nothing
+  * offered eviction).
+  *
+  * Contract: a memo entry is keyed by the owning [[SparkSession]]
+  * INSTANCE (reference identity — a hash would let a new session collide
+  * into a DataFrame bound to a stopped one) plus the op's parameters, and
+  * lives until either (a) the JVM exits — the batch-job case, where the
+  * memo is the in-session analog of the stored artifact (shingle table,
+  * ANN index, gold zone) a 100 TB pipeline would write once per corpus
+  * version — or (b) [[SessionCaches.clear]] is called for that session —
+  * the long-lived-notebook case the r6 ADVICE flagged: a server iterating
+  * many datasets or parameter values would otherwise accumulate pinned
+  * MEMORY_AND_DISK DataFrames for the JVM lifetime. `clear` drops every
+  * entry owned by the session and unpersists cached DataFrames; the next
+  * call simply recomputes (correctness never depends on a memo hit —
+  * specs re-run ops after clearing to prove it).
+  */
+object SessionCaches {
+
+  private val registry = TrieMap[String, Memo[_]]()
+
+  /** A named memo whose key's FIRST element must be the owning
+    * SparkSession; values that are DataFrames are unpersisted on evict. */
+  final class Memo[K <: Product] private[SessionCaches] () {
+    private val m = TrieMap[K, Any]()
+    def getOrElseUpdate[V](k: K, v: => V): V =
+      m.getOrElseUpdate(k, v).asInstanceOf[V]
+    private[SessionCaches] def evict(s: SparkSession): Int = {
+      var n = 0
+      m.keys.foreach { k =>
+        if (k.productElement(0).asInstanceOf[AnyRef] eq s)
+          m.remove(k).foreach { v =>
+            v match { case df: DataFrame => df.unpersist(); case _ => () }
+            n += 1
+          }
+      }
+      n
+    }
+  }
+
+  /** Obtain (or create) the memo registered under `name`. Call once per
+    * cache site into a `private val`; the name keys the global registry
+    * so `clear` can reach every site. */
+  def memo[K <: Product](name: String): Memo[K] =
+    registry.getOrElseUpdate(name, new Memo[K]()).asInstanceOf[Memo[K]]
+
+  /** Evict every registered memo entry owned by `s` (unpersisting cached
+    * DataFrames); returns the number of entries dropped. */
+  def clear(s: SparkSession): Int =
+    registry.values.foldLeft(0)(_ + _.evict(s))
+}
