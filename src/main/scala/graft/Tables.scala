@@ -22,19 +22,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy
-    * conf and convert with integer division — ns-since-epoch exceeds 2^53,
-    * so a double division would silently lose microseconds. Truncation
-    * (floor) matches how DuckDB reads the same file. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * drops (Spark 4 refuses to read that natively — [PARQUET_TYPE_ILLEGAL]
+    * — so the legacy conf reads it as a raw nanos BIGINT) and as
+    * TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) in others. Read with the legacy
+    * conf enabled (a no-op for non-nanos files) and let [[normalizeTs]]
+    * adapt on the ACTUAL schema rather than bake in either vintage. */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
   }
 
+  /** Normalize whatever physical type `ts` arrived as to TimestampType:
+    * raw nanos BIGINT → integer-division truncation to micros (ns-since-
+    * epoch exceeds 2^53, a double division would silently lose micros;
+    * floor matches DuckDB's read of the same file); TIMESTAMP_NTZ → cast
+    * (identity wall clock under the UTC session pin, matching DuckDB's
+    * naive read). Shared by the batch and streaming readers so the two
+    * paths cannot drift. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => df
+      case _             =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeTs(eventsRaw(s, d))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

