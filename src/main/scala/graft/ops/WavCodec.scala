@@ -86,8 +86,12 @@ object WavCodec {
     while (samples == null && buf.remaining() >= 8) {
       val id = fourcc()
       val size = buf.getInt
-      require(size >= 0 && size <= buf.remaining(),
-        s"chunk '$id' size $size overruns remaining ${buf.remaining()}")
+      // the pad byte is included in the bound: a trailing odd-size chunk
+      // whose pad byte is truncated must fail with THIS message, not
+      // ByteBuffer's bare IllegalArgumentException from position() (the
+      // pad is part of the container per RIFF, even after the last chunk)
+      require(size >= 0 && size + (size & 1) <= buf.remaining(),
+        s"chunk '$id' size $size (+pad) overruns remaining ${buf.remaining()}")
       id match {
         case "fmt " =>
           require(size >= 16, s"fmt chunk too small: $size")

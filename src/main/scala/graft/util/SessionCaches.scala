@@ -25,14 +25,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionCaches {
 
-  private val registry = TrieMap[String, Memo[_]]()
+  private val registry = TrieMap[String, (Memo[_], Class[_])]()
 
   /** A named memo whose key's FIRST element must be the owning
     * SparkSession; values that are DataFrames are unpersisted on evict. */
   final class Memo[K <: Product] private[SessionCaches] () {
     private val m = TrieMap[K, Any]()
+    /** First-touch is guarded by a per-memo lock: TrieMap's own
+      * getOrElseUpdate may evaluate the builder on BOTH of two racing
+      * threads and silently drop one result — and a dropped
+      * MEMORY_AND_DISK-persisted DataFrame would stay pinned for the JVM
+      * lifetime (r7 ADVICE). Builders here are cheap driver-side plan
+      * construction (persist() registration is lazy), so serializing
+      * first-touch costs nothing measurable; hits stay lock-free. */
     def getOrElseUpdate[V](k: K, v: => V): V =
-      m.getOrElseUpdate(k, v).asInstanceOf[V]
+      m.get(k) match {
+        case Some(x) => x.asInstanceOf[V]
+        case None => m.synchronized {
+          m.get(k) match {
+            case Some(x) => x.asInstanceOf[V]
+            case None =>
+              val built = v
+              m.put(k, built)
+              built
+          }
+        }
+      }
     private[SessionCaches] def evict(s: SparkSession): Int = {
       var n = 0
       m.keys.foreach { k =>
@@ -48,12 +66,19 @@ object SessionCaches {
 
   /** Obtain (or create) the memo registered under `name`. Call once per
     * cache site into a `private val`; the name keys the global registry
-    * so `clear` can reach every site. */
-  def memo[K <: Product](name: String): Memo[K] =
-    registry.getOrElseUpdate(name, new Memo[K]()).asInstanceOf[Memo[K]]
+    * so `clear` can reach every site. The key CLASS is recorded at first
+    * registration and later callers must request the same one — two
+    * sites accidentally sharing a name with different key arities would
+    * otherwise ClassCastException deep inside a lookup (r7 ADVICE). */
+  def memo[K <: Product](name: String)(implicit kt: scala.reflect.ClassTag[K]): Memo[K] = {
+    val (m, cls) = registry.getOrElseUpdate(name, (new Memo[K](), kt.runtimeClass))
+    require(cls == kt.runtimeClass,
+      s"memo '$name' already registered with key ${cls.getName}, requested ${kt.runtimeClass.getName}")
+    m.asInstanceOf[Memo[K]]
+  }
 
   /** Evict every registered memo entry owned by `s` (unpersisting cached
     * DataFrames); returns the number of entries dropped. */
   def clear(s: SparkSession): Int =
-    registry.values.foldLeft(0)(_ + _.evict(s))
+    registry.values.foldLeft(0)(_ + _._1.evict(s))
 }

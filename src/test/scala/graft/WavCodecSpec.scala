@@ -87,6 +87,21 @@ class WavCodecSpec extends AnyFunSuite {
       WavCodec.decode(noFmt)).getMessage.contains("before fmt"))
   }
 
+  test("odd trailing chunk with a truncated pad byte fails with a precise message") {
+    // RIFF + fmt + an odd-size LIST chunk whose RIFF pad byte is missing
+    // (and no data chunk after it) — the walk must reject it with the
+    // codec's message, not ByteBuffer's bare position() exception
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val oddNoPad = "LIST".getBytes("ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3)
+    val payload = "WAVE".getBytes("ASCII") ++ fmt ++ oddNoPad
+    val bytes = "RIFF".getBytes("ASCII") ++ le32(payload.length) ++ payload
+    assert(intercept[IllegalArgumentException](
+      WavCodec.decode(bytes)).getMessage.contains("overruns"))
+  }
+
   test("decodeWav query emits decoder-derived features on the fixture corpus") {
     import TestSpark._
     val rows = graft.ops.Multimodal.decodeWav(spark, sf).collect()
