@@ -505,11 +505,144 @@ ranked AS (
 SELECT query_id, vec_id, qcos, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
 
+  // ---- Product quantization (PQ) ---------------------------------------
+
+  val PqM = 8    // subspaces
+  val PqSub = Dim / PqM
+  val PqC = 16   // centroids per subspace codebook
+
+  private val pqCodesCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.pqcodes")
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Long]]]]()
+
+  /** Micro-unit integer quantization of the UNIT-NORMALIZED embedding
+    * (floor(vᵢ/‖v‖·10⁶)) — normalizing first is how PQ serves cosine
+    * ranking (on unit vectors ‖a−b‖² = 2−2cosθ, so Euclidean ADC order
+    * IS cosine order); the micro-unit floor makes every PQ distance
+    * below EXACT integer arithmetic, so argmin codes and ADC rankings
+    * are bit-identical cross-engine (the `embedding_covariance` /
+    * `random_projection` trick). The norm chain (ascending square sum →
+    * IEEE sqrt → one division) is restated identically in the oracle. */
+  private def pqQuantized(s: SparkSession, d: String): DataFrame =
+    withNorm(s, d).select(col("vec_id"),
+      transform(col("v"), x => floor(x / col("nrm") * lit(1e6)).cast("long")).as("q"))
+
+  /** Sampled codebook: subspace slices of 16 deterministic seed vectors
+    * (every 31st vec_id) — faiss's sampling init, kept un-Lloyd'd so the
+    * oracle can re-derive it in two CTEs. Driver footprint: 16×64 longs
+    * (8 KB), the same documented kilobyte-metadata collect as the IVF
+    * centroids. */
+  private def pqCodebook(s: SparkSession, d: String): Array[Array[Array[Long]]] =
+    pqCbCache.getOrElseUpdate((s, d), {
+      val seeds = pqQuantized(s, d).filter(col("vec_id") % 31 === 0)
+        .orderBy("vec_id").limit(PqC)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(seeds.length == PqC, s"need $PqC seed vectors, got ${seeds.length}")
+      Array.tabulate(PqM, PqC, PqSub)((m, c, j) => seeds(c)(m * PqSub + j))
+    })
+
+  /** Exact integer squared distance between `q`'s m-th sub-vector and
+    * codebook centroid (m, c). */
+  private def pqDist(q: Column, cb: Array[Array[Array[Long]]], m: Int, c: Int): Column =
+    (0 until PqSub).map { j =>
+      val e = element_at(q, m * PqSub + j + 1) - lit(cb(m)(c)(j))
+      e * e
+    }.reduce(_ + _)
+
+  /** PRODUCT-QUANTIZATION ANN — the missing member of the ANN family
+    * (brute force / LSH / IVF / int8): compress each vector to PqM=8
+    * one-byte codes (argmin centroid per subspace), then answer queries
+    * by ASYMMETRIC DISTANCE COMPUTATION — the query precomputes its
+    * 8×16 distance table once, and scoring a corpus vector is 8 table
+    * lookups + adds, touching only the CODES. This is the vector-store
+    * scale story PQ exists for: the corpus shrinks 32× (64 floats → 8
+    * codes), so RAM that held 3 M raw vectors holds 100 M codes, and
+    * the scan is cache-resident integer lookups. The codes table is
+    * memoized per (session, dataset) like a persisted PQ index; the
+    * query table is broadcast; the corpus never shuffles.
+    *
+    * Everything is exact integer arithmetic on micro-unit components,
+    * so the full approximate result (codes, ADC distances, ranking)
+    * hash-gates against the DuckDB restatement — no float divergence
+    * possible. Recall vs exact ranking is asserted in SimilaritySpec. */
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebook(s, d)
+    val emb = pqQuantized(s, d)
+    val codesCol = array((0 until PqM).map { m =>
+      array_min(array((0 until PqC).map(c =>
+        struct(pqDist(col("q"), cb, m, c).as("d"), lit(c).as("c"))): _*))
+        .getField("c")
+    }: _*)
+    val codes = pqCodesCache.getOrElseUpdate((s, d),
+      emb.select(col("vec_id"), codesCol.as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qtabCol = array((0 until PqM).map { m =>
+      array((0 until PqC).map(c => pqDist(col("q"), cb, m, c)): _*)
+    }: _*)
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), qtabCol.as("qtab"))
+    val adistCol = (0 until PqM).map { m =>
+      element_at(element_at(col("qtab"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adistCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("query_id", "vec_id", "adist", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The PQ pipeline restated in SQL: quantize, re-derive the sampled
+    * codebook, assign codes by windowed argmin, and compute ADC as a
+    * join of the corpus codes against the query's per-(m,c) distances
+    * (a lookup table IS a join on (m, c)). All integers → full hash
+    * check of an approximate index, codes and all. */
+  val annPqOracle: String = s"""
+WITH emb0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(
+           x / sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE))
+             * 1000000) AS BIGINT)) AS q
+  FROM emb0),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, q
+  FROM emb WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT $PqC),
+ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+dists AS (
+  SELECT e.vec_id, ms.m, s.c,
+         list_sum(list_transform(generate_series(1, $PqSub),
+           j -> (e.q[ms.m * $PqSub + j] - s.q[ms.m * $PqSub + j])
+              * (e.q[ms.m * $PqSub + j] - s.q[ms.m * $PqSub + j]))) AS d
+  FROM emb e, ms, seeds s),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS r
+    FROM dists) t
+  WHERE r = 1),
+adist AS (
+  SELECT qd.vec_id AS query_id, co.vec_id, CAST(sum(qd.d) AS BIGINT) AS adist
+  FROM codes co JOIN dists qd ON qd.m = co.m AND qd.c = co.c
+  WHERE qd.vec_id % 100 = 0 AND qd.vec_id <> co.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adist, vec_id) AS INT) AS rnk
+  FROM adist)
+SELECT query_id, vec_id, adist, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_int8"       -> (annInt8TopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
     "ann_topk_ivf"        -> (annIvfTopK _),
+    "ann_topk_pq"         -> (annPqTopK _),
     "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
 
@@ -518,6 +651,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     "ann_topk_int8"       -> annInt8Oracle,
     "ann_topk_lsh"        -> annLshOracle,
     "ann_topk_ivf"        -> annIvfOracle,
+    "ann_topk_pq"         -> annPqOracle,
     "knn_graph"           -> knnGraphOracle()
   )
 }

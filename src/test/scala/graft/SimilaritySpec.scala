@@ -63,6 +63,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall $recall%.3f < 0.9")
   }
 
+  test("PQ ANN (codes + ADC): top-5 lies within the exact cosine top-20 on planted clusters") {
+    // Exact top-5 agreement is the WRONG metric for PQ on tight clusters:
+    // all ~19 members of the query's cluster quantize to the SAME codes,
+    // so their ADC distances tie and the tie-break (vec_id) picks a
+    // different 5 than exact cosine noise does — measured 0.32 "recall"
+    // while every retrieved vector was a true cluster member. The
+    // standard ANN-bench metric is recall@k-in-top-R: every PQ top-5 hit
+    // must be one of the exact top-20 (which on this data = the cluster).
+    val emb = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val pq = Similarity.annPqTopK(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.nonEmpty)
+    val ok = pq.count { case (q, v) =>
+      emb.keys.filter(_ != q).toSeq
+        .sortBy(id => (-cos(emb(q), emb(id)), id)).take(20).contains(v)
+    }
+    val frac = ok.toDouble / pq.length
+    info(f"PQ top-${Similarity.K} within exact top-20: $frac%.3f")
+    assert(frac >= 0.9, f"PQ@5-in-top-20 $frac%.3f < 0.9")
+  }
+
   test("LSH-bucketed cosine dedup recovers >= 0.9 of the exact near-dup pairs on planted clusters") {
     val exact = graft.ops.Dedup.cosinePairs(spark, plantedDir, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
