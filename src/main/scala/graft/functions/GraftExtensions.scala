@@ -25,6 +25,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MisraGriesAgg(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    def asInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue()
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4)))))
+    e.injectFunction((
+      FunctionIdentifier("pq_table"),
+      new ExpressionInfo(classOf[PqTable].getName, "pq_table"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4)))))
+    e.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)))))
+    e.injectFunction((
+      FunctionIdentifier("topk_min"),
+      new ExpressionInfo(classOf[TopKMinAgg].getName, "topk_min"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKMinAgg(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),

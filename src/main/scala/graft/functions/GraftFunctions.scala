@@ -95,6 +95,24 @@ object GraftFunctions {
         exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    def asInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode",
+      exprs => PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_table",
+      exprs => PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc",
+      exprs => PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3))),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_min",
+      exprs => TopKMinAgg(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -542,14 +542,6 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       Array.tabulate(PqM, PqC, PqSub)((m, c, j) => seeds(c)(m * PqSub + j))
     })
 
-  /** Exact integer squared distance between `q`'s m-th sub-vector and
-    * codebook centroid (m, c). */
-  private def pqDist(q: Column, cb: Array[Array[Array[Long]]], m: Int, c: Int): Column =
-    (0 until PqSub).map { j =>
-      val e = element_at(q, m * PqSub + j + 1) - lit(cb(m)(c)(j))
-      e * e
-    }.reduce(_ + _)
-
   /** PRODUCT-QUANTIZATION ANN — the missing member of the ANN family
     * (brute force / LSH / IVF / int8): compress each vector to PqM=8
     * one-byte codes (argmin centroid per subspace), then answer queries
@@ -567,31 +559,45 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * hash-gates against the DuckDB restatement — no float divergence
     * possible. Recall vs exact ranking is asserted in SimilaritySpec. */
   def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val cb = pqCodebook(s, d)
     val emb = pqQuantized(s, d)
-    val codesCol = array((0 until PqM).map { m =>
-      array_min(array((0 until PqC).map(c =>
-        struct(pqDist(col("q"), cb, m, c).as("d"), lit(c).as("c"))): _*))
-        .getField("c")
-    }: _*)
+    // flat subspace-major codebook literal (8 KB) — rides the plan like
+    // the LSH planes; the pq_* kernels index it directly
+    val cbLit = typedlit(for {
+      m <- 0 until PqM; c <- 0 until PqC; j <- 0 until PqSub
+    } yield cb(m)(c)(j))
+    // The declarative element_at formulation of encode/table/ADC emits
+    // ~20k lines of generated Java, trips janino's 64 KB method limit,
+    // and silently degrades to interpreted eval (~6 s for the code
+    // assignment alone at sf0.1). The pq_* kernels (functions/
+    // PqExpressions) are fused codegen loops — same semantics, small
+    // bytecode, whole stage stays compiled.
     val codes = pqCodesCache.getOrElseUpdate((s, d),
-      emb.select(col("vec_id"), codesCol.as("codes"))
+      emb.select(col("vec_id"),
+        call_function("pq_encode", col("q"), cbLit,
+          lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qtabCol = array((0 until PqM).map { m =>
-      array((0 until PqC).map(c => pqDist(col("q"), cb, m, c)): _*)
-    }: _*)
     val qs = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), qtabCol.as("qtab"))
-    val adistCol = (0 until PqM).map { m =>
-      element_at(element_at(col("qtab"), m + 1),
-        element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_table", col("q"), cbLit,
+          lit(PqM), lit(PqC), lit(PqSub)).as("qtab"))
+    // Rank with the native bounded top-K aggregate (functions/TopKMin),
+    // not a window: the window formulation shuffles and sorts EVERY
+    // (query, candidate) pair — measured 2-3 s of the query's 3.5 s at
+    // sf0.1, 25M rows through one exchange — and the typed Aggregator
+    // alternative pays an equal encoder tax deserializing those rows.
+    // The TypedImperativeAggregate evaluates (adist, vec_id) straight
+    // off the InternalRow into a K-entry buffer, so only ≤ K rows per
+    // query per partition reach the shuffle.
     codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .withColumn("adist", adistCol)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select("query_id", "vec_id", "adist", "rnk")
+      .groupBy("query_id")
+      .agg(call_function("topk_min",
+        call_function("pq_adc", col("qtab"), col("codes"), lit(PqM), lit(PqC)),
+        col("vec_id"), lit(K)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
       .orderBy("query_id", "rnk")
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{GraftExtensions, GraftFunctions}
@@ -46,6 +47,58 @@ class FunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT array_dot(array('x'), array(1.0d))").collect()
     }
     assert(err.getMessage.contains("array<double>"))
+  }
+
+  test("pq kernels match hand-computed codes, tables, and ADC distances") {
+    GraftFunctions.register(spark)
+    // 2 subspaces × 2 centroids × 2 dims; codebook flat subspace-major:
+    // m0: c0=(0,0) c1=(10,10); m1: c0=(5,5) c1=(0,0)
+    val row = spark.sql(
+      """SELECT pq_encode(array(9L,9L,1L,1L), array(0L,0L,10L,10L,5L,5L,0L,0L), 2, 2, 2) AS codes,
+        |       pq_table(array(9L,9L,1L,1L),  array(0L,0L,10L,10L,5L,5L,0L,0L), 2, 2, 2) AS qtab,
+        |       pq_adc(array(3L,7L,2L,9L), array(1, 0), 2, 2) AS adist""".stripMargin)
+      .head()
+    // m0: |(9,9)-(0,0)|²=162 vs |(9,9)-(10,10)|²=2 → code 1
+    // m1: |(1,1)-(5,5)|²=32 vs |(1,1)-(0,0)|²=2 → code 1
+    assert(row.getSeq[Int](0) == Seq(1, 1))
+    assert(row.getSeq[Long](1) == Seq(162L, 2L, 32L, 2L))
+    assert(row.getLong(2) == 7L + 2L) // qtab[m0][c1] + qtab[m1][c0]
+    // tie goes to the LOWEST centroid index (both engines' contract)
+    val tie = spark.sql(
+      "SELECT pq_encode(array(5L), array(4L, 6L), 1, 2, 1) AS codes").head()
+    assert(tie.getSeq[Int](0) == Seq(0), "equidistant must pick centroid 0")
+  }
+
+  test("topk_min keeps the K smallest (dist, id) pairs in rank order") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 5L), (1L, 11L, 3L), (1L, 12L, 3L), (1L, 13L, 9L), (1L, 14L, 1L),
+      (2L, 20L, 7L)).toDF("g", "id", "d")
+    val got = rows.groupBy("g")
+      .agg(call_function("topk_min", col("d"), col("id"), lit(3)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.id"), col("col.dist"))
+      .orderBy("g", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // group 1: (1,14) then ties d=3 resolve by id asc: (3,11), (3,12)
+    assert(got == Seq(
+      (1L, 0, 14L, 1L), (1L, 1, 11L, 3L), (1L, 2, 12L, 3L),
+      (2L, 0, 20L, 7L)))
+    // equivalence with the window formulation on real data
+    val base = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val viaAgg = base.groupBy("l_suppkey")
+      .agg(call_function("topk_min", col("q"), col("l_partkey"), lit(3)).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), col("col.id").as("l_partkey"), col("col.dist").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy(asc("q"), asc("l_partkey"))
+    val viaWindow = base
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("l_suppkey", "l_partkey", "q")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
   test("GraftExtensions injects all three functions into a SparkSessionExtensions instance") {
