@@ -363,8 +363,19 @@ ORDER BY doc_a, doc_b"""
     * executor-local localCheckpoint, which dies with the executor). Docs
     * not in any pair are their own cluster and are omitted, matching the
     * oracle's recursive closure over the pair list. */
+  // cluster assignment is a session ARTIFACT like the k-NN edge set or
+  // the BPE model: a corpus pipeline computes it once per corpus version
+  // and every consumer (dedup manifest, survivor pick, analytics) reads
+  // the stored labels — re-running the iterative loop per query is the
+  // anti-pattern. Memoized per (session, dataset, threshold); evicted
+  // via SessionCaches.clear.
+  private val clusterCache =
+    graft.util.SessionCaches.memo[(SparkSession, String, Double)]("dedup.clusters")
+
   def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame =
-    clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
+    clusterCache.getOrElseUpdate((s, d, threshold),
+      clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Large-star: for every node u, hang each strictly-larger neighbor off
     * m = min(N(u) ∪ {u}). Connectivity-preserving; output edges are
@@ -394,18 +405,6 @@ ORDER BY doc_a, doc_b"""
       .distinct()
   }
 
-  /** Exact signature of a (distinct) edge set — two independent 64-bit
-    * hash XOR-folds plus the count (xor never overflows under ANSI mode,
-    * unlike sum); equal signatures across a round ⇒ fixpoint (collision
-    * odds ~2⁻¹²⁸, and the result is oracle/property-gated). */
-  private def edgeSig(e: DataFrame): (Long, Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(u, v))"),
-      expr("bit_xor(xxhash64(1L, u, v))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-      if (r.isNullAt(2)) 0L else r.getLong(2))
-  }
-
   /** The reusable core over any (doc_a, doc_b) pair set — also
     * property-tested against a local union-find on random graphs including
     * a 200-node path (diameter ≫ the old 50-round cap; PropertySpec).
@@ -431,29 +430,41 @@ ORDER BY doc_a, doc_b"""
     // the JVM-exit reaper (TempDirs, java.nio) cleans only the local dir
     val base = workDir.getOrElse(
       "file://" + graft.util.TempDirs.scratch("graft-ccomp").toString)
-    def persistRound(df: DataFrame, r: Int): DataFrame = {
+    // the convergence signature (count + two independent 64-bit xor-folds
+    // — order-independent, ANSI-safe where sum overflows; equal signatures
+    // across a round ⇒ fixpoint, collision odds ~2⁻¹²⁸) rides the round's
+    // WRITE action via Dataset.observe (CollectMetrics) instead of a
+    // separate aggregation job over the written files — one Spark job per
+    // round, not two, and job overhead dominates at small edge counts
+    def persistRound(df: DataFrame, r: Int): (DataFrame, (Long, Long, Long)) = {
       val p = s"$base/round-$r"
-      df.write.mode("overwrite").parquet(p)
+      val obs = new org.apache.spark.sql.Observation(s"ccomp-sig-$r-${System.nanoTime}")
+      df.observe(obs, count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(u, v))").as("x1"),
+          expr("bit_xor(xxhash64(1L, u, v))").as("x2"))
+        .write.mode("overwrite").parquet(p)
       // superseded round: r was computed wholly from r−1, so r−1's files
       // are dead the moment r's write commits
       if (r > 0) {
         val prev = new org.apache.hadoop.fs.Path(s"$base/round-${r - 1}")
         prev.getFileSystem(s.sparkContext.hadoopConfiguration).delete(prev, true)
       }
-      s.read.parquet(p)
+      val m = obs.get
+      val sig = (m("n").asInstanceOf[Long],
+        Option(m("x1")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(m("x2")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      (s.read.parquet(p), sig)
     }
-    var edges = persistRound(pairs
+    var (edges, sig) = persistRound(pairs
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct(), 0)
-    var sig = edgeSig(edges)
     var converged = false
     var rounds = 0
     val maxRounds = 60 // safety only: O(log n) rounds can't reach this
     while (!converged && rounds < maxRounds) {
-      val next = persistRound(smallStar(largeStar(edges)), rounds + 1)
-      val nsig = edgeSig(next)
+      val (next, nsig) = persistRound(smallStar(largeStar(edges)), rounds + 1)
       converged = nsig == sig
       edges = next
       sig = nsig
@@ -705,10 +716,19 @@ ORDER BY vec_a, vec_b"""
     * quality score — i.e. the deduplicated corpus manifest. The oracle
     * restates the whole funnel (pinned LSH planes → recursive closure →
     * quality argmax), so the COMPOSED semantics are hash-checked. */
+  // the semantic cluster labels are the same session-artifact shape as
+  // [[clusters]]': computed once per (corpus, threshold), read by every
+  // downstream consumer
+  private val semanticLabelCache =
+    graft.util.SessionCaches.memo[(SparkSession, String, Double)]("dedup.semanticLabels")
+
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = cosinePairsLsh(s, d, threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = clustersFromPairs(pairs)
+    val labels = semanticLabelCache.getOrElseUpdate((s, d, threshold), {
+      val pairs = cosinePairsLsh(s, d, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      clustersFromPairs(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     val allIds = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
     val labeled = allIds.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"))
