@@ -55,7 +55,10 @@ object PlanDump {
     "weighted_sample" -> "priority sample: TakeOrderedAndProject merges per-partition top-m heaps, the corpus never sorts or shuffles",
     "recursive_subtree_rollup" -> "WITH RECURSIVE closure: UnionLoop iterates a per-level parent-key hash join, rollup aggregates the closure once",
     "corr_matrix" -> "single-scan moment profile: 15 partial aggregates off ONE lineitem FileScan, stack() fans the 1-row moments out",
-    "pit_join" -> "point-in-time join: interval predicate rides the equi-key hash join (no nested loop), dim side broadcast"
+    "pit_join" -> "point-in-time join: interval predicate rides the equi-key hash join (no nested loop), dim side broadcast",
+    "aqe_skew_join" -> "AQE skew split: planted 80%-hot key, SMJ regime; AqeSkewSpec asserts isSkewJoin in the FINAL adaptive plan (explain here shows the pre-execution shape)",
+    "ann_topk_pq" -> "PQ ADC: pq_encode/pq_table/pq_adc codegen kernels, codes cached, query tables broadcast, topk_min partial aggregation instead of a window sort",
+    "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows"
   )
 
   def main(args: Array[String]): Unit = {
