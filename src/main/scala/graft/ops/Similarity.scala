@@ -643,12 +643,145 @@ ranked AS (
 SELECT query_id, vec_id, adist, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
 
+  // ---- IVF-PQ: the composed industrial index --------------------------
+
+  private val ivfpqIndexCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.ivfpq")
+
+  /** IVF-PQ ANN — the two scale levers COMPOSED, which is the shape
+    * every production vector store (faiss IVFPQ, ScaNN, Milvus) actually
+    * ships: the IVF coarse quantizer makes the SCAN sublinear (probe
+    * nprobe of NumCentroids Voronoi cells ≈ nprobe/NumCentroids of the
+    * corpus), and PQ makes the per-candidate cost and MEMORY footprint
+    * tiny (8 one-byte codes + a cell id per vector — the index for 100 M
+    * vectors fits where 3 M raw floats did). Scoring is the same ADC
+    * lookup as [[annPqTopK]], restricted to the probed cells' members;
+    * global (non-residual) codebooks, i.e. faiss `by_residual=false`.
+    *
+    * Everything stays exact-integer / fixed-point deterministic, so the
+    * composed approximate index — Lloyd cells, probe sets, codes, ADC
+    * ranks — hash-gates against the SQL restatement end to end. */
+  def annIvfPqTopK(s: SparkSession, d: String, nprobe: Int = NProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = withNorm(s, d)
+    val cents = lloydCentroidsCached(s, d, emb)
+    val cb = pqCodebook(s, d)
+    val cbLit = typedlit(for {
+      m <- 0 until PqM; c <- 0 until PqC; j <- 0 until PqSub
+    } yield cb(m)(c)(j))
+    val quant = transform(col("v"), x => floor(x / col("nrm") * lit(1e6)).cast("long"))
+    // the stored index: (vec_id, cell, codes) — built once per corpus
+    // version, memoized like the centroid table and the PQ codes
+    val indexed = ivfpqIndexCache.getOrElseUpdate((s, d),
+      emb.withColumn("cell",
+          array_max(cellScores(s, col("v"), cents)).getField("cid"))
+        .withColumn("q", quant)
+        .select(col("vec_id"), col("cell"),
+          call_function("pq_encode", col("q"), cbLit,
+            lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .withColumn("q", quant)
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_table", col("q"), cbLit,
+          lit(PqM), lit(PqC), lit(PqSub)).as("qtab"),
+        explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, nprobe)
+          .getField("cid")).as("probe_cell"))
+    indexed.join(broadcast(qs),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(call_function("topk_min",
+        call_function("pq_adc", col("qtab"), col("codes"), lit(PqM), lit(PqC)),
+        col("vec_id"), lit(K)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The composed index restated in SQL: the IVF CTE chain (seeds →
+    * unrolled Lloyd rounds → assignment → probe sets, verbatim from
+    * [[annIvfOracle]]) feeding the PQ CTE chain (quantize → sampled
+    * codebook → windowed-argmin codes → ADC-as-join, verbatim from
+    * [[annPqOracle]]), joined on the probed cells. */
+  lazy val annIvfPqOracle: String = {
+    def iter(k: Int): String = s"""
+s$k AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
+        FROM emb e CROSS JOIN c${k}n c),
+a$k AS (SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY score DESC, cid DESC) AS rn FROM s$k) t WHERE rn = 1),
+c${k + 1} AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM (
+          SELECT a.cell, d.i AS dim,
+                 sum(CAST(floor(e.v[d.i] * 1000000) AS BIGINT)) / (1000000.0 * count(*)) AS m
+          FROM a$k a JOIN emb e USING (vec_id) CROSS JOIN dims d
+          GROUP BY a.cell, d.i) t GROUP BY cell),
+c${k + 1}n AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv
+        FROM c${k + 1}),"""
+    val iters = (0 until LloydIters).map(iter).mkString
+    val T = LloydIters
+    s"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+cent AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $NumCentroids),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv FROM cent),
+c0n AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM c0),$iters
+sF AS (SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS score
+       FROM emb e CROSS JOIN c${T}n c),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+    FROM sF) t WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+    FROM sF WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
+qq AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(
+           x / sqrt(CAST(list_sum(list_transform(v, y -> y * y)) AS DOUBLE))
+             * 1000000) AS BIGINT)) AS q
+  FROM emb),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, q
+  FROM qq WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT $PqC),
+ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+pqd AS (
+  SELECT e.vec_id, ms.m, s.c,
+         list_sum(list_transform(generate_series(1, $PqSub),
+           j -> (e.q[ms.m * $PqSub + j] - s.q[ms.m * $PqSub + j])
+              * (e.q[ms.m * $PqSub + j] - s.q[ms.m * $PqSub + j]))) AS d
+  FROM qq e, ms, seeds s),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS r
+    FROM pqd) t
+  WHERE r = 1),
+adist AS (
+  SELECT p.query_id, a.vec_id, CAST(sum(qd.d) AS BIGINT) AS adist
+  FROM qprobe p
+  JOIN assigned a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN pqd qd ON qd.vec_id = p.query_id AND qd.m = co.m AND qd.c = co.c
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY adist, vec_id) AS INT) AS rnk
+  FROM adist)
+SELECT query_id, vec_id, adist, rnk FROM ranked
+WHERE rnk <= $K ORDER BY query_id, rnk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_int8"       -> (annInt8TopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
     "ann_topk_ivf"        -> (annIvfTopK _),
     "ann_topk_pq"         -> (annPqTopK _),
+    "ann_topk_ivfpq"      -> ((s: SparkSession, d: String) => annIvfPqTopK(s, d)),
     "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
 
@@ -658,6 +791,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     "ann_topk_lsh"        -> annLshOracle,
     "ann_topk_ivf"        -> annIvfOracle,
     "ann_topk_pq"         -> annPqOracle,
+    "ann_topk_ivfpq"      -> annIvfPqOracle,
     "knn_graph"           -> knnGraphOracle()
   )
 }

@@ -91,6 +91,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(frac >= 0.9, f"PQ@5-in-top-20 $frac%.3f < 0.9")
   }
 
+  test("IVF-PQ ANN: top-5 lies within the exact cosine top-20 on planted clusters") {
+    // the composed index inherits BOTH approximations (cell pruning +
+    // code quantization); the retrieval contract is the same
+    // recall@k-in-top-R metric as plain PQ, on the same tie grounds
+    val emb = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val got = Similarity.annIvfPqTopK(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val ok = got.count { case (q, v) =>
+      emb.keys.filter(_ != q).toSeq
+        .sortBy(id => (-cos(emb(q), emb(id)), id)).take(20).contains(v)
+    }
+    val frac = ok.toDouble / got.length
+    info(f"IVF-PQ top-${Similarity.K} within exact top-20: $frac%.3f")
+    assert(frac >= 0.9, f"IVF-PQ@5-in-top-20 $frac%.3f < 0.9")
+  }
+
   test("LSH-bucketed cosine dedup recovers >= 0.9 of the exact near-dup pairs on planted clusters") {
     val exact = graft.ops.Dedup.cosinePairs(spark, plantedDir, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
