@@ -558,26 +558,38 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * so the full approximate result (codes, ADC distances, ranking)
     * hash-gates against the DuckDB restatement — no float divergence
     * possible. Recall vs exact ranking is asserted in SimilaritySpec. */
-  def annPqTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** Flat subspace-major codebook literal (8 KB) — rides the plan like
+    * the LSH planes; the pq_* kernels index it directly. */
+  private[graft] def pqCbLit(s: SparkSession, d: String): Column = {
     val cb = pqCodebook(s, d)
-    val emb = pqQuantized(s, d)
-    // flat subspace-major codebook literal (8 KB) — rides the plan like
-    // the LSH planes; the pq_* kernels index it directly
-    val cbLit = typedlit(for {
+    typedlit(for {
       m <- 0 until PqM; c <- 0 until PqC; j <- 0 until PqSub
     } yield cb(m)(c)(j))
+  }
+
+  /** The stored PQ index (vec_id, codes) — memoized per (session,
+    * dataset); also consumed by the streaming serving path
+    * ([[graft.streaming.EventsStream]]'s `stream_ann_serve`). */
+  private[graft] def pqCodesIndex(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // The declarative element_at formulation of encode/table/ADC emits
     // ~20k lines of generated Java, trips janino's 64 KB method limit,
     // and silently degrades to interpreted eval (~6 s for the code
     // assignment alone at sf0.1). The pq_* kernels (functions/
     // PqExpressions) are fused codegen loops — same semantics, small
     // bytecode, whole stage stays compiled.
-    val codes = pqCodesCache.getOrElseUpdate((s, d),
-      emb.select(col("vec_id"),
-        call_function("pq_encode", col("q"), cbLit,
+    pqCodesCache.getOrElseUpdate((s, d),
+      pqQuantized(s, d).select(col("vec_id"),
+        call_function("pq_encode", col("q"), pqCbLit(s, d),
           lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = pqQuantized(s, d)
+    val cbLit = pqCbLit(s, d)
+    val codes = pqCodesIndex(s, d)
     val qs = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"),
         call_function("pq_table", col("q"), cbLit,

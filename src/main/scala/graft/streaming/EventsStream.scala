@@ -436,7 +436,70 @@ SELECT lang, count(*) AS n_kept FROM scored
 WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
   }
 
+  /** STREAMING ANN SERVING — the model-serving shape of the PQ index: a
+    * stream of query vectors (the embeddings table staged as arriving
+    * files) is joined STREAM-STATIC against the memoized PQ codes index
+    * ([[graft.ops.Similarity.pqCodesIndex]] — the session artifact the
+    * batch path built), scored per micro-batch with the `pq_table` /
+    * `pq_adc` codegen kernels, and ranked by the `topk_min`
+    * TypedImperativeAggregate running as STREAMING STATE (its
+    * serialize/deserialize contract is exactly what the state store
+    * needs between micro-batches). Because the file source delivers one
+    * batch, the final state must equal the batch [[graft.ops.Similarity
+    * .annPqTopK]] result — so this query SHARES the batch PQ oracle,
+    * proving streaming ≡ batch the same way `stream_session_window`
+    * shares the sessionize oracle.
+    *
+    * Scale shape: at 100 TB the index side is the big one — it stays
+    * partitioned and cached (8 bytes + id per vector); each micro-batch
+    * broadcasts only the arriving queries' 8×16 lookup tables. */
+  def annServeStream(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    graft.functions.GraftFunctions.register(s)
+    import graft.ops.Similarity
+    val src = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_emb/${graft.util.PathKeys.safe(d)}")
+    val staged = stageDir.resolve("embeddings.parquet")
+    val fresh = java.nio.file.Files.exists(staged) &&
+      java.nio.file.Files.size(staged) == java.nio.file.Files.size(src)
+    if (!fresh) {
+      java.nio.file.Files.createDirectories(stageDir)
+      val tmp = stageDir.resolve("embeddings.parquet.tmp")
+      java.nio.file.Files.copy(src, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val schema = Tables.embeddings(s, d).schema
+    val codes = Similarity.pqCodesIndex(s, d)
+    val cbLit = Similarity.pqCbLit(s, d)
+    val qstream = s.readStream.schema(schema).parquet(stageDir.toString)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
+      .withColumn("q", transform(col("v"),
+        x => floor(x / col("nrm") * lit(1e6)).cast("long")))
+      .select(col("query_id"),
+        call_function("pq_table", col("q"), cbLit,
+          lit(Similarity.PqM), lit(Similarity.PqC), lit(Similarity.PqSub)).as("qtab"))
+    val agg = qstream.join(codes, col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(call_function("topk_min",
+        call_function("pq_adc", col("qtab"), col("codes"),
+          lit(Similarity.PqM), lit(Similarity.PqC)),
+        col("vec_id"), lit(Similarity.K)).as("top"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_ann")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ann_serve"       -> (annServeStream _),
     "stream_corpus_filter"   -> (corpusFilterStream _),
     "stream_stream_join"     -> (streamStreamJoin _),
     "stream_enrich_join"     -> (enrichJoin _),
@@ -449,6 +512,8 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    // streaming serving must equal the batch PQ result — shared oracle
+    "stream_ann_serve"       -> graft.ops.Similarity.annPqOracle,
     "stream_corpus_filter"   -> corpusFilterStreamOracle,
     "stream_stream_join"     -> streamStreamJoinOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
