@@ -55,6 +55,37 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("topk_min streaming state restores and merges across micro-batches") {
+    // the custom TypedImperativeAggregate's serialize/deserialize is the
+    // state-store contract: batch 2's candidates must merge against the
+    // RESTORED batch-1 buffers, evicting and keeping correctly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val agg = mem.toDF().toDF("g", "id", "d")
+      .groupBy("g")
+      .agg(call_function("topk_min", col("d"), col("id"), lit(3)).as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_state")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, 10L, 50L), (1L, 11L, 40L), (2L, 20L, 5L))
+      q.processAllAvailable()
+      // batch 2: a better candidate (d=10) must enter, d=60 must be
+      // rejected, and the restored d=50 must be evicted by d=45
+      mem.addData((1L, 12L, 10L), (1L, 13L, 45L), (1L, 14L, 60L), (2L, 21L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("topk_state").collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1)))).toMap
+      assert(rows(1L) == Seq((12L, 10L), (11L, 40L), (13L, 45L)),
+        s"group 1 state wrong: ${rows(1L)}")
+      assert(rows(2L) == Seq((21L, 4L), (20L, 5L)),
+        s"group 2 state wrong: ${rows(2L)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert merge survives multi-batch Update-mode replay") {
     val src = "/tmp/graft_multibatch_src"
     val stateDir = "/tmp/graft_multibatch_state/user_totals"
