@@ -513,8 +513,10 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
 
   private val pqCodesCache =
     graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.pqcodes")
+  // non-DataFrame values are legal memo entries (evict just drops them);
+  // registering here keeps the codebook evictable with everything else
   private val pqCbCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Long]]]]()
+    graft.util.SessionCaches.memo[(SparkSession, String)]("similarity.pqcodebook")
 
   /** Micro-unit integer quantization of the UNIT-NORMALIZED embedding
     * (floor(vᵢ/‖v‖·10⁶)) — normalizing first is how PQ serves cosine

@@ -328,7 +328,55 @@ g AS (
 SELECT ngram, count(*) AS n FROM g
 GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
 
+  /** K-ANONYMITY AUDIT — the privacy gate a corpus passes before release:
+    * any quasi-identifier combination shared by fewer than k individuals
+    * re-identifies them (Sweeney 2002). Here the quasi-identifiers are
+    * (nation, market segment, account-balance band) — the classic
+    * generalization step bands the continuous column first, because raw
+    * balances are near-unique and every group would fail. Output: one
+    * row per group with its size and at-risk flag, plus the suppression
+    * cost (how many individuals a release dropping at-risk groups loses).
+    *
+    * Scale shape: ONE hash aggregate on the quasi-identifier key (the
+    * same shuffle any groupBy pays), then a 1-row summary joined back —
+    * no per-individual state, no window. At 100 TB the audit cost is the
+    * groupBy; the group table itself is tiny (|nations|×|segments|×bands). */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val groups = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("at_risk", (col("n_members") < k).cast("boolean"))
+    val cost = groups.agg(
+      sum(when(col("at_risk"), col("n_members")).otherwise(0L)).as("suppressed"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("at_risk"), 1L).otherwise(0L)).as("risk_groups"))
+    groups.crossJoin(broadcast(cost))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("n_members"), col("at_risk"),
+        col("suppressed"), col("n_groups"), col("risk_groups"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
+  val kAnonymityOracle: String = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         count(*) AS n_members
+  FROM customer GROUP BY 1, 2, 3),
+f AS (SELECT *, n_members < 5 AS at_risk FROM g),
+c AS (SELECT CAST(sum(CASE WHEN at_risk THEN n_members ELSE 0 END) AS BIGINT) AS suppressed,
+             count(*) AS n_groups,
+             CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT) AS risk_groups
+      FROM f)
+SELECT c_nationkey, c_mktsegment, bal_band, n_members, at_risk,
+       suppressed, n_groups, risk_groups
+FROM f CROSS JOIN c
+ORDER BY c_nationkey, c_mktsegment, bal_band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anonymity"    -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "skew_stats"     -> (skewStats _),
     "profile_orders" -> (profileOrders _),
     "text_top_bigrams" -> (topBigrams _),
@@ -339,6 +387,7 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k_anonymity" -> kAnonymityOracle,
     "skew_stats" -> skewStatsOracle,
     "profile_orders" -> profileOrdersOracle,
     "text_top_bigrams" -> topBigramsOracle,
