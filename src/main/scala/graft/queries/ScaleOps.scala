@@ -589,7 +589,55 @@ SELECT grp, count(*) AS n_lines,
 FROM fact JOIN dim ON hot_key = id
 GROUP BY grp ORDER BY grp"""
 
+  /** AUTOMATIC runtime bloom-filter join pruning — the planner-native
+    * twin of [[bloomPrune]] (the same manual/automatic symmetry as
+    * [[saltedJoin]] vs [[aqeSkewJoin]]): when a join's creation side
+    * carries a selective predicate, Spark's InjectRuntimeFilter rewrites
+    * the APPLICATION side to `might_contain(bloom_agg(keys), key)` —
+    * the fact scan drops non-matching rows BEFORE its shuffle with no
+    * query rewrite at all. The production thresholds assume a 10 GB+
+    * application scan; the clone scales that floor to test size (the
+    * injection logic itself is unchanged). The answer is planner-
+    * independent (oracle); the injected filter is asserted by a plan
+    * spec. */
+  private val bloomSessions =
+    scala.collection.concurrent.TrieMap[SparkSession, SparkSession]()
+
+  /** Memoized clone with the runtime-bloom-filter regime pinned. */
+  def bloomSession(s: SparkSession): SparkSession =
+    bloomSessions.getOrElseUpdate(s, {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production default 10GB — the injection is only worth it when the
+      // application side is huge; lower the floor so test scans qualify
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the rule targets shuffle joins (a broadcast join already prunes
+      // via its build side) — pin the non-broadcast regime
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss
+    })
+
+  def runtimeBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val ss = bloomSession(s)
+    val dim = Tables.part(ss, d)
+      .filter(col("p_size") === 1)               // selective creation side
+      .select("p_partkey")
+    Tables.lineitem(ss, d)
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
+  val runtimeBloomJoinOracle: String = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "runtime_bloom_join" -> (runtimeBloomJoin _),
     "aqe_skew_join"   -> (aqeSkewJoin _),
     "preagg_join"     -> (preaggJoin _),
     "bucketed_join"   -> (bucketedJoin _),
@@ -607,6 +655,7 @@ GROUP BY grp ORDER BY grp"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "runtime_bloom_join" -> runtimeBloomJoinOracle,
     "aqe_skew_join"   -> aqeSkewJoinOracle,
     "preagg_join"     -> preaggJoinOracle,
     "bucketed_join"   -> bucketedJoinOracle,

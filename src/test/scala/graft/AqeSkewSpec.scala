@@ -47,6 +47,23 @@ class AqeSkewSpec extends AnyFunSuite {
       s"query's hot partition not split:\n${df.queryExecution.executedPlan.toString.take(2000)}")
   }
 
+  test("runtime bloom filter is injected on the fact side (might_contain in plan)") {
+    // the automatic twin of bloom_prune_join: InjectRuntimeFilter must
+    // rewrite the application (fact) side to pre-filter on the creation
+    // side's selective keys before the shuffle
+    val df = ScaleOps.runtimeBloomJoin(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(planStr.contains("might_contain"),
+      s"no runtime bloom filter injected:\n${planStr.take(2000)}")
+    // and the answer matches the plain session's un-tuned plan
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_size") === 1).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)), sum(floor(col("l_extendedprice") * 100).cast("long")),
+        countDistinct(col("l_partkey"))).collect()
+    assert(df.collect().map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
+
   test("answers are planner-independent (skew-split ≡ plain plan)") {
     val viaAqe = ScaleOps.aqeSkewJoin(spark, sf).collect()
     // the same logical query on the PLAIN session (broadcast allowed, no
