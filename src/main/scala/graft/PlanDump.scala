@@ -59,7 +59,8 @@ object PlanDump {
     "aqe_skew_join" -> "AQE skew split: planted 80%-hot key, SMJ regime; AqeSkewSpec asserts isSkewJoin in the FINAL adaptive plan (explain here shows the pre-execution shape)",
     "ann_topk_pq" -> "PQ ADC: pq_encode/pq_table/pq_adc codegen kernels, codes cached, query tables broadcast, topk_min partial aggregation instead of a window sort",
     "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation"
+    "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
+    "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite"
   )
 
   def main(args: Array[String]): Unit = {
