@@ -9,18 +9,20 @@ import graft.Tables
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batch via `mapPartitions`.
   *
-  * The container has no image/audio codec LIBRARIES, so the
-  * compressed-format (jpeg/png) decode steps are clearly-marked
-  * deterministic STUBS (byte-level statistics standing in for pixel
-  * decoding). Everything around them — the binary column, the metadata
-  * schema, partition-batched processing, the feature-vector output shape —
-  * is the real Spark plumbing a production decode UDF would drop into.
-  * The UNCOMPRESSED formats, however, are fully real: RIFF/WAVE PCM
-  * audio ([[WavCodec]] — byte-level encode + chunk-walking decode, run
-  * end-to-end by [[decodeWav]]) and binary PPM (P6) images
-  * ([[PpmCodec]] — header-tokenizing parse + raster decode, run
-  * end-to-end by [[decodePpm]]), both against spec-complete blobs
-  * synthesized per row.
+  * The container has no image/audio codec LIBRARIES, so the ONE format
+  * whose decode genuinely needs an external primitive — jpeg (entropy
+  * decoding) — remains a clearly-marked deterministic STUB (byte-level
+  * statistics standing in for pixel decoding). Everything around it —
+  * the binary column, the metadata schema, partition-batched processing,
+  * the feature-vector output shape — is the real Spark plumbing a
+  * production decode UDF would drop into. Every OTHER format is fully
+  * real: RIFF/WAVE PCM audio ([[WavCodec]] — byte-level encode +
+  * chunk-walking decode, run by [[decodeWav]]), binary PPM (P6) images
+  * ([[PpmCodec]] — header-tokenizing parse, run by [[decodePpm]]), and
+  * COMPRESSED PNG images ([[PngCodec]] — zlib inflate via the JDK's
+  * built-in Inflater, chunk CRCs, all five row filters, run by
+  * [[decodePng]]) — each against spec-complete blobs synthesized per
+  * row.
   *
   * Scale notes: media payloads dominate row size, so the feature pass maps
   * partitions 1:1 with no shuffle (narrow dependency); only the small
@@ -367,6 +369,79 @@ SELECT doc_id,
        CAST(max(v) AS INT) AS peak
 FROM s GROUP BY doc_id, w, h, mv, junk ORDER BY doc_id"""
 
+  case class PngFeatures(doc_id: Long, width: Int, height: Int, channels: Int,
+    n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long, peak: Int)
+
+  /** REAL compressed-image decode (no stub): per row, synthesize a PNG
+    * whose rows cycle all five filter types ([[PngCodec.encode]] with
+    * filterMode = -1 — a decoder that shortcuts any unfilter path breaks
+    * on the fixtures), then decode the BYTES — zlib inflate, chunk CRCs,
+    * per-row defiltering and all — and emit per-channel features computed
+    * ONLY from the decoded raster. The oracle re-derives every feature
+    * from the generator's closed form; the DEFLATE container size is
+    * deliberately not a feature (compression output is not SQL-expressible
+    * — the decode path is certified by the pixel values instead, which
+    * cross the full compress→decompress→defilter pipeline). */
+  def decodePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (3 + id % 5).toInt
+          val h = (2 + id % 4).toInt
+          val ch = (3 + id % 2).toInt
+          val px = Array.tabulate(w * h * ch)(i => ((id * 29 + i * 13) % 256).toInt)
+          val bytes = PngCodec.encode(w, h, ch, px)
+          // From here on, ONLY the decoded image is consulted.
+          val img = PngCodec.decode(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var peak = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            (i % img.channels) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+              case _ => sa += v
+            }
+            if (v > peak) peak = v
+            i += 1
+          }
+          PngFeatures(id, img.width, img.height, img.channels,
+            img.width * img.height, sr, sg, sb, sa, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Generator closed form in SQL; sum_a coalesces to 0 for RGB images
+    * (no i ≡ 3 mod 3 channel exists). Agreement certifies the DECODER —
+    * the pixels the Spark side reports crossed deflate → inflate →
+    * CRC-verified chunks → all five unfilter paths. */
+  val decodePngOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 5 AS INT) AS w,
+         CAST(2 + doc_id % 4 AS INT) AS h,
+         CAST(3 + doc_id % 2 AS INT) AS ch
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, ch,
+         unnest(generate_series(0, w * h * ch - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, ch, i,
+         (doc_id * 29 + i * 13) % 256 AS v
+  FROM i)
+SELECT doc_id, w AS width, h AS height, ch AS channels,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(sum(CASE WHEN i % ch = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % ch = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % ch = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(COALESCE(sum(CASE WHEN i % ch = 3 THEN v END), 0) AS BIGINT) AS sum_a,
+       CAST(max(v) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
@@ -374,7 +449,8 @@ FROM s GROUP BY doc_id, w, h, mv, junk ORDER BY doc_id"""
     "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "multimodal_dedup"    -> (contentDedup _),
     "multimodal_decode_wav" -> (decodeWav _),
-    "multimodal_decode_ppm" -> (decodePpm _)
+    "multimodal_decode_ppm" -> (decodePpm _),
+    "multimodal_decode_png" -> (decodePng _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -384,6 +460,7 @@ FROM s GROUP BY doc_id, w, h, mv, junk ORDER BY doc_id"""
     "multimodal_resize"   -> resizeOracle,
     "multimodal_dedup"    -> contentDedupOracle,
     "multimodal_decode_wav" -> decodeWavOracle,
-    "multimodal_decode_ppm" -> decodePpmOracle
+    "multimodal_decode_ppm" -> decodePpmOracle,
+    "multimodal_decode_png" -> decodePngOracle
   )
 }

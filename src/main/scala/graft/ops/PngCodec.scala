@@ -1,0 +1,209 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** A REAL PNG codec in plain Scala + JDK — no external libraries, which
+  * is the point: PNG's compression layer is zlib DEFLATE, and the JDK
+  * ships `java.util.zip.{Inflater, Deflater, CRC32}`, so unlike JPEG
+  * (entropy decoding has no JDK primitive) a full spec-correct PNG
+  * decode needs nothing this container lacks. With [[WavCodec]] (audio)
+  * and [[PpmCodec]] (uncompressed images), this closes the multimodal
+  * pillar's decode story down to a single remaining stub (jpeg).
+  *
+  * Scope: 8-bit-per-sample truecolor (colorType 2 = RGB) and
+  * truecolor+alpha (colorType 6 = RGBA), non-interlaced — the common
+  * crawl shapes. Everything else (palette, 16-bit, Adam7) is rejected
+  * LOUDLY with a precise message, never silently misread.
+  *
+  * The decoder is production-shaped: chunk CRCs are verified (JDK
+  * CRC32), IDAT payloads are concatenated across chunks per spec,
+  * the inflated stream's size is checked exactly, and all FIVE row
+  * filters (None/Sub/Up/Average/Paeth) are implemented — the encoder
+  * cycles filter types across rows in its fixtures, so a decoder that
+  * shortcuts any filter cannot pass them (the WavCodec junk-chunk
+  * trick, transposed to filters).
+  *
+  * Scale shape: identical to the other codecs — per-row CPU inside one
+  * `mapPartitions`, zero shuffle before the tiny feature rows.
+  */
+object PngCodec {
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decoded image: dims + channel count from IHDR, row-major
+    * interleaved samples 0..255; `pixels.length` = width·height·channels. */
+  final case class Png(width: Int, height: Int, channels: Int,
+      pixels: Array[Int])
+
+  /** PNG spec §9.4 Paeth predictor (a=left, b=above, c=upper-left). */
+  private[graft] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array()
+    out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new CRC32(); crc.update(tb); crc.update(data)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      .putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode row-major interleaved samples as a PNG. `filterMode` -1
+    * cycles the filter type per row (r mod 5) so fixtures exercise every
+    * unfilter path; 0..4 pins one type. Only channels 3 (RGB) and
+    * 4 (RGBA) are emitted. */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Int],
+      filterMode: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    require(pixels.length == width * height * channels,
+      s"raster mismatch: ${pixels.length} samples for ${width}x$height x$channels")
+    val bpp = channels
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var r = 0
+    while (r < height) {
+      val f = if (filterMode < 0) r % 5 else filterMode
+      raw(r * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(r * stride + x)
+        val left = if (x >= bpp) pixels(r * stride + x - bpp) else 0
+        val above = if (r > 0) pixels((r - 1) * stride + x) else 0
+        val upLeft = if (r > 0 && x >= bpp) pixels((r - 1) * stride + x - bpp) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - (left + above) / 2
+          case 4 => cur - paeth(left, above, upLeft)
+        }
+        raw(r * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)                                   // bit depth
+      .put((if (channels == 3) 2 else 6).toByte)       // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // compression/filter/interlace
+      .array()
+    chunk(out, "IHDR", ihdr)
+    // split IDAT to force spec-correct concatenation across chunks
+    val cb = comp.toByteArray
+    val half = math.max(1, cb.length / 2)
+    chunk(out, "IDAT", cb.take(half))
+    if (cb.length > half) chunk(out, "IDAT", cb.drop(half))
+    chunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Unfilter the inflated stream (h rows of 1 filter byte + stride)
+    * back to raw samples — PNG spec §9. */
+  private[graft] def unfilter(raw: Array[Byte], width: Int, height: Int,
+      bpp: Int): Array[Int] = {
+    val stride = width * bpp
+    val px = new Array[Int](height * stride)
+    var r = 0
+    while (r < height) {
+      val f = raw(r * (1 + stride)) & 0xff
+      require(f <= 4, s"unknown filter type $f on row $r")
+      var x = 0
+      while (x < stride) {
+        val cur = raw(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) px(r * stride + x - bpp) else 0
+        val above = if (r > 0) px((r - 1) * stride + x) else 0
+        val upLeft = if (r > 0 && x >= bpp) px((r - 1) * stride + x - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + above
+          case 3 => cur + (left + above) / 2
+          case 4 => cur + paeth(left, above, upLeft)
+        }
+        px(r * stride + x) = v & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    px
+  }
+
+  /** Parse a PNG blob. Throws IllegalArgumentException with a precise
+    * message on malformed or out-of-scope input. */
+  def decode(bytes: Array[Byte]): Png = {
+    require(bytes.length >= 8, s"truncated: ${bytes.length} bytes")
+    require(java.util.Arrays.equals(bytes.take(8), Signature), "missing PNG signature")
+    val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8).order(ByteOrder.BIG_ENDIAN)
+    var w = -1; var h = -1; var ch = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(buf.remaining() >= 8, "truncated chunk header")
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining() - 8,
+        s"chunk length $len overruns remaining ${buf.remaining() - 8}")
+      val tb = new Array[Byte](4); buf.get(tb)
+      val typ = new String(tb, "US-ASCII")
+      val data = new Array[Byte](len); buf.get(data)
+      val crcWant = buf.getInt
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      require(crc.getValue.toInt == crcWant, s"CRC mismatch in chunk '$typ'")
+      typ match {
+        case "IHDR" =>
+          val ib = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+          w = ib.getInt; h = ib.getInt
+          val depth = ib.get() & 0xff
+          val color = ib.get() & 0xff
+          val comp = ib.get() & 0xff
+          val filt = ib.get() & 0xff
+          val inter = ib.get() & 0xff
+          require(w > 0 && h > 0, s"bad dims: ${w}x$h")
+          require(depth == 8, s"only 8-bit samples supported, got depth $depth")
+          require(color == 2 || color == 6,
+            s"only truecolor (2) / truecolor+alpha (6) supported, got colorType $color")
+          require(comp == 0 && filt == 0, s"nonstandard compression/filter: $comp/$filt")
+          require(inter == 0, "Adam7 interlacing not supported")
+          ch = if (color == 2) 3 else 4
+        case "IDAT" =>
+          require(w > 0, "IDAT before IHDR")
+          idat.write(data)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skipped (CRC still verified above)
+      }
+    }
+    require(w > 0 && ch > 0, "no IHDR chunk")
+    val stride = w * ch
+    val expect = h * (1 + stride)
+    val raw = new Array[Byte](expect)
+    val infl = new Inflater()
+    infl.setInput(idat.toByteArray)
+    var off = 0
+    while (off < expect && !infl.finished()) {
+      val n = infl.inflate(raw, off, expect - off)
+      require(n > 0 || infl.finished() || !infl.needsInput,
+        "truncated IDAT stream")
+      if (n == 0 && infl.needsInput) throw new IllegalArgumentException(
+        s"truncated IDAT stream: got $off of $expect bytes")
+      off += n
+    }
+    infl.end()
+    require(off == expect, s"inflated size $off != expected $expect")
+    Png(w, h, ch, unfilter(raw, w, h, ch))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.PngCodec
+
+/** Tests for the JDK-only PNG codec. The unfilter math is verified
+  * against HAND-COMPUTED expectations (worked from the PNG spec §9, not
+  * from the encoder) so a mirrored encode/decode bug cannot
+  * self-certify through round-trips alone; round-trips then cover every
+  * filter mode, chunk CRCs, split IDAT, and loud rejection. */
+class PngCodecSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(0x9196)
+
+  test("unfilter reproduces hand-computed Sub and Paeth rows (spec §9)") {
+    // 2x2 RGB (bpp=3, stride=6): row 0 filter 1 (Sub), row 1 filter 4
+    // (Paeth); expected values worked by hand from the spec definitions
+    val raw = Array[Int](
+      1, 10, 20, 30, 250, 5, 10,
+      4, 1, 2, 3, 4, 5, 6).map(_.toByte)
+    val px = PngCodec.unfilter(raw, 2, 2, 3)
+    assert(px.toSeq == Seq(
+      10, 20, 30, 4, 25, 40,      // Sub: 250+10 ≡ 4 (mod 256)
+      11, 22, 33, 8, 30, 46))     // Paeth picks `above` at x<3, then by min
+  }
+
+  test("unfilter reproduces a hand-computed Average row") {
+    val raw = Array[Int](3, 100, 7, 8, 200, 9, 10).map(_.toByte)
+    val px = PngCodec.unfilter(raw, 2, 1, 3)
+    assert(px.toSeq == Seq(100, 7, 8, 250, 12, 14))
+  }
+
+  test("paeth predictor matches the spec's tie-break order") {
+    assert(PngCodec.paeth(0, 0, 0) == 0)
+    assert(PngCodec.paeth(5, 9, 9) == 5)   // pa=4 pb=0? p=5 → pa=0: picks a
+    assert(PngCodec.paeth(0, 10, 0) == 10) // pa=10 pb=0 → b
+    assert(PngCodec.paeth(11, 4, 10) == 4) // worked example from the row test
+  }
+
+  test("round-trips every filter mode and the cycling fixture mode") {
+    for (mode <- Seq(-1, 0, 1, 2, 3, 4); ch <- Seq(3, 4)) {
+      val w = 5; val h = 7
+      val px = Array.fill(w * h * ch)(rng.nextInt(256))
+      val img = PngCodec.decode(PngCodec.encode(w, h, ch, px, mode))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.toSeq == px.toSeq, s"mode=$mode ch=$ch")
+    }
+  }
+
+  test("round-trips randomized dims (30 trials, split IDAT always)") {
+    (1 to 30).foreach { _ =>
+      val w = 1 + rng.nextInt(12); val h = 1 + rng.nextInt(9)
+      val ch = 3 + rng.nextInt(2)
+      val px = Array.fill(w * h * ch)(rng.nextInt(256))
+      val img = PngCodec.decode(PngCodec.encode(w, h, ch, px))
+      assert(img.pixels.toSeq == px.toSeq)
+    }
+  }
+
+  test("rejects malformed input loudly") {
+    val px = Array.tabulate(2 * 2 * 3)(i => i * 17 % 256)
+    val good = PngCodec.encode(2, 2, 3, px)
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(good.drop(1))).getMessage.contains("signature"))
+    // tamper with an IDAT byte → CRC must catch it
+    val tampered = good.clone()
+    val idatPos = {
+      // find "IDAT" and flip a payload byte after it
+      val s = new String(good.map(b => (b & 0xff).toChar))
+      s.indexOf("IDAT") + 4
+    }
+    tampered(idatPos) = (tampered(idatPos) ^ 0x55).toByte
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(tampered)).getMessage.contains("CRC"))
+    // interlaced: patch IHDR's interlace byte AND fix the CRC — the
+    // decoder must reject on the field, not the checksum
+    val inter = good.clone()
+    inter(28) = 1
+    val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    inter(29) = (cv >> 24).toByte; inter(30) = (cv >> 16).toByte
+    inter(31) = (cv >> 8).toByte; inter(32) = cv.toByte
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(inter)).getMessage.contains("Adam7"))
+    // truncation (IEND gone) fails as a truncated chunk header
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(good.dropRight(12))).getMessage.contains("truncated"))
+  }
+
+  test("decodePng query emits decoder-derived features on the fixture corpus") {
+    import TestSpark._
+    val rows = graft.ops.Multimodal.decodePng(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (3 + id % 5).toInt, "width")
+      assert(r.getInt(2) == (2 + id % 4).toInt, "height")
+      assert(r.getInt(3) == (3 + id % 2).toInt, "channels")
+      assert(r.getInt(9) <= 255, "peak is a byte")
+    }
+  }
+}
