@@ -1,0 +1,376 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+
+/** A REAL baseline-JPEG (ITU-T T.81) codec for 8-bit GRAYSCALE in plain
+  * Scala — the last multimodal format to get a genuine decode path. No
+  * library exists in this container for entropy decoding, so it is
+  * implemented here: marker segments (SOI/DQT/SOF0/DHT/SOS/EOI),
+  * canonical Huffman table construction from DHT, the spec's
+  * EXTEND/RECEIVE magnitude coding, DC prediction, run/size AC coding
+  * with EOB and ZRL, 0xFF00 byte unstuffing, dequantization, inverse
+  * zigzag, and a double-precision IDCT with level shift + clamp.
+  *
+  * Scope: baseline sequential DCT, 8-bit precision, ONE component
+  * (grayscale), no subsampling, no restart intervals. Everything else —
+  * progressive, multi-component, 12-bit — is rejected LOUDLY.
+  *
+  * Determinism note (how a LOSSY format still hash-gates): the oracle
+  * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
+  * and a uniform quant step of 16. A constant block's DCT is DC-only
+  * with DC = 8·(v−128); v even ⇒ DC divisible by 16 ⇒ quantization is
+  * EXACT, and the DC-only IDCT is a constant whose float error (~1e-13)
+  * vanishes under round-to-int. So the decoded raster provably equals
+  * the generator's closed form, and the DuckDB oracle re-derives it —
+  * through a genuinely lossy pipeline. The general AC paths are
+  * exercised in JpegCodecSpec against an independent IDCT reference.
+  */
+object JpegCodec {
+
+  final case class Jpeg(width: Int, height: Int, pixels: Array[Int])
+
+  // zigzag index -> (row-major) coefficient index, per T.81 Figure 5
+  private[graft] val Zigzag: Array[Int] = {
+    val order = new Array[Int](64)
+    var i = 0; var x = 0; var y = 0; var up = true
+    while (i < 64) {
+      order(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    order
+  }
+
+  /** Simple custom Huffman specs (written into DHT, so any spec-correct
+    * decoder reads them back): DC = 12 categories, all 4-bit codes;
+    * AC = the 162 standard (run,size) symbols plus EOB/ZRL, all 9-bit
+    * codes. Both satisfy Kraft with the all-ones code unused. */
+  private[graft] val DcBits: Array[Int] = { val b = new Array[Int](17); b(4) = 12; b }
+  private[graft] val DcVals: Array[Int] = (0 to 11).toArray
+  private[graft] val AcBits: Array[Int] = { val b = new Array[Int](17); b(9) = 162; b }
+  private[graft] val AcVals: Array[Int] = {
+    // EOB, ZRL, then (run 0..15, size 1..10) ascending: 2 + 160 = 162
+    // symbols, all 9-bit (Kraft: 162 ≤ 512; last canonical code 161 is
+    // not the reserved all-ones)
+    val vs = collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
+    for (run <- 0 to 15; size <- 1 to 10) vs += ((run << 4) | size)
+    require(vs.size == 162, s"ac symbol count ${vs.size}")
+    vs.toArray
+  }
+
+  /** Canonical code assignment (T.81 Annex C): symbols in `vals` order,
+    * lengths from `bits`; returns symbol -> (code, length). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = collection.mutable.Map[Int, (Int, Int)]()
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.toMap
+  }
+
+  private class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (n > 0) { // pad with 1-bits per spec
+        acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+      }
+      out.toByteArray
+    }
+  }
+
+  private def magnitude(v: Int): Int = {
+    var s = 0; var a = math.abs(v)
+    while (a > 0) { s += 1; a >>= 1 }
+    s
+  }
+
+  /** Encode quantized COEFFICIENT blocks directly (the fixture
+    * generator's interface — DC-only constant blocks for the oracle,
+    * arbitrary coefficients in specs). `blocks` are row-major per block,
+    * NATURAL (not zigzag) order, already quantized. */
+  def encodeCoefficients(width: Int, height: Int, q: Int,
+      blocks: Array[Array[Int]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh, s"${blocks.length} blocks for ${bw}x$bh grid")
+    val dcC = canonicalCodes(DcBits, DcVals)
+    val acC = canonicalCodes(AcBits, AcVals)
+    val bits = new BitWriter
+    var prevDc = 0
+    blocks.foreach { blk =>
+      require(blk.length == 64)
+      val d = blk(0) - prevDc; prevDc = blk(0)
+      val s = magnitude(d)
+      val (c, l) = dcC(s); bits.put(c, l)
+      if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
+      // AC in zigzag order with run/size coding
+      var k = 1; var run = 0
+      while (k < 64) {
+        val v = blk(Zigzag(k))
+        if (v == 0) { run += 1 }
+        else {
+          while (run >= 16) { val (zc, zl) = acC(0xf0); bits.put(zc, zl); run -= 16 }
+          val sz = magnitude(v)
+          require(sz <= 10, s"AC magnitude $v too large for the table")
+          val (ac, al) = acC((run << 4) | sz); bits.put(ac, al)
+          bits.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acC(0x00); bits.put(ec, el) }
+    }
+    val entropy = bits.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte)) // DQT, uniform
+    seg(0xc0, ByteBuffer.allocate(9) // SOF0: precision, dims, 1 component
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    def dht(cls: Int, bitsA: Array[Int], valsA: Array[Int]): Unit =
+      seg(0xc4, Array[Byte]((cls << 4).toByte) ++
+        (1 to 16).map(l => bitsA(l).toByte).toArray ++ valsA.map(_.toByte))
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    out.write(entropy)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a grayscale raster as DC-only constant blocks — valid ONLY
+    * when every 8×8 block is constant (the oracle fixtures); asserts it. */
+  def encodeConstantBlocks(width: Int, height: Int, pixels: Array[Int],
+      q: Int = 16): Array[Byte] = {
+    require(pixels.length == width * height)
+    val bw = width / 8
+    val blocks = Array.tabulate((width / 8) * (height / 8)) { bi =>
+      val bx = bi % bw; val by = bi / bw
+      val v = pixels(by * 8 * width + bx * 8)
+      for (y <- 0 until 8; x <- 0 until 8)
+        require(pixels((by * 8 + y) * width + bx * 8 + x) == v,
+          s"block ($bx,$by) not constant")
+      val dc = 8 * (v - 128)
+      require(dc % q == 0, s"DC $dc not exactly quantizable by $q (need even v)")
+      val blk = new Array[Int](64); blk(0) = dc / q; blk
+    }
+    encodeCoefficients(width, height, q, blocks)
+  }
+
+  // ---- decoder ----
+
+  private class BitReader(data: Array[Byte]) {
+    private var pos = 0; private var acc = 0; private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < data.length, "entropy stream exhausted")
+        val b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < data.length && data(pos) == 0x00,
+            "unexpected marker inside entropy data")
+          pos += 1 // skip the stuffed 0x00
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  private class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // T.81 F.2.2.3 decode: mincode/maxcode/valptr per length
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k; minCode(l) = code
+          k += bits(l); code += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit(); var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit(); l += 1
+      }
+      require(l <= 16, "invalid Huffman code")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Separable double-precision IDCT (T.81 A.3.3), level shift + clamp. */
+  private[graft] def idct(coef: Array[Int]): Array[Int] = {
+    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            s += c(u) * c(v) * coef(v * 8 + u) * cosT(x)(u) * cosT(y)(v)
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.round(s / 4 + 128).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, px))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a baseline grayscale JPEG. Throws IllegalArgumentException
+    * with a precise message on malformed or out-of-scope input. */
+  def decode(bytes: Array[Byte]): Jpeg = {
+    require(bytes.length >= 4, s"truncated: ${bytes.length} bytes")
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
+    var pos = 2
+    var w = -1; var h = -1
+    var quant: Array[Int] = null
+    var dcT: HuffTable = null; var acT: HuffTable = null
+    var entropyStart = -1
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    while (entropyStart < 0) {
+      require(pos + 4 <= bytes.length, "truncated marker stream")
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          val pq = (bytes(body) & 0xff) >> 4
+          require(pq == 0, "only 8-bit quant tables supported")
+          quant = Array.tabulate(64)(i => bytes(body + 1 + i) & 0xff)
+        case 0xc0 =>
+          require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
+          h = u16(body + 1); w = u16(body + 3)
+          val ncomp = bytes(body + 5) & 0xff
+          require(ncomp == 1, s"only grayscale supported, got $ncomp components")
+          require((bytes(body + 7) & 0xff) == 0x11, "subsampling not supported")
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
+        case 0xc4 =>
+          val cls = (bytes(body) & 0xff) >> 4
+          val bitsA = new Array[Int](17)
+          var total = 0
+          (1 to 16).foreach { l => bitsA(l) = bytes(body + l) & 0xff; total += bitsA(l) }
+          val valsA = Array.tabulate(total)(i => bytes(body + 17 + i) & 0xff)
+          val t = new HuffTable(bitsA, valsA)
+          if (cls == 0) dcT = t else acT = t
+        case 0xda => entropyStart = body + (bytes(body) & 0xff) * 2 + 4
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case _ => () // APPn/COM skipped
+      }
+      if (entropyStart < 0) pos = pos + 2 + len
+    }
+    require(w > 0 && h > 0, "no SOF0 before SOS")
+    require(w % 8 == 0 && h % 8 == 0, s"only 8-aligned dims supported: ${w}x$h")
+    require(quant != null, "no DQT before SOS")
+    require(dcT != null && acT != null, "missing Huffman tables")
+    // entropy data runs to the EOI marker
+    val eoi = {
+      var p = bytes.length - 2
+      while (p > entropyStart &&
+        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9)) p -= 1
+      require(p > entropyStart, "no EOI marker")
+      p
+    }
+    val br = new BitReader(bytes.slice(entropyStart, eoi))
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Int](w * h)
+    var prevDc = 0
+    var bi = 0
+    while (bi < bw * bh) {
+      val coefZ = new Array[Int](64)
+      val s = dcT.decode(br)
+      prevDc += extend(br.receive(s), s)
+      coefZ(0) = prevDc
+      var k = 1
+      while (k < 64) {
+        val rs = acT.decode(br)
+        if (rs == 0x00) k = 64            // EOB
+        else if (rs == 0xf0) k += 16      // ZRL
+        else {
+          k += (rs >> 4)
+          require(k < 64, s"AC run overflows block at k=$k")
+          coefZ(k) = extend(br.receive(rs & 0xf), rs & 0xf)
+          k += 1
+        }
+      }
+      val coef = new Array[Int](64)
+      var i = 0
+      while (i < 64) { coef(Zigzag(i)) = coefZ(i) * quant(i); i += 1 }
+      val blk = idct(coef)
+      val bx = bi % bw; val by = bi / bw
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          px((by * 8 + y) * w + bx * 8 + x) = blk(y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bi += 1
+    }
+    Jpeg(w, h, px)
+  }
+}

@@ -9,20 +9,18 @@ import graft.Tables
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batch via `mapPartitions`.
   *
-  * The container has no image/audio codec LIBRARIES, so the ONE format
-  * whose decode genuinely needs an external primitive — jpeg (entropy
-  * decoding) — remains a clearly-marked deterministic STUB (byte-level
-  * statistics standing in for pixel decoding). Everything around it —
-  * the binary column, the metadata schema, partition-batched processing,
-  * the feature-vector output shape — is the real Spark plumbing a
-  * production decode UDF would drop into. Every OTHER format is fully
-  * real: RIFF/WAVE PCM audio ([[WavCodec]] — byte-level encode +
+  * EVERY format now has a REAL decode path — no codec stubs remain:
+  * RIFF/WAVE PCM audio ([[WavCodec]] — byte-level encode +
   * chunk-walking decode, run by [[decodeWav]]), binary PPM (P6) images
-  * ([[PpmCodec]] — header-tokenizing parse, run by [[decodePpm]]), and
-  * COMPRESSED PNG images ([[PngCodec]] — zlib inflate via the JDK's
-  * built-in Inflater, chunk CRCs, all five row filters, run by
-  * [[decodePng]]) — each against spec-complete blobs synthesized per
-  * row.
+  * ([[PpmCodec]] — header-tokenizing parse, run by [[decodePpm]]),
+  * COMPRESSED PNG ([[PngCodec]] — zlib inflate via the JDK's built-in
+  * Inflater, chunk CRCs, all five row filters, run by [[decodePng]]),
+  * and baseline JPEG ([[JpegCodec]] — Huffman entropy decoding, DC
+  * prediction, dequant + IDCT, run by [[decodeJpeg]] on fixtures the
+  * lossy pipeline reproduces exactly). The byte-statistics bodies in
+  * [[features]]/[[resize]] below remain marked stand-ins for a GENERIC
+  * payload (the synthetic media table's blobs are not real containers);
+  * the per-format decode queries above are where real bytes are parsed.
   *
   * Scale notes: media payloads dominate row size, so the feature pass maps
   * partitions 1:1 with no shuffle (narrow dependency); only the small
@@ -442,6 +440,85 @@ SELECT doc_id, w AS width, h AS height, ch AS channels,
        CAST(max(v) AS INT) AS peak
 FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
 
+  case class JpegFeatures(doc_id: Long, width: Int, height: Int,
+    n_blocks: Int, sum_px: Long, peak: Int)
+
+  /** REAL baseline-JPEG decode (no stub) — through a genuinely LOSSY
+    * pipeline: per row, synthesize a grayscale image of CONSTANT 8×8
+    * blocks with EVEN values, encode it as a real baseline JPEG
+    * (Huffman entropy coding, DC prediction, byte stuffing — see
+    * [[JpegCodec]]), then decode the BYTES and emit features computed
+    * ONLY from the decoded raster. Constant-even blocks are the one
+    * family the 16-step quantizer reproduces EXACTLY (DC = 8·(v−128)
+    * divisible by 16, AC all zero), which is what lets a lossy codec
+    * hash-gate: the oracle re-derives the raster from the generator's
+    * closed form, and any Huffman/DC-prediction/IDCT misparse breaks
+    * it. The general AC paths are spec-covered against an independent
+    * IDCT reference (JpegCodecSpec). */
+  def decodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val bw = w / 8; val bh = h / 8
+          val px = new Array[Int](w * h)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val v = (2 * ((id * 7 + bx * 3 + by * 5) % 128)).toInt
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { px((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bytes = JpegCodec.encodeConstantBlocks(w, h, px)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var peak = 0; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sum += v; if (v > peak) peak = v
+            i += 1
+          }
+          JpegFeatures(id, img.width, img.height,
+            (img.width / 8) * (img.height / 8), sum, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The generator's closed form per block, restated in SQL — agreement
+    * certifies the full decode chain (marker parse → Huffman → DC
+    * prediction → dequant → IDCT → level shift), because the Spark side
+    * reports only what [[JpegCodec.decode]] reconstructed. */
+  val decodeJpegOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id * 7 + (bi % (w // 8)) * 3 + (bi // (w // 8)) * 5) % 128) AS v
+  FROM b)
+SELECT doc_id, w AS width, h AS height,
+       CAST((w // 8) * (h // 8) AS INT) AS n_blocks,
+       CAST(sum(64 * v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INT) AS peak
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
@@ -450,7 +527,8 @@ FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
     "multimodal_dedup"    -> (contentDedup _),
     "multimodal_decode_wav" -> (decodeWav _),
     "multimodal_decode_ppm" -> (decodePpm _),
-    "multimodal_decode_png" -> (decodePng _)
+    "multimodal_decode_png" -> (decodePng _),
+    "multimodal_decode_jpeg" -> (decodeJpeg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -461,6 +539,7 @@ FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
     "multimodal_dedup"    -> contentDedupOracle,
     "multimodal_decode_wav" -> decodeWavOracle,
     "multimodal_decode_ppm" -> decodePpmOracle,
-    "multimodal_decode_png" -> decodePngOracle
+    "multimodal_decode_png" -> decodePngOracle,
+    "multimodal_decode_jpeg" -> decodeJpegOracle
   )
 }

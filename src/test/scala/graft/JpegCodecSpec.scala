@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.JpegCodec
+
+/** Tests for the baseline-JPEG codec. DC-only constant blocks must
+  * round-trip EXACTLY (the oracle's determinism claim); general
+  * coefficient blocks — full Huffman AC coding, runs, ZRL, negatives,
+  * DC prediction — are decoded against an INDEPENDENT direct-form IDCT
+  * reference computed here in the test, so a decoder bug cannot
+  * self-certify via the codec's own transform. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(0xdc7)
+
+  test("zigzag order is the T.81 walk (spot anchors)") {
+    val z = JpegCodec.Zigzag
+    assert(z(0) == 0 && z(1) == 1 && z(2) == 8 && z(3) == 16 && z(4) == 9)
+    assert(z(5) == 2 && z(63) == 63 && z.distinct.length == 64)
+  }
+
+  test("constant even blocks round-trip EXACTLY through the lossy pipeline") {
+    (1 to 10).foreach { _ =>
+      val bw = 1 + rng.nextInt(4); val bh = 1 + rng.nextInt(3)
+      val w = bw * 8; val h = bh * 8
+      val px = new Array[Int](w * h)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val v = rng.nextInt(128) * 2 // even 0..254
+        for (y <- 0 until 8; x <- 0 until 8) px((by * 8 + y) * w + bx * 8 + x) = v
+      }
+      val img = JpegCodec.decode(JpegCodec.encodeConstantBlocks(w, h, px))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px.toSeq, "exact reconstruction of even constant blocks")
+    }
+  }
+
+  /** Independent direct-form IDCT (T.81 A.3.3 written from the formula,
+    * no shared tables with the codec) + level shift + clamp. */
+  private def refIdct(coef: Array[Int]): Array[Int] =
+    Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      math.max(0, math.min(255, math.round(s / 4.0 + 128.0).toInt))
+    }
+
+  test("general AC coefficients decode to the independent IDCT reference") {
+    def check(blocks: Array[Array[Int]], bw: Int, bh: Int): Array[Byte] = {
+      val q = 16
+      val bytes = JpegCodec.encodeCoefficients(bw * 8, bh * 8, q, blocks)
+      val img = JpegCodec.decode(bytes)
+      for (bi <- 0 until bw * bh) {
+        val deq = Array.tabulate(64)(i => blocks(bi)(i) * q)
+        val expect = refIdct(deq)
+        val bx = bi % bw; val by = bi / bw
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val got = img.pixels((by * 8 + y) * bw * 8 + bx * 8 + x)
+          assert(math.abs(got - expect(y * 8 + x)) <= 1,
+            s"block $bi ($x,$y): got $got want ${expect(y * 8 + x)}")
+        }
+      }
+      bytes
+    }
+    (1 to 25).foreach { _ =>
+      val bw = 1 + rng.nextInt(3); val bh = 1 + rng.nextInt(2)
+      val blocks = Array.fill(bw * bh) {
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(201) - 100           // DC in [-100, 100]
+        (1 to 1 + rng.nextInt(12)).foreach { _ => // sparse random ACs
+          blk(1 + rng.nextInt(63)) = rng.nextInt(61) - 30
+        }
+        blk
+      }
+      check(blocks, bw, bh)
+    }
+    // deterministic 0xFF-stuffing fixture: ACs of +1023 emit 10-bit
+    // all-ones magnitude runs; the 19-bit code+bits period is coprime
+    // with 8, so every byte alignment occurs and some byte is 0xFF
+    val ones = Array.fill(1)(Array.tabulate(64)(i => if (i == 0) 0 else 1023))
+    val stuffed = check(ones, 1, 1)
+    assert(stuffed.sliding(2).exists(p => (p(0) & 0xff) == 0xff && p(1) == 0x00),
+      "the all-ones fixture must exercise 0xFF byte stuffing")
+  }
+
+  test("rejects malformed and out-of-scope input loudly") {
+    val good = JpegCodec.encodeConstantBlocks(8, 8, Array.fill(64)(100))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(good.drop(2))).getMessage.contains("SOI"))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(good.dropRight(2))).getMessage.contains("EOI"))
+    // progressive: patch SOF0 (0xC0) to SOF2 (0xC2)
+    val prog = good.clone()
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(prog)).getMessage.contains("progressive"))
+    // odd constant value is not exactly quantizable — encoder refuses
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encodeConstantBlocks(8, 8, Array.fill(64)(101)))
+      .getMessage.contains("quantizable"))
+  }
+
+  test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
+    import TestSpark._
+    val rows = graft.ops.Multimodal.decodeJpeg(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (8 * (1 + id % 3)).toInt, "width")
+      assert(r.getInt(2) == (8 * (1 + id % 2)).toInt, "height")
+      assert(r.getInt(5) <= 254 && r.getInt(5) % 2 == 0, "peak is an even byte")
+    }
+  }
+}
