@@ -60,7 +60,8 @@ object PlanDump {
     "ann_topk_pq" -> "PQ ADC: pq_encode/pq_table/pq_adc codegen kernels, codes cached, query tables broadcast, topk_min partial aggregation instead of a window sort",
     "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
-    "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite"
+    "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
+    "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows"
   )
 
   def main(args: Array[String]): Unit = {
