@@ -295,12 +295,18 @@ object JpegCodec {
       val m = bytes(pos + 1) & 0xff
       val len = u16(pos + 2)
       val body = pos + 4
+      // a corrupt length must fail HERE, not as an index error deep in a
+      // segment parser — the whole declared segment must be in range
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"segment 0x${m.toHexString} length $len overruns the stream")
       m match {
         case 0xdb =>
+          require(len >= 2 + 65, s"DQT segment too short: $len")
           val pq = (bytes(body) & 0xff) >> 4
           require(pq == 0, "only 8-bit quant tables supported")
           quant = Array.tabulate(64)(i => bytes(body + 1 + i) & 0xff)
         case 0xc0 =>
+          require(len >= 2 + 9, s"SOF0 segment too short: $len")
           require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
           h = u16(body + 1); w = u16(body + 3)
           val ncomp = bytes(body + 5) & 0xff
@@ -308,20 +314,26 @@ object JpegCodec {
           require((bytes(body + 7) & 0xff) == 0x11, "subsampling not supported")
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
         case 0xc4 =>
+          require(len >= 2 + 17, s"DHT segment too short: $len")
           val cls = (bytes(body) & 0xff) >> 4
           val bitsA = new Array[Int](17)
           var total = 0
           (1 to 16).foreach { l => bitsA(l) = bytes(body + l) & 0xff; total += bitsA(l) }
+          require(len >= 2 + 17 + total, s"DHT declares $total values beyond its length $len")
           val valsA = Array.tabulate(total)(i => bytes(body + 17 + i) & 0xff)
           val t = new HuffTable(bitsA, valsA)
           if (cls == 0) dcT = t else acT = t
-        case 0xda => entropyStart = body + (bytes(body) & 0xff) * 2 + 4
+        case 0xda =>
+          require(len >= 2 + 6, s"SOS segment too short: $len")
+          entropyStart = body + (bytes(body) & 0xff) * 2 + 4
         case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
         case _ => () // APPn/COM skipped
       }
       if (entropyStart < 0) pos = pos + 2 + len
     }
     require(w > 0 && h > 0, "no SOF0 before SOS")
+    require(w.toLong * h < Int.MaxValue / 4,
+      s"implausible dims ${w}x$h overflow the raster size")
     require(w % 8 == 0 && h % 8 == 0, s"only 8-aligned dims supported: ${w}x$h")
     require(quant != null, "no DQT before SOS")
     require(dcT != null && acT != null, "missing Huffman tables")

@@ -166,6 +166,7 @@ object PngCodec {
       require(crc.getValue.toInt == crcWant, s"CRC mismatch in chunk '$typ'")
       typ match {
         case "IHDR" =>
+          require(data.length >= 13, s"IHDR too short: ${data.length}")
           val ib = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
           w = ib.getInt; h = ib.getInt
           val depth = ib.get() & 0xff
@@ -174,6 +175,10 @@ object PngCodec {
           val filt = ib.get() & 0xff
           val inter = ib.get() & 0xff
           require(w > 0 && h > 0, s"bad dims: ${w}x$h")
+          // guard the raster allocation: a corrupt IHDR could claim dims
+          // whose product overflows Int and flips negative
+          require(w.toLong * h * 5 < Int.MaxValue,
+            s"implausible dims ${w}x$h overflow the raster size")
           require(depth == 8, s"only 8-bit samples supported, got depth $depth")
           require(color == 2 || color == 6,
             s"only truecolor (2) / truecolor+alpha (6) supported, got colorType $color")
@@ -194,15 +199,20 @@ object PngCodec {
     val infl = new Inflater()
     infl.setInput(idat.toByteArray)
     var off = 0
-    while (off < expect && !infl.finished()) {
-      val n = infl.inflate(raw, off, expect - off)
-      require(n > 0 || infl.finished() || !infl.needsInput,
-        "truncated IDAT stream")
-      if (n == 0 && infl.needsInput) throw new IllegalArgumentException(
-        s"truncated IDAT stream: got $off of $expect bytes")
-      off += n
-    }
-    infl.end()
+    try {
+      while (off < expect && !infl.finished()) {
+        val n = infl.inflate(raw, off, expect - off)
+        require(n > 0 || infl.finished() || !infl.needsInput,
+          "truncated IDAT stream")
+        if (n == 0 && infl.needsInput) throw new IllegalArgumentException(
+          s"truncated IDAT stream: got $off of $expect bytes")
+        off += n
+      }
+    } catch {
+      // zlib's checked exception becomes the codec's loud contract
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt DEFLATE stream: ${e.getMessage}")
+    } finally infl.end()
     require(off == expect, s"inflated size $off != expected $expect")
     Png(w, h, ch, unfilter(raw, w, h, ch))
   }

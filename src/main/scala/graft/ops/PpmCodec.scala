@@ -125,7 +125,11 @@ object PpmCodec {
       bytes(pos) == '\t' || bytes(pos) == '\r'),
       s"expected single whitespace before raster at byte $pos")
     pos += 1
-    val n = w * h * 3
+    // long arithmetic: corrupt headers can claim dims whose product
+    // overflows Int and flips negative, sailing past the length check
+    val nL = w.toLong * h * 3
+    require(nL <= Int.MaxValue, s"implausible dims ${w}x$h overflow the raster size")
+    val n = nL.toInt
     require(bytes.length - pos >= n,
       s"raster truncated: need $n bytes, have ${bytes.length - pos}")
     val px = new Array[Int](n)

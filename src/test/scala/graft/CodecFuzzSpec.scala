@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{JpegCodec, PngCodec, PpmCodec, WavCodec}
+
+/** Mutation fuzzing for the byte codecs. A 100 TB media crawl WILL feed
+  * these garbage, and the stated contract is LOUD, PRECISE failure:
+  * every mutated container must either decode (mutations in slack
+  * space / in formats without integrity checks) or throw
+  * IllegalArgumentException — never an index error, a buffer underflow,
+  * zlib's checked DataFormatException, a negative allocation, or a
+  * hang. Each failure class here was a real unguarded path before the
+  * hardening pass (overflowing dims, lying segment lengths, truncated
+  * zlib streams). */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(0xf022)
+
+  /** Run `decode` over `trials` random 1-3 byte mutations of `base`;
+    * the only tolerated outcomes are success or IAE. */
+  private def fuzz(name: String, base: Array[Byte], trials: Int)(decode: Array[Byte] => Any): Unit = {
+    var ok = 0; var rejected = 0
+    (1 to trials).foreach { t =>
+      val mutated = base.clone()
+      (0 until 1 + rng.nextInt(3)).foreach { _ =>
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      }
+      try { decode(mutated); ok += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case e: Throwable =>
+          fail(s"$name trial $t: non-contract failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    info(f"$name: $ok decoded, $rejected rejected loudly over $trials mutations")
+  }
+
+  /** Truncation sweep: every prefix length must also stay in contract. */
+  private def truncations(name: String, base: Array[Byte])(decode: Array[Byte] => Any): Unit =
+    (0 until base.length by math.max(1, base.length / 97)).foreach { n =>
+      try decode(base.take(n))
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"$name truncated to $n: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+
+  test("WAV decode stays in contract under mutation and truncation") {
+    val base = WavCodec.encode(22050, 2,
+      Array.tabulate(400)(i => ((i * 371) % 4096 - 2048).toShort), junk = 3)
+    fuzz("wav", base, 400)(WavCodec.decode)
+    truncations("wav", base)(WavCodec.decode)
+  }
+
+  test("PPM decode stays in contract under mutation and truncation") {
+    val base = PpmCodec.encode(9, 7, 255,
+      Array.tabulate(9 * 7 * 3)(i => i * 31 % 256), junkComments = 2)
+    fuzz("ppm", base, 400)(PpmCodec.decode)
+    truncations("ppm", base)(PpmCodec.decode)
+  }
+
+  test("PNG decode stays in contract under mutation and truncation") {
+    val base = PngCodec.encode(9, 7, 3,
+      Array.tabulate(9 * 7 * 3)(i => i * 37 % 256))
+    fuzz("png", base, 400)(PngCodec.decode)
+    truncations("png", base)(PngCodec.decode)
+  }
+
+  test("JPEG decode stays in contract under mutation and truncation") {
+    val px = new Array[Int](16 * 16)
+    for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8)
+      px((by * 8 + y) * 16 + bx * 8 + x) = ((bx * 3 + by * 7) % 128) * 2
+    val base = JpegCodec.encodeConstantBlocks(16, 16, px)
+    fuzz("jpeg", base, 400)(JpegCodec.decode)
+    truncations("jpeg", base)(JpegCodec.decode)
+  }
+}
