@@ -250,10 +250,17 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  // IDCT constants hoisted: rebuilt per block they cost more than the
+  // transform itself across a 50k-row corpus
+  private val IdctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+  private val IdctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
   /** Separable double-precision IDCT (T.81 A.3.3), level shift + clamp. */
   private[graft] def idct(coef: Array[Int]): Array[Int] = {
-    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
-    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val c = IdctC
+    val cosT = IdctCos
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
