@@ -132,6 +132,7 @@ object JpegCodec {
       require(blk.length == 64)
       val d = blk(0) - prevDc; prevDc = blk(0)
       val s = magnitude(d)
+      require(s <= 11, s"DC difference $d too large for the table")
       val (c, l) = dcC(s); bits.put(c, l)
       if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
       // AC in zigzag order with run/size coding

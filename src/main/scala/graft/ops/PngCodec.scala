@@ -5,11 +5,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** A REAL PNG codec in plain Scala + JDK — no external libraries, which
   * is the point: PNG's compression layer is zlib DEFLATE, and the JDK
-  * ships `java.util.zip.{Inflater, Deflater, CRC32}`, so unlike JPEG
-  * (entropy decoding has no JDK primitive) a full spec-correct PNG
-  * decode needs nothing this container lacks. With [[WavCodec]] (audio)
-  * and [[PpmCodec]] (uncompressed images), this closes the multimodal
-  * pillar's decode story down to a single remaining stub (jpeg).
+  * ships `java.util.zip.{Inflater, Deflater, CRC32}`, so a full
+  * spec-correct PNG decode needs nothing this container lacks. With
+  * [[WavCodec]] (audio), [[PpmCodec]] (uncompressed images) and
+  * [[JpegCodec]] (from-scratch baseline entropy decode), all four
+  * multimodal decode paths are real codecs — zero stubs remain.
   *
   * Scope: 8-bit-per-sample truecolor (colorType 2 = RGB) and
   * truecolor+alpha (colorType 6 = RGBA), non-interlaced — the common
@@ -202,9 +202,12 @@ object PngCodec {
     try {
       while (off < expect && !infl.finished()) {
         val n = infl.inflate(raw, off, expect - off)
-        require(n > 0 || infl.finished() || !infl.needsInput,
-          "truncated IDAT stream")
-        if (n == 0 && infl.needsInput) throw new IllegalArgumentException(
+        // FDICT streams make inflate return 0 with finished()==false AND
+        // needsInput()==false — without this check the loop never
+        // advances, a hang on attacker-controlled input (r8 ADVICE)
+        if (infl.needsDictionary) throw new IllegalArgumentException(
+          "preset-dictionary (FDICT) zlib stream not supported")
+        if (n == 0 && !infl.finished()) throw new IllegalArgumentException(
           s"truncated IDAT stream: got $off of $expect bytes")
         off += n
       }

@@ -52,30 +52,38 @@ object EventsStream {
       ss
     })
 
-  private def eventsStream(batchSession: SparkSession, d: String): DataFrame = {
-    val s = streamSession(batchSession)
-    // The streaming file source wants a DIRECTORY to watch; the testdata is
-    // a single file. Stage it into a temp dir — in production the upstream
-    // writer would already be dropping files into the watched dir. Re-stage
-    // whenever size or mtime differ (a bare exists() check would read a
-    // stale or half-copied file forever), via temp-file + atomic move.
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val stageDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
-    val staged = stageDir.resolve("events.parquet")
+  /** Stage one source file into a watched directory via temp-file +
+    * atomic move. The streaming file source wants a DIRECTORY; the
+    * testdata is a single file — in production the upstream writer would
+    * already be dropping files into the watched dir. Freshness is same
+    * size AND staged mtime >= source mtime: a size-only check (the r8
+    * ADVICE finding) would silently serve stale staged data whenever the
+    * source is regenerated at an identical byte size, and a bare
+    * exists() check would read a stale or half-copied file forever. */
+  private def stageInto(srcPath: String, stageDir: java.nio.file.Path,
+      name: String): Unit = {
+    val src = java.nio.file.Paths.get(srcPath)
+    val staged = stageDir.resolve(name)
     val fresh = java.nio.file.Files.exists(staged) &&
       java.nio.file.Files.size(staged) == java.nio.file.Files.size(src) &&
       java.nio.file.Files.getLastModifiedTime(staged).compareTo(
         java.nio.file.Files.getLastModifiedTime(src)) >= 0
     if (!fresh) {
       java.nio.file.Files.createDirectories(stageDir)
-      val tmp = stageDir.resolve("events.parquet.tmp")
+      val tmp = stageDir.resolve(name + ".tmp")
       java.nio.file.Files.copy(src, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.move(tmp, staged,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+  }
+
+  private def eventsStream(batchSession: SparkSession, d: String): DataFrame = {
+    val s = streamSession(batchSession)
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
+    stageInto(s"$d/events.parquet", stageDir, "events.parquet")
     // schema of the RAW file (whatever vintage the driver wrote; see
     // Tables.eventsRaw), then the SAME ts normalization the batch reader
     // applies — shared code so the two paths cannot drift
@@ -389,21 +397,9 @@ ORDER BY a.user_id, view_id, purchase_id"""
   def corpusFilterStream(s: SparkSession, d: String): DataFrame = {
     import graft.ops.TextOps
     val ss = streamSession(s)
-    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_docs")
-    val staged = stageDir.resolve("documents.parquet")
-    val fresh = java.nio.file.Files.exists(staged) &&
-      java.nio.file.Files.size(staged) == java.nio.file.Files.size(src)
-    if (!fresh) {
-      java.nio.file.Files.createDirectories(stageDir)
-      val tmp = stageDir.resolve("documents.parquet.tmp")
-      java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.move(tmp, staged,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    stageInto(s"$d/documents.parquet", stageDir, "documents.parquet")
     val schema = graft.Tables.documents(ss, d).schema
     val isEn = TextOps.hitCount("en") > greatest(TextOps.hitCount("es"),
       TextOps.hitCount("de"), TextOps.hitCount("fr"))
@@ -457,21 +453,9 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     val s = streamSession(s0)
     graft.functions.GraftFunctions.register(s)
     import graft.ops.Similarity
-    val src = java.nio.file.Paths.get(s"$d/embeddings.parquet")
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_emb/${graft.util.PathKeys.safe(d)}")
-    val staged = stageDir.resolve("embeddings.parquet")
-    val fresh = java.nio.file.Files.exists(staged) &&
-      java.nio.file.Files.size(staged) == java.nio.file.Files.size(src)
-    if (!fresh) {
-      java.nio.file.Files.createDirectories(stageDir)
-      val tmp = stageDir.resolve("embeddings.parquet.tmp")
-      java.nio.file.Files.copy(src, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.move(tmp, staged,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    stageInto(s"$d/embeddings.parquet", stageDir, "embeddings.parquet")
     val schema = Tables.embeddings(s, d).schema
     val codes = Similarity.pqCodesIndex(s, d)
     val cbLit = Similarity.pqCbLit(s, d)

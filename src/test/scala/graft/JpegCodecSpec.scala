@@ -106,6 +106,12 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       JpegCodec.encodeConstantBlocks(8, 8, Array.fill(64)(101)))
       .getMessage.contains("quantizable"))
+    // DC diff beyond magnitude category 11 must be the codec's loud IAE,
+    // not a NoSuchElementException from the Huffman-table Map (r8 ADVICE)
+    val big = Array.tabulate(64)(i => if (i == 0) 4096 else 0)
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encodeCoefficients(8, 8, 16, Array(big)))
+      .getMessage.contains("DC difference"))
   }
 
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {

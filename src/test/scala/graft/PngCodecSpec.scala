@@ -88,6 +88,61 @@ class PngCodecSpec extends AnyFunSuite {
       PngCodec.decode(good.dropRight(12))).getMessage.contains("truncated"))
   }
 
+  // hand-built chunks for the malformed-stream tests: the encoder cannot
+  // emit FDICT or a truncated-but-CRC-valid IDAT, so these are assembled
+  // byte-by-byte (length + tag + payload + CRC per PNG §5.3)
+  private def rawChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write(v >> 24); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    be32(data.length)
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+    be32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  private def pngOf(idat: Array[Byte]): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte) // 2x2 RGB, depth 8
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array.concat(
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      rawChunk("IHDR", ihdr), rawChunk("IDAT", idat),
+      rawChunk("IEND", Array.empty[Byte]))
+  }
+
+  test("rejects a preset-dictionary (FDICT) zlib stream instead of hanging") {
+    // Inflater.inflate returns 0 with finished()==false AND
+    // needsInput()==false on an FDICT stream — before the r8 ADVICE fix
+    // the inflate loop never advanced (a hang, not a loud reject). The
+    // test TERMINATING with the precise IAE is itself the regression
+    // proof. CMF=0x78 FLG=0x20: FDICT bit set and (0x7820 = 31·992)
+    // passes the RFC 1950 %31 header check, so Inflater accepts it and
+    // asks for the dictionary; 4 trailing bytes are the DICTID.
+    val fdictIdat = Array(0x78, 0x20, 1, 2, 3, 4).map(_.toByte)
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(pngOf(fdictIdat))).getMessage.contains("preset-dictionary"))
+  }
+
+  test("a genuinely truncated DEFLATE stream reports the precise byte count") {
+    // the r8 ADVICE dead-code finding: the generic require shadowed the
+    // detailed 'got N of M bytes' message — now the detailed one emits.
+    // Deflate the full 2x2 filtered raster (14 bytes), then keep only the
+    // first half of the zlib stream inside a CRC-valid IDAT chunk.
+    val raw = Array.tabulate(2 * (1 + 2 * 3))(i => (i * 31 % 256).toByte)
+    for (i <- Seq(0, 7)) raw(i) = 0 // filter byte 0 per row
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](256)
+    val n = defl.deflate(buf); defl.end()
+    val truncated = buf.take(n / 2)
+    val msg = intercept[IllegalArgumentException](
+      PngCodec.decode(pngOf(truncated))).getMessage
+    assert(msg.contains("truncated IDAT stream: got"), msg)
+  }
+
   test("decodePng query emits decoder-derived features on the fixture corpus") {
     import TestSpark._
     val rows = graft.ops.Multimodal.decodePng(spark, sf).collect()
