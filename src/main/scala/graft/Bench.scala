@@ -47,11 +47,20 @@ object Bench {
         name -> (if (failed.contains(name)) Double.NaN
                  else (System.nanoTime() - t0) / 1e9)
       }
-    // three passes; report per-query MEDIAN plus the (min, max) spread so a
-    // reader can separate host noise from real regression without NOTES.md
-    // archaeology: this host's per-query noise reaches 4× (identical-code
-    // totals measured 56.9-94.2s back-to-back), so the median of 3 is
-    // robust to a single slow AND a single anomalously fast pass
+    // COLD vs STEADY (r8 verdict #1): several operators memoize session
+    // artifacts (gold tables, shingle tables, ANN indexes, CC labels) the
+    // way a 100 TB pipeline writes them once per corpus version — so a
+    // median over same-session passes measures warm-cache cost and hides
+    // the cold cost entirely (dedup_clusters: 0.38s warm vs 6.78s cold).
+    // The bench now reports BOTH: every session memo is dropped after the
+    // warmup, pass 1 runs genuinely cold (memo builds included, in query
+    // order — the pipeline-backfill shape), then three steady passes give
+    // the per-query MEDIAN plus (min, max) spread. Median-of-3 because
+    // this host's per-query noise reaches 4× (identical-code totals
+    // measured 56.9-94.2s back-to-back): robust to a single slow AND a
+    // single anomalously fast pass.
+    graft.util.SessionCaches.clear(spark)
+    val coldPass = timeAll()
     val passes = Seq(timeAll(), timeAll(), timeAll())
     val ok = passes.head.keys.filterNot(failed.contains).toSeq
     val spread = ok.map { k =>
@@ -59,6 +68,8 @@ object Bench {
       k -> (ts.head, ts(1), ts.last)
     }.toMap
     val results = spread.map { case (k, (_, med, _)) => k -> med }
+    val cold = ok.map(k => k -> coldPass(k)).toMap
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r3(v: Double): String = java.math.BigDecimal.valueOf(v)
@@ -70,7 +81,9 @@ object Bench {
         val (mn, md, mx) = spread(k)
         "\"" + k + "\":[" + r3(mn) + "," + r3(md) + "," + r3(mx) + "]"
       }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
+    // "value" stays the STEADY total (comparable with prior rounds, whose
+    // medians-of-3 were warm-dominated); the cold story rides alongside
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
@@ -87,7 +100,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
         }
         line
       }
