@@ -56,4 +56,27 @@ class StreamRestartSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(after2 == Map(1 -> ((3L, 16.0)), 2 -> ((1L, 7.0)), 3 -> ((1L, 2.0))))
   }
+
+  test("a restarted ANN serving session rebuilds the PQ index and serves identical top-k") {
+    // r8 verdict #5: stream_ann_serve probes the session-memoized PQ
+    // codes index. A serving node that restarts (new session — its memos
+    // are keyed by session instance, so nothing carries over) must
+    // rebuild the index from the corpus and serve the SAME ranking; the
+    // ranking must also equal the batch annPqTopK result, whose oracle
+    // this query shares.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val first = rows(streaming.EventsStream.annServeStream(spark, sf))
+    assert(first.nonEmpty)
+    val batch = rows(graft.ops.Similarity.annPqTopK(spark, sf))
+    assert(first == batch, "streaming serve diverged from the batch PQ ranking")
+    // restart: a brand-new session (and clear the old one's memos so a
+    // cross-session cache hit cannot mask a rebuild failure)
+    graft.util.SessionCaches.clear(spark)
+    val s2 = spark.newSession()
+    val served = rows(streaming.EventsStream.annServeStream(s2, sf))
+    assert(served == first,
+      "restarted serving session did not reproduce the pre-restart top-k")
+  }
 }
