@@ -310,6 +310,114 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
        round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6) AS click_rate,
        round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6) AS purchase_rate"""
 
+  // ------------------------------------------------------ order lifecycle
+
+  /** Order-lifecycle stage funnel — the analytics family the reference
+    * deliberately DEFERS: its `order_history` table records each order's
+    * status transitions (source_sql/01_mysql_create.sql:122-130, statuses
+    * in `order_status`:105-109) and neither ETL reads it (SURVEY §1.2
+    * NOTE calls it "future order-lifecycle analytics"). The engine owns
+    * it over the testdata analog: a user's event stream is the status
+    * history (signup → view → click → purchase as the canonical
+    * lifecycle), and each stage row reports how many entities reached it
+    * through the strictly-ordered chain, with stage-over-stage
+    * conversion in exact ppm (integer floor division — both engines
+    * compute the same BIGINT).
+    *
+    * Scale shape: like [[eventFunnel]], each stage is filter + min-agg
+    * hash-partitioned on user_id — after the first exchange the stage
+    * joins are co-partitioned; no window over the raw stream, no
+    * per-user sort. The per-stage counts are 1-row aggregates and the
+    * conversion window runs over FOUR rows on the driver-side plan. */
+  def orderLifecycleFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.events(s, d)
+    def stageAfter(prev: DataFrame, prevTs: String, typ: String, outTs: String) =
+      e.filter(col("event_type") === typ)
+        .join(prev.select("user_id", prevTs), "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stageAfter(s1, "t1", "view", "t2")
+    val s3 = stageAfter(s2, "t2", "click", "t3")
+    val s4 = stageAfter(s3, "t3", "purchase", "t4")
+    val stages = Seq((1, "signup", s1), (2, "view", s2),
+      (3, "click", s3), (4, "purchase", s4))
+    stages.map { case (i, nm, df) =>
+      df.agg(count(lit(1)).as("n_reached"))
+        .select(lit(i).as("stage_idx"), lit(nm).as("stage"), col("n_reached"))
+    }.reduce(_.unionByName(_))
+      .withColumn("conv_ppm", expr(
+        "coalesce(n_reached * 1000000L div lag(n_reached) OVER (ORDER BY stage_idx), 1000000L)"))
+      .orderBy("stage_idx")
+  }
+
+  val orderLifecycleFunnelOracle: String = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id),
+f AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM s1) AS n_reached
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_reached,
+       CAST(coalesce(n_reached * 1000000 // lag(n_reached) OVER (ORDER BY stage_idx),
+                     1000000) AS BIGINT) AS conv_ppm
+FROM f ORDER BY stage_idx"""
+
+  /** Time-in-status percentiles — the second half of the deferred
+    * order-lifecycle family (reference `order_history`,
+    * source_sql/01_mysql_create.sql:122-130): how long does an entity
+    * SIT in each status before the next transition? Dwell = gap to the
+    * next event in the same user's stream under the total (ts, event_id)
+    * order (the [[graft.queries.BehaviorOps]].eventTransitions key), in
+    * exact IEEE seconds (integer micros difference ÷ 1e6 — correctly
+    * rounded by spec, so both engines produce the identical double);
+    * exact p50/p90/p99 per status via the established
+    * percentile ↔ quantile_cont pairing.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window (per-user
+    * streams are small), then a |statuses|-row aggregate. At 100 TB the
+    * exact percentile becomes [[graft.queries.ScaleOps]]
+    * .approxPercentiles' GK sketch; this query is the exact-semantics
+    * anchor the sketch's error contract is stated against. */
+  def orderStatusDwell(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dwell_secs",
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).cast("double") / 1e6)
+      .groupBy(col("event_type").as("status"))
+      .agg(count(lit(1)).as("n_spells"),
+        round(expr("percentile(dwell_secs, 0.5)"), 4).as("p50_secs"),
+        round(expr("percentile(dwell_secs, 0.9)"), 4).as("p90_secs"),
+        round(expr("percentile(dwell_secs, 0.99)"), 4).as("p99_secs"))
+      .orderBy("status")
+  }
+
+  val orderStatusDwellOracle: String = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events),
+d AS (
+  SELECT event_type AS status,
+         (epoch_us(next_ts) - epoch_us(ts)) / 1000000.0 AS dwell_secs
+  FROM seq WHERE next_ts IS NOT NULL)
+SELECT status, count(*) AS n_spells,
+       round(quantile_cont(dwell_secs, 0.5), 4) AS p50_secs,
+       round(quantile_cont(dwell_secs, 0.9), 4) AS p90_secs,
+       round(quantile_cont(dwell_secs, 0.99), 4) AS p99_secs
+FROM d GROUP BY status ORDER BY status"""
+
   // ------------------------------------------------ distributed sweep-line
 
   /** Total covered time (interval UNION length) per order priority, with
@@ -430,6 +538,8 @@ FROM d GROUP BY user_id ORDER BY user_id"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "twap_per_user"       -> (twapPerUser _),
     "event_funnel"        -> (eventFunnel _),
+    "order_lifecycle_funnel" -> (orderLifecycleFunnel _),
+    "order_status_dwell"  -> (orderStatusDwell _),
     "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
     "range_join_islands"  -> (rangeJoinIslands _),
@@ -443,6 +553,8 @@ FROM d GROUP BY user_id ORDER BY user_id"""
   val oracleSql: Map[String, String] = Map(
     "twap_per_user"       -> twapPerUserOracle,
     "event_funnel"        -> eventFunnelOracle,
+    "order_lifecycle_funnel" -> orderLifecycleFunnelOracle,
+    "order_status_dwell"  -> orderStatusDwellOracle,
     "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,
     "range_join_islands"  -> rangeJoinIslandsOracle,
