@@ -418,6 +418,72 @@ SELECT status, count(*) AS n_spells,
        round(quantile_cont(dwell_secs, 0.99), 4) AS p99_secs
 FROM d GROUP BY status ORDER BY status"""
 
+  /** Stage-to-stage conversion latency — the third member of the
+    * order-lifecycle family: among entities that COMPLETE each stage
+    * transition of the [[orderLifecycleFunnel]] chain, how long did the
+    * hop take (first qualifying event to first qualifying next-stage
+    * event)? One row per hop with exact p50/p90 seconds and the hop's
+    * population. The funnel says HOW MANY convert; this says HOW FAST —
+    * together they are the reference's deferred order_history dashboard.
+    *
+    * Scale shape: reuses the funnel's chained min-agg stage frames
+    * (hash-partitioned on user_id, stage joins co-partitioned); each
+    * hop's latency set is stage-population-sized, far below event
+    * volume, before the percentile sort. */
+  def orderStageLatency(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.events(s, d)
+    def stageAfter(prev: DataFrame, prevTs: String, typ: String, outTs: String) =
+      e.filter(col("event_type") === typ)
+        .join(prev.select("user_id", prevTs), "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stageAfter(s1, "t1", "view", "t2")
+    val s3 = stageAfter(s2, "t2", "click", "t3")
+    val s4 = stageAfter(s3, "t3", "purchase", "t4")
+    def hop(idx: Int, nm: String, joined: DataFrame, a: String, b: String) =
+      joined.select(
+        (unix_micros(col(b)) - unix_micros(col(a))).cast("double").as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat / 1e6, 0.5)"), 4).as("p50_secs"),
+          round(expr("percentile(lat / 1e6, 0.9)"), 4).as("p90_secs"))
+        .select(lit(idx).as("hop_idx"), lit(nm).as("hop"),
+          col("n_converted"), col("p50_secs"), col("p90_secs"))
+    hop(1, "signup->view", s2.join(s1, "user_id"), "t1", "t2")
+      .unionByName(hop(2, "view->click", s3.join(s2, "user_id"), "t2", "t3"))
+      .unionByName(hop(3, "click->purchase", s4.join(s3, "user_id"), "t3", "t4"))
+      .orderBy("hop_idx")
+  }
+
+  val orderStageLatencyOracle: String = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id),
+h1 AS (SELECT (epoch_us(t2) - epoch_us(t1)) / 1000000.0 AS lat
+       FROM s2 JOIN s1 USING (user_id)),
+h2 AS (SELECT (epoch_us(t3) - epoch_us(t2)) / 1000000.0 AS lat
+       FROM s3 JOIN s2 USING (user_id)),
+h3 AS (SELECT (epoch_us(t4) - epoch_us(t3)) / 1000000.0 AS lat
+       FROM s4 JOIN s3 USING (user_id)),
+f AS (
+  SELECT 1 AS hop_idx, 'signup->view' AS hop, count(*) AS n_converted,
+         round(quantile_cont(lat, 0.5), 4) AS p50_secs,
+         round(quantile_cont(lat, 0.9), 4) AS p90_secs FROM h1
+  UNION ALL
+  SELECT 2, 'view->click', count(*),
+         round(quantile_cont(lat, 0.5), 4), round(quantile_cont(lat, 0.9), 4) FROM h2
+  UNION ALL
+  SELECT 3, 'click->purchase', count(*),
+         round(quantile_cont(lat, 0.5), 4), round(quantile_cont(lat, 0.9), 4) FROM h3)
+SELECT CAST(hop_idx AS INT) AS hop_idx, hop, n_converted, p50_secs, p90_secs
+FROM f ORDER BY hop_idx"""
+
   // ------------------------------------------------ distributed sweep-line
 
   /** Total covered time (interval UNION length) per order priority, with
@@ -540,6 +606,7 @@ FROM d GROUP BY user_id ORDER BY user_id"""
     "event_funnel"        -> (eventFunnel _),
     "order_lifecycle_funnel" -> (orderLifecycleFunnel _),
     "order_status_dwell"  -> (orderStatusDwell _),
+    "order_stage_latency" -> (orderStageLatency _),
     "timeseries_gapfill"  -> (gapfillHourly _),
     "range_join_sessions" -> (rangeJoinSessions _),
     "range_join_islands"  -> (rangeJoinIslands _),
@@ -555,6 +622,7 @@ FROM d GROUP BY user_id ORDER BY user_id"""
     "event_funnel"        -> eventFunnelOracle,
     "order_lifecycle_funnel" -> orderLifecycleFunnelOracle,
     "order_status_dwell"  -> orderStatusDwellOracle,
+    "order_stage_latency" -> orderStageLatencyOracle,
     "timeseries_gapfill"  -> gapfillHourlyOracle,
     "range_join_sessions" -> rangeJoinSessionsOracle,
     "range_join_islands"  -> rangeJoinIslandsOracle,
