@@ -61,7 +61,8 @@ object PlanDump {
     "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
-    "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows"
+    "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue"
   )
 
   def main(args: Array[String]): Unit = {
