@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.ExtraOps.queries ++ graft.ops.CorpusOps.queries ++
       graft.ops.GraphOps.queries ++ graft.queries.BehaviorOps.queries ++
       graft.ops.TokenOps.queries ++ graft.queries.StatOps.queries ++
-      graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries
+      graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries ++
+      graft.ops.DataSkipping.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.ExtraOps.oracleSql ++ graft.ops.CorpusOps.oracleSql ++
       graft.ops.GraphOps.oracleSql ++ graft.queries.BehaviorOps.oracleSql ++
       graft.ops.TokenOps.oracleSql ++ graft.queries.StatOps.oracleSql ++
-      graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql
+      graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql ++
+      graft.ops.DataSkipping.oracleSql
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DataSkipping
+
+/** File-level data skipping (ops/DataSkipping.scala): the oracle gate
+  * proves the ANSWERS are full-scan-identical; this spec proves the
+  * skipping actually SKIPS — the whole point of the structure at 100 TB —
+  * and that it never drops a file it shouldn't.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("zone-map range pruning keeps a strict subset and loses no rows") {
+    val base = DataSkipping.dateClusteredOrders(spark, sf)
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-03-31 23:59:59").cast("timestamp")
+    val (kept, total) = DataSkipping.pruneFiles(spark, base,
+      DataSkipping.rangeKeep("o_orderdate", lo, hi))
+    // a quarter-year window over a ~6.6-year date-clustered domain must
+    // prune hard: ~1/26 of the span → at most a quarter of the files
+    assert(total >= 16, s"staging should have produced many files, got $total")
+    assert(kept.nonEmpty && kept.size <= total / 4,
+      s"expected heavy pruning, kept ${kept.size} of $total")
+    // soundness: pruned read + exact filter ≡ full scan + exact filter
+    val full = graft.Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi).count()
+    val pruned = DataSkipping.readFiles(spark, base, kept)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") <= hi).count()
+    assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+  }
+
+  test("z-order prunes on BOTH dimensions where a single-key sort cannot") {
+    // synthetic independent-uniform corpus: the testdata's l_suppkey is
+    // correlated with l_partkey by construction, which would blur the
+    // layout comparison — planted data isolates the claim
+    val n = 4096L
+    val df = spark.range(0, n).selectExpr(
+      "CAST(pmod(hash(id), 256) AS BIGINT) AS a",
+      "CAST(pmod(hash(id * 7 + 13), 256) AS BIGINT) AS b",
+      "id AS payload")
+    val zBase = "/tmp/graft_skip_spec/z"
+    val linBase = "/tmp/graft_skip_spec/lin"
+    DataSkipping.optimizedWrite(spark, df, zBase,
+      clusterCols = Seq("a", "b"), statsCols = Seq("a", "b"),
+      bloomCol = None, nFiles = 16)
+    DataSkipping.optimizedWrite(spark, df, linBase,
+      clusterCols = Seq("a"), statsCols = Seq("a", "b"),
+      bloomCol = None, nFiles = 16)
+    // a predicate on b ALONE: the z-layout confines b to boxes, the
+    // a-sorted layout scatters b uniformly through every file
+    val keepB = DataSkipping.rangeKeep("b", lit(100L), lit(131L)) // ~1/8 of domain
+    val (keptZ, totalZ) = DataSkipping.pruneFiles(spark, zBase, keepB)
+    val (keptLin, totalLin) = DataSkipping.pruneFiles(spark, linBase, keepB)
+    info(s"b-range prune: z-order kept ${keptZ.size}/$totalZ, a-sort kept ${keptLin.size}/$totalLin")
+    assert(keptLin.size == totalLin,
+      "a-sorted layout should be unable to prune on b at all")
+    assert(keptZ.size < totalZ,
+      s"z-order layout should prune on b, kept ${keptZ.size} of $totalZ")
+    // and the z-layout still prunes on a as well (both dimensions live)
+    val (keptZa, _) = DataSkipping.pruneFiles(spark, zBase,
+      DataSkipping.rangeKeep("a", lit(0L), lit(31L)))
+    assert(keptZa.size < totalZ, "z-order layout should also prune on a")
+    // soundness on the z path
+    val got = DataSkipping.readFiles(spark, zBase, keptZ)
+      .where(col("b").between(100L, 131L)).count()
+    val want = df.where(col("b").between(100L, 131L)).count()
+    assert(got == want)
+  }
+
+  test("bloom index prunes scattered-key point lookups zone maps cannot") {
+    val base = DataSkipping.dateClusteredOrders(spark, sf)
+    val keys = graft.Tables.orders(spark, sf).select("o_orderkey")
+      .orderBy("o_orderkey").limit(5).collect().map(_.getLong(0)).toSeq
+    val (kept, total) = DataSkipping.bloomPruneFiles(spark, base, keys)
+    // 5 uniformly scattered keys over `total` date-clustered files: the
+    // bloom keeps ≤ 5 true files + ~1% fpp stragglers
+    assert(kept.size <= math.min(total, keys.size + 3),
+      s"bloom kept ${kept.size} of $total for ${keys.size} keys")
+    // no false negatives: every probed row survives the pruned read
+    val got = DataSkipping.readFiles(spark, base, kept)
+      .where(col("o_orderkey").isin(keys: _*)).count()
+    assert(got == keys.size.toLong, s"lost rows to bloom pruning: $got")
+    // an absent key (domain max + 1e9) keeps ~nothing (fpp-bounded)
+    val absent = Seq(graft.Tables.orders(spark, sf)
+      .agg(max("o_orderkey")).head().getLong(0) + 1000000000L)
+    val (keptAbsent, _) = DataSkipping.bloomPruneFiles(spark, base, absent)
+    assert(keptAbsent.size <= math.max(2L, total / 8),
+      s"absent key kept ${keptAbsent.size} of $total files")
+    assert(DataSkipping.readFiles(spark, base, keptAbsent)
+      .where(col("o_orderkey") === absent.head).count() == 0L)
+  }
+
+  test("empty survivor list degenerates to an empty, schema-correct read") {
+    val base = DataSkipping.dateClusteredOrders(spark, sf)
+    val df = DataSkipping.readFiles(spark, base, Seq.empty)
+    assert(df.columns.contains("o_orderkey") && df.count() == 0L)
+  }
+}
