@@ -706,7 +706,47 @@ SELECT n_docs, exact_total_tokens, n_sampled, tau_q4, est_total_q4,
          AS in_bound
 FROM exact, est"""
 
+  // ------------------------------------------------------------ epoch shuffle
+
+  /** Reproducible global shuffle — the per-epoch corpus permutation a
+    * training pipeline needs: every document gets a seeded pseudo-random
+    * sort key `md5('epoch:<seed>:' || doc_id)` (cross-engine identical,
+    * unlike Spark's `rand`/`hash`), the key's first hex digit is the
+    * shard, and within a shard the key IS the read order. Changing the
+    * seed re-permutes everything; re-running the same seed reproduces the
+    * epoch exactly — determinism a `repartition(shuffle=true)` cannot
+    * give. At 100 TB this is ONE hash-partition exchange per epoch (shard
+    * count = target file count, writers stream each shard sorted by key);
+    * here the gate checks the per-shard composition: sizes, the head/tail
+    * documents of each shard's read order (min_by/max_by on the key), and
+    * the shard's token mass. EpochShuffleSpec proves determinism,
+    * epoch-to-epoch decorrelation, and shard balance. */
+  def epochShuffleKey(seed: String): Column =
+    md5(concat(lit(s"epoch:$seed:"), col("doc_id").cast("string")))
+
+  def epochShuffle(s: SparkSession, d: String, seed: String = "42"): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("k", epochShuffleKey(seed))
+      .withColumn("shard", substring(col("k"), 1, 1))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("k")).as("first_doc"),
+        max_by(col("doc_id"), col("k")).as("last_doc"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("shard")
+
+  val epochShuffleOracle: String = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         md5('epoch:42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents)
+SELECT substr(k, 1, 1) AS shard, count(*) AS n_docs,
+       arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM k GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epoch_shuffle"        -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "weighted_sample"      -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "priority_subset_sum"  -> ((s: SparkSession, d: String) => prioritySubsetSum(s, d)),
     "span_prune_firstwins" -> (spanPruneFirstWins _),
@@ -724,6 +764,7 @@ FROM exact, est"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "epoch_shuffle"        -> epochShuffleOracle,
     "weighted_sample"      -> weightedSampleOracle,
     "priority_subset_sum"  -> prioritySubsetSumOracle,
     "span_prune_firstwins" -> spanPruneFirstWinsOracle,

@@ -533,6 +533,154 @@ SELECT CAST(sum(term_q9) AS BIGINT) AS chi2_q9, CAST(dof AS BIGINT) AS dof, crit
        CAST(sum(term_q9) AS DOUBLE) / 1e9 > crit AS drift
 FROM terms, crit GROUP BY dof, crit"""
 
+  // ------------------------------------------------------------------- PCA
+
+  /** Principal-component analysis of the embedding store — the standard
+    * dimensionality-reduction step before ANN indexing / whitening. The
+    * architecture is the 100 TB-correct split the IVF/PQ family already
+    * uses: the DATA-sized work (the D(D+1)/2 Gram triangle + per-dim sums
+    * over micro-unit-quantized vectors, exact BIGINT arithmetic) runs as
+    * one distributed map-side-combined reduction; only the D²-sized
+    * moment matrix (2080 longs for D=64 — kilobytes) reaches the driver,
+    * where a cyclic Jacobi eigensolver diagonalizes the covariance; a
+    * SECOND distributed pass then verifies the spectrum against the data
+    * by projecting every vector onto each top component and checking
+    * Var(scoreᶜ) = λᶜ (an identity of the population covariance — a wrong
+    * eigensolver or a wrong covariance assembly both break it).
+    *
+    * Gate design (the sketch pattern of `approx_distinct`): DuckDB
+    * re-derives the EXACT integer invariants (n and the covariance trace
+    * numerator T = Σᵢ n·Gᵢᵢ − Sᵢ², same integer arithmetic) and states
+    * the analytic contracts as literal `true`; Spark computes them for
+    * real — orthonormality of V, eigen-residual ‖Cv − λv‖, descending
+    * spectrum, and the distributed variance identity. */
+  def embeddingPca(s: SparkSession, d: String): DataFrame = {
+    val topK = 4
+    val q = Tables.fanout(s, Tables.embeddings(s, d))
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+    // one reduction: per-dim sums + upper-triangle Gram (exact longs)
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum("qi").as("si"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dim = sums.size
+    val n = sums(0)._2
+    val gram = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"),
+        posexplode(expr("slice(q, i + 1, size(q) - i)")).as(Seq("p", "qj")))
+      .select(col("i"), (col("i") + col("p")).as("j"), (col("qi") * col("qj")).as("prod"))
+      .groupBy("i", "j").agg(sum("prod").as("g"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // population covariance in micro-unit² scale: C = (n·G − S·Sᵀ)/n²
+    val nB = BigInt(n)
+    def cov(i: Int, j: Int): Double = {
+      val g = gram(if (i <= j) (i, j) else (j, i))
+      ((nB * g - BigInt(sums(i)._1) * BigInt(sums(j)._1)).toDouble) / (n.toDouble * n.toDouble)
+    }
+    val c = Array.tabulate(dim, dim)(cov)
+    // exact integer trace numerator — the cross-engine-checkable invariant
+    val traceNum = (0 until dim)
+      .map(i => nB * gram((i, i)) - BigInt(sums(i)._1) * BigInt(sums(i)._1)).sum
+    val (eigVals, eigVecs) = jacobiEigen(c)
+    val order = eigVals.zipWithIndex.sortBy(-_._1).map(_._2).take(topK)
+    val lambda = order.map(eigVals)
+    val vecs = order.map(k => Array.tabulate(dim)(i => eigVecs(i)(k)))
+    // driver-side analytic contracts
+    val orthonormal = (0 until topK).forall { a =>
+      (0 until topK).forall { b =>
+        val dot = (0 until dim).map(i => vecs(a)(i) * vecs(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9
+      }
+    }
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    val eigenOk = (0 until topK).forall { k =>
+      val resid = (0 until dim).map { i =>
+        val cv = (0 until dim).map(j => c(i)(j) * vecs(k)(j)).sum
+        math.abs(cv - lambda(k) * vecs(k)(i))
+      }.max
+      resid <= 1e-9 * trace + 1e-9 * math.abs(lambda(k))
+    }
+    val descending = lambda.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12 * trace)
+    // SECOND distributed pass: Var(q·vᶜ) must equal λᶜ — verifies the
+    // spectrum against the data itself, not just the collected moments
+    val vLits = vecs.map(v => array(v.map(x => lit(x)): _*))
+    val withV = vLits.zipWithIndex.foldLeft(q) { case (df, (v, k)) => df.withColumn(s"v$k", v) }
+    val scores = withV.select((0 until topK).map { k =>
+      expr(s"aggregate(zip_with(q, v$k, (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as(s"s$k")
+    }: _*)
+    val varRow = scores.agg(
+      (0 until topK).flatMap(k => Seq(sum(col(s"s$k")).as(s"sum$k"),
+        sum(col(s"s$k") * col(s"s$k")).as(s"sq$k"))).head,
+      (0 until topK).flatMap(k => Seq(sum(col(s"s$k")).as(s"sum$k"),
+        sum(col(s"s$k") * col(s"s$k")).as(s"sq$k"))).tail: _*).head()
+    val varMatches = (0 until topK).forall { k =>
+      val sm = varRow.getDouble(2 * k); val sq = varRow.getDouble(2 * k + 1)
+      val v = (sq - sm * sm / n) / n
+      math.abs(v - lambda(k)) <= 1e-9 * trace + 1e-6 * math.abs(lambda(k))
+    }
+    import s.implicits._
+    (1 to topK).map(cN => (cN, n, traceNum.toLong, varMatches, orthonormal, eigenOk, descending))
+      .toDF("component", "n", "trace_num", "var_matches_eigval",
+        "orthonormal", "eigen_ok", "descending")
+      .orderBy("component")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (returns
+    * (eigenvalues, eigenvector columns)). D=64 → microseconds on the
+    * driver; the data-sized work stayed distributed. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double =
+      (0 until d).map(i => (i + 1 until d).map(j => a(i)(j) * a(i)(j)).sum).sum
+    while (sweep < 64 && off() > 1e-22 * d * d) {
+      for (p <- 0 until d; qq <- p + 1 until d if math.abs(a(p)(qq)) > 0) {
+        val theta = (a(qq)(qq) - a(p)(p)) / (2.0 * a(p)(qq))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val cth = 1.0 / math.sqrt(t * t + 1.0)
+        val sth = t * cth
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(qq)
+          a(i)(p) = cth * aip - sth * aiq
+          a(i)(qq) = sth * aip + cth * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(qq)(i)
+          a(p)(i) = cth * api - sth * aqi
+          a(qq)(i) = sth * api + cth * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(qq)
+          v(i)(p) = cth * vip - sth * viq
+          v(i)(qq) = sth * vip + cth * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  val embeddingPcaOracle: String = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+dims AS (
+  SELECT CAST(u.i AS INT) AS i, q.q[CAST(u.i AS INT) + 1] AS v
+  FROM q, UNNEST(range(len(q.q))) AS u(i)),
+s AS (
+  SELECT i, sum(v) AS si, sum(CAST(v AS HUGEINT) * v) AS gii, count(*) AS n
+  FROM dims GROUP BY i),
+t AS (
+  SELECT CAST(sum(CAST(n AS HUGEINT) * gii - CAST(si AS HUGEINT) * si) AS BIGINT) AS trace_num,
+         CAST(max(n) AS BIGINT) AS n
+  FROM s)
+SELECT CAST(r.c AS INT) AS component, t.n, t.trace_num,
+       true AS var_matches_eigval, true AS orthonormal,
+       true AS eigen_ok, true AS descending
+FROM t, UNNEST(range(1, 5)) AS r(c)
+ORDER BY component"""
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -545,7 +693,8 @@ FROM terms, crit GROUP BY dof, crit"""
     "outlier_zscore"       -> (outlierZscore _),
     "robust_mad"           -> (robustMad _),
     "forward_fill"         -> (forwardFill _),
-    "embedding_covariance" -> (embeddingCovariance _)
+    "embedding_covariance" -> (embeddingCovariance _),
+    "embedding_pca"        -> (embeddingPca _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -558,6 +707,7 @@ FROM terms, crit GROUP BY dof, crit"""
     "outlier_zscore"       -> outlierZscoreOracle,
     "robust_mad"           -> robustMadOracle,
     "forward_fill"         -> forwardFillOracle,
-    "embedding_covariance" -> embeddingCovarianceOracle
+    "embedding_covariance" -> embeddingCovarianceOracle,
+    "embedding_pca"        -> embeddingPcaOracle
   )
 }
