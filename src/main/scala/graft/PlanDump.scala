@@ -62,7 +62,8 @@ object PlanDump {
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
     "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue"
+    "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
+    "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue"
   )
 
   def main(args: Array[String]): Unit = {

@@ -322,6 +322,70 @@ ORDER BY user_id, session_start"""
 SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Streaming ingest that maintains file-level data-skipping metadata as
+    * it lands — the lakehouse ingest path ([[graft.ops.DataSkipping]] is
+    * the batch-side OPTIMIZE; this is the write-side twin). Each
+    * micro-batch is range-clustered by event time and written to its own
+    * immutable batch directory, then ONE stats pass over just that
+    * batch's files (grouped by `_metadata.file_path`) APPENDS per-file
+    * min/max zone-map rows to the shared `_skip` sidecar — incremental
+    * metadata maintenance proportional to the batch, never a re-scan of
+    * the table, exactly how a 100 TB continuous ingest keeps its stats
+    * current. Readers prune with the same sidecar-filter shape as the
+    * batch operators: a 2-day window over the 30-day stream touches only
+    * the files whose [min_ts, max_ts] box intersects it. */
+  def skipIngest(s: SparkSession, d: String): DataFrame =
+    skipIngestFrom(s, eventsStream(s, d),
+      s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/events_skip")
+
+  /** Core of the skipping ingest, parameterized so the spec can drive it
+    * with a multi-batch source (maxFilesPerTrigger) and prove the sidecar
+    * grows batch-by-batch. */
+  def skipIngestFrom(s: SparkSession, events: DataFrame, tableDir: String): DataFrame = {
+    import graft.util.AtomicTable
+    // truncate-and-reload per run (S6): a fresh ingest, no stale batches
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(tableDir))
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val dir = s"$tableDir/batch_$batchId"
+        batch.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(dir)
+        // incremental sidecar maintenance: stats over ONLY this batch's
+        // files, appended — cost ∝ batch, not table
+        ss.read.parquet(dir)
+          .select(col("_metadata.file_path").as("path"), col("ts"))
+          .groupBy("path")
+          .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+            count(lit(1)).as("rows"))
+          .coalesce(1).write.mode("append").parquet(s"$tableDir/_skip")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // skipping read on the batch session: sidecar filter → surviving
+    // files only → exact predicate on the residue
+    val (lo, hi) = (lit("2024-01-10 00:00:00").cast("timestamp"),
+      lit("2024-01-12 00:00:00").cast("timestamp"))
+    val stats = s.read.parquet(s"$tableDir/_skip")
+    val kept = stats.where(!(col("max_ts") < lo || col("min_ts") >= hi))
+      .select("path").collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (kept.isEmpty) s.read.parquet(tableDir + "/batch_0").where(lit(false))
+      else s.read.parquet(kept: _*)
+    pruned.where(col("ts") >= lo && col("ts") < hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val skipIngestOracle: String = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+GROUP BY 1 ORDER BY 1"""
+
   /** Stream-static enrichment join: every micro-batch of the event stream
     * joins against a STATIC dimension snapshot (customer → market
     * segment), then aggregates per segment. The static side is planned as
@@ -492,7 +556,8 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
     "stream_dedup"           -> (streamDedup _),
-    "stream_upsert_sink"     -> (upsertSink _)
+    "stream_upsert_sink"     -> (upsertSink _),
+    "stream_skip_ingest"     -> (skipIngest _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -506,6 +571,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
     "stream_dedup"           -> streamDedupOracle,
-    "stream_upsert_sink"     -> upsertSinkOracle
+    "stream_upsert_sink"     -> upsertSinkOracle,
+    "stream_skip_ingest"     -> skipIngestOracle
   )
 }

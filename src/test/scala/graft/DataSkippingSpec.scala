@@ -93,6 +93,54 @@ class DataSkippingSpec extends AnyFunSuite {
       .where(col("o_orderkey") === absent.head).count() == 0L)
   }
 
+  test("streaming ingest maintains the skip sidecar incrementally across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = "/tmp/graft_skip_ingest_src"
+    val tableDir = "/tmp/graft_skip_ingest_tbl/events_skip"
+    val ev = graft.Tables.events(spark, sf).cache()
+    def rmrf(p: String): Unit = if (Files.exists(Paths.get(p)))
+      Files.walk(Paths.get(p)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rmrf(src)
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/chunk$i")
+      val part = Files.list(Paths.get(s"$src/chunk$i")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(s"$src/file$i.parquet"))
+      rmrf(s"$src/chunk$i")
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val result = graft.streaming.EventsStream.skipIngestFrom(spark, stream, tableDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // three micro-batches → three immutable batch dirs, and the sidecar
+    // references files from ALL of them (it grew batch-by-batch)
+    val batchDirs = Files.list(Paths.get(tableDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_")).toSeq
+    assert(batchDirs.size == 3, s"expected 3 batch dirs, got $batchDirs")
+    val statPaths = spark.read.parquet(s"$tableDir/_skip")
+      .select("path").collect().map(_.getString(0))
+    val referenced = statPaths.map(p => p.split("/").takeRight(2).head).distinct
+    assert(referenced.sorted.toSeq == batchDirs.sorted,
+      s"sidecar must cover every batch dir: $referenced vs $batchDirs")
+    // pruning bites: the 2-day window keeps a strict subset of files
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+    val keptN = spark.read.parquet(s"$tableDir/_skip")
+      .where(!(col("max_ts") < lo || col("min_ts") >= hi)).count()
+    assert(keptN > 0 && keptN < statPaths.length,
+      s"kept $keptN of ${statPaths.length} files")
+    // and the answer equals the batch computation
+    val expect = ev.where(col("ts") >= lo && col("ts") < hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    ev.unpersist()
+    assert(result == expect, s"ingested read diverged: $result vs $expect")
+  }
+
   test("empty survivor list degenerates to an empty, schema-correct read") {
     val base = DataSkipping.dateClusteredOrders(spark, sf)
     val df = DataSkipping.readFiles(spark, base, Seq.empty)
