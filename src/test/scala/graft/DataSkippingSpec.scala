@@ -141,6 +141,34 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(result == expect, s"ingested read diverged: $result vs $expect")
   }
 
+  test("transparent FileIndex skipping: the planner's pushed filters prune files") {
+    val base = DataSkipping.dateClusteredOrders(spark, sf)
+    val (df, idx) = graft.sources.SkippingFileIndex.readAuto(spark, base)
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    // a plain where() — no explicit prune call anywhere
+    val got = df.where(col("o_orderdate") >= lo && col("o_orderdate") < hi).count()
+    val want = graft.Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi).count()
+    assert(got == want, s"transparent skipping changed the answer: $got vs $want")
+    val (kept, total) = idx.lastDecision.getOrElse(
+      fail("listFiles was never called with the scan's data filters"))
+    assert(kept < total && kept > 0,
+      s"planner-pushed filters should have pruned files, kept $kept of $total")
+    // an unfilterable query keeps everything (and still answers right)
+    val (df2, idx2) = graft.sources.SkippingFileIndex.readAuto(spark, base)
+    assert(df2.count() == graft.Tables.orders(spark, sf).count())
+    val (k2, t2) = idx2.lastDecision.get
+    assert(k2 == t2, s"no filters -> no pruning, kept $k2 of $t2")
+    // a predicate shape zone maps can't serve degrades to keep-everything
+    val (df3, idx3) = graft.sources.SkippingFileIndex.readAuto(spark, base)
+    val n3 = df3.where(col("o_orderstatus") === "F").count()
+    val w3 = graft.Tables.orders(spark, sf).where(col("o_orderstatus") === "F").count()
+    assert(n3 == w3)
+    val (k3, t3) = idx3.lastDecision.get
+    assert(k3 == t3, s"untracked column must not prune, kept $k3 of $t3")
+  }
+
   test("empty survivor list degenerates to an empty, schema-correct read") {
     val base = DataSkipping.dateClusteredOrders(spark, sf)
     val df = DataSkipping.readFiles(spark, base, Seq.empty)
