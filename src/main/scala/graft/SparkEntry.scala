@@ -18,7 +18,8 @@ object SparkEntry {
       graft.ops.GraphOps.queries ++ graft.queries.BehaviorOps.queries ++
       graft.ops.TokenOps.queries ++ graft.queries.StatOps.queries ++
       graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries ++
-      graft.ops.DataSkipping.queries ++ graft.sources.SkippingFileIndex.queries
+      graft.ops.DataSkipping.queries ++ graft.sources.SkippingFileIndex.queries ++
+      graft.ops.DeletionVectors.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.ops.GraphOps.oracleSql ++ graft.queries.BehaviorOps.oracleSql ++
       graft.ops.TokenOps.oracleSql ++ graft.queries.StatOps.oracleSql ++
       graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql ++
-      graft.ops.DataSkipping.oracleSql ++ graft.sources.SkippingFileIndex.oracleSql
+      graft.ops.DataSkipping.oracleSql ++ graft.sources.SkippingFileIndex.oracleSql ++
+      graft.ops.DeletionVectors.oracleSql
 }
