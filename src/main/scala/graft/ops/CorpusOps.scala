@@ -745,7 +745,82 @@ SELECT substr(k, 1, 1) AS shard, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM k GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------- DSIR importance sample
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023, arXiv
+    * 2302.03169) — the hashed-n-gram importance weighting a pipeline uses
+    * to pull target-domain-like documents out of a raw corpus. Features
+    * are word unigrams hashed into 256 buckets (2 md5 hex chars — the
+    * repo's portable cross-engine hash); the target distribution is the
+    * `lang = 'en'` slice, raw is the whole corpus. Each token contributes
+    * the bucket's probability RATIO (target/raw, smoothed +1), kept in
+    * exact integer ppm rather than the paper's log-likelihood — division
+    * is correctly rounded by IEEE spec where libm log is not, so the
+    * score itself hash-gates (the repo's D2 determinism rule; same
+    * reasoning as `weighted_sample`). A document's score is its
+    * per-token mean ratio, and `kept` marks the top-100 by
+    * (score, doc_id) — importance RANKING, as DSIR resamples.
+    *
+    * Scale shape: the bucket-stats table is 256 rows (broadcast); tokens
+    * shuffle only as (bucket:int, doc_id) pairs for the two hash-aggs —
+    * never text. The global rank is exact here to gate the math; at
+    * 100 TB the top-k fraction comes from an approx-quantile threshold
+    * on the score instead (one pass, no global sort). */
+  def dsirSample(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long"))
+      .select("doc_id", "lang", "b")
+    val src = tok.groupBy("b").agg(count(lit(1)).as("sb"))
+    val tgt = tok.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tbc"))
+    val stats = src.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tbc"))
+    val tot = stats.agg(sum("sb").as("s_tot"), sum("tbc").as("t_tot"))
+    val rated = stats.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        """((tbc + 1) * 1000000L div (t_tot + 256)) * 1000000L
+           div ((sb + 1) * 1000000L div (s_tot + 256)) - 1000000L""").as("lr_ppm"))
+    val scored = tok.join(broadcast(rated), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(lr_ppm) div count(1)").as("dsir_ppm"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("kept",
+        row_number().over(
+          Window.orderBy(desc("dsir_ppm"), col("doc_id"))) <= 100)
+      .orderBy("doc_id")
+  }
+
+  val dsirSampleOracle: String = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+tb AS (
+  SELECT doc_id, lang,
+         list_sum(list_transform(generate_series(1, 2),
+           i -> CAST((strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1) AS BIGINT)
+                * CAST(power(16, 2 - i) AS BIGINT))) AS b
+  FROM tok),
+src AS (SELECT b, count(*) AS sb FROM tb GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tbc FROM tb WHERE lang = 'en' GROUP BY 1),
+stats AS (SELECT b, sb, coalesce(tbc, 0) AS tbc FROM src LEFT JOIN tgt USING (b)),
+tot AS (SELECT sum(sb) AS s_tot, sum(tbc) AS t_tot FROM stats),
+rated AS (
+  SELECT b,
+    ((tbc + 1) * 1000000 // (t_tot + 256)) * 1000000
+      // ((sb + 1) * 1000000 // (s_tot + 256)) - 1000000 AS lr_ppm
+  FROM stats, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(lr_ppm) // count(*) AS BIGINT) AS dsir_ppm
+  FROM tb JOIN rated USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_ppm,
+       row_number() OVER (ORDER BY dsir_ppm DESC, doc_id) <= 100 AS kept
+FROM scored ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_importance_sample" -> (dsirSample _),
     "epoch_shuffle"        -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "weighted_sample"      -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "priority_subset_sum"  -> ((s: SparkSession, d: String) => prioritySubsetSum(s, d)),
@@ -764,6 +839,7 @@ FROM k GROUP BY 1 ORDER BY 1"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dsir_importance_sample" -> dsirSampleOracle,
     "epoch_shuffle"        -> epochShuffleOracle,
     "weighted_sample"      -> weightedSampleOracle,
     "priority_subset_sum"  -> prioritySubsetSumOracle,

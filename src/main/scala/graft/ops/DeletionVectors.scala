@@ -38,11 +38,11 @@ object DeletionVectors {
 
   private val Dv = "_dv"
 
-  private def verDir(base: String): String =
+  private[ops] def verDir(base: String): String =
     AtomicTable.resolve(base).getOrElse(
       throw new IllegalStateException(s"no published version at $base"))
 
-  private def dvPath(base: String): String = s"${verDir(base)}/$Dv"
+  private[ops] def dvPath(base: String): String = s"${verDir(base)}/$Dv"
 
   /** Record (do not rewrite): append the physical positions of rows
     * matching `pred` to the current version's deletion vector. */
@@ -54,7 +54,7 @@ object DeletionVectors {
       .coalesce(1)
       .write.mode("append").parquet(dvPath(base))
 
-  private def hasDv(base: String): Boolean =
+  private[ops] def hasDv(base: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dvPath(base)))
 
   /** The table with its deletion vector applied. Broadcast anti-join on

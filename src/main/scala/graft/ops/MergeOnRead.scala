@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.{AtomicTable, PathKeys, SessionCaches}
+
+/** Merge-on-read MERGE (upsert) — the full Delta-DV / Iceberg-v2 write
+  * shape on top of [[DeletionVectors]]: a MERGE batch neither rewrites nor
+  * shuffles the table. Matched rows die by POSITION (their `(file,
+  * row_index)` appends to the version's `_dv` sidecar) and the batch's
+  * new row versions append as fresh files to a `_mor` sidecar; the read
+  * composes `(data ∪ _mor) ANTI `_dv``. The reference's closest analog is
+  * the truncate-and-reload batch ETL (etl_lakehouse.py:21-35) — at 100 TB
+  * that rewrite costs the whole table per batch, while this MERGE costs
+  * O(batch): one table scan to locate matched positions (itself prunable
+  * by zone maps on the merge keys), kilobytes of DV, batch-sized inserts.
+  *
+  * Positions are uniform across data AND `_mor` files (`_metadata
+  * .row_index` is the row's ordinal within its immutable file), so a later
+  * merge that updates a row an earlier merge INSERTED works identically:
+  * its `_mor` position lands in the DV like any data-file position. The
+  * matched-key join broadcasts the batch's key set — right while batches
+  * are CDC-sized (≪ table); a table-sized backfill would flip to a
+  * shuffle join and should use `compactMerged`'s rewrite path instead.
+  * `compactMerged` pays the read debt back: survivors publish atomically
+  * as a fresh DV-free, MOR-free version (Delta `REORG ... APPLY (PURGE)`).
+  */
+object MergeOnRead {
+
+  private val Mor = "_mor"
+
+  private def morPath(base: String): String =
+    s"${DeletionVectors.verDir(base)}/$Mor"
+
+  private def hasMor(base: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(morPath(base)))
+
+  /** A directory scanned with each row's physical position attached. */
+  private def scanWithPos(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Live rows with positions: (data ∪ mor) ANTI dv, `__path`/`__pos`
+    * still attached (internal — callers project them away). */
+  private def liveWithPos(s: SparkSession, base: String): DataFrame = {
+    val data = scanWithPos(s, DeletionVectors.verDir(base))
+    val all =
+      if (hasMor(base)) data.unionByName(scanWithPos(s, morPath(base)))
+      else data
+    if (!DeletionVectors.hasDv(base)) all
+    else {
+      val dv = s.read.parquet(DeletionVectors.dvPath(base))
+        .select(col("path").as("__path"), col("pos").as("__pos"))
+      all.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
+    }
+  }
+
+  /** The table with every merge applied. */
+  def readMerged(s: SparkSession, base: String): DataFrame = {
+    val dataCols = AtomicTable.read(s, base).columns.map(col).toSeq
+    liveWithPos(s, base).select(dataCols: _*)
+  }
+
+  /** MERGE: rows of `batch` whose `keyCol` matches a live row REPLACE it
+    * (positional delete + insert); unmatched rows INSERT. The matched
+    * positions are materialized into the DV BEFORE the batch lands in
+    * `_mor`, so the batch can never match itself. */
+  def mergeUpsert(s: SparkSession, base: String, batch: DataFrame,
+                  keyCol: String): Unit = {
+    val keys = batch.select(keyCol).distinct()
+    liveWithPos(s, base)
+      .join(broadcast(keys), keyCol)
+      .select(col("__path").as("path"), col("__pos").as("pos"))
+      .coalesce(1)
+      .write.mode("append").parquet(DeletionVectors.dvPath(base))
+    batch.coalesce(1).write.mode("append").parquet(morPath(base))
+  }
+
+  /** Pay back the merge-on-read debt: publish the merged state as a fresh
+    * version with empty sidecars, atomically. */
+  def compactMerged(s: SparkSession, base: String, nFiles: Int = 8): Unit = {
+    val survivors = readMerged(s, base)
+    AtomicTable.publish(base)(dir =>
+      survivors.repartition(nFiles).write.mode("overwrite").parquet(dir))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  private val morMemo =
+    SessionCaches.memo[(SparkSession, String)]("merge_on_read.orders")
+
+  /** First CDC batch: an update (every key ≡ 0 mod 7 gets +10.00 and a
+    * marker priority) plus inserts (keys ≡ 0 mod 13 re-enter offset by
+    * 10^8 with status 'N'). Arithmetic is exact in doubles — no rounding
+    * to diverge between engines. */
+  private def batch1(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val updates = o.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .withColumn("o_orderpriority", lit("0-MERGED"))
+    val inserts = o.where(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    updates.unionByName(inserts)
+  }
+
+  /** Second batch updates rows the FIRST merge inserted (+5.00) — the
+    * position mechanism must reach into `_mor` files for these. Derived
+    * from the SOURCE (not `readMerged`) so the batch plan cannot observe
+    * its own merge's sidecar writes mid-flight. */
+  private def batch2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).where(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+
+  /** orders staged once per session with both merges committed — the memo
+    * is the table's post-MERGE metadata state. */
+  private def morOrders(s: SparkSession, d: String): String =
+    morMemo.getOrElseUpdate((s, d), {
+      val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders"
+      AtomicTable.publish(base) { dir =>
+        Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+      }
+      mergeUpsert(s, base, batch1(s, d), "o_orderkey")
+      mergeUpsert(s, base, batch2(s, d), "o_orderkey")
+      base
+    })
+
+  /** Aggregate over the twice-merged table — must equal the oracle's
+    * direct simulation of both merges over the source, proving positional
+    * replace semantics across data AND merge-inserted files. */
+  def mergeUpsertMor(s: SparkSession, d: String): DataFrame =
+    readMerged(s, morOrders(s, d))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert_mor" -> (mergeUpsertMor _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "merge_upsert_mor" -> """
+SELECT o_orderstatus, count(*) AS n_orders, sum(p) AS total_price
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT 'N' AS o_orderstatus, o_totalprice + 5.0 AS p
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+GROUP BY 1 ORDER BY 1"""
+  )
+}
