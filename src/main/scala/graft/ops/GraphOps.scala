@@ -158,13 +158,71 @@ SELECT tri.n_triangles,
 FROM tri, w"""
   }
 
+  // ------------------------------------------------------------------- BFS
+
+  val BfsHops = 4
+
+  /** Multi-source BFS shortest-hop distances (seeds: every 100th vector)
+    * over the symmetrized k-NN graph, unrolled to [[BfsHops]] levels —
+    * the "distance from curated seed set" signal graph-based corpus
+    * curation uses to expand a trusted core outward. Classic distributed
+    * frontier expansion: each level is ONE equi-join of the (small)
+    * frontier against the edge list plus an anti-join against the
+    * reached set — no driver-side state, no adjacency materialization,
+    * so the plan is level-count shuffles regardless of graph size
+    * (the [[pagerank]] unrolling argument). Level-order expansion makes
+    * first-reach = min-distance, so no min-aggregation is needed; the
+    * oracle recomputes the same distances by a structurally different
+    * route (DuckDB recursive CTE generating ALL ≤H-hop paths, then MIN).
+    * Unreached vectors report -1. */
+  def bfsDistances(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val bi = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val seeds = nodes.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("node"), lit(0).as("dist"))
+    var reached = seeds
+    var frontier = seeds
+    for (h <- 1 to BfsHops) {
+      val nxt = frontier.join(bi, frontier("node") === bi("u"))
+        .select(col("v").as("node"), lit(h).as("dist"))
+        .distinct()
+      frontier = nxt.join(reached, Seq("node"), "left_anti")
+      reached = reached.unionAll(frontier)
+    }
+    nodes.join(reached, nodes("vec_id") === reached("node"), "left")
+      .select(col("vec_id"), coalesce(col("dist"), lit(-1)).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  lazy val bfsDistancesOracle: String = {
+    val knn = Similarity.knnGraphOracle(3)
+    s"""
+WITH RECURSIVE
+raw AS (SELECT vec_a, vec_b FROM ($knn) knn_t),
+und AS (SELECT DISTINCT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v FROM raw),
+bi AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+bfs(node, dist) AS (
+  SELECT vec_id AS node, 0 AS dist FROM embeddings WHERE vec_id % 100 = 0
+  UNION
+  SELECT bi.v AS node, b.dist + 1 AS dist
+  FROM bfs b JOIN bi ON bi.u = b.node WHERE b.dist < $BfsHops),
+best AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY 1)
+SELECT e.vec_id, CAST(coalesce(best.dist, -1) AS INT) AS dist
+FROM embeddings e LEFT JOIN best ON best.node = e.vec_id
+ORDER BY e.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (pagerank _),
-    "graph_triangles" -> (triangles _)
+    "graph_triangles" -> (triangles _),
+    "graph_bfs_distances" -> (bfsDistances _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "graph_pagerank"  -> pagerankOracle,
-    "graph_triangles" -> trianglesOracle
+    "graph_triangles" -> trianglesOracle,
+    "graph_bfs_distances" -> bfsDistancesOracle
   )
 }

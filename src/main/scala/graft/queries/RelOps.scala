@@ -156,6 +156,30 @@ object RelOps {
         .as("running_spend"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
+  /** §2.5-ABSENT extension: running COUNT(DISTINCT) over a window — a
+    * genuine hole in Spark's window support (SPARK-13170: DISTINCT
+    * aggregates are rejected inside OVER). Rewritten as the standard
+    * first-occurrence trick: `row_number() = 1` over (key, value) marks a
+    * value's first appearance in its partition's event order, and a
+    * running SUM of that flag — an ordinary codegen'd window — IS the
+    * running distinct count. Two partitioned windows, no state beyond
+    * the frame; the oracle uses DuckDB's NATIVE `count(DISTINCT) OVER`,
+    * so the two engines compute the answer by structurally different
+    * routes. Scales with #keys like every partitioned window here. */
+  def windowDistinctCounts(s: SparkSession, d: String): DataFrame = {
+    val perValue = Window.partitionBy("o_custkey", "o_orderpriority")
+      .orderBy("o_orderdate", "o_orderkey")
+    val running = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("first_seen",
+        when(row_number().over(perValue) === 1, 1L).otherwise(0L))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum("first_seen").over(running).as("n_prio"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** §2.5-ABSENT extension: the full analytic-window family in one query —
     * lag/lead, dense_rank, ntile, first/last over an explicit full frame,
     * percent_rank/cume_dist. All partitioned windows (scale with #keys). */
@@ -569,6 +593,7 @@ ORDER BY o_orderpriority, status"""
     "paginated_keyset"      -> (paginatedKeyset _),
     "window_rank_per_group" -> (windowRankPerGroup _),
     "window_running_spend"  -> (windowRunningSpend _),
+    "window_distinct_counts" -> (windowDistinctCounts _),
     "window_analytics"      -> (windowAnalytics _),
     "grouping_sets_sales"   -> (groupingSetsSales _),
     "pivot_status"          -> (pivotStatus _),
@@ -670,6 +695,12 @@ SELECT o_custkey, o_orderdate, o_orderkey,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "window_distinct_counts" -> """
+SELECT o_custkey, o_orderkey,
+       count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey) AS n_prio
+FROM orders
+ORDER BY o_custkey, o_orderkey""",
     "window_analytics" -> """
 SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
        CAST(row_number() OVER w AS INT) AS seq,
