@@ -63,7 +63,11 @@ object PlanDump {
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
     "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
-    "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue"
+    "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
+    "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",
+    "merge_upsert_mor" -> "merge-on-read read path: DV applied as a broadcast anti-join on the physical position, data + _mor scan union never shuffles",
+    "dsir_importance_sample" -> "DSIR: 256-row bucket-stats side broadcast onto the token stream, only (bucket, doc_id) ints reach the doc-score exchange",
+    "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only"
   )
 
   def main(args: Array[String]): Unit = {

@@ -191,8 +191,38 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
+  /** TPC-H Q17-shaped small-quantity revenue, written as SQL with TWO
+    * correlated scalar subqueries and handed to Catalyst UNREWRITTEN —
+    * the decorrelation demo: RewriteCorrelatedScalarSubquery +
+    * MergeScalarSubqueries turn the per-row "re-aggregate my part" into
+    * one grouped aggregate joined back (O(n) instead of O(n·parts);
+    * naive nested execution at 100 TB is quadrillions of probes). The
+    * threshold is the classic qty < avg/5, restated as
+    * `qty·5·count < sum` so every comparison is exact integer-valued
+    * double arithmetic — no division, no rounding boundary to flip
+    * between engines (quantities are integral ≤ 50, counts small). */
+  def tpchSmallQuantity(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.registerViews(s, d)
+    s.sql("""
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l1
+      WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT sum(l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)""")
+  }
+
+  val tpchSmallQuantityOracle: String = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    < (SELECT sum(l_quantity) FROM lineitem l2
+       WHERE l2.l_partkey = l1.l_partkey)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_pricing_summary" -> (tpchPricingSummary _),
+    "tpch_small_quantity"  -> (tpchSmallQuantity _),
     "gold_dim_customer" -> (goldDimCustomer _),
     "gold_dim_part"     -> (goldDimPart _),
     "gold_dim_supplier" -> (goldDimSupplier _),
@@ -207,6 +237,7 @@ ORDER BY l_returnflag, l_linestatus"""
 
   val oracleSql: Map[String, String] = Map(
     "tpch_pricing_summary" -> tpchPricingSummaryOracle,
+    "tpch_small_quantity"  -> tpchSmallQuantityOracle,
     "gold_dim_customer" -> (ctes +
       "SELECT * FROM dim_customer ORDER BY customer_sk"),
     "gold_dim_part" -> (ctes +
