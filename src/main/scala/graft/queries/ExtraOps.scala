@@ -351,9 +351,13 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     * change batches, no driver materialization. The oracle recomputes the
     * same feed from the mutation rules directly, so the version-store
     * round-trip is what's actually under test. */
-  def versionDiff(s: SparkSession, d: String): DataFrame = {
+  /** Publish the canonical two customer versions under `tag` and return
+    * (v1, v2) as read back from the STORE (shared by [[versionDiff]] and
+    * [[mvCdcRefresh]] so the mutation rules cannot drift apart). */
+  private def customerVersions(s: SparkSession, d: String,
+                               tag: String): (DataFrame, DataFrame) = {
     import graft.util.AtomicTable
-    val base = s"/tmp/graft_vdiff/${graft.util.PathKeys.safe(d)}/customer"
+    val base = s"/tmp/graft_vdiff/${graft.util.PathKeys.safe(d)}/$tag"
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
     val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
     AtomicTable.publish(base, keep = 2)(dir => cust.write.mode("overwrite").parquet(dir))
@@ -364,10 +368,15 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
         .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("NEWSEG").as("c_mktsegment")))
     AtomicTable.publish(base, keep = 2)(dir => v2data.write.mode("overwrite").parquet(dir))
     val versions = AtomicTable.history(base)
-    val v1 = AtomicTable.readVersion(s, base, versions.head)
-      .select(col("c_custkey").as("k1"), col("c_mktsegment").as("old_seg"))
-    val v2 = AtomicTable.readVersion(s, base, versions.last)
-      .select(col("c_custkey").as("k2"), col("c_mktsegment").as("new_seg"))
+    (AtomicTable.readVersion(s, base, versions.head),
+      AtomicTable.readVersion(s, base, versions.last))
+  }
+
+  /** CDC rows (insert/delete/update with before+after images) between two
+    * version DataFrames, `unchanged` rows dropped. */
+  private def cdcOf(v1df: DataFrame, v2df: DataFrame): DataFrame = {
+    val v1 = v1df.select(col("c_custkey").as("k1"), col("c_mktsegment").as("old_seg"))
+    val v2 = v2df.select(col("c_custkey").as("k2"), col("c_mktsegment").as("new_seg"))
     v1.join(v2, col("k1") === col("k2"), "full_outer")
       .withColumn("op",
         when(col("k1").isNull, lit("insert"))
@@ -377,7 +386,11 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
       .filter(col("op") =!= "unchanged")
       .select(coalesce(col("k1"), col("k2")).as("c_custkey"),
         col("op"), col("old_seg"), col("new_seg"))
-      .orderBy("c_custkey")
+  }
+
+  def versionDiff(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = customerVersions(s, d, "customer")
+    cdcOf(v1, v2).orderBy("c_custkey")
   }
 
   /** Same feed from the mutation rules (original segments are never the
@@ -392,6 +405,48 @@ UNION ALL
 SELECT c_custkey + 1000000, 'insert', NULL, 'NEWSEG'
 FROM customer WHERE c_custkey % 13 = 0
 ORDER BY c_custkey"""
+
+  /** Incremental materialized-view maintenance from the CDC feed: the MV
+    * (customer count per market segment) is aggregated ONCE over v1, then
+    * refreshed to the v2 state by applying only the change rows — each
+    * delete/update retracts one count from its before-image segment, each
+    * insert/update adds one to its after-image segment, and the deltas
+    * merge into the stored MV by a segment-keyed full-outer join. Refresh
+    * cost is ∝ |CDC batch|, never ∝ |table| — on a 100 TB fact a nightly
+    * 0.1% change batch refreshes the view in seconds where the oracle's
+    * full recompute re-scans everything; the gate proves the incremental
+    * path lands on EXACTLY the recompute's answer (the algebraic-retract
+    * correctness a real MV engine must guarantee). Segments whose count
+    * reaches zero drop out, as a recompute would drop them. */
+  def mvCdcRefresh(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = customerVersions(s, d, "customer_mv")
+    val mv1 = v1.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+    val cdc = cdcOf(v1, v2)
+    val retracts = cdc.filter(col("op").isin("delete", "update"))
+      .select(col("old_seg").as("c_mktsegment"), lit(-1L).as("dn"))
+    val adds = cdc.filter(col("op").isin("insert", "update"))
+      .select(col("new_seg").as("c_mktsegment"), lit(1L).as("dn"))
+    val delta = retracts.unionByName(adds)
+      .groupBy("c_mktsegment").agg(sum("dn").as("dn"))
+    mv1.join(delta, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("n_customers"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_customers"))
+      .filter(col("n_customers") > 0)
+      .orderBy("c_mktsegment")
+  }
+
+  /** Full recompute of the view over the simulated v2 state — the answer
+    * the incremental refresh must land on. */
+  val mvCdcRefreshOracle: String = """
+WITH v2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 13 = 0)
+SELECT seg AS c_mktsegment, count(*) AS n_customers
+FROM v2 GROUP BY 1 ORDER BY 1"""
 
   /** Small-file compaction — the OPTIMIZE/maintenance pass every lakehouse
     * table needs: publish orders fragmented into 64 files (the steady state
@@ -714,6 +769,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _),
     "version_diff"      -> (versionDiff _),
+    "mv_cdc_refresh"    -> (mvCdcRefresh _),
     "gen_source_scan"   -> (genSourceScan _),
     "compact_small_files" -> (compactSmallFiles _)
   )
@@ -737,6 +793,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle,
     "version_diff"      -> versionDiffOracle,
+    "mv_cdc_refresh"    -> mvCdcRefreshOracle,
     "gen_source_scan"   -> genSourceScanOracle,
     "compact_small_files" -> compactSmallFilesOracle
   )
