@@ -281,9 +281,51 @@ WHERE base_digest <> rep_digest OR base_n <> rep_n
    OR base_digest IS NULL OR rep_digest IS NULL
 ORDER BY bucket"""
 
+  case class CustRow(c_custkey: Long, c_name: String)
+  case class OrderRow(o_custkey: Long, o_totalprice: Double)
+  case class CustSpend(c_custkey: Long, c_name: String,
+    n_orders: Long, total_spend: Double)
+
+  /** Typed COGROUP (`KeyValueGroupedDataset.cogroup`) — the Dataset-API
+    * escape hatch for per-key logic that needs BOTH sides' rows at once
+    * and can't be phrased as join + aggregate (custom matching,
+    * reconciliation, per-key merges). Physically one co-partitioned
+    * shuffle on the key with both inputs streamed per key — the same
+    * exchange a join would pay, no more — so the shape holds at 100 TB;
+    * the per-key closure here folds the orders iterator without
+    * materializing it. The gate pins the typed path to the relational
+    * answer (LEFT JOIN + GROUP BY in the oracle), including zero-order
+    * customers, which cogroup sees as an empty right iterator. */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name").as[CustRow]
+    val ord = Tables.orders(s, d).select("o_custkey", "o_totalprice").as[OrderRow]
+    cust.groupByKey(_.c_custkey)
+      .cogroup(ord.groupByKey(_.o_custkey)) { (k, cs, os) =>
+        val cl = cs.toSeq // ≤ 1: c_custkey is the customer PK
+        if (cl.isEmpty) Iterator.empty // orders with no customer row
+        else {
+          var n = 0L
+          var t = 0.0
+          os.foreach { o => n += 1; t += o.o_totalprice }
+          Iterator(CustSpend(k, cl.head.c_name, n, t))
+        }
+      }
+      .toDF()
+      .withColumn("total_spend", round(col("total_spend"), 2))
+      .orderBy("c_custkey")
+  }
+
+  val typedCogroupOracle: String = """
+SELECT c.c_custkey, c.c_name, count(o.o_custkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_write_roundtrip" -> (writeRoundtrip _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
+    "typed_cogroup"            -> (typedCogroup _),
     "json_extract_props"       -> (jsonExtract _),
     "variant_shred"            -> (variantShred _),
     "csv_roundtrip"            -> (csvRoundtrip _),
@@ -294,6 +336,7 @@ ORDER BY bucket"""
   val oracleSql: Map[String, String] = Map(
     "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
     "typed_dataset_agg"        -> typedDatasetAggOracle,
+    "typed_cogroup"            -> typedCogroupOracle,
     "json_extract_props"       -> jsonExtractOracle,
     "variant_shred"            -> variantShredOracle,
     "csv_roundtrip"            -> csvRoundtripOracle,
