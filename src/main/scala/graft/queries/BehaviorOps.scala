@@ -160,17 +160,70 @@ x AS (
 SELECT day, count(DISTINCT user_id) AS wau
 FROM x GROUP BY day ORDER BY day"""
 
+  // ------------------------------------------------- first-touch attribution
+
+  /** First-touch marketing attribution: each purchase's revenue goes to
+    * the EARLIEST touch event (view/click/signup) in the 30 minutes
+    * before it, or to 'direct' when the window is empty. The shape is the
+    * [[graft.queries.ChangeOps.pitJoin]] argument again: a user-keyed
+    * equi-join carries the interval predicate as a post-filter (never a
+    * nested loop), then one purchase-keyed window picks the minimum
+    * (ts, event_id) touch — a total order, so attribution is
+    * engine-independent. Per-user activity bounds the join fan-out; at
+    * 100 TB both sides shuffle once on user_id and the window runs on the
+    * purchase key, so no stage sees more than the windowed candidates. */
+  def attributionFirstTouch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("channel"))
+    val w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    val firstTouch = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("t_ts") < col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("channel"))
+    purchases.join(firstTouch, Seq("p_id"), "left")
+      .withColumn("channel", coalesce(col("channel"), lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val attributionFirstTouchOracle: String = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+a AS (
+  SELECT p_id, channel,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn
+  FROM p JOIN t USING (user_id)
+  WHERE t_ts >= p_ts - INTERVAL 30 MINUTE AND t_ts < p_ts)
+SELECT coalesce(a.channel, 'direct') AS channel, count(*) AS n_purchases,
+       round(sum(p.value), 2) AS revenue
+FROM p LEFT JOIN (SELECT p_id, channel FROM a WHERE rn = 1) a USING (p_id)
+GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
-    "rolling_active_users" -> (rollingActiveUsers _)
+    "rolling_active_users" -> (rollingActiveUsers _),
+    "attribution_first_touch" -> (attributionFirstTouch _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
     "rolling_active_users" -> rollingActiveUsersOracle,
-    "event_transitions" -> eventTransitionsOracle
+    "event_transitions" -> eventTransitionsOracle,
+    "attribution_first_touch" -> attributionFirstTouchOracle
   )
 }
