@@ -819,7 +819,121 @@ SELECT doc_id, n_tokens, dsir_ppm,
        row_number() OVER (ORDER BY dsir_ppm DESC, doc_id) <= 100 AS kept
 FROM scored ORDER BY doc_id"""
 
+  // -------------------------------------------- source distribution distance
+
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the "how different are my corpus slices" diagnostic
+    * behind source-mixing decisions ([[mixTemperature]] reweights by size;
+    * this measures CONTENT divergence). TV is chosen over KL/JS because it
+    * is a pure rational of the counts — with p = c_a/n_a, q = c_b/n_b,
+    * TV = ½·Σ|p−q| decomposes over the SHARED vocabulary as
+    * ½·[Σ_both |c_a·n_b − c_b·n_a| + (n_a·n_b − Σ_both c_a·n_b)
+    *    + (n_a·n_b − Σ_both c_b·n_a)] / (n_a·n_b)
+    * (the two complement terms are the one-sided masses), so the ppm result
+    * is exact BIGINT floor division and hash-gates where JS's p·ln p would
+    * not. Scale shape: the (source, token) count table is one explode + one
+    * hash-agg; the pair expansion joins that table to itself ON TOKEN, so
+    * fan-out per token is (#sources)² — sources are a dimension (tens), not
+    * data-sized — and the per-pair reduce is a hash-agg on (src_a, src_b).
+    * Nothing driver-side; the vocabulary never collects. */
+  def sourceTvDistance(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val a = cnt.join(tot, "source")
+      .select(col("tok"), col("source").as("src_a"), col("c").as("ca"), col("n").as("na"))
+    val b = cnt.join(tot, "source")
+      .select(col("tok"), col("source").as("src_b"), col("c").as("cb"), col("n").as("nb"))
+    a.join(b, "tok").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "na", "src_b", "nb")
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("diff_both"),
+        sum(col("ca") * col("nb")).as("mass_a"),
+        sum(col("cb") * col("na")).as("mass_b"))
+      .withColumn("tv_ppm", expr(
+        "(diff_both + (na * nb - mass_a) + (na * nb - mass_b)) * 1000000L DIV (2L * na * nb)"))
+      .select("src_a", "src_b", "shared_tokens", "tv_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceTvDistanceOracle: String = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+j AS (
+  SELECT a.source AS src_a, ta.n AS na, b.source AS src_b, tb.n AS nb,
+         a.c AS ca, b.c AS cb
+  FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+  JOIN t ta ON ta.source = a.source
+  JOIN t tb ON tb.source = b.source)
+SELECT src_a, src_b, count(*) AS shared_tokens,
+       CAST((sum(abs(ca * nb - cb * na)) + (na * nb - sum(ca * nb))
+             + (na * nb - sum(cb * na))) * 1000000
+            // (2 * na * nb) AS BIGINT) AS tv_ppm
+FROM j GROUP BY src_a, na, src_b, nb ORDER BY src_a, src_b"""
+
+  // ----------------------------------------------- in-batch negative sampling
+
+  /** Deterministic in-batch negative assignment for contrastive training —
+    * the sampler behind CLIP/DPR-style objectives: shuffle the corpus with
+    * a seeded md5 key (epoch 1 of [[epochShuffle]]'s keying), cut each
+    * shard's shuffle order into batches of 8, and pair every document with
+    * the OTHER members of its batch as negatives, dropping exact-duplicate
+    * texts from a batch's negative set (a duplicate is a FALSE negative —
+    * the model would be pushed away from its own positive). Output is the
+    * per-anchor negative-set summary (count, id-sum checksum, min id) so
+    * the full assignment hash-gates without dumping 8×N pair rows. Scale
+    * shape: the batching window partitions by the md5 shard (hex-digit
+    * prefix — one digit here so test-scale batches actually fill; widen
+    * the prefix as the corpus grows, the shards stay balanced by
+    * construction), and the pairing self-join keys on (shard, batch) with
+    * fan-out bounded by the batch size — never all-pairs. Re-keying the
+    * md5 seed re-deals every batch per epoch with zero state. */
+  def inbatchNegatives(s: SparkSession, d: String, batch: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        md5(concat(lit("neg:1:"), col("doc_id").cast("string"))).as("k"),
+        md5(col("text")).as("fp"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+    val w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    val batched = docs.withColumn("rn", row_number().over(w))
+      .withColumn("bseq", expr(s"(rn - 1) DIV $batch"))
+      .select("doc_id", "fp", "shard", "bseq")
+    val other = batched.select(col("shard"), col("bseq"),
+      col("doc_id").as("neg_id"), col("fp").as("neg_fp"))
+    batched.join(other, Seq("shard", "bseq"))
+      .filter(col("neg_id") =!= col("doc_id") && col("neg_fp") =!= col("fp"))
+      .groupBy("doc_id", "shard", "bseq")
+      .agg(count(lit(1)).as("n_negatives"), sum("neg_id").as("neg_sum"),
+        min("neg_id").as("neg_min"))
+      .select(col("doc_id"),
+        concat(col("shard"), lit(":"), col("bseq").cast("string")).as("batch_key"),
+        col("n_negatives"), col("neg_sum"), col("neg_min"))
+      .orderBy("doc_id")
+  }
+
+  val inbatchNegativesOracle: String = """
+WITH d AS (
+  SELECT doc_id, md5('neg:1:' || CAST(doc_id AS VARCHAR)) AS k, md5(text) AS fp
+  FROM documents),
+b AS (
+  SELECT doc_id, fp, substr(k, 1, 1) AS shard,
+         (row_number() OVER (PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id) - 1) // 8 AS bseq
+  FROM d),
+pr AS (
+  SELECT a.doc_id, a.shard, a.bseq, n.doc_id AS neg_id
+  FROM b a JOIN b n ON a.shard = n.shard AND a.bseq = n.bseq
+  WHERE n.doc_id <> a.doc_id AND n.fp <> a.fp)
+SELECT doc_id, shard || ':' || CAST(bseq AS VARCHAR) AS batch_key,
+       count(*) AS n_negatives, CAST(sum(neg_id) AS BIGINT) AS neg_sum,
+       min(neg_id) AS neg_min
+FROM pr GROUP BY doc_id, shard, bseq ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_tv_distance"   -> (sourceTvDistance _),
+    "inbatch_negatives"    -> ((s: SparkSession, d: String) => inbatchNegatives(s, d)),
     "dsir_importance_sample" -> (dsirSample _),
     "epoch_shuffle"        -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "weighted_sample"      -> ((s: SparkSession, d: String) => weightedSample(s, d)),
@@ -839,6 +953,8 @@ FROM scored ORDER BY doc_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "source_tv_distance"   -> sourceTvDistanceOracle,
+    "inbatch_negatives"    -> inbatchNegativesOracle,
     "dsir_importance_sample" -> dsirSampleOracle,
     "epoch_shuffle"        -> epochShuffleOracle,
     "weighted_sample"      -> weightedSampleOracle,

@@ -277,8 +277,108 @@ SELECT doc_id, tok, tf, df, score_q, rnk FROM (
 WHERE rnk <= 5
 ORDER BY doc_id, rnk"""
 
+  // ----------------------------------------------------------------- BM25
+
+  /** BM25 document retrieval for a fixed 3-term query — the ranking stage
+    * of a search/RAG pipeline over the corpus (tf-saturation + length
+    * normalization, which plain [[tfidfTopTerms]] lacks). Arithmetic is the
+    * project's exact-rational surrogate discipline: with k1 = 6/5 and
+    * b = 3/4, the Robertson tf component
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is EXACTLY
+    * 22·tf·S / (10·S·tf + 3·S + 9·dl·N) once avgdl = S/N is cleared of
+    * fractions (S = corpus token count, N = docs) — integer-exact at scale
+    * 10^4; the idf swaps ln((N−df+½)/(df+½)) for the monotone rational
+    * (N−df+1)/(df+1) at the same scale (the [[tfidfTopTerms]] precedent —
+    * transcendental last-ulp skew would make the cross-engine hash flaky).
+    * Scale shape: the postings build is one explode + two hash-aggs; the
+    * query-term filter prunes the postings BEFORE any shuffle (three terms
+    * → three posting lists, the inverted-index access path); df and the
+    * (S, N) scalars broadcast; the per-doc score is one hash-agg and the
+    * answer is a TakeOrderedAndProject top-20 — no global sort, no
+    * all-terms score matrix. */
+  def bm25Rank(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("spark", "vector", "customer")
+    val toks = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum("dl").as("s_total"), count(lit(1)).as("n_docs"))
+    val hits = toks.filter(col("tok").isin(qTerms: _*))
+    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_q", expr(
+        """((n_docs - df + 1) * 10000L DIV (df + 1)) *
+          |(22L * tf * s_total * 10000L DIV
+          |  (10L * s_total * tf + 3L * s_total + 9L * dl * n_docs))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("score_q").as("score_q"))
+      .orderBy(desc("score_q"), col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25RankOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT CAST(sum(dl) AS BIGINT) AS s_total, count(*) AS n_docs FROM dl),
+q AS (SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'vector', 'customer')),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         ((st.n_docs - df.df + 1) * 10000 // (df.df + 1)) *
+         (22 * tf.tf * st.s_total * 10000 //
+           (10 * st.s_total * tf.tf + 3 * st.s_total + 9 * dl.dl * st.n_docs)) AS score_q
+  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+SELECT doc_id, count(*) AS n_terms, CAST(sum(score_q) AS BIGINT) AS score_q
+FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
+
+  // ----------------------------------------------------- lexical diversity
+
+  /** Per-source lexical-diversity profile: vocabulary size, type-token
+    * ratio, and the Simpson repeat index Σnᵢ(nᵢ−1)/(N(N−1)) — the
+    * probability two tokens drawn without replacement are the same type.
+    * Simpson is the diversity measure chosen here because (unlike Shannon
+    * entropy's Σp·ln p) it is a pure rational of the counts, so the ppm
+    * result is exact BIGINT arithmetic and hash-gates. Scale shape: one
+    * explode into a (source, token) hash-agg (map-side partial), then a
+    * source-keyed rollup; nothing but counts ever shuffles. The Σnᵢ(nᵢ−1)
+    * numerator is bounded by N² — fine to petabyte-per-source scale in
+    * BIGINT cents of ppm; past that the same rollup runs on per-shard
+    * partials. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(s, Tables.documents(s, d))
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(expr("c * (c - 1)")).as("rep_pairs"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("vocab * 1000000L DIV n_tokens").as("ttr_ppm"),
+        expr("rep_pairs * 1000000L DIV (n_tokens * (n_tokens - 1))").as("simpson_ppm"))
+      .orderBy("source")
+
+  val lexicalDiversityOracle: String = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+g AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+  FROM c GROUP BY 1)
+SELECT source, n_tokens, vocab,
+       CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(rep_pairs * 1000000 // (n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+FROM g ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms"      -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
+    "bm25_rank"            -> (bm25Rank _),
+    "lexical_diversity"    -> (lexicalDiversity _),
     "corpus_filter"        -> (corpusFilter _),
     "text_langid"          -> (langId _),
     "text_quality"         -> (quality _),
@@ -289,6 +389,8 @@ ORDER BY doc_id, rnk"""
 
   val oracleSql: Map[String, String] = Map(
     "tfidf_top_terms"      -> tfidfOracle,
+    "bm25_rank"            -> bm25RankOracle,
+    "lexical_diversity"    -> lexicalDiversityOracle,
     "corpus_filter"        -> corpusFilterOracle,
     "text_langid"          -> langIdOracle,
     "text_quality"         -> qualityOracle,

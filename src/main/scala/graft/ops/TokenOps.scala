@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -455,9 +456,72 @@ FROM tok, n GROUP BY tok, n.n
 HAVING count(*) * 100 > n.n
 ORDER BY n_occur DESC, tok"""
 
+  // ------------------------------------------------ length-bucketed batching
+
+  /** Length-bucketed dynamic-padding batch formation — the step a training
+    * data loader runs after tokenization: group sequences of similar
+    * length (8-token equi-width buckets), fill fixed-size batches longest-
+    * first inside each bucket, pad every row to its BATCH max, and report
+    * the padding efficiency the bucketing bought. Complements
+    * [[graft.ops.CorpusOps.sequencePack]] (concat-packing into one
+    * context window) — bucketed padding is what encoder/contrastive
+    * training uses where packing is unsound. Scale shape: the batching
+    * window partitions by (bucket, shard) — shard = doc_id DIV 1000 —
+    * exactly how per-worker loaders batch, so no partition exceeds the
+    * shard size regardless of corpus scale and the hot small-length
+    * bucket never funnels into one task; the per-batch reduce and the
+    * per-bucket rollup are hash-aggs. Padding math is integer-exact
+    * (pad = batch_max·n − Σlen), so efficiency ppm hash-gates. */
+  def lengthBucketBatches(s: SparkSession, d: String, batch: Int = 32): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("doc_id DIV 1000").as("shard"))
+      .withColumn("bucket_cap", expr("((n_tok + 7) DIV 8) * 8"))
+    val w = Window.partitionBy("bucket_cap", "shard")
+      .orderBy(desc("n_tok"), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rn - 1) DIV $batch"))
+      .groupBy("bucket_cap", "shard", "batch_id")
+      .agg(count(lit(1)).as("bn"), max("n_tok").as("bmax"), sum("n_tok").as("btok"))
+      .groupBy("bucket_cap")
+      .agg(sum("bn").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum("btok").as("total_tokens"),
+        sum(col("bmax") * col("bn") - col("btok")).as("pad_tokens"))
+      .withColumn("efficiency_ppm",
+        expr("total_tokens * 1000000L DIV (total_tokens + pad_tokens)"))
+      .orderBy("bucket_cap")
+  }
+
+  val lengthBucketBatchesOracle: String = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         doc_id // 1000 AS shard
+  FROM documents),
+b AS (
+  SELECT *, ((n_tok + 7) // 8) * 8 AS bucket_cap,
+         (row_number() OVER (PARTITION BY ((n_tok + 7) // 8) * 8, shard
+                             ORDER BY n_tok DESC, doc_id) - 1) // 32 AS batch_id
+  FROM d),
+g AS (
+  SELECT bucket_cap, shard, batch_id, count(*) AS bn,
+         max(n_tok) AS bmax, sum(n_tok) AS btok
+  FROM b GROUP BY 1, 2, 3),
+r AS (
+  SELECT bucket_cap, CAST(sum(bn) AS BIGINT) AS n_docs, count(*) AS n_batches,
+         CAST(sum(btok) AS BIGINT) AS total_tokens,
+         CAST(sum(bmax * bn - btok) AS BIGINT) AS pad_tokens
+  FROM g GROUP BY 1)
+SELECT bucket_cap, n_docs, n_batches, total_tokens, pad_tokens,
+       CAST(total_tokens * 1000000 // (total_tokens + pad_tokens) AS BIGINT) AS efficiency_ppm
+FROM r ORDER BY bucket_cap"""
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_bucket_batches" -> ((s: SparkSession, d: String) => lengthBucketBatches(s, d)),
     "token_rarity"      -> (tokenRarity _),
     "bpe_pair_counts"   -> (bpePairCounts _),
     "doc_chunking"      -> (docChunking _),
@@ -470,6 +534,7 @@ ORDER BY n_occur DESC, tok"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "length_bucket_batches" -> lengthBucketBatchesOracle,
     "token_rarity"      -> tokenRarityOracle,
     "bpe_pair_counts"   -> bpePairCountsOracle,
     "doc_chunking"      -> docChunkingOracle,

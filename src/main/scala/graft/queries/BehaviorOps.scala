@@ -211,7 +211,67 @@ SELECT coalesce(a.channel, 'direct') AS channel, count(*) AS n_purchases,
 FROM p LEFT JOIN (SELECT p_id, channel FROM a WHERE rn = 1) a USING (p_id)
 GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------- association rules
+
+  /** Market-basket association rules A→B with support, confidence, and lift
+    * — the step AFTER [[copurchasePairs]]: raw co-occurrence becomes a
+    * directional recommendation score. Metrics are exact integer ppm
+    * (conf = n_AB/n_A, lift = n_AB·N/(n_A·n_B) — both cleared of floats by
+    * the usual 10^6 floor division), so the ranking hash-gates. Scale
+    * shape: the SAME one-shuffle basket expansion as [[copurchasePairs]]
+    * but emitting BOTH directions (a rule is ordered); the per-item count
+    * table is part-dimension-sized, joined twice with broadcast (at 100 TB
+    * the item dim still fits — it is a catalog, not a fact); the scalar
+    * basket count rides a broadcast crossJoin. The oracle's all-pairs
+    * self-join lives only in DuckDB. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = baskets.agg(countDistinct("l_orderkey").as("n_orders"))
+    val items = baskets.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, x ->
+          |  transform(filter(parts, y -> y != x),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a").as("antecedent"), col("pr.b").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(items.withColumnRenamed("l_partkey", "antecedent")
+        .withColumnRenamed("n_item", "n_a")), "antecedent")
+      .join(broadcast(items.withColumnRenamed("l_partkey", "consequent")
+        .withColumnRenamed("n_item", "n_b")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ppm", expr("n_ab * 1000000L DIV n_a"))
+      .withColumn("lift_ppm", expr("n_ab * n_orders * 1000000L DIV (n_a * n_b)"))
+      .select("antecedent", "consequent", "n_ab", "conf_ppm", "lift_ppm")
+      .orderBy(desc("lift_ppm"), desc("conf_ppm"), col("antecedent"), col("consequent"))
+      .limit(100)
+  }
+
+  val assocRulesOracle: String = """
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM p),
+i AS (SELECT l_partkey, count(*) AS n_item FROM p GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent, count(*) AS n_ab
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT antecedent, consequent, n_ab,
+       CAST(n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+       CAST(n_ab * n.n_orders * 1000000 // (ia.n_item * ic.n_item) AS BIGINT) AS lift_ppm
+FROM pr
+JOIN i ia ON ia.l_partkey = antecedent
+JOIN i ic ON ic.l_partkey = consequent
+CROSS JOIN n
+ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules"       -> (assocRules _),
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
@@ -220,6 +280,7 @@ GROUP BY 1 ORDER BY 1"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "assoc_rules"       -> assocRulesOracle,
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
     "rolling_active_users" -> rollingActiveUsersOracle,

@@ -681,9 +681,235 @@ SELECT CAST(r.c AS INT) AS component, t.n, t.trace_num,
 FROM t, UNNEST(range(1, 5)) AS r(c)
 ORDER BY component"""
 
+  // ------------------------------------------- inequality / concentration
+
+  /** Per-nation customer-spend inequality: exact Gini coefficient plus the
+    * Pareto top-20% revenue share. Gini uses the rank formulation
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over spend sorted ascending with
+    * a total (cents, custkey) tie-break; numerator and denominator are
+    * exact BIGINTs and meet in ONE long→double conversion + IEEE division
+    * — both correctly rounded and engine-identical even past 2^53, where
+    * the conversion rounds the same way on both sides (the repo's
+    * weighted-sample precedent). The top-20% share is pure integer ppm
+    * (top ⌈n/5⌉ spenders = ranks above n − ⌈n/5⌉). Scale shape: spend is
+    * one fact-side hash-agg on custkey; the ranking window partitions by
+    * nation (25 partitions of customer-dim size — at 100 TB swap in
+    * [[graft.ops.SurrogateKeys.scalable]]'s range-exchange ranking); the
+    * count table and nation dim broadcast. */
+  def giniPareto(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey").as("custkey"), col("cents"))
+    val w = Window.partitionBy("nation").orderBy(col("cents"), col("custkey"))
+    val counts = spend.groupBy("nation").agg(count(lit(1)).as("n"))
+    spend.withColumn("i", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "nation")
+      .groupBy("nation", "n")
+      .agg(sum("cents").as("total_cents"),
+        sum(expr("i * cents")).as("iwx"),
+        sum(expr("CASE WHEN i > n - (n + 4) DIV 5 THEN cents ELSE 0L END")).as("top_cents"))
+      .select(col("nation"), col("n").as("n_customers"), col("total_cents"),
+        round(expr("CAST(2 * iwx - (n + 1) * total_cents AS DOUBLE) / CAST(n * total_cents AS DOUBLE)"), 6).as("gini"),
+        expr("top_cents * 1000000L DIV total_cents").as("top20_share_ppm"))
+      .orderBy("nation")
+  }
+
+  val giniParetoOracle: String = """
+WITH spend AS (
+  SELECT n.n_name AS nation, o.o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY nation ORDER BY cents, custkey) AS BIGINT) AS i,
+         count(*) OVER (PARTITION BY nation) AS n
+  FROM spend)
+SELECT nation, n AS n_customers, CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(2 * sum(i * cents) - (n + 1) * sum(cents) AS DOUBLE)
+             / CAST(n * sum(cents) AS DOUBLE), 6) AS gini,
+       CAST(sum(CASE WHEN i > n - (n + 4) // 5 THEN cents ELSE 0 END) * 1000000
+            // sum(cents) AS BIGINT) AS top20_share_ppm
+FROM r GROUP BY nation, n ORDER BY nation"""
+
+  /** Herfindahl–Hirschman market-concentration index: supplier revenue
+    * shares within each nation, shares floored to whole basis points
+    * (xᵢ·10⁴ DIV X) BEFORE squaring so every term is an exact BIGINT and
+    * the sum is order-independent — a float Σsᵢ² would diverge across
+    * engines on addition order alone. HHI reads on the usual 0–10⁸ scale
+    * (10⁸ = monopoly). Scale shape: revenue is one fact-side hash-agg on
+    * suppkey; the per-nation total is a 25-row broadcast; the index
+    * aggregate is supplier-dim-sized. */
+  def hhiConcentration(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("l_suppkey").agg(sum("cents").as("cents"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"), col("cents"))
+    val totals = rev.groupBy("nation").agg(sum("cents").as("total_cents"))
+    rev.join(broadcast(totals), "nation")
+      .withColumn("share_bp", expr("cents * 10000L DIV total_cents"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(expr("share_bp * share_bp")).as("hhi"),
+        max("share_bp").as("top_share_bp"))
+      .orderBy("nation")
+  }
+
+  val hhiConcentrationOracle: String = """
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+t AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS total_cents FROM rev GROUP BY 1),
+sh AS (
+  SELECT rev.nation, cents * 10000 // total_cents AS share_bp
+  FROM rev JOIN t ON rev.nation = t.nation)
+SELECT nation, count(*) AS n_suppliers,
+       CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi,
+       CAST(max(share_bp) AS BIGINT) AS top_share_bp
+FROM sh GROUP BY nation ORDER BY nation"""
+
+  // ------------------------------------------------------ A/B test (χ², 1 dof)
+
+  /** Two-proportion A/B significance test: users split by id parity,
+    * "converted" = made ≥1 purchase above 120 (every user purchases
+    * SOMETHING in this corpus — the threshold is what makes conversion a
+    * real Bernoulli), and the 2×2 χ² statistic (= z²
+    * for two proportions) decides whether conversion differs. Everything
+    * up to the statistic is exact BIGINT (user counts, conversions, ppm
+    * rates); the statistic itself is the exact rational
+    * (c₁n₂−c₂n₁)²·N / (n₁n₂·C·(N−C)) evaluated as ONE identically-
+    * parenthesized chain of long→double casts and IEEE mul/div — both
+    * engines round each step the same way, so even the float hash-gates.
+    * (a = c₁n₂−c₂n₁ stays < 2^63 to customer-dim scale; past that,
+    * pre-reduce per shard.) The significance gate is the literal 0.05
+    * critical value 3.841459 — a constant, like the Benford table. Scale
+    * shape: one hash-agg on user_id (map-side partial max), then a
+    * four-way conditional sum to a single row. */
+  def abTestChi2(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 120, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("grp", expr("user_id % 2"))
+    users.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_ppm", expr("conv_a * 1000000L DIV n_a"))
+      .withColumn("rate_b_ppm", expr("conv_b * 1000000L DIV n_b"))
+      .withColumn("chi2", expr(
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+          |ELSE round(CAST((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a) AS DOUBLE)
+          |/ CAST(n_a * n_b AS DOUBLE)
+          |* CAST(n_a + n_b AS DOUBLE)
+          |/ CAST((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) AS DOUBLE), 6) END""".stripMargin))
+      .withColumn("significant", col("chi2") > 3.841459)
+  }
+
+  val abTestChi2Oracle: String = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 120 THEN 1 ELSE 0 END) AS conv,
+         user_id % 2 AS grp
+  FROM events GROUP BY user_id),
+g AS (
+  SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u),
+x AS (
+  SELECT *, CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+       ELSE round(CAST((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a) AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE)
+             * CAST(n_a + n_b AS DOUBLE)
+             / CAST((conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) AS DOUBLE), 6) END AS chi2
+  FROM g)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       chi2, chi2 > 3.841459 AS significant
+FROM x"""
+
+  // ----------------------------------------------------------- Benford audit
+
+  /** Benford first-significant-digit audit over order totals — the classic
+    * forensic-accounting / data-quality screen for fabricated or truncated
+    * numeric columns. Per digit 1–9: observed count, observed share,
+    * Benford's expected share log₁₀(1+1/d), the absolute deviation, and a
+    * Pearson χ² contribution — all in exact integer ppm. The expected
+    * shares ARE transcendental, but they are nine CONSTANTS, so both
+    * engines carry the same pre-rounded literals (301030 … 45757) and no
+    * runtime log is evaluated; the χ² contribution squares the ppm GAP
+    * (≤10^6, so the square fits BIGINT) rather than raw counts, which
+    * would overflow at fact scale. The first digit is taken from the
+    * BIGINT→string cast of floor(x) — integer formatting is
+    * engine-identical where double formatting is not. Scale shape: one
+    * linear scan into a 9-row hash-agg (map-side partial), a broadcast
+    * scalar total, and a 9-row literal spine left-join so an absent digit
+    * still reports its full expected deviation. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, d)
+      .select(expr(
+        "cast(substring(cast(cast(floor(o_totalprice) AS bigint) AS string), 1, 1) AS int)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = Tables.orders(s, d).agg(count(lit(1)).as("n_total"))
+    val spine = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+      .toDF("digit", "exp_ppm")
+    spine.join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("n * 1000000L DIV n_total"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("chi2_q",
+        expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"))
+      .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm", "chi2_q")
+      .orderBy("digit")
+  }
+
+  val benfordDigitsOracle: String = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT count(*) AS n_total FROM orders),
+e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)) AS v(digit, exp_ppm))
+SELECT e.digit, coalesce(c.n, 0) AS n,
+       CAST(coalesce(c.n, 0) * 1000000 // t.n_total AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs(coalesce(c.n, 0) * 1000000 // t.n_total - e.exp_ppm) AS BIGINT) AS dev_ppm,
+       CAST((coalesce(c.n, 0) * 1000000 // t.n_total - e.exp_ppm)
+            * (coalesce(c.n, 0) * 1000000 // t.n_total - e.exp_ppm)
+            // e.exp_ppm AS BIGINT) AS chi2_q
+FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
+
   // ------------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_digits"       -> (benfordDigits _),
+    "gini_pareto"          -> (giniPareto _),
+    "hhi_concentration"    -> (hhiConcentration _),
+    "ab_test_chi2"         -> (abTestChi2 _),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -698,6 +924,10 @@ ORDER BY component"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "benford_digits"       -> benfordDigitsOracle,
+    "gini_pareto"          -> giniParetoOracle,
+    "hhi_concentration"    -> hhiConcentrationOracle,
+    "ab_test_chi2"         -> abTestChi2Oracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,

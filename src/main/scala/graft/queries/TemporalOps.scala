@@ -601,7 +601,53 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        END AS twap
 FROM d GROUP BY user_id ORDER BY user_id"""
 
+  // ------------------------------------------------- CUSUM change point
+
+  /** CUSUM change-point detection over the daily-revenue series — the
+    * level-shift monitor a pipeline runs on any metric stream. The
+    * statistic is kept exact by clearing the mean of fractions: the
+    * cumulative sum of (xᵢ − μ) scaled by n is Σ(n·xᵢ − T) with
+    * T = Σx — pure BIGINT cents, no division anywhere, so the argmax
+    * split day (max |CUSUM|, the classic single-change estimator) is
+    * engine-exact. Scale shape: the heavy pass is the per-day cents
+    * hash-agg over the fact (map-side partial); the cumulative window
+    * runs over the DAY series — calendar-bounded thousands of rows, so
+    * the single-partition running sum is a non-issue at any fact scale —
+    * and the peak scalar broadcasts back. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val tot = daily.agg(sum("cents").as("total"), count(lit(1)).as("n"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled", sum(expr("n * cents - total")).over(w))
+    val peak = cus.agg(max(abs(col("cusum_scaled"))).as("peak"))
+    cus.crossJoin(broadcast(peak))
+      .select(col("day"), col("cents"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak")).as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  val cusumChangepointOracle: String = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total, count(*) AS n FROM daily),
+c AS (
+  SELECT day, cents,
+         CAST(sum(n * cents - total) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+  FROM daily CROSS JOIN t),
+p AS (SELECT max(abs(cusum_scaled)) AS peak FROM c)
+SELECT day, cents, cusum_scaled, abs(cusum_scaled) = p.peak AS is_changepoint
+FROM c CROSS JOIN p ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cusum_changepoint"   -> (cusumChangepoint _),
     "twap_per_user"       -> (twapPerUser _),
     "event_funnel"        -> (eventFunnel _),
     "order_lifecycle_funnel" -> (orderLifecycleFunnel _),
@@ -618,6 +664,7 @@ FROM d GROUP BY user_id ORDER BY user_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cusum_changepoint"   -> cusumChangepointOracle,
     "twap_per_user"       -> twapPerUserOracle,
     "event_funnel"        -> eventFunnelOracle,
     "order_lifecycle_funnel" -> orderLifecycleFunnelOracle,

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, TextOps, TokenOps}
+import graft.queries.{BehaviorOps, StatOps}
+
+/** Sequential-reference sanity for the retrieval/stats family added in
+  * round 9 (`bm25_rank`, `assoc_rules`, `benford_digits`,
+  * `source_tv_distance`, `length_bucket_batches`, `inbatch_negatives`).
+  * The DuckDB gate proves engine AGREEMENT; these tests pin the math the
+  * two engines could agree wrongly about (the NOTES round-6 lesson): the
+  * Benford literals against the JVM's own log10, metric range contracts,
+  * and structural invariants of the batch/negative assignments.
+  */
+class RetrievalStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("benford expected-ppm literals equal round(log10(1+1/d)*1e6)") {
+    val r = StatOps.benfordDigits(spark, sf)
+      .select("digit", "exp_ppm").collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    assert(r.keySet == (1 to 9).toSet)
+    (1 to 9).foreach { d =>
+      val expect = math.round(math.log10(1.0 + 1.0 / d) * 1e6)
+      assert(r(d) == expect, s"digit $d literal ${r(d)} != $expect")
+    }
+  }
+
+  test("benford digit counts partition the orders table") {
+    val r = StatOps.benfordDigits(spark, sf).cache()
+    val orders = Tables.orders(spark, sf).count()
+    assert(r.agg(sum("n")).head().getLong(0) == orders)
+    // shares and deviations stay inside their ppm ranges
+    assert(r.filter(col("obs_ppm") < 0 || col("obs_ppm") > 1000000L).count() == 0)
+    assert(r.filter(col("dev_ppm") > 1000000L).count() == 0)
+    r.unpersist()
+  }
+
+  test("assoc rules: confidence <= 1e6 ppm, rules are directional and keyed") {
+    val r = BehaviorOps.assocRules(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("conf_ppm") > 1000000L).count() == 0)
+    assert(r.filter(col("antecedent") === col("consequent")).count() == 0)
+    assert(r.count() == r.select("antecedent", "consequent").distinct().count())
+    r.unpersist()
+  }
+
+  test("assoc rules: confidence recomputes from hand-counted supports") {
+    val p = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().cache()
+    val items = p.groupBy("l_partkey").agg(count(lit(1)).as("n_a")).cache()
+    val top = BehaviorOps.assocRules(spark, sf).limit(10)
+    val checked = top.join(items.withColumnRenamed("l_partkey", "antecedent"), "antecedent")
+      .filter(col("conf_ppm") =!= expr("n_ab * 1000000L DIV n_a"))
+      .count()
+    assert(checked == 0)
+    p.unpersist(); items.unpersist()
+  }
+
+  test("bm25: every ranked doc matches at least one query term, scores rank-ordered") {
+    val r = TextOps.bm25Rank(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.forall(_.getLong(1) >= 1)) // n_terms
+    val scores = r.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tv distance is a metric-range quantity and covers all source pairs") {
+    val r = CorpusOps.sourceTvDistance(spark, sf).cache()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(r.count() == nSrc * (nSrc - 1) / 2)
+    assert(r.filter(col("tv_ppm") < 0 || col("tv_ppm") > 1000000L).count() == 0)
+    r.unpersist()
+  }
+
+  test("length buckets: every doc lands in exactly one bucket, padding sound") {
+    val r = TokenOps.lengthBucketBatches(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(r.agg(sum("n_docs")).head().getLong(0) == docs)
+    assert(r.filter(col("pad_tokens") < 0).count() == 0)
+    assert(r.filter(col("efficiency_ppm") > 1000000L).count() == 0)
+    // batches can pad at most (cap-size window) per doc: pad < 8 * n_docs
+    assert(r.filter(col("pad_tokens") >= col("n_docs") * 8).count() == 0)
+    r.unpersist()
+  }
+
+  test("gini/pareto: coefficient in [0,1), top-20% share holds at least 20%") {
+    val r = StatOps.giniPareto(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
+    // the top ceil(n/5) spenders are the LARGEST, so their share can
+    // never fall below the uniform 1/5 (floor division costs <= 1 ppm)
+    assert(r.filter(col("top20_share_ppm") < 199999L).count() == 0)
+    r.unpersist()
+  }
+
+  test("hhi: bounded by monopoly, dominated term consistent with max share") {
+    val r = StatOps.hhiConcentration(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("top_share_bp") > 10000L).count() == 0)
+    assert(r.filter(col("hhi") > 100000000L).count() == 0)
+    // the max-share term alone is a lower bound on the sum of squares
+    assert(r.filter(col("hhi") < col("top_share_bp") * col("top_share_bp")).count() == 0)
+    r.unpersist()
+  }
+
+  test("lexical diversity: ttr and simpson stay in ppm range, vocab <= tokens") {
+    val r = TextOps.lexicalDiversity(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("vocab") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("ttr_ppm") > 1000000L || col("simpson_ppm") > 1000000L).count() == 0)
+    r.unpersist()
+  }
+
+  test("in-batch negatives: fan-out bounded by batch size, no self-pairs") {
+    val r = CorpusOps.inbatchNegatives(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("n_negatives") > 7).count() == 0)
+    // the id-sum checksum of a negative set can never include the anchor:
+    // min negative differs from the anchor on every row
+    assert(r.filter(col("neg_min") === col("doc_id")).count() == 0)
+    r.unpersist()
+  }
+}
