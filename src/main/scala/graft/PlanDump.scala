@@ -67,7 +67,10 @@ object PlanDump {
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",
     "merge_upsert_mor" -> "merge-on-read read path: DV applied as a broadcast anti-join on the physical position, data + _mor scan union never shuffles",
     "dsir_importance_sample" -> "DSIR: 256-row bucket-stats side broadcast onto the token stream, only (bucket, doc_id) ints reach the doc-score exchange",
-    "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only"
+    "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only",
+    "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
+    "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
+    "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast"
   )
 
   def main(args: Array[String]): Unit = {

@@ -270,8 +270,71 @@ JOIN i ic ON ic.l_partkey = consequent
 CROSS JOIN n
 ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent LIMIT 100"""
 
+  // ------------------------------------------------------- RFM segmentation
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM scoring grid. Per customer: days since last order
+    * (against the corpus max date, so the query is reproducible), order
+    * count, and lifetime cents; each metric quintile-scored 1–5 by
+    * ntile(5) with a total (metric, custkey) tie-break so bucket edges
+    * are engine-exact; the 125 (r,f,m) cells roll up with a rule-based
+    * segment label. Output is the cell grid, not per-customer rows — the
+    * hash covers every cell count and the label logic. Scale shape: one
+    * fact-side hash-agg on custkey; the three ntile windows are global
+    * over the customer dim (the [[graft.queries.StatOps.ntileDeciles]]
+    * caveat — swap in percentile-boundary bucketing via
+    * `quantile_buckets` for a customer dim that outgrows one sort). */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .cast("long").as("last_day"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val maxDay = per.agg(max("last_day").as("max_day"))
+    val scored = per.crossJoin(broadcast(maxDay))
+      .withColumn("days_since", col("max_day") - col("last_day"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(desc("days_since"), col("custkey"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f"), col("custkey"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents"), col("custkey"))).cast("long"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("total_cents"))
+      .withColumn("segment", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+          |     WHEN r_score >= 4 THEN 'recent'
+          |     WHEN f_score >= 4 THEN 'at_risk'
+          |     ELSE 'regular' END""".stripMargin))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsOracle: String = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+         count(*) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(last_day) AS max_day FROM per),
+sc AS (
+  SELECT custkey, f, cents,
+         CAST(ntile(5) OVER (ORDER BY max_day - last_day DESC, custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY f, custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY cents, custkey) AS BIGINT) AS m_score
+  FROM per CROSS JOIN mx)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assoc_rules"       -> (assocRules _),
+    "rfm_segments"      -> (rfmSegments _),
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
@@ -281,6 +344,7 @@ ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent LIMIT 100"""
 
   val oracleSql: Map[String, String] = Map(
     "assoc_rules"       -> assocRulesOracle,
+    "rfm_segments"      -> rfmSegmentsOracle,
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
     "rolling_active_users" -> rollingActiveUsersOracle,

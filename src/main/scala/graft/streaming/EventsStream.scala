@@ -121,6 +121,56 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type"""
 
+  /** Streaming data-quality drift monitor: per tumbling 1-day window, the
+    * event-type mix as exact ppm shares plus an alert flag when the error
+    * share drifts more than 2.5 points from its expected 1/5 baseline —
+    * the always-on health dashboard a pipeline keeps over its ingest
+    * stream. The mix is ONE streaming aggregation (conditional partial
+    * sums per type — no per-type shuffle, no second aggregation for the
+    * window total), and the shares/alert are a stateless projection
+    * AFTER the agg, still inside the streaming query; state is one row
+    * per open window, watermark-bounded. The 200000-ppm baseline is a
+    * literal (the Benford-table pattern) — in production it would come
+    * from a broadcast stream-static join like [[enrichJoin]]'s dim. */
+  def driftMonitor(s: SparkSession, d: String): DataFrame = {
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        n("view").as("n_view"), n("click").as("n_click"),
+        n("purchase").as("n_purchase"), n("signup").as("n_signup"),
+        n("error").as("n_error"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        expr("n_view * 1000000L DIV n_events").as("view_ppm"),
+        expr("n_click * 1000000L DIV n_events").as("click_ppm"),
+        expr("n_purchase * 1000000L DIV n_events").as("purchase_ppm"),
+        expr("n_signup * 1000000L DIV n_events").as("signup_ppm"),
+        expr("n_error * 1000000L DIV n_events").as("error_ppm"),
+        expr("abs(n_error * 1000000L DIV n_events - 200000L) > 25000L").as("alert"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_drift")
+      .orderBy("window_start")
+  }
+
+  val driftMonitorOracle: String = """
+WITH d AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+  FROM events GROUP BY 1)
+SELECT window_start, n_events,
+       CAST(n_view * 1000000 // n_events AS BIGINT) AS view_ppm,
+       CAST(n_click * 1000000 // n_events AS BIGINT) AS click_ppm,
+       CAST(n_purchase * 1000000 // n_events AS BIGINT) AS purchase_ppm,
+       CAST(n_signup * 1000000 // n_events AS BIGINT) AS signup_ppm,
+       CAST(n_error * 1000000 // n_events AS BIGINT) AS error_ppm,
+       abs(n_error * 1000000 // n_events - 200000) > 25000 AS alert
+FROM d ORDER BY window_start"""
+
   /** Sliding 2h windows every 1h — each event lands in two windows. */
   def slidingCounts(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
@@ -552,6 +602,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_stream_join"     -> (streamStreamJoin _),
     "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_drift_monitor"   -> (driftMonitor _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
@@ -567,6 +618,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_stream_join"     -> streamStreamJoinOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
+    "stream_drift_monitor"   -> driftMonitorOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
