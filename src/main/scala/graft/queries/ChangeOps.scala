@@ -324,7 +324,122 @@ SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
 FROM customer WHERE c_custkey % 13 = 0
 ORDER BY c_custkey"""
 
+  // ------------------------------------------------ largest-remainder proration
+
+  /** Exact proration: spread each order's 5% discount across its line
+    * items proportionally to price, with the largest-remainder method so
+    * the allocated cents SUM EXACTLY to the discount (base share =
+    * ⌊D·pᵢ/T⌋ leaves a shortfall < n_lines; the lines with the largest
+    * division remainders, tie-broken by line number, each absorb one
+    * extra cent) — the allocation every billing/finance pipeline needs
+    * and float arithmetic cannot do. All BIGINT. Output is the per-order
+    * reconciliation (alloc_sum, extremes, bumped-line count), which pins
+    * every per-line allocation through the hash. Scale shape: one
+    * shuffle on the order key serves BOTH windows (total + remainder
+    * rank — baskets are ≤7 lines); the discount side is an
+    * order-key-aligned join; the final rollup reuses the same key. */
+  def prorateAllocation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+    val disc = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT) DIV 20").as("disc_cents"))
+    val wOrd = Window.partitionBy("l_orderkey")
+    li.join(disc, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("total_cents", sum("price_cents").over(wOrd))
+      .withColumn("base", expr("disc_cents * price_cents DIV total_cents"))
+      .withColumn("rem", expr("(disc_cents * price_cents) % total_cents"))
+      .withColumn("shortfall",
+        expr("disc_cents - sum(base) OVER (PARTITION BY l_orderkey)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(desc("rem"), col("l_linenumber"))))
+      .withColumn("alloc", expr("base + CASE WHEN rk <= shortfall THEN 1L ELSE 0L END"))
+      .groupBy(col("o_orderkey"), col("disc_cents"))
+      .agg(count(lit(1)).as("n_lines"), sum("alloc").as("alloc_sum"),
+        max("alloc").as("max_alloc"), min("alloc").as("min_alloc"),
+        sum(expr("CASE WHEN rk <= shortfall THEN 1L ELSE 0L END")).as("bumped"))
+      .orderBy("o_orderkey")
+  }
+
+  val prorateAllocationOracle: String = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem),
+o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) // 20 AS disc_cents
+  FROM orders),
+x AS (
+  SELECT li.*, o.o_orderkey, o.disc_cents,
+         sum(price_cents) OVER (PARTITION BY l_orderkey) AS total_cents
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+y AS (
+  SELECT *, disc_cents * price_cents // total_cents AS base,
+         (disc_cents * price_cents) % total_cents AS rem
+  FROM x),
+z AS (
+  SELECT *, disc_cents - sum(base) OVER (PARTITION BY l_orderkey) AS shortfall,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rk
+  FROM y)
+SELECT o_orderkey, disc_cents, count(*) AS n_lines,
+       CAST(sum(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END) AS BIGINT) AS alloc_sum,
+       CAST(max(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END) AS BIGINT) AS max_alloc,
+       CAST(min(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END) AS BIGINT) AS min_alloc,
+       CAST(sum(CASE WHEN rk <= shortfall THEN 1 ELSE 0 END) AS BIGINT) AS bumped
+FROM z GROUP BY o_orderkey, disc_cents ORDER BY o_orderkey"""
+
+  // ------------------------------------------------ late-arriving dimension
+
+  /** Late-arriving-dimension handling: facts referencing customers the
+    * dimension batch has not delivered yet get an INFERRED skeleton
+    * member (the Kimball pattern), and the late dim batch later backfills
+    * the real attributes in place — key stability means no fact rewrite.
+    * Simulated by withholding every 13th customer from the on-time dim;
+    * output is the inferred ledger (fact rollup + before/after
+    * attributes). Scale shape: the membership probe is a fact-side
+    * left join on the dim key (broadcast at dim scale, shuffle-hash at
+    * 100 TB); the backfill joins ONLY the inferred subset against the
+    * late batch — cost ∝ late rows, never the fact. */
+  def inferredDimBackfill(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val onTime = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val late = cust.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("late_name"),
+        col("c_mktsegment").as("late_seg"))
+    val facts = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+    facts.join(onTime, Seq("custkey"), "left")
+      .filter(col("c_name").isNull)
+      .join(late, Seq("custkey"), "left")
+      .select(col("custkey"), col("n_orders"), col("total_cents"),
+        lit("INFERRED").as("status_before"),
+        coalesce(col("late_name"), lit("STILL_MISSING")).as("name_after"),
+        coalesce(col("late_seg"), lit("UNKNOWN")).as("segment_after"))
+      .orderBy("custkey")
+  }
+
+  val inferredDimBackfillOracle: String = """
+WITH facts AS (
+  SELECT o_custkey AS custkey, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY 1),
+ontime AS (SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 13 <> 0),
+late AS (SELECT c_custkey AS custkey, c_name AS late_name, c_mktsegment AS late_seg
+         FROM customer WHERE c_custkey % 13 = 0)
+SELECT f.custkey, f.n_orders, f.total_cents,
+       'INFERRED' AS status_before,
+       coalesce(l.late_name, 'STILL_MISSING') AS name_after,
+       coalesce(l.late_seg, 'UNKNOWN') AS segment_after
+FROM facts f
+LEFT JOIN ontime o ON f.custkey = o.custkey
+LEFT JOIN late l ON f.custkey = l.custkey
+WHERE o.c_name IS NULL
+ORDER BY f.custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prorate_allocation"    -> (prorateAllocation _),
+    "inferred_dim_backfill" -> (inferredDimBackfill _),
     "scd1_upsert"       -> (scd1Upsert _),
     "scd2_history"      -> (scd2History _),
     "pit_join"          -> (pitJoin _),
@@ -334,6 +449,8 @@ ORDER BY c_custkey"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "prorate_allocation"    -> prorateAllocationOracle,
+    "inferred_dim_backfill" -> inferredDimBackfillOracle,
     "scd1_upsert"       -> scd1UpsertOracle,
     "scd2_history"      -> scd2HistoryOracle,
     "pit_join"          -> pitJoinOracle,
