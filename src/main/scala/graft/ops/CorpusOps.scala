@@ -931,8 +931,56 @@ SELECT doc_id, shard || ':' || CAST(bseq AS VARCHAR) AS batch_key,
        min(neg_id) AS neg_min
 FROM pr GROUP BY doc_id, shard, bseq ORDER BY doc_id"""
 
+  // ------------------------------------------------- cross-source overlap
+
+  /** Cross-source shared-opening overlap — the mirror-site / syndication
+    * diagnostic: fingerprint each document's normalized 8-token opening
+    * span and count, per source pair, how many distinct fingerprints both
+    * sources contain (plus the Jaccard of their fingerprint sets in exact
+    * ppm). Complements [[sourceTvDistance]]: TV measures DISTRIBUTION
+    * divergence, this measures literal shared content — a pair can be
+    * distributionally close yet share nothing, or far yet mirror each
+    * other's openings. Scale shape: one md5 per doc, a (source, fp)
+    * distinct, and a fp-keyed self-join whose fan-out per fingerprint is
+    * bounded by the source count — the [[sourceTvDistance]] join shape,
+    * never doc×doc. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("source"),
+        md5(concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8))).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy("source").agg(count(lit(1)).as("n_fp"))
+    val a = fp.join(sizes, "source")
+      .select(col("fp"), col("source").as("src_a"), col("n_fp").as("na"))
+    val b = fp.join(sizes, "source")
+      .select(col("fp"), col("source").as("src_b"), col("n_fp").as("nb"))
+    a.join(b, "fp").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "na", "src_b", "nb")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard_ppm",
+        expr("n_shared * 1000000L DIV (na + nb - n_shared)"))
+      .select("src_a", "src_b", "n_shared", "jaccard_ppm")
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapOracle: String = """
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS fp
+  FROM documents),
+sz AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY 1),
+j AS (
+  SELECT a.source AS src_a, sa.n_fp AS na, b.source AS src_b, sb.n_fp AS nb
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  JOIN sz sa ON sa.source = a.source
+  JOIN sz sb ON sb.source = b.source)
+SELECT src_a, src_b, count(*) AS n_shared,
+       CAST(count(*) * 1000000 // (na + nb - count(*)) AS BIGINT) AS jaccard_ppm
+FROM j GROUP BY src_a, na, src_b, nb ORDER BY src_a, src_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_tv_distance"   -> (sourceTvDistance _),
+    "source_overlap"       -> (sourceOverlap _),
     "inbatch_negatives"    -> ((s: SparkSession, d: String) => inbatchNegatives(s, d)),
     "dsir_importance_sample" -> (dsirSample _),
     "epoch_shuffle"        -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
@@ -954,6 +1002,7 @@ FROM pr GROUP BY doc_id, shard, bseq ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "source_tv_distance"   -> sourceTvDistanceOracle,
+    "source_overlap"       -> sourceOverlapOracle,
     "inbatch_negatives"    -> inbatchNegativesOracle,
     "dsir_importance_sample" -> dsirSampleOracle,
     "epoch_shuffle"        -> epochShuffleOracle,

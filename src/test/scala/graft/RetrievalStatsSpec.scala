@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{CorpusOps, TextOps, TokenOps}
-import graft.queries.{BehaviorOps, StatOps}
+import graft.queries.{BehaviorOps, ChangeOps, StatOps}
 
 /** Sequential-reference sanity for the retrieval/stats family added in
   * round 9 (`bm25_rank`, `assoc_rules`, `benford_digits`,
@@ -111,6 +111,38 @@ class RetrievalStatsSpec extends AnyFunSuite {
     assert(r.count() > 0)
     assert(r.filter(col("vocab") > col("n_tokens")).count() == 0)
     assert(r.filter(col("ttr_ppm") > 1000000L || col("simpson_ppm") > 1000000L).count() == 0)
+    r.unpersist()
+  }
+
+  test("proration: every order's allocated cents sum EXACTLY to its discount") {
+    // the property the hash gate cannot test on its own — both engines
+    // could share a broken shortfall formula and still agree; here the
+    // engine's own output must satisfy the largest-remainder contract
+    val r = ChangeOps.prorateAllocation(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("alloc_sum") =!= col("disc_cents")).count() == 0)
+    // at most one extra cent per line, never a negative allocation
+    assert(r.filter(col("bumped") >= col("n_lines")).filter(col("bumped") =!= col("n_lines")).count() == 0)
+    assert(r.filter(col("min_alloc") < 0).count() == 0)
+    r.unpersist()
+  }
+
+  test("late-arriving dim: every inferred key is a withheld key and backfills") {
+    val r = ChangeOps.inferredDimBackfill(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("custkey") % 13 =!= 0).count() == 0)
+    // referential integrity holds in the corpus, so the late batch
+    // backfills every inferred member — none remain skeletal
+    assert(r.filter(col("name_after") === "STILL_MISSING").count() == 0)
+    r.unpersist()
+  }
+
+  test("source overlap: jaccard bounded, shared never exceeds either side") {
+    val r = CorpusOps.sourceOverlap(spark, sf).cache()
+    assert(r.filter(col("jaccard_ppm") > 1000000L).count() == 0)
+    val perSrc = Tables.documents(spark, sf).groupBy("source").count()
+      .agg(max("count")).head().getLong(0)
+    assert(r.filter(col("n_shared") > perSrc).count() == 0)
     r.unpersist()
   }
 
