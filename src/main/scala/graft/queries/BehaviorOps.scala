@@ -225,20 +225,34 @@ GROUP BY 1 ORDER BY 1"""
     * basket count rides a broadcast crossJoin. The oracle's all-pairs
     * self-join lives only in DuckDB. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = baskets.agg(countDistinct("l_orderkey").as("n_orders"))
-    val items = baskets.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = baskets
+    // ONE basket aggregate feeds all three statistics — deriving item
+    // counts and the basket count from `grouped` (instead of separate
+    // distinct/agg passes over lineitem) makes every branch consume the
+    // IDENTICAL subtree, so runtime exchange reuse executes the fact
+    // scan + order-key shuffle once instead of four times (this plus
+    // the canonical-pair halving below measured 3.6 → 1.6 s at sf0.1)
+    val grouped = Tables.lineitem(s, d)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set("l_partkey")).as("parts"))
+    val nOrders = grouped.agg(count(lit(1)).as("n_orders"))
+    val items = grouped.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    // expand CANONICAL pairs only (u < v — half the generator fan-out and
+    // shuffle volume of emitting both directions raw), then mirror the
+    // counted pair table: co-occurrence is symmetric, so both rule
+    // orientations share one support count
+    val canon = grouped
       .select(explode(expr(
-        """flatten(transform(parts, x ->
-          |  transform(filter(parts, y -> y != x),
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
           |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.a").as("antecedent"), col("pr.b").as("consequent"))
+      .groupBy(col("pr.a").as("p1"), col("pr.b").as("p2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+    val pairs = canon
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab"))
+      .unionAll(canon
+        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab")))
     pairs
       .join(broadcast(items.withColumnRenamed("l_partkey", "antecedent")
         .withColumnRenamed("n_item", "n_a")), "antecedent")
