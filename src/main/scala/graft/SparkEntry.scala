@@ -19,7 +19,8 @@ object SparkEntry {
       graft.ops.TokenOps.queries ++ graft.queries.StatOps.queries ++
       graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries ++
       graft.ops.DataSkipping.queries ++ graft.sources.SkippingFileIndex.queries ++
-      graft.ops.DeletionVectors.queries ++ graft.ops.MergeOnRead.queries
+      graft.ops.DeletionVectors.queries ++ graft.ops.MergeOnRead.queries ++
+      graft.sources.GraftSink.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.ops.TokenOps.oracleSql ++ graft.queries.StatOps.oracleSql ++
       graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql ++
       graft.ops.DataSkipping.oracleSql ++ graft.sources.SkippingFileIndex.oracleSql ++
-      graft.ops.DeletionVectors.oracleSql ++ graft.ops.MergeOnRead.oracleSql
+      graft.ops.DeletionVectors.oracleSql ++ graft.ops.MergeOnRead.oracleSql ++
+      graft.sources.GraftSink.oracleSql
 }
