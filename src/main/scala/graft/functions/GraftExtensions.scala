@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingHashWindows(exprs.head, exprs(1))))
     // declarative HOF dot products get the fused codegen kernel for free
     e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
+    // partial-aggregation pushdown through provably-unique equi-joins
+    e.injectOptimizerRule(_ => graft.plans.PushAggThroughUniqueJoin)
     // whole-operator extension: broadcast interval join (logical node +
     // strategy + physical plan; see graft.plans.IntervalJoin)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)

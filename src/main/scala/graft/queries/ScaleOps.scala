@@ -502,6 +502,38 @@ FROM events GROUP BY event_type ORDER BY event_type"""
       .orderBy("n_name")
   }
 
+  /** The AUTOMATIC twin of [[preaggJoin]]: the query is written in the
+    * naive join-then-aggregate form, and
+    * [[graft.plans.PushAggThroughUniqueJoin]] performs the partial-
+    * aggregation pushdown because the dim side is an Aggregate grouped
+    * exactly on the join key (the static n:1 uniqueness proof the rule
+    * requires). The oracle states the same naive form, so the
+    * differential gate is the rewrite's equivalence proof;
+    * PushAggRuleSpec asserts the rewritten shape (an Aggregate BELOW
+    * the join) and rule-off/rule-on result equality. */
+  def autoPreaggJoin(s: SparkSession, d: String): DataFrame = {
+    graft.plans.PushAggThroughUniqueJoin.ensure(s)
+    val dim = Tables.orders(s, d).groupBy("o_orderkey")
+      .agg(max("o_custkey").as("custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("custkey")
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_lines"),
+        max("cents").as("max_line_cents"))
+      .orderBy("custkey")
+  }
+
+  val autoPreaggJoinOracle: String = """
+WITH dim AS (SELECT o_orderkey, max(o_custkey) AS custkey FROM orders GROUP BY 1)
+SELECT custkey,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines,
+       CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_line_cents
+FROM lineitem JOIN dim ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1"""
+
   val preaggJoinOracle: String = """
 SELECT n.n_name,
        CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -640,6 +672,7 @@ WHERE p_size = 1"""
     "runtime_bloom_join" -> (runtimeBloomJoin _),
     "aqe_skew_join"   -> (aqeSkewJoin _),
     "preagg_join"     -> (preaggJoin _),
+    "auto_preagg_join" -> (autoPreaggJoin _),
     "bucketed_join"   -> (bucketedJoin _),
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
@@ -658,6 +691,7 @@ WHERE p_size = 1"""
     "runtime_bloom_join" -> runtimeBloomJoinOracle,
     "aqe_skew_join"   -> aqeSkewJoinOracle,
     "preagg_join"     -> preaggJoinOracle,
+    "auto_preagg_join" -> autoPreaggJoinOracle,
     "bucketed_join"   -> bucketedJoinOracle,
     "salted_agg"      -> saltedAggOracle,
     "salted_distinct" -> saltedDistinctOracle,

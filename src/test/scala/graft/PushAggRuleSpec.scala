@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PushAggThroughUniqueJoin
+import graft.queries.ScaleOps
+
+/** Contracts of [[graft.plans.PushAggThroughUniqueJoin]] beyond the
+  * differential gate's value equality: the rewrite actually FIRES (an
+  * Aggregate lands below the join), it produces the same rows as the
+  * rule-disabled plan, and it stays its hand when the uniqueness proof
+  * is absent or the aggregate is not pushable.
+  */
+class PushAggRuleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def joins(p: LogicalPlan) = p.collect { case j: Join => j }
+
+  test("rule fires on the demo query: pre-aggregate sits below the join") {
+    val df = ScaleOps.autoPreaggJoin(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val j = joins(opt)
+    assert(j.nonEmpty, "no join in optimized plan")
+    val leftAggs = j.head.left.collect { case a: Aggregate => a }
+    assert(leftAggs.nonEmpty,
+      s"expected a pushed-down Aggregate below the join; got:\n$opt")
+  }
+
+  test("rewritten plan equals the rule-disabled plan row for row") {
+    PushAggThroughUniqueJoin.ensure(spark)
+    val withRule = ScaleOps.autoPreaggJoin(spark, sf).collect()
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prior.filterNot(_ eq PushAggThroughUniqueJoin)
+      val dim = Tables.orders(spark, sf).groupBy("o_orderkey")
+        .agg(max("o_custkey").as("custkey"))
+      val without = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("custkey")
+        .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_lines"),
+          max("cents").as("max_line_cents"))
+        .orderBy("custkey").collect()
+      assert(withRule.sameElements(without))
+    } finally spark.experimental.extraOptimizations = prior
+  }
+
+  test("rule does NOT fire without the uniqueness proof or with distinct aggs") {
+    PushAggThroughUniqueJoin.ensure(spark)
+    // dim side is a raw table — unique in fact but not PROVABLY so
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("cents").as("r"))
+    val j1 = joins(raw.queryExecution.optimizedPlan)
+    assert(j1.nonEmpty && j1.head.left.collect { case a: Aggregate => a }.isEmpty)
+    // provably unique dim, but a DISTINCT aggregate — not pushable
+    val dim = Tables.orders(spark, sf).groupBy("o_orderkey")
+      .agg(max("o_custkey").as("custkey"))
+    val dis = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("custkey").agg(countDistinct("l_partkey").as("nd"))
+    val j2 = joins(dis.queryExecution.optimizedPlan)
+    assert(j2.nonEmpty && j2.head.left.collect { case a: Aggregate => a }.isEmpty)
+  }
+}
