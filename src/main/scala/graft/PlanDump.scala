@@ -70,7 +70,8 @@ object PlanDump {
     "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
     "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
-    "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast"
+    "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",
+    "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)"
   )
 
   def main(args: Array[String]): Unit = {

@@ -978,9 +978,64 @@ SELECT src_a, src_b, count(*) AS n_shared,
        CAST(count(*) * 1000000 // (na + nb - count(*)) AS BIGINT) AS jaccard_ppm
 FROM j GROUP BY src_a, na, src_b, nb ORDER BY src_a, src_b"""
 
+  // ------------------------------------------------------------ dataset card
+
+  /** One-row dataset card — the summary block a corpus release ships
+    * (HuggingFace dataset-card / Datasheets-for-Datasets practice):
+    * document and token volume, vocabulary size, source/language
+    * breadth, English share, exact-duplicate rate (normalized-text md5),
+    * and mean document length — every figure an exact BIGINT or integer
+    * ppm so the card itself hash-gates. Scale shape: one explode feeding
+    * two hash-aggs (token count + vocab), one doc-level agg, one
+    * fingerprint dup-count agg; the five scalar sides meet in broadcast
+    * crossJoins — no row-sized data ever funnels. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en_docs"))
+    val toks = Tables.fanout(s, docs)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val tokStats = toks.agg(count(lit(1)).as("n_tokens"),
+      countDistinct("tok").as("vocab"))
+    val dups = docs
+      .select(md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("CASE WHEN n > 1 THEN n ELSE 0L END")).as("dup_docs"))
+    base.crossJoin(broadcast(tokStats)).crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        col("n_sources"), col("n_langs"),
+        expr("n_en_docs * 1000000L DIV n_docs").as("en_ppm"),
+        expr("dup_docs * 1000000L DIV n_docs").as("dup_ppm"),
+        expr("n_tokens DIV n_docs").as("mean_doc_tokens"))
+  }
+
+  val datasetCardOracle: String = """
+WITH base AS (
+  SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+  FROM documents),
+t AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+dup AS (
+  SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+               count(*) AS n
+        FROM documents GROUP BY 1))
+SELECT n_docs, n_tokens, vocab, n_sources, n_langs,
+       CAST(n_en_docs * 1000000 // n_docs AS BIGINT) AS en_ppm,
+       CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens
+FROM base CROSS JOIN t CROSS JOIN dup"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_tv_distance"   -> (sourceTvDistance _),
     "source_overlap"       -> (sourceOverlap _),
+    "dataset_card"         -> (datasetCard _),
     "inbatch_negatives"    -> ((s: SparkSession, d: String) => inbatchNegatives(s, d)),
     "dsir_importance_sample" -> (dsirSample _),
     "epoch_shuffle"        -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
@@ -1003,6 +1058,7 @@ FROM j GROUP BY src_a, na, src_b, nb ORDER BY src_a, src_b"""
   val oracleSql: Map[String, String] = Map(
     "source_tv_distance"   -> sourceTvDistanceOracle,
     "source_overlap"       -> sourceOverlapOracle,
+    "dataset_card"         -> datasetCardOracle,
     "inbatch_negatives"    -> inbatchNegativesOracle,
     "dsir_importance_sample" -> dsirSampleOracle,
     "epoch_shuffle"        -> epochShuffleOracle,
