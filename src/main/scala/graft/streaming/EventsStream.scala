@@ -171,6 +171,81 @@ SELECT window_start, n_events,
        abs(n_error * 1000000 // n_events - 200000) > 25000 AS alert
 FROM d ORDER BY window_start"""
 
+  /** Spark 4's `transformWithState` — the current-generation arbitrary-
+    * state API (typed ValueState/ListState/MapState handles, TTL,
+    * timers; the successor to [[sessionize]]'s flatMapGroupsWithState) —
+    * driving a per-user lifetime-totals tracker: each batch folds the
+    * user's events into a ValueState and emits the updated running
+    * totals (cents kept exact via per-event floor, matching the SQL).
+    * Requires the RocksDB state store, so this query runs on its own
+    * session clone ([[rocksSession]]) rather than the shared HDFS-backed
+    * one. Single-batch replay makes the emitted totals equal the batch
+    * aggregate the oracle states; TransformWithStateSpec replays TWO
+    * staged batches to prove the ValueState actually carries totals
+    * across micro-batches. */
+  case class UserTotals(n: Long, cents: Long, maxCents: Long)
+  case class TotalsOut(user_id: Long, n_events: Long, total_cents: Long,
+    max_cents: Long)
+
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TotalsOut] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TotalsOut] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L, 0L)
+      val next = rows.foldLeft(prev) { (t, e) =>
+        val c = math.floor(e.value * 100).toLong
+        UserTotals(t.n + 1, t.cents + c, math.max(t.maxCents, c))
+      }
+      totals.update(next)
+      Iterator.single(TotalsOut(user, next.n, next.cents, next.maxCents))
+    }
+  }
+
+  /** Second memoized clone with the RocksDB state store provider —
+    * `transformWithState` requires it, and flipping the provider on the
+    * SHARED clone would silently re-provider every other stream query's
+    * checkpoints. */
+  private val rocksSessions =
+    scala.collection.concurrent.TrieMap[SparkSession, SparkSession]()
+
+  private def rocksSession(s: SparkSession): SparkSession =
+    rocksSessions.getOrElseUpdate(s, {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss
+    })
+
+  def transformState(s: SparkSession, d: String): DataFrame = {
+    val rs = rocksSession(s)
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
+    stageInto(s"$d/events.parquet", stageDir, "events.parquet")
+    val schema = Tables.eventsRaw(rs, d).schema
+    val ev = Tables.normalizeTs(
+      rs.readStream.schema(schema).parquet(stageDir.toString))
+    import rs.implicits._
+    val out = ev.as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    runToTable(s, out.toDF(), OutputMode.Append, "graft_stream_twstate")
+      .orderBy("user_id")
+  }
+
+  val transformStateOracle: String = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Sliding 2h windows every 1h — each event lands in two windows. */
   def slidingCounts(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
@@ -603,6 +678,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_drift_monitor"   -> (driftMonitor _),
+    "stream_transform_state" -> (transformState _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
@@ -619,6 +695,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_drift_monitor"   -> driftMonitorOracle,
+    "stream_transform_state" -> transformStateOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
