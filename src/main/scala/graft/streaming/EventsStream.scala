@@ -246,6 +246,48 @@ SELECT user_id, count(*) AS n_events,
        CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
 FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Offline STATE-STORE inspection — Spark 4's `statestore` batch data
+    * source reading a streaming checkpoint's state directly: run the
+    * per-user totals aggregation as a real stream against a pinned
+    * checkpoint, then batch-query the state store and unwrap the
+    * (key, value) pairs. The ops surface every production streaming
+    * deployment needs (state debugging, migration audits, cardinality
+    * checks) — and it hash-gates, because after the full replay the
+    * aggregation state IS the batch aggregate the oracle states. The
+    * checkpoint is rebuilt per run (fresh dir) so the state version is
+    * deterministic. */
+  def stateInspect(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val ckpt = s"/tmp/graft_stream_ckpt/${graft.util.PathKeys.safe(d)}_state_inspect"
+    val root = java.nio.file.Paths.get(ckpt)
+    if (java.nio.file.Files.exists(root)) {
+      val it = java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try it.forEach(p => java.nio.file.Files.deleteIfExists(p)) finally it.close()
+    }
+    val agg = eventsStream(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("graft_state_inspect_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    // the state VALUE is the aggregation BUFFER (fields named after the
+    // buffer slots: `count`, `sum`), not the output row — exactly what a
+    // state audit inspects
+    ss.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("total_cents"))
+      .orderBy("user_id")
+  }
+
+  val stateInspectOracle: String = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Sliding 2h windows every 1h — each event lands in two windows. */
   def slidingCounts(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
@@ -679,6 +721,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_drift_monitor"   -> (driftMonitor _),
     "stream_transform_state" -> (transformState _),
+    "stream_state_inspect"   -> (stateInspect _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
@@ -696,6 +739,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_drift_monitor"   -> driftMonitorOracle,
     "stream_transform_state" -> transformStateOracle,
+    "stream_state_inspect"   -> stateInspectOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
