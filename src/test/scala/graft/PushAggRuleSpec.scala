@@ -49,6 +49,44 @@ class PushAggRuleSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prior
   }
 
+  test("rule-on equals rule-off on random fact/dim shapes (15 trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x9a7b)
+    PushAggThroughUniqueJoin.ensure(spark)
+    (1 to 15).foreach { trial =>
+      val nFact = 1 + rng.nextInt(200)
+      val nKeys = 1 + rng.nextInt(20)
+      // negative values, duplicate keys, keys with no dim match, dim
+      // keys with no fact rows — the edges a pushdown can get wrong
+      val fact = (0 until nFact).map { _ =>
+        (rng.nextInt(nKeys + 5).toLong, rng.nextLong() % 1000L,
+          rng.nextInt(50).toLong)
+      }.toDF("fk", "x", "y").repartition(3)
+      val dimRaw = (0 until nKeys).flatMap { k =>
+        (0 to rng.nextInt(3)).map(_ => (k.toLong, rng.nextInt(4).toLong))
+      }.toDF("k", "grp").repartition(2)
+      def q(): Array[org.apache.spark.sql.Row] = {
+        val dim = dimRaw.groupBy("k").agg(max("grp").as("grp"))
+        fact.join(dim, col("fk") === col("k"))
+          .groupBy("grp")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"),
+            min("y").as("mn"), max("x").as("mx"))
+          .orderBy("grp").collect()
+      }
+      val withRule = q()
+      val prior = spark.experimental.extraOptimizations
+      val without = try {
+        spark.experimental.extraOptimizations =
+          prior.filterNot(_ eq PushAggThroughUniqueJoin)
+        q()
+      } finally spark.experimental.extraOptimizations = prior
+      assert(withRule.sameElements(without),
+        s"trial $trial diverged (nFact=$nFact nKeys=$nKeys):\n" +
+          s"  with:    ${withRule.mkString(", ")}\n" +
+          s"  without: ${without.mkString(", ")}")
+    }
+  }
+
   test("rule does NOT fire without the uniqueness proof or with distinct aggs") {
     PushAggThroughUniqueJoin.ensure(spark)
     // dim side is a raw table — unique in fact but not PROVABLY so
