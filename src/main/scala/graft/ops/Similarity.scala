@@ -789,7 +789,42 @@ SELECT query_id, vec_id, adist, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
   }
 
+  // ------------------------------------------------- hard-negative mining
+
+  /** Hard-negative mining for contrastive training — for every anchor,
+    * the highest-cosine neighbor that is NOT a near-duplicate (cosine
+    * below the 0.95 duplicate threshold): the negatives near the
+    * decision boundary that make a contrastive objective actually
+    * learn. Complements [[graft.ops.CorpusOps.inbatchNegatives]] (cheap
+    * RANDOM negatives from the batch dealer) with the expensive curated
+    * kind, and it is pure composition: one filter + one per-anchor rank
+    * over the memoized [[knnGraph]] edge set, so its marginal cost at
+    * 100 TB is a scan of k·n edge rows — the ANN index is the corpus
+    * artifact paying for it. Anchors whose every bucket-mate is a
+    * near-dup (or who collided with nothing) emit no row, exactly
+    * mirrored in the oracle. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_a").orderBy(desc("cosine"), asc("vec_b"))
+    knnGraph(s, d, 3)
+      .filter(col("cosine") < 0.95)
+      .withColumn("hn_rnk", row_number().over(w))
+      .filter(col("hn_rnk") === 1)
+      .select(col("vec_a").as("anchor"), col("vec_b").as("hard_neg"), col("cosine"))
+      .orderBy("anchor")
+  }
+
+  val hardNegativesOracle: String = s"""
+WITH knn AS (${knnGraphOracle()}),
+nd AS (
+  SELECT vec_a, vec_b, cosine,
+         row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS hn_rnk
+  FROM knn WHERE cosine < 0.95)
+SELECT vec_a AS anchor, vec_b AS hard_neg, cosine
+FROM nd WHERE hn_rnk = 1 ORDER BY anchor"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hard_negatives"      -> (hardNegatives _),
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_int8"       -> (annInt8TopK _),
     "ann_topk_lsh"        -> (annLshTopK _),
@@ -800,6 +835,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "hard_negatives"      -> hardNegativesOracle,
     "ann_topk_bruteforce" -> annTopKOracle,
     "ann_topk_int8"       -> annInt8Oracle,
     "ann_topk_lsh"        -> annLshOracle,
