@@ -15,6 +15,72 @@ import graft.streaming.EventsStream
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("event-time timer closes an idle session via handleExpiredTimer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    rs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rs.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
+
+    // session-timeout processor: buffer events in ListState, (re)arm an
+    // event-time timer 30 min after the latest event; when the watermark
+    // passes it, emit the closed session and clear state
+    class SessionCloser extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp), (Long, Long)] {
+      @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+      override def init(outputMode: OutputMode,
+          timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        buf = getHandle.getListState[Long]("buf",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[(Long, Timestamp)],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        var maxTs = 0L
+        rows.foreach { case (id, ts) =>
+          buf.appendValue(id); maxTs = math.max(maxTs, ts.getTime)
+        }
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(maxTs + 30 * 60 * 1000L)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(user: Long,
+          timers: org.apache.spark.sql.streaming.TimerValues,
+          info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long)] = {
+        val n = buf.get().size
+        buf.clear()
+        Iterator.single((user, n.toLong))
+      }
+    }
+
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1 % 10)
+      .transformWithState(new SessionCloser,
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF().writeStream.format("memory").queryName("tws_timer")
+      .outputMode("append").start()
+    try {
+      // batch 1: three user-1 events up to 10:10 — timer armed for 10:40
+      mem.addData((1L, t("10:00")), (11L, t("10:05")), (21L, t("10:10")))
+      q.processAllAvailable()
+      assert(rs.table("tws_timer").count() == 0, "nothing closes before the timer")
+      // batch 2: unrelated user-2 event at 11:30 pushes the watermark past
+      // 10:40 -> user 1's timer fires, session of 3 events emitted
+      mem.addData((2L, t("11:30")))
+      q.processAllAvailable()
+      // one more batch so the 11:30-armed timer state is irrelevant; the
+      // emission we check happened in batch 2
+      val rows = rs.table("tws_timer").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 3L)),
+        s"expected user 1's 3-event session closed by the timer, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("ValueState carries per-user totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rs = spark.newSession()
