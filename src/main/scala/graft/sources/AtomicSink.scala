@@ -163,20 +163,38 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
         Files.move(staged, dir.resolve(f), StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
     }
-    // append to the existing manifest (append mode), publish via
-    // temp + atomic rename: readers see the old or the new snapshot, never
-    // a partial list
-    val mf = dir.resolve("_MANIFEST")
-    val prior =
-      if (Files.exists(mf))
-        new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
-          .linesIterator.filter(_.nonEmpty).toSeq
-      else Seq.empty
-    val next = (prior ++ committed).distinct.sorted.mkString("", "\n", "\n")
-    val tmp = dir.resolve(s"_MANIFEST.$queryId.tmp")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // the manifest update is a READ-MODIFY-WRITE (append mode folds the
+    // prior list in), so two concurrently-committing jobs could each
+    // read the same prior manifest and the later rename would silently
+    // drop the earlier job's files. A create-new lock file serializes
+    // committers — createFile is atomic on POSIX — with bounded retry;
+    // a crashed committer's stale lock is broken after 30 s (its commit
+    // never published, so breaking it loses nothing). This is the poor
+    // man's optimistic-concurrency loop a real table format runs on its
+    // version log; AtomicSinkSpec races two threads through it.
+    val lock = dir.resolve("_COMMIT_LOCK")
+    var locked = false
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!locked) {
+      try { Files.createFile(lock); locked = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        if (System.nanoTime() > deadline) { Files.deleteIfExists(lock) }
+        Thread.sleep(10)
+      }
+    }
+    try {
+      val mf = dir.resolve("_MANIFEST")
+      val prior =
+        if (Files.exists(mf))
+          new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+            .linesIterator.filter(_.nonEmpty).toSeq
+        else Seq.empty
+      val next = (prior ++ committed).distinct.sorted.mkString("", "\n", "\n")
+      val tmp = dir.resolve(s"_MANIFEST.$queryId.tmp")
+      Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(lock)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

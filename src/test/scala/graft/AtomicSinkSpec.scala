@@ -58,6 +58,36 @@ class AtomicSinkSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"temp manifest leaked: ${leftovers.mkString(",")}")
   }
 
+  test("two concurrent job commits both land in the manifest (no lost update)") {
+    val dir = freshDir("race")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def commitOne(qid: String, n: Int): Unit = {
+      val factory = new graft.sources.SinkWriterFactory(dir, schema, qid)
+      val msgs = (0 until n).map { p =>
+        val w = factory.createWriter(p, p.toLong)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        row.setLong(0, p.toLong)
+        w.write(row)
+        w.commit()
+      }.toArray[org.apache.spark.sql.connector.write.WriterCommitMessage]
+      new graft.sources.SinkBatchWrite(dir, schema, qid).commit(msgs)
+    }
+    // race 8 committing jobs; without the commit lock the manifest's
+    // read-modify-write loses whole jobs (last rename wins)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => commitOne(s"race$i", 3))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mf = java.nio.file.Paths.get(dir, "_MANIFEST")
+    val files = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(files.length == 24, s"all 8 jobs x 3 files must survive: ${files.length}")
+    assert(GraftSink.readBack(spark, dir, schema).count() == 24)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_COMMIT_LOCK")))
+  }
+
   test("aborted task leaves no staged file and nothing readable") {
     val dir = freshDir("abort")
     val schema = org.apache.spark.sql.types.StructType(Seq(
