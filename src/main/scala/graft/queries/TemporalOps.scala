@@ -646,8 +646,63 @@ p AS (SELECT max(abs(cusum_scaled)) AS peak FROM c)
 SELECT day, cents, cusum_scaled, abs(cusum_scaled) = p.peak AS is_changepoint
 FROM c CROSS JOIN p ORDER BY day"""
 
+  // ---------------------------------------------------- MoM growth / movers
+
+  /** Month-over-month revenue growth per nation with a biggest-mover rank
+    * — the standard trend page of a revenue dashboard. Cents are exact
+    * BIGINTs; the growth RATIO is the one inherently-signed quantity, and
+    * signed integer floor-division diverges across engines (Spark `DIV`
+    * truncates toward zero, DuckDB `//` floors), so it is computed as an
+    * identically-parenthesized long→double IEEE chain rounded to 2 — the
+    * `ab_test_chi2` discipline. NULL ordering also diverges by default
+    * (Spark DESC puts nulls last, DuckDB first), so the mover rank pins
+    * NULLS LAST explicitly on both sides. Scale shape: one fact hash-agg
+    * on (nation, month); both windows run over the nations×months grid —
+    * calendar-bounded, never fact-sized. */
+  def momGrowthMovers(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    val wLag = Window.partitionBy("nation").orderBy("ym")
+    val wRank = Window.partitionBy("ym")
+      .orderBy(col("mom_ppm").desc_nulls_last, col("nation"))
+    monthly
+      .withColumn("prev_cents", lag("rev_cents", 1).over(wLag))
+      .withColumn("mom_ppm", expr(
+        "round(CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE) * 1000000.0, 2)"))
+      .withColumn("mover_rank", row_number().over(wRank).cast("int"))
+      .select("nation", "ym", "rev_cents", "prev_cents", "mom_ppm", "mover_rank")
+      .orderBy("ym", "mover_rank")
+  }
+
+  val momGrowthMoversOracle: String = """
+WITH m AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+g AS (
+  SELECT *, lag(rev_cents) OVER (PARTITION BY nation ORDER BY ym) AS prev_cents
+  FROM m),
+r AS (
+  SELECT *, round(CAST(rev_cents - prev_cents AS DOUBLE)
+                  / CAST(prev_cents AS DOUBLE) * 1000000.0, 2) AS mom_ppm
+  FROM g)
+SELECT nation, ym, rev_cents, prev_cents, mom_ppm,
+       CAST(row_number() OVER (PARTITION BY ym
+            ORDER BY mom_ppm DESC NULLS LAST, nation) AS INT) AS mover_rank
+FROM r ORDER BY ym, mover_rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cusum_changepoint"   -> (cusumChangepoint _),
+    "mom_growth_movers"   -> (momGrowthMovers _),
     "twap_per_user"       -> (twapPerUser _),
     "event_funnel"        -> (eventFunnel _),
     "order_lifecycle_funnel" -> (orderLifecycleFunnel _),
@@ -665,6 +720,7 @@ FROM c CROSS JOIN p ORDER BY day"""
 
   val oracleSql: Map[String, String] = Map(
     "cusum_changepoint"   -> cusumChangepointOracle,
+    "mom_growth_movers"   -> momGrowthMoversOracle,
     "twap_per_user"       -> twapPerUserOracle,
     "event_funnel"        -> eventFunnelOracle,
     "order_lifecycle_funnel" -> orderLifecycleFunnelOracle,
