@@ -86,6 +86,24 @@ class RetrievalStatsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("rfm: quintiles are balanced and the grid partitions all customers") {
+    val r = BehaviorOps.rfmSegments(spark, sf).cache()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(r.agg(sum("n_customers")).head().getLong(0) == customers)
+    // ntile(5) balance: each score value holds n/5 customers ±1
+    Seq("r_score", "f_score", "m_score").foreach { dim =>
+      val per = r.groupBy(dim).agg(sum("n_customers").as("n")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(per.keySet == (1L to 5L).toSet, s"$dim must cover 1..5: ${per.keySet}")
+      val (mn, mx) = (per.values.min, per.values.max)
+      assert(mx - mn <= 1, s"$dim unbalanced: $per")
+    }
+    // labels follow the rule grid
+    assert(r.filter(col("segment") === "champion" &&
+      (col("r_score") < 4 || col("f_score") < 4)).count() == 0)
+    r.unpersist()
+  }
+
   test("gini/pareto: coefficient in [0,1), top-20% share holds at least 20%") {
     val r = StatOps.giniPareto(spark, sf).cache()
     assert(r.count() > 0)
