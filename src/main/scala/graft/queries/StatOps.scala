@@ -847,6 +847,76 @@ SELECT n_a, n_b, conv_a, conv_b,
        chi2, chi2 > 3.841459 AS significant
 FROM x"""
 
+  // ------------------------------------------------------- CUPED adjustment
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013): each user's
+    * post-period purchase spend Y is adjusted by their PRE-period spend X
+    * — Y' = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) pooled across arms —
+    * the standard trick that removes between-user variance an experiment
+    * can't control. Determinism discipline: X, Y and every moment
+    * (Σx, Σy, Σxy, Σx²) are exact BIGINT cents aggregated once; θ and
+    * the adjusted means are identically-parenthesized long→double IEEE
+    * chains rounded at the end (the `ab_test_chi2` pattern — no float
+    * ever sums across rows). Moment magnitudes fit BIGINT through the
+    * tested scales; a 100× corpus shard-reduces the moments first.
+    * Scale shape: ONE hash-agg on user_id with conditional sums, then a
+    * single-row moment aggregate broadcast onto the two arm rows. */
+  def cupedAdjustment(s: SparkSession, d: String): DataFrame = {
+    val split = "2024-04-01"
+    val users = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < lit(split),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit(split),
+          expr("CAST(floor(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+      .withColumn("arm", expr("user_id % 2"))
+    val moments = users.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("ax"), sum("y").as("ay"))
+    arms.crossJoin(broadcast(moments))
+      .withColumn("theta", expr(
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)"))
+      .withColumn("mean_y_cents", expr(
+        "round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 2)"))
+      .withColumn("adj_mean_y_cents", expr(
+        """round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+          |- round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+          |* (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+          |   - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 2)""".stripMargin))
+      .select("arm", "n_users", "mean_y_cents", "theta", "adj_mean_y_cents")
+      .orderBy("arm")
+  }
+
+  val cupedAdjustmentOracle: String = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-04-01'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-04-01'
+              THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+         user_id % 2 AS arm
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+m AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM u),
+a AS (
+  SELECT arm, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS ax,
+         CAST(sum(y) AS BIGINT) AS ay
+  FROM u GROUP BY arm)
+SELECT arm, n_users,
+       round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 2) AS mean_y_cents,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+       round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 2) AS adj_mean_y_cents
+FROM a CROSS JOIN m ORDER BY arm"""
+
   // ----------------------------------------------------------- Benford audit
 
   /** Benford first-significant-digit audit over order totals — the classic
@@ -910,6 +980,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "gini_pareto"          -> (giniPareto _),
     "hhi_concentration"    -> (hhiConcentration _),
     "ab_test_chi2"         -> (abTestChi2 _),
+    "cuped_adjustment"     -> (cupedAdjustment _),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -928,6 +999,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "gini_pareto"          -> giniParetoOracle,
     "hhi_concentration"    -> hhiConcentrationOracle,
     "ab_test_chi2"         -> abTestChi2Oracle,
+    "cuped_adjustment"     -> cupedAdjustmentOracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,
