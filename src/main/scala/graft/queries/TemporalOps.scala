@@ -700,9 +700,60 @@ SELECT nation, ym, rev_cents, prev_cents, mom_ppm,
             ORDER BY mom_ppm DESC NULLS LAST, nation) AS INT) AS mover_rank
 FROM r ORDER BY ym, mover_rank"""
 
+  // ------------------------------------------------ seasonal-naive backtest
+
+  /** Seasonal-naive forecast backtest: predict each nation-month's
+    * revenue as the SAME MONTH LAST YEAR and score the forecast against
+    * actuals — the baseline every forecasting system must beat, and the
+    * backtest harness shape (join actuals to lagged actuals, per-series
+    * error rollup) is the same one a real model would plug into. Errors
+    * are exact integer ppm (|actual − forecast| is non-negative, so
+    * floor division is engine-identical — no signed-division hazard);
+    * per-nation MAPE is the ppm mean over scored months. Scale shape:
+    * one fact hash-agg on (nation, ym), a self-join on the shifted key
+    * (ym − 100 in yyyymm arithmetic), and a nation-sized rollup. */
+  def seasonalNaiveBacktest(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    val forecast = monthly.select(col("nation"),
+      (col("ym") + 100).as("ym"), col("rev_cents").as("fc_cents"))
+    monthly.join(forecast, Seq("nation", "ym"))
+      .withColumn("ape_ppm",
+        expr("abs(rev_cents - fc_cents) * 1000000L DIV fc_cents"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_months"),
+        expr("sum(ape_ppm) DIV count(1)").as("mape_ppm"),
+        max("ape_ppm").as("worst_ape_ppm"))
+      .orderBy("nation")
+  }
+
+  val seasonalNaiveBacktestOracle: String = """
+WITH m AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.nation, a.ym, a.rev_cents, f.rev_cents AS fc_cents,
+         abs(a.rev_cents - f.rev_cents) * 1000000 // f.rev_cents AS ape_ppm
+  FROM m a JOIN m f ON a.nation = f.nation AND a.ym = f.ym + 100)
+SELECT nation, count(*) AS n_months,
+       CAST(sum(ape_ppm) // count(*) AS BIGINT) AS mape_ppm,
+       CAST(max(ape_ppm) AS BIGINT) AS worst_ape_ppm
+FROM j GROUP BY nation ORDER BY nation"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cusum_changepoint"   -> (cusumChangepoint _),
     "mom_growth_movers"   -> (momGrowthMovers _),
+    "seasonal_naive_backtest" -> (seasonalNaiveBacktest _),
     "twap_per_user"       -> (twapPerUser _),
     "event_funnel"        -> (eventFunnel _),
     "order_lifecycle_funnel" -> (orderLifecycleFunnel _),
@@ -721,6 +772,7 @@ FROM r ORDER BY ym, mover_rank"""
   val oracleSql: Map[String, String] = Map(
     "cusum_changepoint"   -> cusumChangepointOracle,
     "mom_growth_movers"   -> momGrowthMoversOracle,
+    "seasonal_naive_backtest" -> seasonalNaiveBacktestOracle,
     "twap_per_user"       -> twapPerUserOracle,
     "event_funnel"        -> eventFunnelOracle,
     "order_lifecycle_funnel" -> orderLifecycleFunnelOracle,
