@@ -315,6 +315,36 @@ LIMIT 20"""
         .select(col("l_partkey").as("p_partkey")))
       .orderBy("p_partkey")
 
+  /** §2.7-ABSENT extension, MULTISET forms: EXCEPT ALL — every line's
+    * part key minus one copy per RETURNED line (`exceptAll` subtracts
+    * multiplicities where `except` would erase a part entirely on its
+    * first return). The surviving multiset is the per-part NET unreturned
+    * demand; rolled up to counts so 600k surviving rows hash as a
+    * part-dim-sized table. Scale: exceptAll plans as a single hash
+    * aggregation on the value with count differencing — one shuffle, no
+    * join. */
+  def exceptAllParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_partkey"))
+      .exceptAll(Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_partkey")))
+      .groupBy("l_partkey").agg(count(lit(1)).as("net_lines"))
+      .orderBy(desc("net_lines"), col("l_partkey"))
+      .limit(100)
+
+  /** §2.7-ABSENT extension, MULTISET forms: INTERSECT ALL — a customer's
+    * order multiset of 1995 intersected with 1996 keeps min(n95, n96)
+    * copies: the year-over-year REPEAT INTENSITY (how many orders of the
+    * earlier cadence the customer sustained), which the DISTINCT form
+    * collapses to a yes/no. Rolled up to per-customer copy counts. */
+  def intersectAllCustomers(s: SparkSession, d: String): DataFrame = {
+    def yr(y: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    yr(1995).intersectAll(yr(1996))
+      .groupBy("o_custkey").agg(count(lit(1)).as("sustained_orders"))
+      .orderBy(desc("sustained_orders"), col("o_custkey"))
+      .limit(100)
+  }
+
   /** §2.4-ABSENT extension: CUBE — all 2^2 grouping combinations of
     * (status, priority) in one pass (completes the rollup / grouping-sets
     * / cube family). */
@@ -604,6 +634,8 @@ ORDER BY o_orderpriority, status"""
     "union_keys"            -> (unionKeys _),
     "except_unsold_parts"   -> (exceptUnsoldParts _),
     "intersect_repeat_customers" -> (intersectRepeatCustomers _),
+    "except_all_parts"      -> (exceptAllParts _),
+    "intersect_all_customers" -> (intersectAllCustomers _),
     "cube_sales"            -> (cubeSales _),
     "scalar_funcs"          -> (scalarFuncs _)
   )
@@ -751,6 +783,20 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
 ORDER BY o_custkey""",
+    "except_all_parts" -> """
+WITH surv AS (
+  SELECT l_partkey FROM lineitem
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT l_partkey, count(*) AS net_lines
+FROM surv GROUP BY 1 ORDER BY net_lines DESC, l_partkey LIMIT 100""",
+    "intersect_all_customers" -> """
+WITH s AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, count(*) AS sustained_orders
+FROM s GROUP BY 1 ORDER BY sustained_orders DESC, o_custkey LIMIT 100""",
     "scalar_funcs" -> """
 SELECT l_orderkey, l_linenumber,
        CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS BIGINT) AS charge,
