@@ -55,6 +55,47 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the null-padded row only after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val v = views.toDF().toDF("v_user", "vts").withWatermark("vts", "0 seconds")
+    val p = purchases.toDF().toDF("p_user", "pts").withWatermark("pts", "0 seconds")
+    val joined = v.join(p,
+      expr("v_user = p_user AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ss_louter")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's view matches a purchase in-window; user 2's
+      // view has no purchase — it must NOT emit yet (its window is open)
+      views.addData((1L, t("10:00")), (2L, t("10:05")))
+      purchases.addData((1L, t("10:30")))
+      q.processAllAvailable()
+      val b1 = spark.table("ss_louter").collect()
+      assert(b1.length == 1 && b1.head.getLong(0) == 1L,
+        s"only the matched pair emits before expiry: ${b1.toSeq}")
+      // batch 2: advance BOTH watermarks past 11:05 (view-ts + 1h) ->
+      // user 2's view is expired from state and emits null-padded
+      views.addData((9L, t("13:00")))
+      purchases.addData((9L, t("13:00")))
+      q.processAllAvailable()
+      // one more no-op-ish batch lets the eviction surface in sinks that
+      // flush on the following micro-batch
+      views.addData((8L, t("13:30")))
+      purchases.addData((8L, t("13:30")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_louter").collect()
+      val padded = rows.filter(r => r.getLong(0) == 2L)
+      assert(padded.length == 1 && padded.head.isNullAt(2),
+        s"expired unmatched view must emit exactly one null-padded row: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("topk_min streaming state restores and merges across micro-batches") {
     // the custom TypedImperativeAggregate's serialize/deserialize is the
     // state-store contract: batch 2's candidates must merge against the

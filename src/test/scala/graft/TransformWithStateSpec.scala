@@ -15,6 +15,62 @@ import graft.streaming.EventsStream
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("RocksDB state survives a stop/restart of a transformWithState query") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    rs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rs.implicits._
+    // running per-user count in ValueState; emits the updated count
+    class Counter extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+      @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(om: OutputMode,
+          tm: org.apache.spark.sql.streaming.TimeMode): Unit =
+        n = getHandle.getValueState[Long]("n",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+          tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        val next = (if (n.exists()) n.get() else 0L) + rows.size
+        n.update(next)
+        Iterator.single((user, next))
+      }
+    }
+    val watch = Files.createTempDirectory("graft_tws_restart_src").toString
+    val ckpt = Files.createTempDirectory("graft_tws_restart_ckpt").toString
+    // the memory sink refuses Append-mode checkpoint recovery — a FILE
+    // sink is the restartable kind, and reading its output back is the
+    // production shape anyway
+    val outDir = Files.createTempDirectory("graft_tws_restart_out").toString
+    def run(): Unit = {
+      val q = rs.readStream.schema("user_id LONG, v LONG").parquet(watch)
+        .as[(Long, Long)].groupByKey(_._1)
+        .transformWithState(new Counter, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "n")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq((1L, 0L), (1L, 0L), (2L, 0L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(watch)
+    run()
+    // new file while the query is DOWN; the restarted run must recover
+    // user 1's count of 2 from the RocksDB store, not restart at zero
+    Seq((1L, 0L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(watch)
+    run()
+    val rows = rs.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 3L)),
+      s"restarted query must fold recovered state (1 -> 3): $rows")
+    assert(!rows.contains((1L, 1L)), s"state was reset on restart: $rows")
+  }
+
   test("event-time timer closes an idle session via handleExpiredTimer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rs = spark.newSession()
