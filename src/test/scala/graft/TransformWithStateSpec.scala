@@ -15,6 +15,51 @@ import graft.streaming.EventsStream
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("initial-state bootstrap: batch totals migrate into streaming state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    rs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rs.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
+    // the batch->stream migration shape: a processor seeded per key from
+    // a batch table via handleInitialState, then folding stream rows
+    class Seeded extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long), Long] {
+      @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(om: OutputMode,
+          tm: org.apache.spark.sql.streaming.TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInitialState(key: Long, initial: Long,
+          tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+        total.update(initial)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+        val next = (if (total.exists()) total.get() else 0L) + rows.map(_._2).sum
+        total.update(next)
+        Iterator.single((key, next))
+      }
+    }
+    val initial = Seq((1L, 100L), (2L, 50L)).toDS().groupByKey(_._1).mapValues(_._2)
+    val mem = MemoryStream[(Long, Long)]
+    val out = mem.toDS().groupByKey(_._1)
+      .transformWithState(new Seeded, TimeMode.None(), OutputMode.Append(), initial)
+    val q = out.toDF().writeStream.format("memory").queryName("tws_seeded")
+      .outputMode("append").start()
+    try {
+      // user 1 had batch history 100; user 3 is stream-only
+      mem.addData((1L, 7L), (3L, 5L))
+      q.processAllAvailable()
+      val rows = rs.table("tws_seeded").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 107L), (3L, 5L)),
+        s"seeded key folds batch history, fresh key starts at zero: $rows")
+    } finally q.stop()
+  }
+
   test("RocksDB state survives a stop/restart of a transformWithState query") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
