@@ -847,6 +847,70 @@ SELECT n_a, n_b, conv_a, conv_b,
        chi2, chi2 > 3.841459 AS significant
 FROM x"""
 
+  // ------------------------------------------------------- bootstrap CI
+
+  /** Nonparametric bootstrap 95% CI for mean daily revenue — 100
+    * with-replacement resamples of the day series, each day drawn by a
+    * seeded md5 integer draw (`u32 % n`, the [[graft.ops.CorpusOps]]
+    * mixSample idiom — reproducible across engines AND runs where
+    * rand() is neither), resample means in exact integer cents, and the
+    * CI endpoints read off exact ranks 3/98 of the 100 sorted means
+    * (2.5/97.5 percentiles). The whole pipeline is integer arithmetic,
+    * so a RESAMPLING procedure hash-gates bit-exactly. Scale shape: the
+    * day series is calendar-bounded, so draws are B×days rows joined
+    * back by day index — never fact-sized; the fact is touched once for
+    * the daily rollup. */
+  def bootstrapCi(s: SparkSession, d: String, b: Int = 100): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy("day")).cast("long") - 1)
+    val nDf = daily.agg(count(lit(1)).as("n"), sum("cents").as("total"))
+    val draws = s.range(0, b).select(col("id").as("b"))
+      .crossJoin(broadcast(nDf))
+      .select(col("b"), col("n"), explode(expr("sequence(0L, n - 1)")).as("j"))
+      .withColumn("u32", conv(substring(md5(concat(lit("boot:"),
+        col("b").cast("string"), lit(":"), col("j").cast("string"))), 1, 8),
+        16, 10).cast("long"))
+      .withColumn("idx", expr("u32 % n"))
+    val means = draws.join(daily.select("idx", "cents"), "idx")
+      .groupBy("b", "n").agg(sum("cents").as("sc"))
+      .withColumn("mean_b", expr("sc DIV n"))
+    val ranked = means.withColumn("rnk",
+      row_number().over(Window.orderBy("mean_b", "b")))
+    ranked.agg(
+        min(when(col("rnk") === 3, col("mean_b"))).as("ci_lo_cents"),
+        min(when(col("rnk") === b - 2, col("mean_b"))).as("ci_hi_cents"))
+      .crossJoin(broadcast(nDf))
+      .select(col("n").as("n_days"), expr("total DIV n").as("mean_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"))
+  }
+
+  val bootstrapCiOracle: String = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (SELECT cents, row_number() OVER (ORDER BY day) - 1 AS idx FROM daily),
+nn AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total FROM daily),
+draws AS (
+  SELECT b.b, CAST(list_sum(list_transform(generate_series(1, 8), k ->
+           CAST((strpos('0123456789abcdef',
+                  substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), k, 1)) - 1) AS BIGINT)
+           * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) % (SELECT n FROM nn) AS idx
+  FROM (SELECT unnest(range(0, 100)) AS b) b,
+       (SELECT unnest(range(0, (SELECT n FROM nn))) AS j) j),
+means AS (
+  SELECT b, CAST(sum(cents) AS BIGINT) // (SELECT n FROM nn) AS mean_b
+  FROM draws JOIN idx USING (idx) GROUP BY b),
+ranked AS (SELECT b, mean_b, row_number() OVER (ORDER BY mean_b, b) AS rnk FROM means)
+SELECT nn.n AS n_days, CAST(nn.total // nn.n AS BIGINT) AS mean_cents,
+       (SELECT mean_b FROM ranked WHERE rnk = 3) AS ci_lo_cents,
+       (SELECT mean_b FROM ranked WHERE rnk = 98) AS ci_hi_cents
+FROM nn"""
+
   // ------------------------------------------------------- CUPED adjustment
 
   /** CUPED variance-reduced A/B readout (Deng et al. 2013): each user's
@@ -981,6 +1045,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "hhi_concentration"    -> (hhiConcentration _),
     "ab_test_chi2"         -> (abTestChi2 _),
     "cuped_adjustment"     -> (cupedAdjustment _),
+    "bootstrap_ci"         -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -1000,6 +1065,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "hhi_concentration"    -> hhiConcentrationOracle,
     "ab_test_chi2"         -> abTestChi2Oracle,
     "cuped_adjustment"     -> cupedAdjustmentOracle,
+    "bootstrap_ci"         -> bootstrapCiOracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,
