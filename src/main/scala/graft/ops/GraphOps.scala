@@ -250,13 +250,68 @@ FROM embeddings e LEFT JOIN best ON best.node = e.vec_id
 ORDER BY e.vec_id"""
   }
 
+  // ------------------------------------------------------- link prediction
+
+  /** Common-neighbor link prediction over the k-NN graph: for every
+    * NON-adjacent pair sharing at least one neighbor, the Jaccard score
+    * |N(a)∩N(b)| / |N(a)∪N(b)| in exact integer ppm (the union clears to
+    * deg(a)+deg(b)−cn over the deduped edge set, so no set materializes)
+    * — the classic "which edge forms next" baseline that seeds
+    * semantic-dedup candidates and retrieval-graph densification.
+    * Scale shape: the candidate generator is the two-hop join through
+    * shared neighbors, Σ_v deg(v)² — bounded-degree on a k-NN graph, so
+    * linear in nodes, never all-pairs; adjacency is excluded by an
+    * anti-join on the canonical edge; degrees broadcast at dim scale.
+    * Top-50 with a total tie-break. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d)
+    val bi = und.select(col("u"), col("v"))
+      .unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cn = bi.select(col("u").as("x"), col("v").as("w"))
+      .join(bi.select(col("u").as("y"), col("v").as("w")), "w")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    cn.join(und.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
+      .join(deg.select(col("u").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jaccard_ppm", expr("cn * 1000000L DIV (dx + dy - cn)"))
+      .select("x", "y", "cn", "jaccard_ppm")
+      .orderBy(desc("jaccard_ppm"), desc("cn"), col("x"), col("y"))
+      .limit(50)
+  }
+
+  lazy val linkPredictionOracle: String = {
+    val knn = Similarity.knnGraphOracle(3)
+    s"""
+WITH raw AS (SELECT vec_a, vec_b FROM ($knn) knn_t),
+und AS (SELECT DISTINCT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v FROM raw),
+bi AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u, count(*) AS deg FROM bi GROUP BY 1),
+cn AS (
+  SELECT a.u AS x, b.u AS y, count(*) AS cn
+  FROM bi a JOIN bi b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cn.x AND und.v = cn.y))
+SELECT x, y, cn,
+       CAST(cn * 1000000 // (dx.deg + dy.deg - cn) AS BIGINT) AS jaccard_ppm
+FROM nonadj
+JOIN deg dx ON dx.u = x
+JOIN deg dy ON dy.u = y
+ORDER BY jaccard_ppm DESC, cn DESC, x, y LIMIT 50"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "link_prediction" -> (linkPrediction _),
     "graph_pagerank"  -> (pagerank _),
     "graph_triangles" -> (triangles _),
     "graph_bfs_distances" -> (bfsDistances _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "link_prediction" -> linkPredictionOracle,
     "graph_pagerank"  -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_bfs_distances" -> bfsDistancesOracle
