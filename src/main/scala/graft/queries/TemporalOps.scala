@@ -614,11 +614,12 @@ FROM d GROUP BY user_id ORDER BY user_id"""
     * runs over the DAY series — calendar-bounded thousands of rows, so
     * the single-partition running sum is a non-issue at any fact scale —
     * and the peak scalar broadcasts back. */
-  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.orders(s, d)
-      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-        .cast("long").as("day"))
-      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+  /** The statistic itself, reusable over any (day, cents) series —
+    * CusumSpec drives it with a PLANTED level shift to prove the argmax
+    * lands on the true change day (the gate only proves both engines
+    * agree; a shared-formula bug would agree wrongly — the round-6
+    * moral). */
+  private[graft] def cusumCore(daily: DataFrame): DataFrame = {
     val tot = daily.agg(sum("cents").as("total"), count(lit(1)).as("n"))
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -630,6 +631,12 @@ FROM d GROUP BY user_id ORDER BY user_id"""
         (abs(col("cusum_scaled")) === col("peak")).as("is_changepoint"))
       .orderBy("day")
   }
+
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame =
+    cusumCore(Tables.orders(s, d)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("day"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents")))
 
   val cusumChangepointOracle: String = """
 WITH daily AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{CorpusOps, TextOps, TokenOps}
-import graft.queries.{BehaviorOps, ChangeOps, StatOps}
+import graft.queries.{BehaviorOps, ChangeOps, StatOps, TemporalOps}
 
 /** Sequential-reference sanity for the retrieval/stats family added in
   * round 9 (`bm25_rank`, `assoc_rules`, `benford_digits`,
@@ -102,6 +102,21 @@ class RetrievalStatsSpec extends AnyFunSuite {
     assert(r.filter(col("segment") === "champion" &&
       (col("r_score") < 4 || col("f_score") < 4)).count() == 0)
     r.unpersist()
+  }
+
+  test("cusum argmax lands on a planted level shift") {
+    import spark.implicits._
+    // 200 flat days at 1000 cents, then a step up to 3000 from day 120:
+    // max |CUSUM| of a single mean shift sits AT the last pre-shift day
+    val series = (0L until 200L).map(day =>
+      (day, if (day < 120L) 1000L else 3000L)).toDF("day", "cents")
+    val r = TemporalOps.cusumCore(series).filter(col("is_changepoint")).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 119L,
+      s"change point must be the last pre-shift day (119): ${r.toSeq}")
+    // a constant series has zero statistic everywhere — every day ties
+    val flat = (0L until 50L).map(day => (day, 777L)).toDF("day", "cents")
+    val z = TemporalOps.cusumCore(flat)
+    assert(z.agg(max(abs(col("cusum_scaled")))).head().getLong(0) == 0L)
   }
 
   test("gini/pareto: coefficient in [0,1), top-20% share holds at least 20%") {
