@@ -288,6 +288,41 @@ SELECT user_id, count(*) AS n_events,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Streaming APPROXIMATE distinct users per day — COUNT(DISTINCT) is
+    * unsupported in streaming aggregation (it would buffer every value),
+    * so HLL++ `approx_count_distinct` IS the streaming answer, its
+    * sketch being exactly the bounded mergeable state a stream can
+    * carry. Verified with the `approx_distinct` in-band contract: the
+    * batch side recomputes the exact per-window count (on the SAME
+    * session clone — cross-session joins don't exist) and the output
+    * hashes exact + a within-10% boolean, so the approximation quality
+    * itself gates. */
+  def approxDistinctStream(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct("user_id", 0.02).as("approx"))
+    val res = runToTable(s, agg, OutputMode.Complete, "graft_stream_approxd")
+      .select(col("window.start").as("window_start"), col("approx"))
+    val exact = Tables.events(res.sparkSession, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct("user_id").as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("exact_users"), col("n_events"))
+    res.join(exact, "window_start")
+      .select(col("window_start"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) <=
+          greatest(lit(1L), expr("exact_users div 10"))).as("within_10pct"))
+      .orderBy("window_start")
+  }
+
+  val approxDistinctStreamOracle: String = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       count(DISTINCT user_id) AS exact_users, count(*) AS n_events,
+       true AS within_10pct
+FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Sliding 2h windows every 1h — each event lands in two windows. */
   def slidingCounts(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
@@ -722,6 +757,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_drift_monitor"   -> (driftMonitor _),
     "stream_transform_state" -> (transformState _),
     "stream_state_inspect"   -> (stateInspect _),
+    "stream_approx_distinct" -> (approxDistinctStream _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
     "stream_session_window"  -> (sessionWindow _),
@@ -740,6 +776,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_drift_monitor"   -> driftMonitorOracle,
     "stream_transform_state" -> transformStateOracle,
     "stream_state_inspect"   -> stateInspectOracle,
+    "stream_approx_distinct" -> approxDistinctStreamOracle,
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
