@@ -336,6 +336,68 @@ sc AS (
 SELECT doc_id, count(*) AS n_terms, CAST(sum(score_q) AS BIGINT) AS score_q
 FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
 
+  // ------------------------------------------------------ sparse retrieval
+
+  /** Doc-to-doc SPARSE lexical retrieval: every 100th document queries
+    * the corpus and retrieves its top-5 most similar documents by
+    * tf·idf-weighted dot product over SHARED TERMS — the inverted-index
+    * third of the retrieval triangle (dense cosine = `dedup_cosine`,
+    * term-query ranking = `bm25_rank`). Weights are the exact-integer
+    * idf surrogate (tf·(N+1)·10³ DIV (df+1), the [[tfidfTopTerms]]
+    * discipline at a smaller scale so pairwise products stay far inside
+    * BIGINT), and the ranking is the raw dot product — the
+    * norm-free form an inverted index serves without a sqrt. Scale
+    * shape: the query-side postings are a 1%-sample — broadcast — so
+    * the corpus posting list is probed once per term with NO self-join
+    * of the full index; per-(query, doc) partial products merge
+    * map-side; top-5 per query is a partitioned rank. */
+  def sparseRetrieval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 3)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+      .select(col("doc_id"), col("tok"),
+        expr("tf * (n + 1) * 1000 DIV (df + 1)").as("wt"))
+    val qw = w.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("tok"), col("wt").as("qwt"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("doc_id"))
+    w.join(broadcast(qw), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("qwt * wt")).as("score"))
+      .withColumn("rnk", row_number().over(rankW).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sparseRetrievalOracle: String = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+t AS (SELECT doc_id, tok FROM toks WHERE len(tok) >= 3),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * (n.n + 1) * 1000 // (df.df + 1) AS wt
+  FROM tf JOIN df USING (tok) CROSS JOIN n),
+sc AS (
+  SELECT q.doc_id AS query_id, c.doc_id, CAST(sum(q.wt * c.wt) AS BIGINT) AS score
+  FROM w q JOIN w c ON q.tok = c.tok AND c.doc_id <> q.doc_id
+  WHERE q.doc_id % 100 = 0
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rnk
+  FROM sc) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   // ----------------------------------------------------- lexical diversity
 
   /** Per-source lexical-diversity profile: vocabulary size, type-token
@@ -378,6 +440,7 @@ FROM g ORDER BY source"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms"      -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "bm25_rank"            -> (bm25Rank _),
+    "sparse_retrieval"     -> ((s: SparkSession, d: String) => sparseRetrieval(s, d)),
     "lexical_diversity"    -> (lexicalDiversity _),
     "corpus_filter"        -> (corpusFilter _),
     "text_langid"          -> (langId _),
@@ -390,6 +453,7 @@ FROM g ORDER BY source"""
   val oracleSql: Map[String, String] = Map(
     "tfidf_top_terms"      -> tfidfOracle,
     "bm25_rank"            -> bm25RankOracle,
+    "sparse_retrieval"     -> sparseRetrievalOracle,
     "lexical_diversity"    -> lexicalDiversityOracle,
     "corpus_filter"        -> corpusFilterOracle,
     "text_langid"          -> langIdOracle,
