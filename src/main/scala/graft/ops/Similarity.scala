@@ -823,7 +823,63 @@ nd AS (
 SELECT vec_a AS anchor, vec_b AS hard_neg, cosine
 FROM nd WHERE hn_rnk = 1 ORDER BY anchor"""
 
+  // ------------------------------------------------ reciprocal-rank fusion
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * the SPARSE lexical ranking ([[graft.ops.TextOps.sparseRetrieval]],
+    * tf·idf over shared terms) and the DENSE ranking (the memoized
+    * [[knnGraph]] cosine neighbors) are fused per query as
+    * Σ 1/(60+rank) — here ⌊10⁶/(60+rank)⌋ per contributor so the fused
+    * score is exact BIGINT and hash-gates; with ranks ≤ 5 the floor
+    * gaps far exceed any tie the true ratios could flip, so the fused
+    * ORDER matches the textbook formula. The production RAG shape:
+    * rankers run independently (both already bounded and indexed), the
+    * fusion is a full-outer join on (query, candidate) — candidate-list
+    * sized, trivially small next to either index. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = graft.ops.TextOps.sparseRetrieval(s, d)
+      .select(col("query_id"), col("doc_id").as("cand"), col("rnk").as("r_sparse"))
+    val dense = knnGraph(s, d, 3).filter(col("vec_a") % 100 === 0)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("cand"),
+        col("rnk").as("r_dense"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("cand"))
+    sparse.join(dense, Seq("query_id", "cand"), "full")
+      .withColumn("rrf", expr(
+        "coalesce(1000000 DIV (60 + r_sparse), 0L) + coalesce(1000000 DIV (60 + r_dense), 0L)"))
+      .withColumn("in_sparse", col("r_sparse").isNotNull)
+      .withColumn("in_dense", col("r_dense").isNotNull)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "cand", "rrf", "in_sparse", "in_dense", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val rrfFusionOracle: String = s"""
+WITH sp AS (
+  SELECT query_id, doc_id AS cand, rnk AS r_sparse
+  FROM (${graft.ops.TextOps.sparseRetrievalOracle}) t),
+dn AS (
+  SELECT vec_a AS query_id, vec_b AS cand, rnk AS r_dense
+  FROM (${knnGraphOracle()}) t WHERE vec_a % 100 = 0),
+f AS (
+  SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+         coalesce(sp.cand, dn.cand) AS cand,
+         coalesce(1000000 // (60 + sp.r_sparse), 0)
+           + coalesce(1000000 // (60 + dn.r_dense), 0) AS rrf,
+         sp.r_sparse IS NOT NULL AS in_sparse,
+         dn.r_dense IS NOT NULL AS in_dense
+  FROM sp FULL OUTER JOIN dn
+    ON sp.query_id = dn.query_id AND sp.cand = dn.cand)
+SELECT query_id, cand, CAST(rrf AS BIGINT) AS rrf, in_sparse, in_dense, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, cand) AS INT) AS rnk
+  FROM f) r
+WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rrf_fusion"          -> (rrfFusion _),
     "hard_negatives"      -> (hardNegatives _),
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_int8"       -> (annInt8TopK _),
@@ -835,6 +891,7 @@ FROM nd WHERE hn_rnk = 1 ORDER BY anchor"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rrf_fusion"          -> rrfFusionOracle,
     "hard_negatives"      -> hardNegativesOracle,
     "ann_topk_bruteforce" -> annTopKOracle,
     "ann_topk_int8"       -> annInt8Oracle,
