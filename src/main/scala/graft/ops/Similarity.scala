@@ -878,8 +878,46 @@ FROM (
   FROM f) r
 WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+  // ------------------------------------------------- index quality eval
+
+  /** Index-quality evaluation as a first-class operator: recall@5 of the
+    * LSH index against the exact ranking, per query and in exact ppm —
+    * the nightly "is my ANN index still good after the last ingest"
+    * job a production retrieval system schedules, not just a unit-test
+    * assertion (SimilaritySpec's recall checks pin planted-cluster
+    * cases; THIS runs the real corpus end to end, and because both
+    * rankings are deterministic the evaluation itself hash-gates).
+    * Left-join + zero-fill so a query whose buckets collided with
+    * nothing reports recall 0 instead of vanishing. */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val exact = annTopK(s, d).select(col("query_id"), col("vec_id"))
+    val lsh = annLshTopK(s, d).select(col("query_id"), col("vec_id"))
+    val overlap = exact.join(lsh, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(overlap, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000L DIV k"))
+      .select("query_id", "k", "hits", "recall_ppm")
+      .orderBy("query_id")
+  }
+
+  lazy val annRecallEvalOracle: String = s"""
+WITH ex AS (SELECT query_id, vec_id FROM ($annTopKOracle) t),
+ls AS (SELECT query_id, vec_id FROM ($annLshOracle) t),
+hits AS (
+  SELECT ex.query_id, count(*) AS hits
+  FROM ex JOIN ls ON ex.query_id = ls.query_id AND ex.vec_id = ls.vec_id
+  GROUP BY 1),
+k AS (SELECT query_id, count(*) AS k FROM ex GROUP BY 1)
+SELECT k.query_id, k.k, CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(hits.hits, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+FROM k LEFT JOIN hits ON k.query_id = hits.query_id
+ORDER BY k.query_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rrf_fusion"          -> (rrfFusion _),
+    "ann_recall_eval"     -> (annRecallEval _),
     "hard_negatives"      -> (hardNegatives _),
     "ann_topk_bruteforce" -> (annTopK _),
     "ann_topk_int8"       -> (annInt8TopK _),
@@ -892,6 +930,7 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   val oracleSql: Map[String, String] = Map(
     "rrf_fusion"          -> rrfFusionOracle,
+    "ann_recall_eval"     -> annRecallEvalOracle,
     "hard_negatives"      -> hardNegativesOracle,
     "ann_topk_bruteforce" -> annTopKOracle,
     "ann_topk_int8"       -> annInt8Oracle,
