@@ -71,7 +71,9 @@ object PlanDump {
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
     "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",
-    "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)"
+    "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)",
+    "sparse_retrieval" -> "inverted-index probe: memoized weight table (InMemoryRelation), query postings broadcast, per-pair partial_sum before the exchange, partitioned rank",
+    "rrf_fusion" -> "rank fusion: both rankers' candidate lists meet in a full-outer join, no corpus-sized input reaches the fusion"
   )
 
   def main(args: Array[String]): Unit = {
