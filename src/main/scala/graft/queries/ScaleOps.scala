@@ -220,6 +220,45 @@ SELECT o_orderstatus,
        count(*) AS n
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** DISCRETE percentiles — the actual data element at rank ⌈p·n⌉, never
+    * an interpolated value that exists in no row (the form an SLA
+    * contract quotes: "p99 latency" must be a latency that HAPPENED).
+    * Built from explicit ranks rather than each engine's quantile_disc —
+    * tie-break and rounding conventions differ across engines, but
+    * row_number over a total (value, key) order is identical everywhere,
+    * which is what lets a DISC percentile hash-gate where the built-ins
+    * would flake. One exchange on the group key; the conditional-min
+    * extraction aggregates map-side. */
+  def percentilesDisc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "o_orderstatus")
+      .groupBy("o_orderstatus", "n")
+      .agg(
+        min(when(col("rn") === expr("(n + 1) DIV 2"), col("o_totalprice"))).as("p50_disc"),
+        min(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("o_totalprice"))).as("p90_disc"))
+      .select("o_orderstatus", "n", "p50_disc", "p90_disc")
+      .orderBy("o_orderstatus")
+  }
+
+  val percentilesDiscOracle: String = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderstatus, n,
+       min(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50_disc,
+       min(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90_disc
+FROM r GROUP BY o_orderstatus, n ORDER BY o_orderstatus"""
+
   /** GK-sketch approximate percentiles — single-pass, mergeable, the
     * 100 TB replacement for the exact sort-based percentile. Sketch
     * estimates differ across engines by design, so the HASHED result is
@@ -679,6 +718,7 @@ WHERE p_size = 1"""
     "salted_join"     -> (saltedJoin _),
     "bloom_prune_join" -> (bloomPruneJoin _),
     "percentiles"     -> (percentiles _),
+    "percentiles_disc" -> (percentilesDisc _),
     "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct" -> (approxDistinct _),
     "sketch_union_distinct" -> (sketchUnionDistinct _),
@@ -698,6 +738,7 @@ WHERE p_size = 1"""
     "salted_join"     -> saltedJoinOracle,
     "bloom_prune_join" -> bloomPruneJoinOracle,
     "percentiles"     -> percentilesOracle,
+    "percentiles_disc" -> percentilesDiscOracle,
     // the approximate aggs hash their ERROR CONTRACT (exact value +
     // in-bound boolean), so they are fully oracle-checked despite
     // cross-engine sketch divergence
