@@ -375,7 +375,44 @@ SELECT c_nationkey, c_mktsegment, bal_band, n_members, at_risk,
 FROM f CROSS JOIN c
 ORDER BY c_nationkey, c_mktsegment, bal_band"""
 
+  /** Monthly return-rate trend — the operational quality KPI a warehouse
+    * dashboards weekly: per order month, line volume, returned-line count
+    * and rate in exact ppm, plus the month-over-month rate delta (signed,
+    * but computed by SUBTRACTING two already-floored non-negative ppm
+    * values — integer subtraction is engine-identical, unlike signed
+    * floor division). Scale shape: one fact-side hash-agg on the order
+    * month (map-side partial conditional sums); the lag window runs over
+    * the calendar-bounded month series. */
+  def returnRateTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("ym")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .withColumn("return_ppm", expr("n_returned * 1000000L DIV n_lines"))
+      .withColumn("mom_delta_ppm",
+        col("return_ppm") - lag("return_ppm", 1).over(w))
+      .orderBy("ym")
+  }
+
+  val returnRateTrendOracle: String = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1),
+r AS (
+  SELECT *, CAST(n_returned * 1000000 // n_lines AS BIGINT) AS return_ppm FROM m)
+SELECT ym, n_lines, n_returned, return_ppm,
+       return_ppm - lag(return_ppm) OVER (ORDER BY ym) AS mom_delta_ppm
+FROM r ORDER BY ym"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "return_rate_trend" -> (returnRateTrend _),
     "k_anonymity"    -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "skew_stats"     -> (skewStats _),
     "profile_orders" -> (profileOrders _),
@@ -387,6 +424,7 @@ ORDER BY c_nationkey, c_mktsegment, bal_band"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "return_rate_trend" -> returnRateTrendOracle,
     "k_anonymity" -> kAnonymityOracle,
     "skew_stats" -> skewStatsOracle,
     "profile_orders" -> profileOrdersOracle,
