@@ -346,9 +346,61 @@ SELECT r_score, f_score, m_score, count(*) AS n_customers,
             ELSE 'regular' END AS segment
 FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // ------------------------------------------------------ ABC classification
+
+  /** ABC (Pareto) inventory classification: parts ranked by revenue,
+    * class A = the head covering 80% of revenue, B = the next 15%,
+    * C = the tail — the cycle-count prioritization every inventory
+    * system runs. Class boundaries are exact integer CROSS-MULTIPLIED
+    * comparisons (running·100 ≤ total·80 — no percentage division to
+    * floor differently), and the running sum orders by (cents DESC,
+    * partkey) so ties are engine-identical. Scale shape: one fact
+    * hash-agg on partkey; the cumulative window runs over the part DIM
+    * (swap in `quantile_buckets` boundaries when the dim outgrows one
+    * sort); output is the 3-row class summary. */
+  def abcClassification(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val tot = rev.agg(sum("cents").as("total"))
+    val w = Window.orderBy(desc("cents"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("running", sum("cents").over(w))
+      .withColumn("abc_class", expr(
+        """CASE WHEN running * 100 <= total * 80 THEN 'A'
+          |     WHEN running * 100 <= total * 95 THEN 'B'
+          |     ELSE 'C' END""".stripMargin))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("class_cents"),
+        expr("sum(cents) * 1000000L DIV max(total)").as("share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  val abcClassificationOracle: String = """
+WITH rev AS (
+  SELECT l_partkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+r AS (
+  SELECT cents, total,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM rev CROSS JOIN t),
+c AS (
+  SELECT cents, total,
+         CASE WHEN running * 100 <= total * 80 THEN 'A'
+              WHEN running * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM r)
+SELECT abc_class, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS class_cents,
+       CAST(sum(cents) * 1000000 // max(total) AS BIGINT) AS share_ppm
+FROM c GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assoc_rules"       -> (assocRules _),
     "rfm_segments"      -> (rfmSegments _),
+    "abc_classification" -> (abcClassification _),
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
@@ -359,6 +411,7 @@ FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   val oracleSql: Map[String, String] = Map(
     "assoc_rules"       -> assocRulesOracle,
     "rfm_segments"      -> rfmSegmentsOracle,
+    "abc_classification" -> abcClassificationOracle,
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
     "rolling_active_users" -> rollingActiveUsersOracle,
