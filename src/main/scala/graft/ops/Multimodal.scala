@@ -222,6 +222,103 @@ FROM p ORDER BY doc_id"""
     * `mapPartitions` (narrow, zero shuffle before the tiny feature rows);
     * with real files the generator disappears and `payload` arrives from
     * parquet — the decode/feature body is unchanged. */
+  case class WavDownsampled(doc_id: Long, in_bytes: Int, out_bytes: Int,
+    in_frames: Int, out_frames: Int, out_rate: Int, out_duration_ms: Long,
+    out_peak: Int, out_sumsq: Long)
+
+  /** Audio TRANSFORM plumbing — decimation by 2 (keep every 2nd frame,
+    * halve the sample rate, duration preserved): the audio analog of
+    * [[resize]] for images, composing the codec BOTH WAYS —
+    * decode → transform → [[WavCodec.encode]] → decode again — with all
+    * reported features computed from the SECOND decode, so a bug in
+    * either direction of the codec or in the interleaved frame surgery
+    * breaks the hash gate. (True decimation low-pass-filters first; the
+    * drop-frame form keeps the arithmetic integer-exact so the
+    * transform itself gates — the filter is a kernel swap in the same
+    * frame loop.) The oracle re-derives everything from the generator's
+    * closed form over the EVEN frame indices plus RIFF size arithmetic.
+    * Per-row CPU inside one mapPartitions, zero shuffle. */
+  def downsampleWav(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val rate = Array(8000, 16000, 22050)((id % 3).toInt)
+          val ch = 1 + (id % 2).toInt
+          val nf = (500 + (id % 7) * 250).toInt
+          val junk = (id % 5).toInt + 1
+          val samples = new Array[Short](nf * ch)
+          var i = 0
+          while (i < samples.length) {
+            val t = i / ch; val c = i % ch
+            samples(i) = (((id * 37 + t * 13 + c * 101) % 4096) - 2048).toShort
+            i += 1
+          }
+          val inBytes = WavCodec.encode(rate, ch, samples, junk)
+          // decode #1, frame surgery on the DECODED stream
+          val in = WavCodec.decode(inBytes)
+          val keptFrames = (in.frames + 1) / 2
+          val kept = new Array[Short](keptFrames * in.channels)
+          var f = 0
+          while (f < keptFrames) {
+            var c = 0
+            while (c < in.channels) {
+              kept(f * in.channels + c) = in.samples(2 * f * in.channels + c)
+              c += 1
+            }
+            f += 1
+          }
+          val outBytes = WavCodec.encode(in.sampleRate / 2, in.channels, kept)
+          // decode #2 — every reported feature comes from here
+          val out = WavCodec.decode(outBytes)
+          var peak = 0; var sumSq = 0L
+          var j = 0
+          while (j < out.samples.length) {
+            val v = out.samples(j).toInt
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v.toLong * v
+            j += 1
+          }
+          WavDownsampled(id, inBytes.length, outBytes.length, in.frames,
+            out.frames, out.sampleRate,
+            out.frames * 1000L / out.sampleRate, peak, sumSq)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  val downsampleWavOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST([8000, 16000, 22050][CAST(doc_id % 3 AS INT) + 1] AS INT) AS rate,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(500 + (doc_id % 7) * 250 AS INT) AS nf,
+         CAST(doc_id % 5 + 1 AS INT) AS junk
+  FROM documents),
+sizes AS (
+  SELECT *, (nf + 1) // 2 AS nf2,
+         CAST(44 + (8 + junk + (junk % 2)) + nf * ch * 2 AS INT) AS in_bytes,
+         CAST(44 + ((nf + 1) // 2) * ch * 2 AS INT) AS out_bytes
+  FROM p),
+i AS (
+  SELECT doc_id, ch, unnest(generate_series(0, nf2 * ch - 1)) AS i
+  FROM sizes),
+sam AS (
+  SELECT doc_id,
+         ((doc_id * 37 + ((i // ch) * 2) * 13 + (i % ch) * 101) % 4096) - 2048 AS v
+  FROM i),
+agg AS (
+  SELECT doc_id, CAST(max(abs(v)) AS INT) AS out_peak,
+         CAST(sum(v * v) AS BIGINT) AS out_sumsq
+  FROM sam GROUP BY 1)
+SELECT s.doc_id, s.in_bytes, s.out_bytes,
+       s.nf AS in_frames, CAST(s.nf2 AS INT) AS out_frames,
+       CAST(s.rate // 2 AS INT) AS out_rate,
+       CAST(s.nf2 * 1000 // (s.rate // 2) AS BIGINT) AS out_duration_ms,
+       a.out_peak, a.out_sumsq
+FROM sizes s JOIN agg a USING (doc_id)
+ORDER BY s.doc_id"""
+
   def decodeWav(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select("doc_id").as[Long]
@@ -526,6 +623,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "multimodal_dedup"    -> (contentDedup _),
     "multimodal_decode_wav" -> (decodeWav _),
+    "multimodal_downsample_wav" -> (downsampleWav _),
     "multimodal_decode_ppm" -> (decodePpm _),
     "multimodal_decode_png" -> (decodePng _),
     "multimodal_decode_jpeg" -> (decodeJpeg _)
@@ -538,6 +636,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_resize"   -> resizeOracle,
     "multimodal_dedup"    -> contentDedupOracle,
     "multimodal_decode_wav" -> decodeWavOracle,
+    "multimodal_downsample_wav" -> downsampleWavOracle,
     "multimodal_decode_ppm" -> decodePpmOracle,
     "multimodal_decode_png" -> decodePngOracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle
