@@ -397,10 +397,60 @@ SELECT abc_class, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS class_cents
        CAST(sum(cents) * 1000000 // max(total) AS BIGINT) AS share_ppm
 FROM c GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------ segment migration
+
+  /** Year-over-year spend-quartile migration matrix: customers quartiled
+    * by 1995 spend and again by 1996 spend (total-tie-break ntile(4), the
+    * engine-exact bucketing), full-outer joined so year-entries and
+    * churn are first-class (bucket 0 = absent that year), and reduced to
+    * the (from, to) transition matrix with exact row-share ppm — the
+    * customer-lifecycle flow a growth dashboard reads as a Sankey. One
+    * fact hash-agg per year, dim-sized windows, ≤25-cell output. */
+  def segmentMigration(s: SparkSession, d: String): DataFrame = {
+    def yearQ(y: Int) = {
+      val w = Window.orderBy(col("cents"), col("custkey"))
+      Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .select(col("custkey"), col("q"))
+    }
+    yearQ(1995).withColumnRenamed("q", "from_q")
+      .join(yearQ(1996).withColumnRenamed("q", "to_q"), Seq("custkey"), "full")
+      .select(coalesce(col("from_q"), lit(0L)).as("from_q"),
+        coalesce(col("to_q"), lit(0L)).as("to_q"))
+      .groupBy("from_q", "to_q")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_share_ppm", expr(
+        "n_customers * 1000000L div sum(n_customers) OVER (PARTITION BY from_q)"))
+      .orderBy("from_q", "to_q")
+  }
+
+  val segmentMigrationOracle: String = """
+WITH y95 AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+y96 AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+q95 AS (SELECT custkey, CAST(ntile(4) OVER (ORDER BY cents, custkey) AS BIGINT) AS from_q FROM y95),
+q96 AS (SELECT custkey, CAST(ntile(4) OVER (ORDER BY cents, custkey) AS BIGINT) AS to_q FROM y96),
+m AS (
+  SELECT coalesce(q95.from_q, 0) AS from_q, coalesce(q96.to_q, 0) AS to_q
+  FROM q95 FULL OUTER JOIN q96 ON q95.custkey = q96.custkey),
+g AS (SELECT from_q, to_q, count(*) AS n_customers FROM m GROUP BY 1, 2)
+SELECT from_q, to_q, n_customers,
+       CAST(n_customers * 1000000 // sum(n_customers) OVER (PARTITION BY from_q) AS BIGINT) AS row_share_ppm
+FROM g ORDER BY from_q, to_q"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assoc_rules"       -> (assocRules _),
     "rfm_segments"      -> (rfmSegments _),
     "abc_classification" -> (abcClassification _),
+    "segment_migration" -> (segmentMigration _),
     "copurchase_pairs"  -> (copurchasePairs _),
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
@@ -412,6 +462,7 @@ FROM c GROUP BY 1 ORDER BY 1"""
     "assoc_rules"       -> assocRulesOracle,
     "rfm_segments"      -> rfmSegmentsOracle,
     "abc_classification" -> abcClassificationOracle,
+    "segment_migration" -> segmentMigrationOracle,
     "copurchase_pairs"  -> copurchasePairsOracle,
     "cohort_retention"  -> cohortRetentionOracle,
     "rolling_active_users" -> rollingActiveUsersOracle,
