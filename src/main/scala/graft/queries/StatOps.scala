@@ -847,6 +847,55 @@ SELECT n_a, n_b, conv_a, conv_b,
        chi2, chi2 > 3.841459 AS significant
 FROM x"""
 
+  // --------------------------------------------------------- Lorenz curve
+
+  /** The Lorenz curve behind [[giniPareto]]'s scalar: customers sorted by
+    * spend ascending, cut into deciles (total-tie-break ntile(10)), each
+    * reporting the cumulative population and revenue shares in exact ppm
+    * — the 10 points a dashboard draws, where the Gini is the area. Pure
+    * integer arithmetic: cumulative cents over the decile rollup (10
+    * rows) against broadcast totals. Scale shape: one fact hash-agg on
+    * custkey, one dim-sized ntile window, a 10-row cumulative window. */
+  def lorenzCurve(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val deciled = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents"), col("custkey"))).cast("long"))
+    val tot = spend.agg(count(lit(1)).as("n_total"), sum("cents").as("c_total"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_c", sum("c").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"),
+        expr("cum_n * 1000000L DIV n_total").as("pop_share_ppm"),
+        expr("cum_c * 1000000L DIV c_total").as("rev_share_ppm"))
+      .orderBy("decile")
+  }
+
+  val lorenzCurveOracle: String = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT cents, CAST(ntile(10) OVER (ORDER BY cents, custkey) AS BIGINT) AS decile
+  FROM spend),
+t AS (SELECT count(*) AS n_total, CAST(sum(cents) AS BIGINT) AS c_total FROM spend),
+g AS (SELECT decile, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c FROM d GROUP BY 1),
+cum AS (
+  SELECT decile,
+         sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM g)
+SELECT decile,
+       CAST(cum_n * 1000000 // t.n_total AS BIGINT) AS pop_share_ppm,
+       CAST(cum_c * 1000000 // t.c_total AS BIGINT) AS rev_share_ppm
+FROM cum CROSS JOIN t ORDER BY decile"""
+
   // ------------------------------------------------------- bootstrap CI
 
   /** Nonparametric bootstrap 95% CI for mean daily revenue — 100
@@ -1046,6 +1095,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "ab_test_chi2"         -> (abTestChi2 _),
     "cuped_adjustment"     -> (cupedAdjustment _),
     "bootstrap_ci"         -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
+    "lorenz_curve"         -> (lorenzCurve _),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -1066,6 +1116,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "ab_test_chi2"         -> abTestChi2Oracle,
     "cuped_adjustment"     -> cupedAdjustmentOracle,
     "bootstrap_ci"         -> bootstrapCiOracle,
+    "lorenz_curve"         -> lorenzCurveOracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,
