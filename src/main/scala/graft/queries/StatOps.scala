@@ -847,6 +847,41 @@ SELECT n_a, n_b, conv_a, conv_b,
        chi2, chi2 > 3.841459 AS significant
 FROM x"""
 
+  // ----------------------------------------------------- weekday profile
+
+  /** Day-of-week seasonality profile of order volume and revenue — the
+    * staffing/capacity planning staple. Day numbering is a classic
+    * cross-engine divergence (Spark's `dayofweek` is 1=Sunday, DuckDB's
+    * `dayofweek` is 0=Sunday), so BOTH sides are pinned to the ISO
+    * Monday=1 convention (Spark `weekday()+1` ≡ DuckDB `isodow`).
+    * Exact ppm shares against broadcast totals; one fact hash-agg into
+    * a 7-row table. */
+  def weekdayProfile(s: SparkSession, d: String): DataFrame = {
+    val byDay = Tables.orders(s, d)
+      .groupBy((weekday(to_date(col("o_orderdate"))) + 1).cast("long").as("isodow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val tot = byDay.agg(sum("n_orders").as("nt"), sum("cents").as("ct"))
+    byDay.crossJoin(broadcast(tot))
+      .select(col("isodow"), col("n_orders"), col("cents"),
+        expr("n_orders * 1000000L DIV nt").as("order_share_ppm"),
+        expr("cents * 1000000L DIV ct").as("rev_share_ppm"),
+        (col("isodow") >= 6).as("is_weekend"))
+      .orderBy("isodow")
+  }
+
+  val weekdayProfileOracle: String = """
+WITH g AS (
+  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nt, CAST(sum(cents) AS BIGINT) AS ct FROM g)
+SELECT isodow, n_orders, cents,
+       CAST(n_orders * 1000000 // t.nt AS BIGINT) AS order_share_ppm,
+       CAST(cents * 1000000 // t.ct AS BIGINT) AS rev_share_ppm,
+       isodow >= 6 AS is_weekend
+FROM g CROSS JOIN t ORDER BY isodow"""
+
   // --------------------------------------------------------- Lorenz curve
 
   /** The Lorenz curve behind [[giniPareto]]'s scalar: customers sorted by
@@ -1096,6 +1131,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "cuped_adjustment"     -> (cupedAdjustment _),
     "bootstrap_ci"         -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
     "lorenz_curve"         -> (lorenzCurve _),
+    "weekday_profile"      -> (weekdayProfile _),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -1117,6 +1153,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "cuped_adjustment"     -> cupedAdjustmentOracle,
     "bootstrap_ci"         -> bootstrapCiOracle,
     "lorenz_curve"         -> lorenzCurveOracle,
+    "weekday_profile"      -> weekdayProfileOracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,
