@@ -847,6 +847,64 @@ SELECT n_a, n_b, conv_a, conv_b,
        chi2, chi2 > 3.841459 AS significant
 FROM x"""
 
+  // ----------------------------------------------- purchase cadence profile
+
+  /** Purchase-cadence profile: the distribution of per-customer
+    * inter-order gaps (days between consecutive orders), summarized as
+    * exact-rank discrete percentiles (p25/p50/p90 — the
+    * [[graft.queries.ScaleOps.percentilesDisc]] construction, so the
+    * reported gaps are gaps that HAPPENED) plus the share of gaps
+    * within 30 days in exact ppm — the replenishment-cycle readout
+    * behind churn models. Gaps are exact integer day arithmetic with a
+    * (date, orderkey) total order; the customer-keyed lag window and
+    * one global rank over the gap table are the only shuffles. */
+  def purchaseCadence(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .withColumn("gap", col("day") - lag("day", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("gap"), col("o_custkey"), col("o_orderkey"))
+    val n = gaps.agg(count(lit(1)).as("n"),
+      sum(when(col("gap") <= 30, 1L).otherwise(0L)).as("n_30"))
+    val rw = Window.orderBy(col("gap"), col("o_custkey"), col("o_orderkey"))
+    gaps.withColumn("rn", row_number().over(rw).cast("long"))
+      .crossJoin(broadcast(n))
+      .groupBy("n", "n_30")
+      .agg(
+        min(when(col("rn") === expr("(n + 3) DIV 4"), col("gap"))).as("p25_gap_days"),
+        min(when(col("rn") === expr("(n + 1) DIV 2"), col("gap"))).as("p50_gap_days"),
+        min(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap"))).as("p90_gap_days"))
+      .select(col("n").as("n_gaps"),
+        expr("n_30 * 1000000L DIV n").as("within_30d_ppm"),
+        col("p25_gap_days"), col("p50_gap_days"), col("p90_gap_days"))
+  }
+
+  val purchaseCadenceOracle: String = """
+WITH g AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders),
+gaps AS (
+  SELECT day - lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap,
+         o_custkey, o_orderkey
+  FROM g),
+f AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+t AS (SELECT count(*) AS n,
+             CAST(sum(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_30
+      FROM f),
+r AS (
+  SELECT gap, CAST(row_number() OVER (ORDER BY gap, o_custkey, o_orderkey) AS BIGINT) AS rn
+  FROM f)
+SELECT t.n AS n_gaps,
+       CAST(t.n_30 * 1000000 // t.n AS BIGINT) AS within_30d_ppm,
+       min(CASE WHEN rn = (t.n + 3) // 4 THEN gap END) AS p25_gap_days,
+       min(CASE WHEN rn = (t.n + 1) // 2 THEN gap END) AS p50_gap_days,
+       min(CASE WHEN rn = (9 * t.n + 9) // 10 THEN gap END) AS p90_gap_days
+FROM r CROSS JOIN t GROUP BY t.n, t.n_30"""
+
   // ----------------------------------------------------- weekday profile
 
   /** Day-of-week seasonality profile of order volume and revenue — the
@@ -1132,6 +1190,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "bootstrap_ci"         -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
     "lorenz_curve"         -> (lorenzCurve _),
     "weekday_profile"      -> (weekdayProfile _),
+    "purchase_cadence"     -> (purchaseCadence _),
     "drift_ks"             -> (driftKs _),
     "corr_matrix"          -> (corrMatrix _),
     "ols_trend"            -> (olsTrend _),
@@ -1154,6 +1213,7 @@ FROM e LEFT JOIN c USING (digit) CROSS JOIN t ORDER BY e.digit"""
     "bootstrap_ci"         -> bootstrapCiOracle,
     "lorenz_curve"         -> lorenzCurveOracle,
     "weekday_profile"      -> weekdayProfileOracle,
+    "purchase_cadence"     -> purchaseCadenceOracle,
     "drift_ks"             -> driftKsOracle,
     "corr_matrix"          -> corrMatrixOracle,
     "ols_trend"            -> olsTrendOracle,
