@@ -411,7 +411,43 @@ SELECT ym, n_lines, n_returned, return_ppm,
        return_ppm - lag(return_ppm) OVER (ORDER BY ym) AS mom_delta_ppm
 FROM r ORDER BY ym"""
 
+  /** Supplier-concentration risk per part: how much of each part's
+    * revenue its LARGEST supplier carries (top-supplier share in exact
+    * ppm — a threshold-free variant of the procurement risk register,
+    * since a fixed "single-sourced" cut can be vacuously empty on
+    * balanced corpora). Top-50 most concentrated parts by
+    * (share, revenue) with total tie-breaks. One fact hash-agg on
+    * (part, supplier), then a part-keyed max/sum rollup — no windows,
+    * no joins beyond the rollup. */
+  def singleSourceRisk(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"), sum("cents").as("total_cents"),
+        max("cents").as("top_cents"))
+      .withColumn("top_share_ppm", expr("top_cents * 1000000L DIV total_cents"))
+      .select("l_partkey", "n_suppliers", "total_cents", "top_share_ppm")
+      .orderBy(desc("top_share_ppm"), desc("total_cents"), col("l_partkey"))
+      .limit(50)
+
+  val singleSourceRiskOracle: String = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2),
+p AS (
+  SELECT l_partkey, count(*) AS n_suppliers,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(max(cents) AS BIGINT) AS top_cents
+  FROM ps GROUP BY 1)
+SELECT l_partkey, n_suppliers, total_cents,
+       CAST(top_cents * 1000000 // total_cents AS BIGINT) AS top_share_ppm
+FROM p
+ORDER BY top_share_ppm DESC, total_cents DESC, l_partkey LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "single_source_risk" -> (singleSourceRisk _),
     "return_rate_trend" -> (returnRateTrend _),
     "k_anonymity"    -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "skew_stats"     -> (skewStats _),
@@ -424,6 +460,7 @@ FROM r ORDER BY ym"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "single_source_risk" -> singleSourceRiskOracle,
     "return_rate_trend" -> returnRateTrendOracle,
     "k_anonymity" -> kAnonymityOracle,
     "skew_stats" -> skewStatsOracle,
