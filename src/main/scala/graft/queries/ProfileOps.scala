@@ -446,8 +446,44 @@ SELECT l_partkey, n_suppliers, total_cents,
 FROM p
 ORDER BY top_share_ppm DESC, total_cents DESC, l_partkey LIMIT 50"""
 
+  /** Price-consistency audit: per part, the dispersion of the realized
+    * UNIT price across its order lines (unit cents = line cents DIV
+    * quantity — quantities are integral in this corpus, and integer
+    * division is engine-identical where a double ratio would need
+    * rounding care), reported as the (max−min)/min spread in exact ppm.
+    * Top-50 most dispersed parts with total tie-breaks — the pricing
+    * anomaly screen a revenue-assurance team runs. One fact hash-agg on
+    * partkey. */
+  def priceDispersion(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), min("unit_cents").as("min_unit"),
+        max("unit_cents").as("max_unit"))
+      .withColumn("spread_ppm",
+        expr("(max_unit - min_unit) * 1000000L DIV min_unit"))
+      .orderBy(desc("spread_ppm"), col("l_partkey"))
+      .limit(50)
+
+  val priceDispersionOracle: String = """
+WITH u AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT) AS unit_cents
+  FROM lineitem),
+p AS (
+  SELECT l_partkey, count(*) AS n_lines,
+         CAST(min(unit_cents) AS BIGINT) AS min_unit,
+         CAST(max(unit_cents) AS BIGINT) AS max_unit
+  FROM u GROUP BY 1)
+SELECT l_partkey, n_lines, min_unit, max_unit,
+       CAST((max_unit - min_unit) * 1000000 // min_unit AS BIGINT) AS spread_ppm
+FROM p ORDER BY spread_ppm DESC, l_partkey LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "single_source_risk" -> (singleSourceRisk _),
+    "price_dispersion"   -> (priceDispersion _),
     "return_rate_trend" -> (returnRateTrend _),
     "k_anonymity"    -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "skew_stats"     -> (skewStats _),
@@ -461,6 +497,7 @@ ORDER BY top_share_ppm DESC, total_cents DESC, l_partkey LIMIT 50"""
 
   val oracleSql: Map[String, String] = Map(
     "single_source_risk" -> singleSourceRiskOracle,
+    "price_dispersion"   -> priceDispersionOracle,
     "return_rate_trend" -> returnRateTrendOracle,
     "k_anonymity" -> kAnonymityOracle,
     "skew_stats" -> skewStatsOracle,
