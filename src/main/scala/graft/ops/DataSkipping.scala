@@ -270,7 +270,7 @@ object DataSkipping {
         col("l_suppkey").between(slo, shi))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("revenue"))
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
       .orderBy("l_returnflag")
   }
 
@@ -286,7 +286,8 @@ object DataSkipping {
       .where(col("o_orderdate") >= lo &&
         col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
   }
 
@@ -321,14 +322,14 @@ object DataSkipping {
                min(l_suppkey) slo, max(l_suppkey) shi
         FROM lineitem)
       SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
-             sum(l_extendedprice) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM lineitem, b
       WHERE l_partkey BETWEEN plo + (phi-plo)*2//5 AND plo + (phi-plo)*3//5
         AND l_suppkey BETWEEN slo + (shi-slo)*2//5 AND slo + (shi-slo)*3//5
       GROUP BY 1 ORDER BY 1""",
     "data_skipping_read" -> """
       SELECT o_orderstatus, count(*) AS n_orders,
-             sum(o_totalprice) AS total_price
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         AND o_orderdate < TIMESTAMP '1997-04-01'

@@ -132,11 +132,16 @@ object MergeOnRead {
 
   /** Aggregate over the twice-merged table — must equal the oracle's
     * direct simulation of both merges over the source, proving positional
-    * replace semantics across data AND merge-inserted files. */
+    * replace semantics across data AND merge-inserted files. Prices sum
+    * as exact integer cents (group totals ~10^9 overflow the 4-dp compare
+    * grid when summed as doubles — the r9 hash flake); per-row
+    * `round(x*100)` after the exact +10/+5 deltas is IEEE-identical
+    * across engines and the long sum is exact. */
   def mergeUpsertMor(s: SparkSession, d: String): DataFrame =
     readMerged(s, morOrders(s, d))
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,7 +150,8 @@ object MergeOnRead {
 
   val oracleSql: Map[String, String] = Map(
     "merge_upsert_mor" -> """
-SELECT o_orderstatus, count(*) AS n_orders, sum(p) AS total_price
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM (
   SELECT o_orderstatus,
          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0

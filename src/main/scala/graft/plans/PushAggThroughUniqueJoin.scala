@@ -145,14 +145,21 @@ object PushAggThroughUniqueJoin extends Rule[LogicalPlan] {
       case scala.util.Left(a) => a
       case scala.util.Right(p) =>
         val pa = pmap(p.alias.exprId)
-        val outer: AggregateFunction = p.fn match {
-          case _: Sum   => Sum(pa)
-          case _: Min   => Min(pa)
-          case _: Max   => Max(pa)
-          case _: Count => Sum(pa) // per-key counts add up
+        val merged: Expression = p.fn match {
+          case _: Sum => AggregateExpression(Sum(pa), Complete, isDistinct = false)
+          case _: Min => AggregateExpression(Min(pa), Complete, isDistinct = false)
+          case _: Max => AggregateExpression(Max(pa), Complete, isDistinct = false)
+          case _: Count =>
+            // per-key counts add; COALESCE(Σ, 0) restores COUNT's two
+            // invariants that a bare SUM merge breaks: a GLOBAL count over
+            // an empty join must return 0 (SUM would return NULL), and the
+            // original output attribute is non-nullable (SUM's isn't)
+            Coalesce(Seq(
+              AggregateExpression(Sum(pa), Complete, isDistinct = false),
+              Literal(0L)))
         }
-        Alias(AggregateExpression(outer, Complete, isDistinct = false),
-          p.alias.name)(exprId = p.alias.exprId, qualifier = p.alias.qualifier,
+        Alias(merged, p.alias.name)(exprId = p.alias.exprId,
+          qualifier = p.alias.qualifier,
           explicitMetadata = p.alias.explicitMetadata)
     }
     Some(agg.copy(aggregateExpressions = newAggExprs,

@@ -99,12 +99,17 @@ fact_sales AS (
   // ---- Q1-Q5 (test_queries.py:15-68 analogs) ----
 
   /** Q1 sales per month (test_queries.py:16-26): month_val is grouped and
-    * sorted but NOT selected — sort before the final projection. */
+    * sorted but NOT selected — sort before the final projection. The money
+    * total keeps the reference's dollar shape but is computed as an exact
+    * cents sum (long) with ONE final /100.0 — group totals reach 10^8+
+    * where a double sum's order error exceeds the 4-dp compare grid (the
+    * r9 DV/MOR flake); long→double then IEEE division is deterministic. */
   def q1SalesPerMonth(s: SparkSession, d: String): DataFrame =
     Medallion.factSales(s, d)
       .join(broadcast(Medallion.dimDate(s, d)), "date_sk")
       .groupBy("year_val", "month_val", "month_name")
-      .agg(count("part_sk").as("n_sales"), round(sum("price"), 2).as("total_sales"))
+      .agg(count("part_sk").as("n_sales"),
+        round(sum(round(col("price") * 100).cast("long")) / 100.0, 2).as("total_sales"))
       .orderBy("year_val", "month_val")
       .select("year_val", "month_name", "n_sales", "total_sales")
 
@@ -135,12 +140,14 @@ fact_sales AS (
       .limit(5)
       .select("name", "nation", "total_spend")
 
-  /** Q4 sales by nation (test_queries.py:50-58, country → nation). */
+  /** Q4 sales by nation (test_queries.py:50-58, country → nation). Money
+    * total via the deterministic cents-sum pattern (see [[q1SalesPerMonth]]:
+    * per-nation totals are 10^8+, past the double-sum tolerance edge). */
   def q4SalesByNation(s: SparkSession, d: String): DataFrame =
     Medallion.factSales(s, d)
       .join(broadcast(Medallion.dimCustomer(s, d)), "customer_sk")
       .groupBy("nation")
-      .agg(round(sum("price"), 2).as("total_sales"))
+      .agg(round(sum(round(col("price") * 100).cast("long")) / 100.0, 2).as("total_sales"))
       .orderBy(desc("total_sales"), asc("nation"))
 
   /** Q5 supplier popularity (test_queries.py:59-67, shipping method → supplier). */
@@ -157,31 +164,41 @@ fact_sales AS (
     * 8 aggregates over a date-filtered lineitem, grouped by two low-
     * cardinality flags. All aggregation is map-side partial onto 6 groups,
     * so the exchange moves ~6 rows per task regardless of fact size, and
-    * the date filter reaches the parquet scan. Money sums on computed
-    * products (price·(1−disc)·(1+tax)) stay double and are rounded at 2dp
-    * only AFTER the full sum — the 2dp-input sums land on exact cents in
-    * both engines (NOTES.md cross-engine rounding rule). */
-  def tpchPricingSummary(s: SparkSession, d: String): DataFrame =
+    * the date filter reaches the parquet scan. Money sums keep their
+    * dollar shape but run on EXACT scaled integers — price, discount and
+    * tax are 2-decimal, so price·(1−disc) is exact in cents·10² and
+    * price·(1−disc)·(1+tax) in cents·10⁴; group totals reach 10^8+
+    * dollars where a double sum's order error exceeds the 4-dp compare
+    * grid (the r9 flake), while the long sums are exact and the single
+    * final division is deterministic on both engines. */
+  def tpchPricingSummary(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val discC = lit(100L) - round(col("l_discount") * 100).cast("long")
+    val taxC = lit(100L) + round(col("l_tax") * 100).cast("long")
     graft.Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").cast("long").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(cents) / 100.0, 2).as("sum_base_price"),
+        round(sum(cents * discC) / 10000.0, 2).as("sum_disc_price"),
+        round(sum(cents * discC * taxC) / 1000000.0, 2).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   val tpchPricingSummaryOracle: String = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0, 2) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -203,8 +220,12 @@ ORDER BY l_returnflag, l_linestatus"""
     * between engines (quantities are integral ≤ 50, counts small). */
   def tpchSmallQuantity(s: SparkSession, d: String): DataFrame = {
     graft.Tables.registerViews(s, d)
+    // CAST ... AS DOUBLE: in Spark SQL the literal 700.0 is a DECIMAL, so
+    // long/700.0 would produce a decimal column (pandas `object`), whose
+    // string form ("x.20" vs float "x.2") can diverge from the oracle's
     s.sql("""
-      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / CAST(700.0 AS DOUBLE), 2) AS DOUBLE) AS avg_yearly
       FROM lineitem l1
       WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem l2
                               WHERE l2.l_partkey = l1.l_partkey)
@@ -213,7 +234,7 @@ ORDER BY l_returnflag, l_linestatus"""
   }
 
   val tpchSmallQuantityOracle: String = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 2) AS avg_yearly
 FROM lineitem l1
 WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem l2
                         WHERE l2.l_partkey = l1.l_partkey)
@@ -250,7 +271,7 @@ WHERE l_quantity * 5 * (SELECT count(*) FROM lineitem l2
       "SELECT * FROM fact_sales ORDER BY customer_sk, part_sk, supplier_sk, date_sk, price, ship_cost"),
     "q1_sales_per_month" -> (ctes + """
 SELECT year_val, month_name, count(part_sk) AS n_sales,
-       round(sum(price), 2) AS total_sales
+       round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0, 2) AS total_sales
 FROM fact_sales JOIN dim_date USING (date_sk)
 GROUP BY year_val, month_val, month_name
 ORDER BY year_val, month_val"""),
@@ -269,7 +290,8 @@ SELECT name, nation, total_spend FROM (
 ORDER BY total_spend DESC, customer_sk ASC
 LIMIT 5"""),
     "q4_sales_by_nation" -> (ctes + """
-SELECT nation, round(sum(price), 2) AS total_sales
+SELECT nation,
+       round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0, 2) AS total_sales
 FROM fact_sales JOIN dim_customer USING (customer_sk)
 GROUP BY nation
 ORDER BY total_sales DESC, nation ASC"""),

@@ -72,13 +72,15 @@ FROM pii ORDER BY c_custkey"""
 
   /** count_if + conditional sum/min/max in ONE grouped pass (no per-branch
     * re-scan). Conditional min/max stay float-hazard-free (no arithmetic);
-    * the conditional sum is a 2dp-value sum, safe to round at 2dp. */
+    * the conditional sum runs on exact integer cents — its group totals
+    * pass 10^8 where a double sum's order error exceeds the 4-dp compare
+    * grid (the r9 flake class). */
   def conditionalAgg(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).groupBy("o_orderpriority").agg(
       count(lit(1)).as("n_total"),
       sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L)).as("n_big"),
-      round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-        .otherwise(0.0)), 2).as("sales_f"),
+      sum(when(col("o_orderstatus") === "F",
+        round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("sales_f_cents"),
       min(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("min_f"),
       max(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("max_f"))
       .orderBy("o_orderpriority")
@@ -87,7 +89,8 @@ FROM pii ORDER BY c_custkey"""
 SELECT o_orderpriority,
        count(*) AS n_total,
        CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
-       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sales_f,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS sales_f_cents,
        min(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS min_f,
        max(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS max_f
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
@@ -125,12 +128,14 @@ FROM documents GROUP BY lang ORDER BY lang"""
       .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"),
         col("o_totalprice"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("bucket")
 
   val histogramPricesOracle: String = """
 SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1 ORDER BY bucket"""
 
   // ------------------------------------------------------------------- orc
@@ -471,14 +476,14 @@ FROM v2 GROUP BY 1 ORDER BY 1"""
     AtomicTable.read(s, base)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("double")), 2).as("sum_price"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
       .orderBy("o_orderpriority")
   }
 
   val compactSmallFilesOracle: String = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 

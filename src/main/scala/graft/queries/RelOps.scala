@@ -118,7 +118,8 @@ object RelOps {
         quarter(col("o_orderdate")).as("quarter_val"),
         col("o_totalprice"))
       .rollup("year_val", "quarter_val")
-      .agg(round(sum("o_totalprice"), 2).as("total_sales"), count(lit(1)).as("n_orders"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("year_val"), asc_nulls_first("quarter_val"))
 
   /** §2.5-ABSENT extension: ranking window — top-3 parts per supplier.
@@ -206,7 +207,8 @@ object RelOps {
         Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
           Seq(col("o_orderstatus")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** Extension: fuzzy string matching — entity-resolution staple. Exact
@@ -352,7 +354,8 @@ LIMIT 20"""
     Tables.orders(s, d)
       .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(round(sum("o_totalprice"), 2).as("total_sales"), count(lit(1)).as("n_orders"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   /** ROLLUP with GROUPING-ID markers: the bitmask distinguishes a
@@ -694,7 +697,8 @@ SELECT n_name AS nation,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY nation""",
     "rollup_sales" -> """
-SELECT year_val, quarter_val, round(sum(o_totalprice), 2) AS total_sales,
+SELECT year_val, quarter_val,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        count(*) AS n_orders
 FROM (SELECT CAST(year(o_orderdate) AS INT) AS year_val,
              CAST(quarter(o_orderdate) AS INT) AS quarter_val, o_totalprice
@@ -706,7 +710,8 @@ ORDER BY year_val ASC NULLS FIRST, quarter_val ASC NULLS FIRST""",
     "paginated_topk" -> paginatedTopkOracle,
     "paginated_keyset" -> paginatedKeysetOracle,
     "cube_sales" -> """
-SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total_sales,
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -750,7 +755,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 ORDER BY o_custkey, seq""",
     "grouping_sets_sales" -> """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",

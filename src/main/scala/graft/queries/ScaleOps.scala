@@ -50,13 +50,14 @@ object ScaleOps {
     }
     s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
       .orderBy("o_orderpriority")
   }
 
   val bucketedJoinOracle: String = """
 SELECT o_orderpriority, count(*) AS n_lines,
-       round(sum(l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
@@ -72,14 +73,15 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     Tables.orders(s, d)
       .withColumn("salt", pmod(col("o_orderkey"), lit(SaltBuckets)))
       .groupBy("o_orderpriority", "salt")
-      .agg(count(lit(1)).as("pn"), sum("o_totalprice").as("ps"))
+      .agg(count(lit(1)).as("pn"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("ps"))
       .groupBy("o_orderpriority")
-      .agg(sum("pn").as("n_orders"), round(sum("ps"), 2).as("total_price"))
+      .agg(sum("pn").as("n_orders"), sum("ps").as("total_cents"))
       .orderBy("o_orderpriority")
 
   val saltedAggOracle: String = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   /** Exact per-key COUNT(DISTINCT) via VALUE-hash salting — the skew-safe
@@ -144,13 +146,14 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     saltedJoinOn(Tables.lineitem(s, d), dim, "l_suppkey", "s_suppkey",
       xxhash64(col("l_orderkey"), col("l_linenumber")))
       .groupBy(col("n_name").as("nation"))
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
       .orderBy("nation")
   }
 
   val saltedJoinOracle: String = """
 SELECT n_name AS nation, count(*) AS n_lines,
-       round(sum(l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -190,13 +193,14 @@ GROUP BY n_name ORDER BY nation"""
     // for (a broadcastable build side would never need the bloom)
     pruned.join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
       .orderBy("l_returnflag")
   }
 
   val bloomPruneJoinOracle: String = """
 SELECT l_returnflag, count(*) AS n_lines,
-       round(sum(l_extendedprice), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag ORDER BY l_returnflag"""

@@ -558,18 +558,26 @@ FROM terms, crit GROUP BY dof, crit"""
     val topK = 4
     val q = Tables.fanout(s, Tables.embeddings(s, d))
       .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
-    // one reduction: per-dim sums + upper-triangle Gram (exact longs)
-    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i").agg(sum("qi").as("si"), count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val dim = sums.size
-    val n = sums(0)._2
-    val gram = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+    // ONE reduction for ALL moments: the upper-triangle explode (j >= i)
+    // already carries each dim's value on its diagonal row, so per-dim
+    // sums and n ride the Gram aggregation as conditional partials — the
+    // r9 bench showed this query's steady passes degrading under
+    // full-suite memory pressure, and halving the explode passes halves
+    // the allocation pressure that made it GC-sensitive (NOTES.md r10)
+    val moments = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
       .select(col("i"), col("qi"),
         posexplode(expr("slice(q, i + 1, size(q) - i)")).as(Seq("p", "qj")))
-      .select(col("i"), (col("i") + col("p")).as("j"), (col("qi") * col("qj")).as("prod"))
-      .groupBy("i", "j").agg(sum("prod").as("g"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .select(col("i"), (col("i") + col("p")).as("j"), col("qi"), col("qj"))
+      .groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("g"),
+        sum(when(col("i") === col("j"), col("qi"))).as("si"),
+        count(when(col("i") === col("j"), lit(1))).as("nd"))
+      .collect()
+    val gram = moments.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sums = moments.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val dim = sums.size
+    val n = sums(0)._2
     // population covariance in micro-unit² scale: C = (n·G − S·Sᵀ)/n²
     val nB = BigInt(n)
     def cov(i: Int, j: Int): Double = {

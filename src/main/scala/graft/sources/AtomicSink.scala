@@ -155,6 +155,10 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val committed = messages.collect { case m: SinkCommit if m.rows > 0 => m.file }
+    // empty tasks committed successfully (so task abort never ran) but
+    // their files aren't published — reap them or .staging grows forever
+    messages.collect { case m: SinkCommit if m.rows == 0 => m.file }
+      .foreach(f => Files.deleteIfExists(dir.resolve(".staging").resolve(f)))
     // move each committed file out of staging (same-directory rename —
     // atomic on POSIX; an already-final file from a retried driver is fine)
     committed.foreach { f =>
@@ -167,19 +171,37 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
     // prior list in), so two concurrently-committing jobs could each
     // read the same prior manifest and the later rename would silently
     // drop the earlier job's files. A create-new lock file serializes
-    // committers — createFile is atomic on POSIX — with bounded retry;
-    // a crashed committer's stale lock is broken after 30 s (its commit
-    // never published, so breaking it loses nothing). This is the poor
-    // man's optimistic-concurrency loop a real table format runs on its
-    // version log; AtomicSinkSpec races two threads through it.
+    // committers — createFile is atomic on POSIX. A crashed committer's
+    // stale lock is broken only when the LOCK FILE's mtime is older than
+    // the stale window (the holder's liveness, not the waiter's patience
+    // — its manifest rename never happened, so breaking loses nothing),
+    // and ownership is re-verified by token before the critical section:
+    // two timed-out waiters can interleave delete/create such that both
+    // hold a created file, but only the one whose token survives in the
+    // file proceeds. This is the poor man's optimistic-concurrency loop a
+    // real table format runs on its version log; AtomicSinkSpec races
+    // two threads through it.
     val lock = dir.resolve("_COMMIT_LOCK")
+    val token = s"$queryId/${java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName}/${Thread.currentThread().getId}/${System.nanoTime()}"
+    val staleMs = 30000L
     var locked = false
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (!locked) {
-      try { Files.createFile(lock); locked = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        if (System.nanoTime() > deadline) { Files.deleteIfExists(lock) }
-        Thread.sleep(10)
+      try {
+        Files.createFile(lock)
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8))
+        locked = try {
+          new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
+        } catch { case _: java.io.IOException => false }
+        if (!locked) Thread.sleep(10)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis() - staleMs
+          } catch { case _: java.io.IOException => false } // vanished = not ours to break
+          if (stale) Files.deleteIfExists(lock)
+          Thread.sleep(10)
       }
     }
     try {

@@ -155,7 +155,8 @@ object SkippingFileIndex {
     df.where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
   }
 

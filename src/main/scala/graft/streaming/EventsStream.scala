@@ -91,12 +91,23 @@ object EventsStream {
     Tables.normalizeTs(s.readStream.schema(schema).parquet(stageDir.toString))
   }
 
+  // memory-sink names must be unique PER INVOCATION: the streaming clone
+  // is shared across datasets of a base session, so a fixed per-query name
+  // collides under two concurrent invocations (start() throws "query name
+  // already active", or one caller reads the other's sink table)
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val unique = s"${name}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(unique).start()
     try q.processAllAvailable() finally q.stop()
     // the memory sink registers on the session that STARTED the query —
-    // the streaming clone, not the caller's batch session
-    df.sparkSession.table(name)
+    // the streaming clone, not the caller's batch session. table() analyzes
+    // eagerly (the plan captures the sink relation), so the temp view can
+    // drop immediately and the catalog doesn't accumulate one entry per run.
+    val out = df.sparkSession.table(unique)
+    df.sparkSession.catalog.dropTempView(unique)
+    out
   }
 
   /** Tumbling 1h window counts per event type, with a 10-minute watermark.
@@ -271,7 +282,9 @@ FROM events GROUP BY 1 ORDER BY 1"""
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
     val q = agg.writeStream.outputMode(OutputMode.Complete)
       .option("checkpointLocation", ckpt)
-      .format("memory").queryName("graft_state_inspect_sink").start()
+      .format("memory")
+      .queryName(s"graft_state_inspect_sink_${sinkSeq.incrementAndGet()}")
+      .start()
     try q.processAllAvailable() finally q.stop()
     // the state VALUE is the aggregation BUFFER (fields named after the
     // buffer slots: `count`, `sum`), not the output row — exactly what a

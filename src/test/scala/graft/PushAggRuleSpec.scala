@@ -87,6 +87,44 @@ class PushAggRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("global (ungrouped) aggregate over an EMPTY join: COUNT is 0, not NULL") {
+    import spark.implicits._
+    PushAggThroughUniqueJoin.ensure(spark)
+    val fact = Seq((1L, 5L), (2L, -7L)).toDF("fk", "x")
+    // dim key set is disjoint from the fact's → the inner join is empty,
+    // the case where merging COUNT as a bare SUM returns NULL instead of 0
+    val dimRaw = Seq((99L, 1L), (98L, 2L)).toDF("k", "g")
+    def q(empty: Boolean) = {
+      val dim = (if (empty) dimRaw else dimRaw.withColumn("k", col("k") - 98L + 1L))
+        .groupBy("k").agg(max("g").as("g"))
+      fact.join(dim, col("fk") === col("k"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    }
+    // rule fires on the global shape
+    val opt = q(empty = true).queryExecution.optimizedPlan
+    val j = joins(opt)
+    assert(j.nonEmpty && j.head.left.collect { case a: Aggregate => a }.nonEmpty,
+      s"rule did not fire on the ungrouped shape:\n$opt")
+    // empty join: COUNT must be 0 (and SUM null) — the r9 advisor's bug
+    val r = q(empty = true).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).isNullAt(1),
+      s"global agg over empty join: ${r.mkString}")
+    // the rewritten COUNT attribute must stay non-nullable IN THE
+    // OPTIMIZED plan (alias exprIds are preserved, so parents were
+    // resolved against nullable=false — a bare SUM merge would flip it)
+    assert(!opt.output.find(_.name == "n").get.nullable,
+      s"rewritten count attribute became nullable:\n$opt")
+    // non-empty sanity vs rule-off
+    val withRule = q(empty = false).collect()
+    val prior = spark.experimental.extraOptimizations
+    val without = try {
+      spark.experimental.extraOptimizations =
+        prior.filterNot(_ eq PushAggThroughUniqueJoin)
+      q(empty = false).collect()
+    } finally spark.experimental.extraOptimizations = prior
+    assert(withRule.sameElements(without))
+  }
+
   test("rule does NOT fire without the uniqueness proof or with distinct aggs") {
     PushAggThroughUniqueJoin.ensure(spark)
     // dim side is a raw table — unique in fact but not PROVABLY so

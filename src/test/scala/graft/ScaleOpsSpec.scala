@@ -25,10 +25,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val salted = ScaleOps.saltedAgg(spark, sf).collect()
     val direct = Tables.orders(spark, sf)
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderpriority").collect()
-    assert(salted.map(r => (r.getString(0), r.getLong(1))).sameElements(
-      direct.map(r => (r.getString(0), r.getLong(1)))))
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sameElements(
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))))
   }
 
   test("value-salted distinct defuses a 50%-hot-key skew and keeps the exact answer") {

@@ -50,12 +50,55 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 fails = []
+
+# Tolerance-headroom audit (the r9 deletion_vector_read lesson): the compare
+# grid is round-to-4dp, but cross-engine double summation-order error grows
+# ~N*eps*|V| — at |V|~1e8+ it reaches 1e-3..1e-4 and the hash becomes a coin
+# flip per run. Flag any float output column with FRACTIONAL values within
+# 10x of that edge; such queries must aggregate exact integers (cents / ppm)
+# instead. Integer-valued float columns are exempt below 2^53/10: a sum of
+# integer-valued doubles is EXACT in every order while all partials stay
+# < 2^53, so there is no order sensitivity to flake on.
+EDGE = 1e8
+# Exempt columns PROVEN deterministic by construction: the aggregate runs on
+# exact integers (cents / scaled ints / decimal moments) and the float is
+# produced by ONE final long->double conversion + IEEE division (+ round),
+# which is correctly rounded and engine-identical — no summation-order
+# freedom exists. Every entry must cite that construction at its def site.
+DETERMINISTIC_OK = {
+    "q1_sales_per_month": {"total_sales"},      # sum(cents)::long / 100.0
+    "q4_sales_by_nation": {"total_sales"},      # sum(cents)::long / 100.0
+    "tpch_pricing_summary": {"sum_base_price", "sum_disc_price", "sum_charge"},
+    "tpch_small_quantity": {"avg_yearly"},      # sum(cents)::long / 700.0
+    "mom_growth_movers": {"mom_ppm"},           # (Δcents)/cents * 1e6, one div
+    "ols_trend": {"intercept_cents", "slope_cents_per_month"},  # decimal moments, one div
+}
+def headroom_audit(name: str, got: pd.DataFrame):
+    for c in got.columns:
+        if c in DETERMINISTIC_OK.get(name, ()):
+            continue
+        if got[c].dtype.kind == "f":
+            v = got[c].dropna()
+            if v.empty: continue
+            m = v.abs().max()
+            fractional = bool((v != v.round()).any())
+            if fractional and m >= EDGE / 10:
+                fails.append((name,
+                    f"fractional float column '{c}' max |v|={m:.4g} is within "
+                    f"10x of the {EDGE:.0g} summation-order tolerance edge — "
+                    f"aggregate exact integers (cents/ppm) on both sides"))
+            elif not fractional and m >= 2**53 / 10:
+                fails.append((name,
+                    f"integer-valued float column '{c}' max |v|={m:.4g} nears "
+                    f"2^53 where doubles stop being exact — use BIGINT"))
+
 result_dirs = sorted(p.name for p in Path(OUT).iterdir() if p.is_dir())
 for name in result_dirs:
     files = list(Path(f"{OUT}/{name}").glob("*.parquet"))
     if not files:
         fails.append((name, "no spark output")); continue
     got = pd.read_parquet(f"{OUT}/{name}")
+    headroom_audit(name, got)
     if name not in oracle:
         print(f"  ~ {name}: rows-only ({len(got)} rows)")
         if len(got) == 0: fails.append((name, "0 rows"))
