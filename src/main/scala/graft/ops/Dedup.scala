@@ -74,52 +74,43 @@ object Dedup {
   // session-instance key, same rationale as Medallion.goldCache
   private[graft] def shingleTable(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), {
-      // the shingle table persists to DISK through AtomicTable like a real
-      // silver-zone table (the 100-TB design: the dominant shingle pass is
-      // a batch artifact written once and reused across dedup runs AND
-      // sessions). A cold session — bench pass 1 after SessionCaches.clear
-      // — now pays a parquet read, not a recompute; the source fingerprint
-      // (mtime:size of documents.parquet) invalidates on regeneration.
-      val base = s"/tmp/graft_silver/${graft.util.PathKeys.safe(d)}/shingles"
-      val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-      val fp = s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}:" +
-        s"${java.nio.file.Files.size(src)}"
-      val fpFile = java.nio.file.Paths.get(base, "_SOURCE_FP")
-      val fresh = graft.util.AtomicTable.exists(base) &&
-        java.nio.file.Files.exists(fpFile) &&
-        java.nio.file.Files.readString(fpFile).trim == fp
-      if (!fresh) {
+      // the shingle table persists to DISK through SilverArtifact like a
+      // real silver-zone table (the 100-TB design: the dominant shingle
+      // pass is a batch artifact written once and reused across dedup runs
+      // AND sessions). A cold session — bench pass 1 after
+      // SessionCaches.clear — pays a parquet read, not a recompute; the
+      // part-file fingerprint invalidates on source regeneration even when
+      // the directory entry is untouched, and the logic tag orphans stored
+      // shingles if this derivation ever changes.
+      val base = graft.util.SilverArtifact.pathFor(d, "shingles")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/documents.parquet", s"shingles-v2-cap$MaxShingleDfFrac-$MinShingleDfCap")
+      // the split/ngram/hash explosion feeds BOTH the hot-list aggregate
+      // and the anti-join input — persisted so the dominant shingle pass
+      // runs once during the publish write, released right after
+      var ex: DataFrame = null
+      val read = graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         val nDocs = Tables.documents(s, d).count()
         val cap = math.max(MinShingleDfCap, math.floor(MaxShingleDfFrac * nDocs).toLong)
-        // the split/ngram/hash explosion feeds BOTH the hot-list aggregate
-        // and the anti-join input — persist it so the dominant shingle pass
-        // runs once, then release it after the capped table publishes
-        val ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
+        ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
           .select(col("doc_id"), explode(col("sh")).as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // sh is distinct per doc, so count == document frequency. The hot
         // list is tiny by construction (df > 1% of corpus) → broadcast anti.
         val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("h")
-        val capped = ex.join(broadcast(hot), Seq("h"), "left_anti")
+        ex.join(broadcast(hot), Seq("h"), "left_anti")
           .groupBy("doc_id")
           .agg(sort_array(collect_list("h")).as("sh"), count(lit(1)).as("m"))
-        graft.util.AtomicTable.publish(base)(dir =>
-          capped.coalesce(4).write.mode("overwrite").parquet(dir))
-        ex.unpersist()
-        val tmp = java.nio.file.Paths.get(base, "_SOURCE_FP.tmp")
-        java.nio.file.Files.writeString(tmp, fp)
-        java.nio.file.Files.move(tmp, fpFile,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      if (ex != null) ex.unpersist()
       // re-establish the doc_id co-location the parquet read loses (the
       // on-disk analog would be bucketBy(doc_id), which needs a metastore
       // table): one session-amortized repartition, cached, so every
       // downstream doc_id groupBy/join reuses the partitioning instead of
       // re-exchanging per query — PlanAuditSpec's 1-exchange budgets on
       // the dedup family depend on this
-      graft.util.AtomicTable.read(s, base)
+      read
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -194,7 +185,7 @@ ORDER BY doc_a, doc_b"""
     * recall at the threshold is ~1 (see class doc), which the oracle checks. */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val docs = shingleTable(s, d)
-    val banded = bandedSignatures(docs)
+    val banded = bandedTable(s, d)
     val l = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
     val cands = l.join(r, Seq("band_idx", "band_val"))
@@ -226,6 +217,34 @@ ORDER BY doc_a, doc_b"""
     }
     sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
+
+  private val bandedCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("dedup.bands")
+
+  /** The STORED LSH index: (doc_id, band_idx, band_val) persisted through
+    * SilverArtifact next to the shingle table. The class doc above calls
+    * this table the stored dedup index — so it is stored: a cold session's
+    * `dedup_minhash_lsh` is a parquet read + candidate equi-join, not 64
+    * min-aggregates over the exploded shingle table (the r10 verdict's
+    * open cold-cost item). 16 rows/doc, far smaller than the shingles;
+    * invalidated by the same part-file fingerprint plus a logic tag
+    * carrying the permutation seed and banding shape. */
+  private[graft] def bandedTable(s: SparkSession, d: String): DataFrame =
+    bandedCache.getOrElseUpdate((s, d), {
+      val base = graft.util.SilverArtifact.pathFor(d, "minhash_bands")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/documents.parquet",
+        s"bands-v1-seed5eed-n$NumHashes-b${Bands}x$RowsPerBand")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        bandedSignatures(shingleTable(s, d))
+      }
+        // co-locate on the probe key: every consumer equi-joins on
+        // (band_idx, band_val), so one session-amortized repartition lets
+        // index-vs-index and batch-vs-index joins reuse the exchange
+        .repartition(s.sparkContext.defaultParallelism,
+          col("band_idx"), col("band_val"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets — shared by every LSH path; the approximation only ever prunes
@@ -259,7 +278,7 @@ ORDER BY doc_a, doc_b"""
     // driver value, same class as the IVF centroid means)
     val maxId = Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
     val thr = 9L * maxId / 10
-    val banded = bandedSignatures(docs)
+    val banded = bandedTable(s, d)
     val idx = banded.filter(col("doc_id") < thr)
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val bat = banded.filter(col("doc_id") >= thr)

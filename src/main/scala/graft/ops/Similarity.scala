@@ -387,9 +387,25 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     graft.util.SessionCaches.memo[(SparkSession, String, Int)]("similarity.knn")
 
   def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame =
-    knnCache.getOrElseUpdate((s, d, k),
-      knnGraphUncached(s, d, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    knnCache.getOrElseUpdate((s, d, k), {
+      // the edge set is a stored corpus artifact like the MinHash band
+      // index (r10 verdict #2): the LSH candidate join + ranking window
+      // run once per corpus version and land on disk via SilverArtifact;
+      // a cold session's graph queries (link_prediction, pagerank,
+      // triangles, bfs) start from a k·n-row parquet read instead of
+      // rebuilding the candidate join. Fingerprinted on the embeddings
+      // part files + the LSH/banding parameters.
+      val base = graft.util.SilverArtifact.pathFor(d, s"knn_k$k")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/embeddings.parquet", s"knn-v1-t${NumTables}b${Bits}k$k")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        knnGraphUncached(s, d, k)
+      }
+        // restore the (vec_a, rnk) presentation order the parquet read
+        // drops — the knn_graph gate hashes this frame directly
+        .orderBy("vec_a", "rnk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def knnGraphUncached(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

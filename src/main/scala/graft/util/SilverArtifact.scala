@@ -1,0 +1,85 @@
+package graft.util
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk-persisted derived tables ("silver artifacts") shared across
+  * sessions — the on-disk half of the [[SessionCaches]] contract.
+  *
+  * A 100 TB pipeline computes its expensive derived structures — the
+  * shingle table, the banded MinHash index, the k-NN edge set — ONCE per
+  * corpus version in the ingestion job and stores them next to the data;
+  * every later session (an analyst's notebook, an incremental-ingest
+  * batch, the next day's dedup run) READS the stored artifact instead of
+  * recomputing the dominant pass. This object gives each such artifact:
+  *
+  *  - an [[AtomicTable]] home (crash-safe publish, never a torn read);
+  *  - a SOURCE FINGERPRINT covering the actual part files of the source
+  *    table — file count + total bytes + newest mtime — so regeneration
+  *    of the source invalidates the artifact even when the parent
+  *    directory entry is untouched (`Files.size` of a directory is the
+  *    fs-entry size, a constant; an in-place part-file rewrite would have
+  *    slipped past the old directory-level fingerprint);
+  *  - a LOGIC VERSION folded into the fingerprint, so changing the
+  *    derivation code orphans stored artifacts instead of silently
+  *    serving stale semantics;
+  *  - a visible hit/miss line on stderr, so a bench/verify log shows
+  *    whether a "cold" pass actually read the store or had to rebuild.
+  */
+object SilverArtifact {
+
+  /** Root for locally staged artifacts. On a cluster this would be a lake
+    * path next to the source tables; a var so specs can sandbox it. */
+  @volatile var root: String = "/tmp/graft_silver"
+
+  def pathFor(sourceDir: String, name: String): String =
+    s"$root/${PathKeys.safe(sourceDir)}/$name"
+
+  /** Fingerprint of a parquet source — a single file, or the regular
+    * files directly inside a table directory — plus the caller's
+    * logic-version tag. */
+  def sourceFingerprint(srcDir: String, logicVersion: String): String = {
+    val p = Paths.get(srcDir)
+    val files =
+      if (Files.isRegularFile(p)) Vector(p)
+      else {
+        val stream = Files.list(p)
+        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+        finally stream.close()
+      }
+    val bytes = files.map(Files.size).sum
+    val maxMtime = files.map(f => Files.getLastModifiedTime(f).toMillis)
+      .maxOption.getOrElse(0L)
+    s"logic=$logicVersion;files=${files.size};bytes=$bytes;mtime=$maxMtime"
+  }
+
+  private val FpFile = "_SOURCE_FP"
+
+  /** Read the artifact at `base` if its stored fingerprint matches `fp`;
+    * otherwise evaluate `build`, publish it atomically, stamp the
+    * fingerprint, and read the published copy back. The returned frame is
+    * always a plain parquet scan of the published version — callers add
+    * their own repartition/persist/order on top. */
+  def getOrBuild(s: SparkSession, base: String, fp: String,
+      coalesceTo: Int = 4)(build: => DataFrame): DataFrame = {
+    val fpPath = Paths.get(base, FpFile)
+    val hit = AtomicTable.exists(base) && Files.exists(fpPath) &&
+      Files.readString(fpPath).trim == fp
+    // the bench-environment instrumentation the r10 verdict asked for:
+    // a cold pass that logs "hit" read the store; "miss" means the store
+    // was absent/stale and the build cost was paid in this session
+    System.err.println(s"[graft] silver artifact ${if (hit) "hit " else "miss"} $base")
+    if (!hit) {
+      val df = build
+      AtomicTable.publish(base)(dir =>
+        df.coalesce(coalesceTo).write.mode("overwrite").parquet(dir))
+      val tmp = Paths.get(base, FpFile + ".tmp")
+      Files.writeString(tmp, fp)
+      Files.move(tmp, fpPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    AtomicTable.read(s, base)
+  }
+}

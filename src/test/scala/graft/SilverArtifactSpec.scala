@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.SilverArtifact
+
+/** The stored-artifact contract (r10 verdict #1/#2 and the r10 ADVICE
+  * fingerprint finding): an artifact is rebuilt exactly when its SOURCE
+  * part files or its derivation logic change — never on a mere re-read,
+  * and always on an in-place part-file rewrite that leaves the parent
+  * directory entry untouched (the case `Files.size(dir)` missed). */
+class SilverArtifactSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshRoots(): (String, String) = {
+    val src = Files.createTempDirectory("silver-src").toString
+    val store = Files.createTempDirectory("silver-store").toString
+    (src, store)
+  }
+
+  private def writeSource(src: String, rows: Seq[Int]): Unit = {
+    import spark.implicits._
+    rows.toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$src/t.parquet")
+  }
+
+  test("hit serves the store without invoking the build") {
+    val (src, store) = freshRoots()
+    writeSource(src, 1 to 10)
+    var builds = 0
+    def get() = {
+      val fp = SilverArtifact.sourceFingerprint(s"$src/t.parquet", "spec-v1")
+      SilverArtifact.getOrBuild(spark, s"$store/a", fp) {
+        builds += 1; spark.read.parquet(s"$src/t.parquet")
+      }
+    }
+    assert(get().count() == 10 && builds == 1)
+    assert(get().count() == 10 && builds == 1) // second call: pure read
+  }
+
+  test("in-place part-file rewrite invalidates (directory entry unchanged)") {
+    val (src, store) = freshRoots()
+    writeSource(src, 1 to 10)
+    def fp() = SilverArtifact.sourceFingerprint(s"$src/t.parquet", "spec-v1")
+    val before = fp()
+    // rewrite the part file CONTENT in place: same file count, same parent
+    // dir, different bytes/mtime — the directory-level fingerprint the r10
+    // ADVICE flagged would not see this
+    val part = Files.list(Paths.get(s"$src/t.parquet")).iterator()
+    val partFiles = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (part.hasNext) partFiles += part.next()
+    writeSource(src, 1 to 25)
+    assert(fp() != before)
+    var builds = 0
+    def get(f: String) =
+      SilverArtifact.getOrBuild(spark, s"$store/a", f) {
+        builds += 1; spark.read.parquet(s"$src/t.parquet")
+      }
+    assert(get(before).count() == 25 && builds == 1)
+    assert(get(fp()).count() == 25 && builds == 2) // stale stamp → rebuild
+    assert(get(fp()).count() == 25 && builds == 2)
+  }
+
+  test("logic-version change invalidates a byte-identical source") {
+    val (src, store) = freshRoots()
+    writeSource(src, 1 to 5)
+    val f1 = SilverArtifact.sourceFingerprint(s"$src/t.parquet", "logic-v1")
+    val f2 = SilverArtifact.sourceFingerprint(s"$src/t.parquet", "logic-v2")
+    assert(f1 != f2)
+    var builds = 0
+    def get(f: String) =
+      SilverArtifact.getOrBuild(spark, s"$store/a", f) {
+        builds += 1; spark.read.parquet(s"$src/t.parquet")
+      }
+    get(f1); get(f1); get(f2)
+    assert(builds == 2)
+  }
+
+  test("single-file parquet sources fingerprint without error") {
+    val (src, _) = freshRoots()
+    writeSource(src, 1 to 3)
+    // promote the part file to a bare single-file table like the testdata
+    val part = Files.list(Paths.get(s"$src/t.parquet")).iterator()
+    var single: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.toString.endsWith(".parquet")) single = p
+    }
+    val dst = Paths.get(src, "single.parquet")
+    Files.copy(single, dst)
+    val fp = SilverArtifact.sourceFingerprint(dst.toString, "v1")
+    assert(fp.contains("files=1"))
+  }
+}
