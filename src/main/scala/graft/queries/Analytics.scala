@@ -180,9 +180,17 @@ fact_sales AS (
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").cast("long").as("sum_qty"),
-        round(sum(cents) / 100.0, 2).as("sum_base_price"),
-        round(sum(cents * discC) / 10000.0, 2).as("sum_disc_price"),
-        round(sum(cents * discC * taxC) / 1000000.0, 2).as("sum_charge"),
+        // each per-row product is an exact long (≤ ~1.2e11), but the SUMS
+        // accumulate in decimal(38,0), not long: a long sum of
+        // cents·discC·taxC wraps silently at ~9.2e18 — reached near
+        // SF ≈ 50 — while DuckDB's BIGINT sum widens to HUGEINT (r10
+        // ADVICE). Decimal(38,0) keeps 1e38 headroom (≈ SF 10¹⁸), stays
+        // order-independent exact integer arithmetic, and the final
+        // decimal→double division is the same exact-int-to-nearest-double
+        // conversion on both engines.
+        round(sum(cents.cast("decimal(38,0)")) / 100.0, 2).as("sum_base_price"),
+        round(sum((cents * discC).cast("decimal(38,0)")) / 10000.0, 2).as("sum_disc_price"),
+        round(sum((cents * discC * taxC).cast("decimal(38,0)")) / 1000000.0, 2).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),

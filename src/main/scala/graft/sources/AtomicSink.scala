@@ -175,48 +175,74 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
     // stale lock is broken only when the LOCK FILE's mtime is older than
     // the stale window (the holder's liveness, not the waiter's patience
     // — its manifest rename never happened, so breaking loses nothing),
-    // and ownership is re-verified by token before the critical section:
-    // two timed-out waiters can interleave delete/create such that both
-    // hold a created file, but only the one whose token survives in the
-    // file proceeds. This is the poor man's optimistic-concurrency loop a
-    // real table format runs on its version log; AtomicSinkSpec races
-    // two threads through it.
+    // and the break itself is an ATOMIC RENAME to a breaker-unique name:
+    // of N waiters observing the same stale lock, exactly one wins the
+    // move (rename of a vanished file throws for the rest), so the old
+    // delete+create interleaving — where waiter 1's deleteIfExists could
+    // remove waiter 2's freshly created LIVE lock (r10 ADVICE) — cannot
+    // occur. Ownership is still re-verified by token immediately before
+    // the manifest rename (a pathologically paused-but-alive holder can
+    // be broken; it must then lose, not publish over the breaker), and
+    // unlock deletes the lock file only while it still carries our token,
+    // so a successor's live lock survives our cleanup. This is the poor
+    // man's optimistic-concurrency loop a real table format runs on its
+    // version log; AtomicSinkSpec races threads through it.
     val lock = dir.resolve("_COMMIT_LOCK")
     val token = s"$queryId/${java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName}/${Thread.currentThread().getId}/${System.nanoTime()}"
     val staleMs = 30000L
-    var locked = false
-    while (!locked) {
+    def holdsToken(): Boolean = try {
+      new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
+    } catch { case _: java.io.IOException => false }
+    val mf = dir.resolve("_MANIFEST")
+    var published = false
+    while (!published) {
+      var locked = false
+      while (!locked) {
+        try {
+          Files.createFile(lock)
+          Files.write(lock, token.getBytes(StandardCharsets.UTF_8))
+          locked = holdsToken()
+          if (!locked) Thread.sleep(10)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val stale = try {
+              Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - staleMs
+            } catch { case _: java.io.IOException => false } // vanished = not ours to break
+            if (stale) {
+              val broken = dir.resolve(
+                s"_COMMIT_LOCK.broken.${Thread.currentThread().getId}.${System.nanoTime()}")
+              try {
+                Files.move(lock, broken, StandardCopyOption.ATOMIC_MOVE)
+                Files.deleteIfExists(broken)
+              } catch { case _: java.io.IOException => () } // another breaker won
+            }
+            Thread.sleep(10)
+        }
+      }
+      val tmp = dir.resolve(s"_MANIFEST.${Integer.toHexString(token.hashCode)}.tmp")
       try {
-        Files.createFile(lock)
-        Files.write(lock, token.getBytes(StandardCharsets.UTF_8))
-        locked = try {
-          new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
-        } catch { case _: java.io.IOException => false }
-        if (!locked) Thread.sleep(10)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale = try {
-            Files.getLastModifiedTime(lock).toMillis <
-              System.currentTimeMillis() - staleMs
-          } catch { case _: java.io.IOException => false } // vanished = not ours to break
-          if (stale) Files.deleteIfExists(lock)
-          Thread.sleep(10)
+        val prior =
+          if (Files.exists(mf))
+            new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+              .linesIterator.filter(_.nonEmpty).toSeq
+          else Seq.empty
+        val next = (prior ++ committed).distinct.sorted.mkString("", "\n", "\n")
+        Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+        // last-moment ownership check: if a breaker stole the lock while
+        // we were paused, our manifest read may be stale — discard and
+        // redo the whole read-modify-write under a re-acquired lock
+        if (holdsToken()) {
+          Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          published = true
+        } else Files.deleteIfExists(tmp)
+      } finally {
+        Files.deleteIfExists(tmp)
+        if (holdsToken()) Files.deleteIfExists(lock)
       }
     }
-    try {
-      val mf = dir.resolve("_MANIFEST")
-      val prior =
-        if (Files.exists(mf))
-          new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
-            .linesIterator.filter(_.nonEmpty).toSeq
-        else Seq.empty
-      val next = (prior ++ committed).distinct.sorted.mkString("", "\n", "\n")
-      val tmp = dir.resolve(s"_MANIFEST.$queryId.tmp")
-      Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    } finally Files.deleteIfExists(lock)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -280,12 +280,18 @@ FROM events GROUP BY 1 ORDER BY 1"""
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
+    val sink = s"graft_state_inspect_sink_${sinkSeq.incrementAndGet()}"
     val q = agg.writeStream.outputMode(OutputMode.Complete)
       .option("checkpointLocation", ckpt)
       .format("memory")
-      .queryName(s"graft_state_inspect_sink_${sinkSeq.incrementAndGet()}")
+      .queryName(sink)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // the memory sink exists only to drive the stream — the result is
+    // read from the state store below. Drop its temp view eagerly (like
+    // runToTable) or the streaming clone's catalog accumulates one
+    // graft_state_inspect_sink_N entry per invocation (r10 ADVICE).
+    ss.catalog.dropTempView(sink)
     // the state VALUE is the aggregation BUFFER (fields named after the
     // buffer slots: `count`, `sum`), not the output row — exactly what a
     // state audit inspects
