@@ -577,6 +577,47 @@ SELECT custkey,
 FROM lineitem JOIN dim ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1"""
 
+  /** The MULTI-KEY naive form (r10 verdict #3): the dim is unique on the
+    * composite (partkey, suppkey) offering key — an Aggregate grouped on
+    * exactly those attributes — and the fact joins on BOTH key pairs
+    * (`And(EqualTo, EqualTo)`), so the widened
+    * [[graft.plans.PushAggThroughUniqueJoin]] must prove uniqueness from
+    * the conjunction, not a single EqualTo. The aggregate list also
+    * carries an AVG, exercising the sum+count partial split (merged as
+    * Σsum/Σcount — exact here because quantities are integral, so both
+    * engines' double sums are order-independent-exact). The oracle
+    * states the same naive join-then-aggregate form; PushAggRuleSpec
+    * asserts the rewritten shape. */
+  def autoPreaggMultikey(s: SparkSession, d: String): DataFrame = {
+    graft.plans.PushAggThroughUniqueJoin.ensure(s)
+    val dim = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk2"),
+        col("l_quantity").as("q2"))
+      .groupBy("pk", "sk2")
+      .agg(floor(max("q2") / 10).cast("long").as("qty_band"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(dim, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk2"))
+      .groupBy("qty_band")
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_lines"),
+        avg("qty").as("avg_qty"))
+      .orderBy("qty_band")
+  }
+
+  val autoPreaggMultikeyOracle: String = """
+WITH dim AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk2,
+         CAST(floor(max(l_quantity) / 10) AS BIGINT) AS qty_band
+  FROM lineitem GROUP BY 1, 2)
+SELECT qty_band,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines,
+       avg(CAST(l_quantity AS BIGINT)) AS avg_qty
+FROM lineitem l JOIN dim ON l.l_partkey = dim.pk AND l.l_suppkey = dim.sk2
+GROUP BY 1 ORDER BY 1"""
+
   val preaggJoinOracle: String = """
 SELECT n.n_name,
        CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -716,6 +757,7 @@ WHERE p_size = 1"""
     "aqe_skew_join"   -> (aqeSkewJoin _),
     "preagg_join"     -> (preaggJoin _),
     "auto_preagg_join" -> (autoPreaggJoin _),
+    "auto_preagg_multikey" -> (autoPreaggMultikey _),
     "bucketed_join"   -> (bucketedJoin _),
     "salted_agg"      -> (saltedAgg _),
     "salted_distinct" -> (saltedDistinct _),
@@ -736,6 +778,7 @@ WHERE p_size = 1"""
     "aqe_skew_join"   -> aqeSkewJoinOracle,
     "preagg_join"     -> preaggJoinOracle,
     "auto_preagg_join" -> autoPreaggJoinOracle,
+    "auto_preagg_multikey" -> autoPreaggMultikeyOracle,
     "bucketed_join"   -> bucketedJoinOracle,
     "salted_agg"      -> saltedAggOracle,
     "salted_distinct" -> saltedDistinctOracle,

@@ -125,6 +125,106 @@ class PushAggRuleSpec extends AnyFunSuite {
     assert(withRule.sameElements(without))
   }
 
+  test("multi-key equi-join: rule fires and matches rule-off (8 trials)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x11ae)
+    PushAggThroughUniqueJoin.ensure(spark)
+    // the shipped naive-form query fires on the composite key
+    val opt = ScaleOps.autoPreaggMultikey(spark, sf).queryExecution.optimizedPlan
+    val j0 = joins(opt)
+    assert(j0.nonEmpty && j0.head.left.collect { case a: Aggregate => a }.nonEmpty,
+      s"rule did not fire on the multi-key naive form:\n$opt")
+    (1 to 8).foreach { trial =>
+      val nFact = 1 + rng.nextInt(150)
+      val k1s = 1 + rng.nextInt(6)
+      val k2s = 1 + rng.nextInt(6)
+      val fact = (0 until nFact).map { _ =>
+        (rng.nextInt(k1s + 2).toLong, rng.nextInt(k2s + 2).toLong,
+          rng.nextLong() % 500L)
+      }.toDF("f1", "f2", "x").repartition(3)
+      val dimRaw = (0 until k1s).flatMap(a => (0 until k2s).map(b =>
+        (a.toLong, b.toLong, rng.nextInt(3).toLong))).toDF("k1", "k2", "grp")
+      def q(): Array[org.apache.spark.sql.Row] = {
+        val dim = dimRaw.groupBy("k1", "k2").agg(max("grp").as("grp"))
+        fact.join(dim, col("f1") === col("k1") && col("f2") === col("k2"))
+          .groupBy("grp")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"),
+            avg("x").as("ax")) // exercises the sum+count partial split
+          .orderBy("grp").collect()
+      }
+      val withRule = q()
+      val prior = spark.experimental.extraOptimizations
+      val without = try {
+        spark.experimental.extraOptimizations =
+          prior.filterNot(_ eq PushAggThroughUniqueJoin)
+        q()
+      } finally spark.experimental.extraOptimizations = prior
+      assert(withRule.sameElements(without),
+        s"multi-key trial $trial diverged:\n  with:    ${withRule.mkString(", ")}\n" +
+          s"  without: ${without.mkString(", ")}")
+    }
+  }
+
+  test("aliasing Project between aggregate and join is inlined, not a blocker") {
+    import spark.implicits._
+    PushAggThroughUniqueJoin.ensure(spark)
+    val fact = Seq((1L, 5L), (1L, 7L), (2L, -3L), (3L, 10L)).toDF("fk", "x")
+    val dimRaw = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("k", "g")
+    val dim = dimRaw.groupBy("k").agg(max("g").as("g"))
+    // the doubled column is a COMPUTED alias that lands in a Project
+    // between the outer aggregate and the join — the pre-r11 rule only
+    // looked through attribute-only projects
+    val q = fact.join(dim, col("fk") === col("k"))
+      .select(col("g"), (col("x") * 2).as("x2"))
+      .groupBy("g").agg(sum("x2").as("sx2"), count(lit(1)).as("n"))
+      .orderBy("g")
+    val opt = q.queryExecution.optimizedPlan
+    val j = joins(opt)
+    assert(j.nonEmpty && j.head.left.collect { case a: Aggregate => a }.nonEmpty,
+      s"rule did not fire through the aliasing Project:\n$opt")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 24L, 2L), (21L, -6L, 1L)), got.mkString(", "))
+  }
+
+  test("avg over empty join merges to NULL like native Average") {
+    import spark.implicits._
+    PushAggThroughUniqueJoin.ensure(spark)
+    val fact = Seq((1L, 5L), (2L, 9L)).toDF("fk", "x")
+    val dim = Seq((99L, 1L), (98L, 2L)).toDF("k", "g")
+      .groupBy("k").agg(max("g").as("g"))
+    val q = fact.join(dim, col("fk") === col("k"))
+      .agg(avg("x").as("ax"), count(lit(1)).as("n"))
+    val opt = q.queryExecution.optimizedPlan
+    val j = joins(opt)
+    assert(j.nonEmpty && j.head.left.collect { case a: Aggregate => a }.nonEmpty,
+      s"rule did not fire on the global avg shape:\n$opt")
+    val r = q.collect()
+    assert(r.length == 1 && r(0).isNullAt(0) && r(0).getLong(1) == 0L,
+      s"avg over empty join: ${r.mkString}")
+  }
+
+  test("rule does NOT fire on a non-equi conjunct or a decimal avg") {
+    import spark.implicits._
+    PushAggThroughUniqueJoin.ensure(spark)
+    val fact = Seq((1L, 5L, java.math.BigDecimal.valueOf(2.5)))
+      .toDF("fk", "x", "dec")
+    val dimRaw = Seq((1L, 3L), (2L, 9L)).toDF("k", "lim")
+    val dim = dimRaw.groupBy("k").agg(max("lim").as("lim"))
+    // equi + range conjunct: uniqueness holds but the condition is not a
+    // pure conjunction of attribute equalities — must not fire
+    val q1 = fact.join(dim, col("fk") === col("k") && col("x") > col("lim"))
+      .groupBy("lim").agg(sum("x").as("sx"))
+    val j1 = joins(q1.queryExecution.optimizedPlan)
+    assert(j1.nonEmpty && j1.head.left.collect { case a: Aggregate => a }.isEmpty,
+      "fired on a non-equi conjunct")
+    // decimal AVG: two-level accumulation would change the result type
+    val q2 = fact.join(dim, col("fk") === col("k"))
+      .groupBy("lim").agg(avg("dec").as("ad"))
+    val j2 = joins(q2.queryExecution.optimizedPlan)
+    assert(j2.nonEmpty && j2.head.left.collect { case a: Aggregate => a }.isEmpty,
+      "fired on a decimal avg")
+  }
+
   test("rule does NOT fire without the uniqueness proof or with distinct aggs") {
     PushAggThroughUniqueJoin.ensure(spark)
     // dim side is a raw table — unique in fact but not PROVABLY so
