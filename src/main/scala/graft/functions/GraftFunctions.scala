@@ -118,11 +118,19 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash_windows",
       exprs => RollingHashWindows(exprs.head, exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rle_contains", exprs => RleContains(exprs.head, exprs(1)), "built-in")
   }
 
   /** Fused dot product over two array<double> columns (codegen'd). */
   def arrayDot(s: SparkSession, a: Column, b: Column): Column = {
     register(s)
     call_function("array_dot", a, b)
+  }
+
+  /** Range-RLE deletion-bitmap membership (codegen'd binary search). */
+  def rleContains(s: SparkSession, bm: Column, pos: Column): Column = {
+    register(s)
+    call_function("rle_contains", bm, pos)
   }
 }

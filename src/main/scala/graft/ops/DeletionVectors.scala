@@ -20,12 +20,19 @@ import graft.util.{AtomicTable, PathKeys, SessionCaches}
   *    a `_dv` sidecar inside the SAME version directory, so version
   *    pruning/time travel carry the deletes with the data they apply to,
   *    and plain readers (which ignore `_`-prefixed dirs) are untouched.
-  *  - **read** — the DV applies as a broadcast LEFT ANTI join on
-  *    (file, position): the DV side is deleted-rows-sized (kilobytes to
-  *    megabytes), so the data side never shuffles. An engine deleting
-  *    billions of rows per file would swap the broadcast list for a
-  *    per-file bitmap pushed into the scan; the join shape here is the
-  *    same decision Delta makes below its DV-bitmap threshold.
+  *  - **read** — two forms, chosen PER FILE by deleted-position count
+  *    (the same decision Delta's DV-bitmap threshold makes):
+  *    below [[BitmapThresholdPositions]] the DV applies as a broadcast
+  *    LEFT ANTI join on (file, position) — the DV side is
+  *    deleted-rows-sized, so the data side never shuffles; above it, a
+  *    billion-row-file delete would make that broadcast gigabytes, so
+  *    the positions compress into a per-file range-RLE BITMAP
+  *    ([[graft.functions.RleBitmap]], one BinaryType value per file,
+  *    16 bytes per run — a dropped partition is ONE run) attached to
+  *    the scan by a broadcast metadata join on file path and applied as
+  *    a codegen'd FILTER on `_metadata.row_index`, never an anti-join.
+  *    Bitmaps are (re)encoded at DELETE time into a `_dvbm` sidecar, so
+  *    readers just apply them.
   *  - **idempotence / composition** — the anti-join is set semantics:
   *    re-appending the same positions or composing multiple deletes is
   *    harmless (duplicates cannot double-delete).
@@ -44,22 +51,88 @@ object DeletionVectors {
 
   private[ops] def dvPath(base: String): String = s"${verDir(base)}/$Dv"
 
+  /** Per-file deleted-position count above which the DV switches from the
+    * broadcast (path, pos) row list to the range-RLE bitmap form. The
+    * production default mirrors Delta's instinct (a few million positions
+    * ≈ tens of MB of broadcast rows); specs shrink it to exercise the
+    * bitmap path at test scale. */
+  @volatile var BitmapThresholdPositions: Long = 1L << 21
+
+  private val DvBm = "_dvbm"
+
+  private[ops] def dvBmPath(base: String): String = s"${verDir(base)}/$DvBm"
+
+  private[graft] def hasBm(base: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dvBmPath(base)))
+
   /** Record (do not rewrite): append the physical positions of rows
-    * matching `pred` to the current version's deletion vector. */
-  def deleteWhere(s: SparkSession, base: String, pred: Column): Unit =
+    * matching `pred` to the current version's deletion vector, then
+    * re-encode the bitmap sidecar for any file whose position count now
+    * exceeds [[BitmapThresholdPositions]]. */
+  def deleteWhere(s: SparkSession, base: String, pred: Column): Unit = {
     s.read.parquet(verDir(base))
       .where(pred)
       .select(col("_metadata.file_path").as("path"),
         col("_metadata.row_index").as("pos"))
       .coalesce(1)
       .write.mode("append").parquet(dvPath(base))
+    refreshBitmaps(s, base)
+  }
+
+  /** (Re)encode the `_dvbm` sidecar: one (path, bm) row per
+    * above-threshold file, bm = the file's deleted positions coalesced
+    * into range-RLE runs ([[graft.functions.RleBitmap]]). Run DETECTION
+    * is distributed — a per-file window pass marks run breaks and one
+    * groupBy collapses each run to (start, len), so only the
+    * run-compressed form (one struct per run, ONE for a dropped
+    * partition) is ever collected into a single row for packing; the
+    * raw position stream never leaves its partitions un-aggregated.
+    * Idempotent: positions are distinct'd first, so re-recorded deletes
+    * don't grow the bitmap. (Adversarially NON-contiguous dense deletes
+    * degrade RLE to 16 bytes/position — the point where a production
+    * engine switches to a roaring container; the threshold form and the
+    * scan-side application are identical.) */
+  private def refreshBitmaps(s: SparkSession, base: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dv = s.read.parquet(dvPath(base)).select("path", "pos").distinct()
+    val hot = dv.groupBy("path").agg(count(lit(1)).as("n"))
+      .where(col("n") > BitmapThresholdPositions)
+      .select("path")
+    // file-count-sized driver list (the same class of decision a Delta
+    // log replay makes per file)
+    val hotPaths = hot.collect().map(_.getString(0)).toSeq
+    val bmDir = dvBmPath(base)
+    if (hotPaths.isEmpty) {
+      AtomicTable.deleteRecursively(java.nio.file.Paths.get(bmDir))
+    } else {
+      val w = Window.partitionBy("path").orderBy("pos")
+      val runs = dv.where(col("path").isin(hotPaths: _*))
+        .withColumn("prev", lag("pos", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") =!= col("prev") + 1, 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(w))
+        .groupBy("path", "run_id")
+        .agg(min("pos").as("start"), count(lit(1)).as("len"))
+      val bms = runs.groupBy("path")
+        .agg(sort_array(collect_list(struct(col("start").as("_1"),
+          col("len").as("_2")))).as("runs"))
+        .as[(String, Seq[(Long, Long)])]
+        .map { case (p, rs) => (p, graft.functions.RleBitmap.encode(rs)) }
+        .toDF("path", "bm")
+      bms.coalesce(1).write.mode("overwrite").parquet(bmDir)
+    }
+  }
 
   private[ops] def hasDv(base: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dvPath(base)))
 
-  /** The table with its deletion vector applied. Broadcast anti-join on
-    * the physical position — the data side keeps its partitioning and
-    * never shuffles. */
+  /** The table with its deletion vector applied. Sparsely-deleted files
+    * anti-join the broadcast position list; densely-deleted files get
+    * their RLE bitmap attached by a broadcast metadata join on file path
+    * (one tiny row per file) and filtered by the codegen'd
+    * `rle_contains` on the row index — the data side keeps its
+    * partitioning and never shuffles in either form. */
   def readWithDv(s: SparkSession, base: String): DataFrame = {
     val dataCols = AtomicTable.read(s, base).columns.map(col).toSeq
     val data = s.read.parquet(verDir(base))
@@ -67,10 +140,32 @@ object DeletionVectors {
       .withColumn("__pos", col("_metadata.row_index"))
     if (!hasDv(base)) data.select(dataCols: _*)
     else {
-      val dv = s.read.parquet(dvPath(base))
-        .select(col("path").as("__path"), col("pos").as("__pos"))
-      data.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
-        .select(dataCols: _*)
+      val bmPaths: Set[String] =
+        if (!hasBm(base)) Set.empty
+        else s.read.parquet(dvBmPath(base))
+          .select("path").collect().map(_.getString(0)).toSet
+      var out = data
+      if (bmPaths.nonEmpty) {
+        val bms = s.read.parquet(dvBmPath(base))
+          .select(col("path").as("__path"), col("bm").as("__bm"))
+        out = out.join(broadcast(bms), Seq("__path"), "left")
+          .where(col("__bm").isNull ||
+            !graft.functions.GraftFunctions.rleContains(s, col("__bm"), col("__pos")))
+          .drop("__bm")
+      }
+      // positions for files still on the list form; empty when every
+      // deleted file crossed the bitmap threshold — then no anti-join
+      // appears in the plan at all (DvBitmapSpec asserts this)
+      val listDv = s.read.parquet(dvPath(base))
+        .where(if (bmPaths.isEmpty) lit(true)
+               else !col("path").isin(bmPaths.toSeq: _*))
+      val listPaths = listDv.select("path").distinct()
+        .collect().map(_.getString(0)).toSeq // file-count-sized
+      if (listPaths.nonEmpty)
+        out = out.join(
+          broadcast(listDv.select(col("path").as("__path"), col("pos").as("__pos"))),
+          Seq("__path", "__pos"), "left_anti")
+      out.select(dataCols: _*)
     }
   }
 
