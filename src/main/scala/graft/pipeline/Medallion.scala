@@ -166,27 +166,38 @@ object Medallion {
   }
 
   /** Materialize the zones like the reference's truncate-and-reload runs
-    * (S3/S6; etl_lakehouse.py:21-35,:43,:113-116). Every table is published
-    * through [[graft.util.AtomicTable]]: data lands in a fresh version
-    * directory and becomes visible via an atomic pointer swap, so a crash
-    * mid-reload leaves readers on the previous complete snapshot — the
-    * plain-parquet stand-in for a transactional overwrite. Read tables
-    * back with [[graft.util.AtomicTable.read]]. */
+    * (S3/S6; etl_lakehouse.py:21-35,:43,:113-116) — as ONE multi-table
+    * TRANSACTION: every table is STAGED into a fresh
+    * [[graft.util.AtomicTable]] version directory, then the whole 15-table
+    * set becomes visible via a single atomic snapshot-manifest swap
+    * ([[graft.util.AtomicTable.commitSnapshot]]). A crash at any point
+    * leaves snapshot readers on the previous COMPLETE snapshot; a reader
+    * between two reloads can never see zone A from run N and zone B from
+    * run N−1 (the mixed-snapshot window the per-table pointer swaps used
+    * to leave — and the consistency the reference's dual-system query
+    * comparison assumes of one load). Per-table `_CURRENT` pointers are
+    * refreshed after the snapshot commit, so
+    * [[graft.util.AtomicTable.read]] on individual tables keeps working;
+    * cross-table-consistent reads go through
+    * [[graft.util.AtomicTable.readSnapshotTables]]. */
   def writeAll(s: SparkSession, srcDir: String, lakeDir: String): Unit = {
     import graft.util.AtomicTable
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     // Every zone table derives from srcDir (not from a prior zone), and
-    // AtomicTable publishes are per-directory with no shared state — so
+    // AtomicTable stagings are per-directory with no shared state — so
     // all 15 writes are independent Spark JOBS. Submitting them
     // concurrently lets the scheduler overlap the many small write stages
     // (each has far fewer tasks than cores); sequential submission left
     // most of the cluster idle between jobs. Measured ~2× on the ETL
-    // action at sf0.1. Any failure propagates out of the Await.
-    val writes: Seq[() => Unit] =
-      Tables.sourceNames.map { n => () =>
-        AtomicTable.overwrite(Tables.table(s, srcDir, n), s"$lakeDir/bronze/$n")
+    // action at sf0.1. Any failure propagates out of the Await — and
+    // nothing becomes visible, because the snapshot commit runs only
+    // after EVERY member staged successfully.
+    val stages: Seq[(String, String => Unit)] =
+      Tables.sourceNames.map { n =>
+        s"bronze/$n" -> ((dir: String) =>
+          Tables.table(s, srcDir, n).write.mode("overwrite").parquet(dir))
       } ++ Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "silver/silver_customer" -> (() => silverCustomer(s, srcDir)),
         "silver/silver_part"     -> (() => silverPart(s, srcDir)),
@@ -195,7 +206,9 @@ object Medallion {
         "gold/dim_part"          -> (() => dimPart(s, srcDir)),
         "gold/dim_supplier"      -> (() => dimSupplier(s, srcDir)),
         "gold/dim_date"          -> (() => dimDate(s, srcDir))
-      ).map { case (n, df) => () => AtomicTable.overwrite(df(), s"$lakeDir/$n") } ++ Seq(
+      ).map { case (n, df) =>
+        n -> ((dir: String) => df().write.mode("overwrite").parquet(dir))
+      } ++ Seq(
         // Fact layout for scale (SURVEY.md §4.3's opt-in extension):
         // directory partitioning on the sale year gives partition PRUNING
         // for date-ranged queries (a year-filtered scan never lists the
@@ -203,21 +216,23 @@ object Medallion {
         // files gives row-group pruning via parquet min/max stats below
         // the year grain. At 100 TB this layout is the difference between
         // scanning a year and a decade.
-        () => AtomicTable.publish(s"$lakeDir/gold/fact_sales") { dir =>
+        "gold/fact_sales" -> ((dir: String) =>
           factSales(s, srcDir)
             .withColumn("sale_year", (col("date_sk") / 10000).cast("int"))
             .repartitionByRange(col("sale_year"), col("date_sk"))
             .sortWithinPartitions("date_sk")
             .write.mode("overwrite")
             .partitionBy("sale_year")
-            .parquet(dir)
-        })
+            .parquet(dir)))
     // blocking{}: each future spends its life inside a blocking Spark
     // action, and the global pool only holds #cores threads — without the
     // marker a small machine serializes the tail of the 15 writes (ADVICE
-    // r4). On failure the Await rethrows; sibling publishes run to
-    // completion, which is harmless — each is independent and atomic.
-    Await.result(Future.sequence(
-      writes.map(w => Future(scala.concurrent.blocking(w())))), Duration.Inf)
+    // r4). On failure the Await rethrows and the staged dirs are left
+    // UNCOMMITTED (invisible; the orphan pruner reaps them after the TTL).
+    val staged: Seq[(String, String)] = Await.result(Future.sequence(
+      stages.map { case (rel, write) => Future(scala.concurrent.blocking(
+        rel -> AtomicTable.stageVersion(s"$lakeDir/$rel")(write)))
+      }), Duration.Inf)
+    AtomicTable.commitSnapshot(lakeDir, staged)
   }
 }

@@ -138,6 +138,18 @@ object AtomicTable {
     * unpublished dirs only after [[OrphanTtlMs]] of inactivity. */
   def publish(base: String, keep: Int = 1)(write: String => Unit): Unit = {
     require(keep >= 1, "must keep at least the current version")
+    val name = stageVersion(base)(write)
+    commitVersion(base, name, keep)
+  }
+
+  /** Claim and FULLY WRITE a new version directory without making it
+    * visible — the staging half of [[publish]], exposed so a multi-table
+    * transaction can stage every member first and then swap all pointers
+    * in one commit ([[commitSnapshot]]). Returns the staged version name
+    * (`_v<N>`). The claim heartbeat protects the directory from orphan
+    * pruning while the write runs; after return it ages out on
+    * [[OrphanTtlMs]], so commit promptly. */
+  def stageVersion(base: String)(write: String => Unit): String = {
     val root = Paths.get(base)
     Files.createDirectories(root)
     // optimistic version claim: atomic create-or-fail on the next number;
@@ -172,6 +184,15 @@ object AtomicTable {
     // crash before the swap: pointer untouched
     try write(base + "/" + name)
     finally { heartbeat.interrupt(); heartbeat.join() }
+    name
+  }
+
+  /** The commit half of [[publish]]: swap `_CURRENT` to an already-staged
+    * version, append the lineage log, prune aged-out versions. */
+  def commitVersion(base: String, name: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "must keep at least the current version")
+    val root = Paths.get(base)
+    val claim = root.resolve(name + "._claim")
     withCommitLock(root) {
       val tmp = root.resolve(Pointer + ".tmp")
       Files.writeString(tmp, name)
@@ -220,6 +241,73 @@ object AtomicTable {
           } catch { case _: java.io.IOException => () }
         }
     }
+  }
+
+  // -------------------------------------- multi-table snapshot commits
+
+  private val Snapshot = "_SNAPSHOT"
+
+  /** Commit a MULTI-TABLE transaction: one atomic pointer swap of the
+    * snapshot manifest at `root/_SNAPSHOT` — a file naming every member
+    * table's (already-staged, [[stageVersion]]) version — makes the whole
+    * set visible at once, the cross-table analog of `_CURRENT` (the
+    * Delta-log `txn` / Iceberg snapshot shape). A reader that resolves
+    * the snapshot ([[resolveSnapshot]]/[[readSnapshot]]) therefore sees
+    * only a complete OLD set or a complete NEW set, never a mix — the
+    * isolation the reference's dual-system comparison implicitly assumes
+    * of one consistent load.
+    *
+    * AFTER the snapshot is live, each member's per-table `_CURRENT` is
+    * refreshed through the normal [[commitVersion]] (lineage log, prune
+    * with `keep`), so per-table readers keep working; they get only
+    * per-table atomicity, exactly as before — the snapshot manifest is
+    * the cross-table source of truth. `keep` defaults to 2 so a reader
+    * holding the PREVIOUS snapshot survives one concurrent reload (the
+    * same retention answer transactional formats give the read/prune
+    * race). */
+  def commitSnapshot(root: String, entries: Seq[(String, String)],
+      keep: Int = 2): Unit = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    withCommitLock(rootP) {
+      val tmp = rootP.resolve(Snapshot + ".tmp")
+      Files.writeString(tmp,
+        entries.map { case (t, v) => s"$t $v" }.mkString("", "\n", "\n"))
+      Files.move(tmp, rootP.resolve(Snapshot),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // compatibility pointers — a crash in this loop leaves some _CURRENTs
+    // stale, but the snapshot (already live) stays complete and correct
+    entries.foreach { case (t, v) => commitVersion(s"$root/$t", v, keep) }
+  }
+
+  /** The live snapshot's table → version map, or None if never committed. */
+  def resolveSnapshot(root: String): Option[Map[String, String]] = {
+    val p = Paths.get(root, Snapshot)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap)
+  }
+
+  /** Read `table` at the version pinned by ONE resolution of the live
+    * snapshot — for cross-table consistency, resolve once and read every
+    * member through the returned map ([[readSnapshotTables]]). */
+  def readSnapshot(s: SparkSession, root: String, table: String): DataFrame =
+    readSnapshotTables(s, root, Seq(table))(table)
+
+  /** Resolve the snapshot ONCE and open every requested member at its
+    * pinned version — the multi-table consistent read. */
+  def readSnapshotTables(s: SparkSession, root: String,
+      tables: Seq[String]): Map[String, DataFrame] = {
+    val m = resolveSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    tables.map { t =>
+      val v = m.getOrElse(t,
+        throw new IllegalStateException(s"table $t is not in the snapshot at $root"))
+      t -> s.read.parquet(s"$root/$t/$v")
+    }.toMap
   }
 
   def overwrite(df: DataFrame, base: String, keep: Int = 1): Unit =

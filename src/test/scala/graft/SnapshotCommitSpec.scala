@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.AtomicTable
+
+/** Multi-table snapshot isolation (r10 verdict #5): a reader resolving the
+  * snapshot manifest sees only a complete OLD or complete NEW table set —
+  * never zone A from run N with zone B from run N−1. */
+class SnapshotCommitSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val members = Seq("bronze/a", "silver/b", "gold/c")
+
+  private def stageEpoch(root: String, epoch: Int): Seq[(String, String)] = {
+    import spark.implicits._
+    members.map { rel =>
+      rel -> AtomicTable.stageVersion(s"$root/$rel") { dir =>
+        Seq.tabulate(4)(i => (i.toLong, epoch)).toDF("id", "epoch")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+      }
+    }
+  }
+
+  private def epochsVia(root: String): Set[Int] =
+    AtomicTable.readSnapshotTables(spark, root, members).values
+      .map(_.select("epoch").distinct().collect().map(_.getInt(0)).toSeq)
+      .flatten.toSet
+
+  test("staged-but-uncommitted tables stay invisible; commit flips all at once") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    assert(epochsVia(root) == Set(1))
+    // epoch 2 fully staged — the mid-commit window: snapshot readers and
+    // per-table readers must both still see the complete epoch-1 set
+    val staged2 = stageEpoch(root, 2)
+    assert(epochsVia(root) == Set(1))
+    members.foreach { rel =>
+      val e = AtomicTable.read(spark, s"$root/$rel")
+        .select("epoch").distinct().collect().map(_.getInt(0)).toSeq
+      assert(e == Seq(1), s"$rel leaked staged data: $e")
+    }
+    AtomicTable.commitSnapshot(root, staged2)
+    assert(epochsVia(root) == Set(2))
+    members.foreach { rel =>
+      assert(AtomicTable.read(spark, s"$root/$rel")
+        .select("epoch").head().getInt(0) == 2)
+    }
+  }
+
+  test("a snapshot map resolved before a reload still reads (keep=2 retention)") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    val pinned = AtomicTable.resolveSnapshot(root).get
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 2))
+    // the epoch-1 version dirs survive one reload under keep=2
+    members.foreach { rel =>
+      val df = spark.read.parquet(s"$root/$rel/${pinned(rel)}")
+      assert(df.select("epoch").head().getInt(0) == 1)
+    }
+  }
+
+  test("concurrent reloads never expose a mixed snapshot") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    @volatile var writerDone = false
+    @volatile var writerErr: Throwable = null
+    val writer = new Thread(() => {
+      try (2 to 5).foreach(e => AtomicTable.commitSnapshot(root, stageEpoch(root, e)))
+      catch { case t: Throwable => writerErr = t }
+      finally writerDone = true
+    })
+    writer.start()
+    var checks = 0
+    try {
+      while (!writerDone) {
+        val es = epochsVia(root)
+        assert(es.size == 1, s"mixed snapshot observed: epochs $es")
+        checks += 1
+      }
+    } finally writer.join()
+    assert(writerErr == null, s"writer failed: $writerErr")
+    assert(checks > 0, "reader never overlapped the writer")
+    assert(epochsVia(root) == Set(5))
+  }
+}
