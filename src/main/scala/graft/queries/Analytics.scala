@@ -179,7 +179,11 @@ fact_sales AS (
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("l_quantity").cast("long").as("sum_qty"),
+        // quantities are integral-valued doubles — cast per row so the sum
+        // itself runs on longs (exact at any SF; a double sum is exact only
+        // while the total stays under 2^53, and DeterministicMoneySpec pins
+        // the no-fractional-sum plan shape)
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
         // each per-row product is an exact long (≤ ~1.2e11), but the SUMS
         // accumulate in decimal(38,0), not long: a long sum of
         // cents·discC·taxC wraps silently at ~9.2e18 — reached near

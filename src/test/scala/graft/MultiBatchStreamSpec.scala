@@ -96,6 +96,52 @@ class MultiBatchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join pads BOTH sides' unmatched rows after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val v = views.toDF().toDF("v_user", "vts").withWatermark("vts", "0 seconds")
+    val p = purchases.toDF().toDF("p_user", "pts").withWatermark("pts", "0 seconds")
+    val joined = v.join(p,
+      expr("v_user = p_user AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"),
+      "fullOuter")
+    val q = joined.writeStream.format("memory").queryName("ss_fouter")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 matches in-window; user 2 has only a VIEW, user 3
+      // has only a PURCHASE — neither may emit while its window is open
+      views.addData((1L, t("10:00")), (2L, t("10:05")))
+      purchases.addData((1L, t("10:30")), (3L, t("10:20")))
+      q.processAllAvailable()
+      val b1 = spark.table("ss_fouter").collect()
+      assert(b1.length == 1 && b1.head.getLong(0) == 1L,
+        s"only the matched pair emits before expiry: ${b1.toSeq}")
+      // advance BOTH watermarks far past every open window, then one more
+      // batch so eviction surfaces
+      views.addData((9L, t("13:00")))
+      purchases.addData((9L, t("13:00")))
+      q.processAllAvailable()
+      views.addData((8L, t("13:30")))
+      purchases.addData((8L, t("13:30")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_fouter").collect()
+      // exactly ONE null-padded row per unmatched side
+      val leftPad = rows.filter(r => !r.isNullAt(0) && r.getLong(0) == 2L)
+      assert(leftPad.length == 1 && leftPad.head.isNullAt(2) && leftPad.head.isNullAt(3),
+        s"expired unmatched VIEW must emit one right-padded row: ${rows.toSeq}")
+      val rightPad = rows.filter(r => !r.isNullAt(2) && r.getLong(2) == 3L)
+      assert(rightPad.length == 1 && rightPad.head.isNullAt(0) && rightPad.head.isNullAt(1),
+        s"expired unmatched PURCHASE must emit one left-padded row: ${rows.toSeq}")
+      // and the matched pair emitted exactly once, never re-padded
+      assert(rows.count(r => !r.isNullAt(0) && r.getLong(0) == 1L) == 1,
+        s"matched pair must appear exactly once: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("topk_min streaming state restores and merges across micro-batches") {
     // the custom TypedImperativeAggregate's serialize/deserialize is the
     // state-store contract: batch 2's candidates must merge against the

@@ -65,6 +65,9 @@ EDGE = 1e8
 # produced by ONE final long->double conversion + IEEE division (+ round),
 # which is correctly rounded and engine-identical — no summation-order
 # freedom exists. Every entry must cite that construction at its def site.
+# The invariant is ENFORCED in Scala by DeterministicMoneySpec, which walks
+# each allowlisted query's analyzed plan and fails on any Sum over a
+# fractional column, and cross-checks this list's names against its own.
 DETERMINISTIC_OK = {
     "q1_sales_per_month": {"total_sales"},      # sum(cents)::long / 100.0
     "q4_sales_by_nation": {"total_sales"},      # sum(cents)::long / 100.0
