@@ -41,6 +41,8 @@ object Bench {
       // store, so the log records whether /tmp survived into this run.
       graft.ops.Dedup.bandedTable(spark, sfDir).count()
       graft.ops.Similarity.knnGraph(spark, sfDir, 3).count()
+      graft.ops.Dedup.clusters(spark, sfDir).count()
+      graft.ops.Dedup.semanticDedup(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
     val failed = scala.collection.mutable.LinkedHashSet[String]()

@@ -411,19 +411,29 @@ ORDER BY doc_a, doc_b"""
     * executor-local localCheckpoint, which dies with the executor). Docs
     * not in any pair are their own cluster and are omitted, matching the
     * oracle's recursive closure over the pair list. */
-  // cluster assignment is a session ARTIFACT like the k-NN edge set or
+  // cluster assignment is a corpus ARTIFACT like the k-NN edge set or
   // the BPE model: a corpus pipeline computes it once per corpus version
   // and every consumer (dedup manifest, survivor pick, analytics) reads
-  // the stored labels — re-running the iterative loop per query is the
-  // anti-pattern. Memoized per (session, dataset, threshold); evicted
-  // via SessionCaches.clear.
+  // the stored labels — re-running the iterative CC loop per query (or
+  // per SESSION) is the anti-pattern. Stored through SilverArtifact
+  // (cold sessions read the label parquet), memoized per
+  // (session, dataset, threshold) on top; evicted via
+  // SessionCaches.clear.
   private val clusterCache =
     graft.util.SessionCaches.memo[(SparkSession, String, Double)]("dedup.clusters")
 
   def clusters(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame =
-    clusterCache.getOrElseUpdate((s, d, threshold),
-      clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    clusterCache.getOrElseUpdate((s, d, threshold), {
+      val base = graft.util.SilverArtifact.pathFor(d, s"cc_labels_$threshold")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/documents.parquet",
+        s"cc-v1-minhash-n$NumHashes-b${Bands}x$RowsPerBand-t$threshold")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
+      }
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Large-star: for every node u, hang each strictly-larger neighbor off
     * m = min(N(u) ∪ {u}). Connectivity-preserving; output edges are
@@ -772,9 +782,16 @@ ORDER BY vec_a, vec_b"""
 
   def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val labels = semanticLabelCache.getOrElseUpdate((s, d, threshold), {
-      val pairs = cosinePairsLsh(s, d, threshold)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      clustersFromPairs(pairs)
+      // stored like [[clusters]]': the LSH pair scan + CC loop run once
+      // per corpus version; cold sessions read the label parquet
+      val base = graft.util.SilverArtifact.pathFor(d, s"semantic_labels_$threshold")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/embeddings.parquet",
+        s"semcc-v1-lsh-t${Similarity.NumTables}b${Similarity.Bits}-t$threshold")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        clustersFromPairs(cosinePairsLsh(s, d, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
     val allIds = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
