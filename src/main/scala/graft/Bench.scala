@@ -43,6 +43,7 @@ object Bench {
       graft.ops.Similarity.knnGraph(spark, sfDir, 3).count()
       graft.ops.Dedup.clusters(spark, sfDir).count()
       graft.ops.Dedup.semanticDedup(spark, sfDir).count()
+      graft.ops.TextOps.sparseWeights(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
     val failed = scala.collection.mutable.LinkedHashSet[String]()

@@ -358,18 +358,26 @@ FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
   private val weightCache =
     graft.util.SessionCaches.memo[(SparkSession, String)]("text.sparseWeights")
 
-  private def sparseWeights(s: SparkSession, d: String): DataFrame =
+  private[graft] def sparseWeights(s: SparkSession, d: String): DataFrame =
     weightCache.getOrElseUpdate((s, d), {
-      val toks = Tables.fanout(s, Tables.documents(s, d))
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        .filter(length(col("tok")) >= 3)
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-      tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
-        .select(col("doc_id"), col("tok"),
-          expr("tf * (n + 1) * 1000 DIV (df + 1)").as("wt"))
+      // stored through SilverArtifact like the MinHash band index: the
+      // tokenize + tf/df passes run once per corpus version, and a cold
+      // session's sparse_retrieval / rrf_fusion start from a parquet read
+      val base = graft.util.SilverArtifact.pathFor(d, "sparse_weights")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/documents.parquet", "sparsew-v1-min3-idf1000")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        val toks = Tables.fanout(s, Tables.documents(s, d))
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) >= 3)
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+          .select(col("doc_id"), col("tok"),
+            expr("tf * (n + 1) * 1000 DIV (df + 1)").as("wt"))
+      }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
