@@ -73,7 +73,7 @@ object PlanDump {
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",
     "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)",
     "auto_preagg_multikey" -> "multi-key pushdown: uniqueness proven from the (partkey, suppkey) conjunction, AVG split into pushed sum+count partials, fact collapses per composite key below the join",
-    "sparse_retrieval" -> "inverted-index probe: memoized weight table (InMemoryRelation), query postings broadcast, per-pair partial_sum before the exchange, partitioned rank",
+    "sparse_retrieval" -> "inverted-index probe: weight table read from the stored silver artifact (cached), query postings broadcast, per-pair partial_sum before the exchange, partitioned rank",
     "rrf_fusion" -> "rank fusion: both rankers' candidate lists meet in a full-outer join, no corpus-sized input reaches the fusion",
     "dv_file_prune" -> "DV x skipping composition: fully-deleted files leave the FileScan path list (metadata-only DV-vs-sidecar join decides), partial files keep the broadcast positional anti-join"
   )

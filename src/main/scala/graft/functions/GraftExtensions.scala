@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHashWindows].getName, "rolling_hash_windows"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHashWindows(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rle_contains"),
+      new ExpressionInfo(classOf[RleContains].getName, "rle_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RleContains(exprs.head, exprs(1))))
     // declarative HOF dot products get the fused codegen kernel for free
     e.injectOptimizerRule(_ => graft.plans.FuseArrayDot)
     // partial-aggregation pushdown through provably-unique equi-joins
