@@ -57,6 +57,17 @@ object SilverArtifact {
 
   private val FpFile = "_SOURCE_FP"
 
+  // racing in-JVM misses must produce ONE build: N concurrent publishes
+  // would be individually atomic but the later commits PRUNE the earlier
+  // versions, and a reader that resolved a pruned version fails mid-job
+  // (the read/prune race AtomicTable documents). A per-base lock with a
+  // double-checked fingerprint makes the second-through-Nth callers pure
+  // hits. Cross-PROCESS builders still race benignly rarely (separate
+  // batch jobs rebuilding the same corpus artifact); keep=2 retention
+  // below bounds that window.
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Read the artifact at `base` if its stored fingerprint matches `fp`;
     * otherwise evaluate `build`, publish it atomically, stamp the
     * fingerprint, and read the published copy back. The returned frame is
@@ -65,20 +76,26 @@ object SilverArtifact {
   def getOrBuild(s: SparkSession, base: String, fp: String,
       coalesceTo: Int = 4)(build: => DataFrame): DataFrame = {
     val fpPath = Paths.get(base, FpFile)
-    val hit = AtomicTable.exists(base) && Files.exists(fpPath) &&
+    def hit(): Boolean = AtomicTable.exists(base) && Files.exists(fpPath) &&
       Files.readString(fpPath).trim == fp
+    val first = hit()
     // the bench-environment instrumentation the r10 verdict asked for:
     // a cold pass that logs "hit" read the store; "miss" means the store
     // was absent/stale and the build cost was paid in this session
-    System.err.println(s"[graft] silver artifact ${if (hit) "hit " else "miss"} $base")
-    if (!hit) {
-      val df = build
-      AtomicTable.publish(base)(dir =>
-        df.coalesce(coalesceTo).write.mode("overwrite").parquet(dir))
-      val tmp = Paths.get(base, FpFile + ".tmp")
-      Files.writeString(tmp, fp)
-      Files.move(tmp, fpPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    System.err.println(s"[graft] silver artifact ${if (first) "hit " else "miss"} $base")
+    if (!first) {
+      val lock = buildLocks.getOrElseUpdate(base, new Object)
+      lock.synchronized {
+        if (!hit()) {
+          val df = build
+          AtomicTable.publish(base, keep = 2)(dir =>
+            df.coalesce(coalesceTo).write.mode("overwrite").parquet(dir))
+          val tmp = Paths.get(base, FpFile + ".tmp")
+          Files.writeString(tmp, fp)
+          Files.move(tmp, fpPath,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
     AtomicTable.read(s, base)
   }

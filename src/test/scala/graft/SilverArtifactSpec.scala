@@ -77,6 +77,28 @@ class SilverArtifactSpec extends AnyFunSuite {
     assert(builds == 2)
   }
 
+  test("racing getOrBuild callers both land on a consistent published artifact") {
+    val (src, store) = freshRoots()
+    writeSource(src, 1 to 50)
+    val fp = SilverArtifact.sourceFingerprint(s"$src/t.parquet", "race-v1")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var err: Throwable = null
+    def get() =
+      SilverArtifact.getOrBuild(spark, s"$store/a", fp) {
+        builds.incrementAndGet()
+        spark.read.parquet(s"$src/t.parquet")
+      }
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      try { assert(get().count() == 50) }
+      catch { case t: Throwable => err = t }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err == null, s"racing reader failed: $err")
+    // the per-base build lock + double-checked fingerprint collapse the
+    // racing misses to ONE build; subsequent calls are pure hits
+    assert(builds.get() == 1, s"racing misses built ${builds.get()} times")
+    assert(get().count() == 50 && builds.get() == 1)
+  }
+
   test("single-file parquet sources fingerprint without error") {
     val (src, _) = freshRoots()
     writeSource(src, 1 to 3)
