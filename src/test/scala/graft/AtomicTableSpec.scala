@@ -162,4 +162,25 @@ class AtomicTableSpec extends AnyFunSuite {
     }
     assert(AtomicTable.read(spark, base).count() == 3)
   }
+
+  test("schema evolution: each version carries its own schema, time travel reads the old one") {
+    import spark.implicits._
+    val base = freshBase()
+    AtomicTable.overwrite((1 to 3).map(i => (i.toLong, s"n$i")).toDF("id", "name"),
+      base, keep = 2)
+    // v2 ADDS a column — the live read serves the evolved schema, and the
+    // retained v1 still answers with its own (the Delta/Iceberg
+    // schema-per-snapshot shape; no rewrite of old files)
+    AtomicTable.overwrite(
+      (1 to 3).map(i => (i.toLong, s"n$i", i * 10L)).toDF("id", "name", "score"),
+      base, keep = 2)
+    val live = AtomicTable.read(spark, base)
+    assert(live.columns.toSeq == Seq("id", "name", "score"))
+    assert(live.where(org.apache.spark.sql.functions.col("score") === 20L).count() == 1)
+    val Seq(v1, _) = AtomicTable.history(base).takeRight(2)
+    val old = AtomicTable.readVersion(spark, base, v1)
+    assert(old.columns.toSeq == Seq("id", "name"),
+      s"time-travel read must serve v1's schema, got ${old.columns.toSeq}")
+    assert(old.count() == 3)
+  }
 }
