@@ -222,10 +222,17 @@ object DataSkipping {
   def zorderedLineitem(s: SparkSession, d: String): String =
     stagedMemo.getOrElseUpdate((s, d, "lineitem_z"), {
       val base = s"/tmp/graft_skip/${PathKeys.safe(d)}/lineitem_z"
-      optimizedWrite(s, Tables.lineitem(s, d), base,
-        clusterCols = Seq("l_partkey", "l_suppkey"),
-        statsCols = Seq("l_partkey", "l_suppkey"),
-        bloomCol = None, nFiles = 32)
+      // OPTIMIZE runs once per table version, not once per session — the
+      // staged-once stamp (source part-file fingerprint) is the metadata
+      // a table format would carry for its clustering state
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/lineitem.parquet", "zorder-v1-pk-sk-32f")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        optimizedWrite(s, Tables.lineitem(s, d), base,
+          clusterCols = Seq("l_partkey", "l_suppkey"),
+          statsCols = Seq("l_partkey", "l_suppkey"),
+          bloomCol = None, nFiles = 32)
+      }
       base
     })
 
@@ -234,11 +241,15 @@ object DataSkipping {
   def dateClusteredOrders(s: SparkSession, d: String): String =
     stagedMemo.getOrElseUpdate((s, d, "orders_bydate"), {
       val base = s"/tmp/graft_skip/${PathKeys.safe(d)}/orders_bydate"
-      optimizedWrite(s, Tables.orders(s, d)
-        .withColumn("o_datekey",
-          unix_date(col("o_orderdate").cast("date")).cast("long")), base,
-        clusterCols = Seq("o_datekey"), statsCols = Seq("o_orderdate"),
-        bloomCol = Some("o_orderkey"), nFiles = 32)
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet", "bydate-v1-bloom-32f")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        optimizedWrite(s, Tables.orders(s, d)
+          .withColumn("o_datekey",
+            unix_date(col("o_orderdate").cast("date")).cast("long")), base,
+          clusterCols = Seq("o_datekey"), statsCols = Seq("o_orderdate"),
+          bloomCol = Some("o_orderkey"), nFiles = 32)
+      }
       base
     })
 

@@ -241,10 +241,17 @@ object DeletionVectors {
   private def dvOrders(s: SparkSession, d: String): String =
     dvMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_dv/${PathKeys.safe(d)}/orders"
-      AtomicTable.publish(base) { dir =>
-        Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+      // staged once per SOURCE version, not per session: the committed
+      // post-delete state (data version + _dv sidecar) is table metadata
+      // a real deployment carries; a fresh session re-reads it
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet", s"dv-v1-urgent-mod10-thr$BitmapThresholdPositions")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        AtomicTable.publish(base) { dir =>
+          Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+        }
+        deleteWhere(s, base, doomed)
       }
-      deleteWhere(s, base, doomed)
       base
     })
 
@@ -279,13 +286,18 @@ object DeletionVectors {
   private[graft] def dvPrunedOrders(s: SparkSession, d: String): String =
     dvpMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_dvp/${PathKeys.safe(d)}/orders"
-      DataSkipping.optimizedWrite(s,
-        Tables.orders(s, d).withColumn("o_datekey",
-          unix_date(col("o_orderdate").cast("date")).cast("long")),
-        base, clusterCols = Seq("o_datekey"), statsCols = Seq("o_orderdate"),
-        bloomCol = None, nFiles = 16)
-      deleteWhere(s, base,
-        col("o_orderdate") < lit(pruneCutoff).cast("timestamp"))
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet",
+        s"dvp-v1-cut$pruneCutoff-thr$BitmapThresholdPositions")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        DataSkipping.optimizedWrite(s,
+          Tables.orders(s, d).withColumn("o_datekey",
+            unix_date(col("o_orderdate").cast("date")).cast("long")),
+          base, clusterCols = Seq("o_datekey"), statsCols = Seq("o_orderdate"),
+          bloomCol = None, nFiles = 16)
+        deleteWhere(s, base,
+          col("o_orderdate") < lit(pruneCutoff).cast("timestamp"))
+      }
       base
     })
 

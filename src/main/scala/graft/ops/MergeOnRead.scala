@@ -122,11 +122,15 @@ object MergeOnRead {
   private def morOrders(s: SparkSession, d: String): String =
     morMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders"
-      AtomicTable.publish(base) { dir =>
-        Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet", "mor-v1-batch1-batch2")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        AtomicTable.publish(base) { dir =>
+          Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+        }
+        mergeUpsert(s, base, batch1(s, d), "o_orderkey")
+        mergeUpsert(s, base, batch2(s, d), "o_orderkey")
       }
-      mergeUpsert(s, base, batch1(s, d), "o_orderkey")
-      mergeUpsert(s, base, batch2(s, d), "o_orderkey")
       base
     })
 

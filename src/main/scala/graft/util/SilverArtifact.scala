@@ -99,4 +99,36 @@ object SilverArtifact {
     }
     AtomicTable.read(s, base)
   }
+
+  private val StageFp = "_STAGE_FP"
+
+  /** Run a multi-step STAGING action (publish + deletes/merges/sidecars —
+    * anything that leaves durable committed state under `base`) once per
+    * source version: when the stamp matches `fp` and the table exists, the
+    * whole action is skipped. The getOrBuild discipline for stagers whose
+    * committed state is more than one parquet table. The stamp lands only
+    * after `stage` completes, so a crash mid-stage re-stages next time
+    * (each inner publish is individually atomic, and the demo stagers are
+    * idempotent). */
+  def stagedOnce(base: String, fp: String)(stage: => Unit): Unit = {
+    val fpPath = Paths.get(base, StageFp)
+    def hit(): Boolean = AtomicTable.exists(base) &&
+      Files.exists(fpPath) && Files.readString(fpPath).trim == fp
+    if (hit()) {
+      System.err.println(s"[graft] staged table   hit  $base")
+      return
+    }
+    val lock = buildLocks.getOrElseUpdate(base, new Object)
+    lock.synchronized {
+      if (!hit()) {
+        System.err.println(s"[graft] staged table   miss $base")
+        stage
+        Files.createDirectories(Paths.get(base))
+        val tmp = Paths.get(base, StageFp + ".tmp")
+        Files.writeString(tmp, fp)
+        Files.move(tmp, fpPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
 }
