@@ -238,7 +238,7 @@ object DeletionVectors {
     * skipping demos so their file counts stay untouched) with the delete
     * recorded ONCE per session — the memo is the "delete committed"
     * state a real table carries in its metadata. */
-  private def dvOrders(s: SparkSession, d: String): String =
+  private[graft] def dvOrders(s: SparkSession, d: String): String =
     dvMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_dv/${PathKeys.safe(d)}/orders"
       // staged once per SOURCE version, not per session: the committed

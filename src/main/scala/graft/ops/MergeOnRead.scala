@@ -117,9 +117,10 @@ object MergeOnRead {
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
 
-  /** orders staged once per session with both merges committed — the memo
-    * is the table's post-MERGE metadata state. */
-  private def morOrders(s: SparkSession, d: String): String =
+  /** orders staged once per SOURCE VERSION with both merges committed —
+    * the stamped fingerprint is the table's post-MERGE metadata state; a
+    * fresh session re-reads the committed sidecars instead of re-merging. */
+  private[graft] def morOrders(s: SparkSession, d: String): String =
     morMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders"
       val fp = graft.util.SilverArtifact.sourceFingerprint(

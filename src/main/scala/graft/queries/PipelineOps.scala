@@ -23,11 +23,15 @@ import graft.pipeline.Medallion
   */
 object PipelineOps {
 
-  /** Full medallion write + read-back of the gold fact from storage. */
+  /** Full medallion write + read-back of the gold fact from storage —
+    * through the TRANSACTION manifest: writeAll commits all 15 zone
+    * tables in one `_SNAPSHOT` swap, and the read resolves that snapshot
+    * (not the per-table pointer), so the gated value is produced by the
+    * cross-table-consistent path end to end. */
   def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
     val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
     Medallion.writeAll(s, d, lake)
-    graft.util.AtomicTable.read(s, s"$lake/gold/fact_sales")
+    graft.util.AtomicTable.readSnapshot(s, lake, "gold/fact_sales")
       // sale_year is the directory-partition column added by the layout
       // optimization in writeAll — project back to the logical fact schema
       .select("customer_sk", "part_sk", "supplier_sk", "date_sk", "price", "ship_cost")
