@@ -173,7 +173,16 @@ FROM docs GROUP BY tag ORDER BY tag"""
   private def ensureLake(s: SparkSession, d: String): String =
     lakeCache.getOrElseUpdate((s, d), {
       val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
-      Medallion.writeAll(s, d, lake)
+      // the consumer queries need the lake to EXIST and be current — the
+      // staged-once stamp skips the 15-table reload when the committed
+      // snapshot already matches the source (writeRoundtrip, whose gated
+      // VALUE is the write path itself, always runs writeAll regardless)
+      val fp = graft.Tables.sourceNames.map(t =>
+        graft.util.SilverArtifact.sourceFingerprint(s"$d/$t.parquet", "lake-v1"))
+        .mkString("|")
+      graft.util.SilverArtifact.stagedOnce(s"$lake/gold/fact_sales", fp) {
+        Medallion.writeAll(s, d, lake)
+      }
       lake
     })
 
