@@ -38,6 +38,34 @@ object PipelineOps {
       .orderBy("customer_sk", "part_sk", "supplier_sk", "date_sk", "price", "ship_cost")
   }
 
+  /** Star join resolved from ONE snapshot: the fact and both dims are
+    * opened through a single `_SNAPSHOT` resolution
+    * ([[graft.util.AtomicTable.readSnapshotTables]]), so every input
+    * belongs to the same committed reload — the cross-table-consistent
+    * read the reference's dual-system comparison assumes, now a gated
+    * value (the oracle restates the whole gold derivation from source).
+    * Dims broadcast; money sums are exact integer cents. */
+  def snapshotStarRead(s: SparkSession, d: String): DataFrame = {
+    val lake = ensureLake(s, d)
+    val t = graft.util.AtomicTable.readSnapshotTables(s, lake,
+      Seq("gold/fact_sales", "gold/dim_date", "gold/dim_customer"))
+    t("gold/fact_sales")
+      .join(broadcast(t("gold/dim_date").select("date_sk", "year_val")), "date_sk")
+      .join(broadcast(t("gold/dim_customer").select("customer_sk", "nation")),
+        "customer_sk")
+      .groupBy("year_val", "nation")
+      .agg(count(lit(1)).as("n_sales"),
+        sum(round(col("price") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("year_val", "nation")
+  }
+
+  val snapshotStarReadOracle: String = Analytics.ctes + """
+SELECT year_val, nation, count(*) AS n_sales,
+       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM fact_sales JOIN dim_date USING (date_sk)
+JOIN dim_customer USING (customer_sk)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   case class LineRow(l_returnflag: String, l_linestatus: String,
     l_quantity: Double, l_extendedprice: Double)
   case class FlagAgg(flag_status: String, sum_qty: Double, n_rows: Long)
@@ -337,6 +365,7 @@ GROUP BY 1, 2 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_write_roundtrip" -> (writeRoundtrip _),
+    "snapshot_star_read" -> (snapshotStarRead _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "typed_cogroup"            -> (typedCogroup _),
     "json_extract_props"       -> (jsonExtract _),
@@ -348,6 +377,7 @@ GROUP BY 1, 2 ORDER BY 1"""
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
+    "snapshot_star_read" -> snapshotStarReadOracle,
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "typed_cogroup"            -> typedCogroupOracle,
     "json_extract_props"       -> jsonExtractOracle,
