@@ -20,6 +20,7 @@ object SparkEntry {
       graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries ++
       graft.ops.DataSkipping.queries ++ graft.sources.SkippingFileIndex.queries ++
       graft.ops.DeletionVectors.queries ++ graft.ops.MergeOnRead.queries ++
+      graft.ops.Classifier.queries ++
       graft.sources.GraftSink.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql ++
       graft.ops.DataSkipping.oracleSql ++ graft.sources.SkippingFileIndex.oracleSql ++
       graft.ops.DeletionVectors.oracleSql ++ graft.ops.MergeOnRead.oracleSql ++
+      graft.ops.Classifier.oracleSql ++
       graft.sources.GraftSink.oracleSql
 }
