@@ -45,6 +45,7 @@ object PlanDump {
     "forget_keys" -> "deletion cascade: broadcast key-list anti-join on orders, keyed anti-join on the fact",
     "ngram_udtf" -> "custom Generate node feeds partial count, TakeOrderedAndProject cut",
     "dpp_star_scan" -> "dynamic partition pruning: fact scan carries dynamicpruningexpression(sale_year), only matching year dirs listed",
+    "snapshot_star_read" -> "snapshot-consistent star: fact + dims all resolved from ONE _SNAPSHOT manifest, dims broadcast, partial aggs before the exchange",
     "pmi_bigrams" -> "codegen gram build via the word_ngrams Generate node (no interpreted HOF), vocab joins, TakeOrderedAndProject",
     "dq_checks" -> "column rules + uniqueness in ONE combined aggregate pass: exactly two lineitem scans total (rules + FK probe)",
     "paginated_keyset" -> "keyset cursor: the Or-predicate lands in PushedFilters on the part scan, O(page) at any depth",
