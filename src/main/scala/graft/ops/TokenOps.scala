@@ -124,6 +124,71 @@ SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_toks,
        md5(array_to_string(chunk, ' ')) AS chunk_hash
 FROM c ORDER BY doc_id, chunk_id"""
 
+  // ------------------------------------------------- fill-in-middle (FIM)
+
+  /** Fill-in-middle restructuring — the FIM data transform infilling-
+    * capable code/text models train on (Bavarian et al. 2022): each
+    * document splits into (prefix, middle, suffix) at DETERMINISTIC
+    * pseudo-random word boundaries and re-serializes in PSM order,
+    * `<PRE>prefix<SUF>suffix<MID>middle`. Split points derive from
+    * md5(doc_id) — the engine-neutral hash discipline of
+    * [[graft.ops.Dedup.simhash]] — as p1 = 1 + h1 mod (n div 3),
+    * p2 = p1 + 1 + h2 mod (n div 3), so 1 ≤ p1 < p2 < n and all three
+    * spans are non-empty for every doc with ≥ 9 words. Pure per-row
+    * string arithmetic: embarrassingly parallel, shuffle-free until the
+    * presentation sort; output is fingerprint-sized (the re-serialized
+    * string reduces to its md5, which the oracle reproduces from the
+    * same rule). */
+  def fimTransform(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") >= 9)
+      // 7 hex chars per split hash keep the value < 2^28 — exact in both
+      // engines' integer types and in the oracle's digit-sum restatement
+      .withColumn("h1",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT)"))
+      .withColumn("h2",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 7), 16, 10) AS BIGINT)"))
+      .withColumn("p1", expr("1L + h1 % (n DIV 3)"))
+      .withColumn("p2", expr("p1 + 1L + h2 % (n DIV 3)"))
+      .select(col("doc_id"), col("n").as("n_words"), col("p1"), col("p2"),
+        md5(concat(
+          lit("<PRE>"), concat_ws(" ", expr("slice(ws, 1, CAST(p1 AS INT))")),
+          lit("<SUF>"), concat_ws(" ",
+            expr("slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT))")),
+          lit("<MID>"), concat_ws(" ",
+            expr("slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))"))))
+          .as("fim_hash"))
+      .orderBy("doc_id")
+
+  val fimTransformOracle: String = {
+    def hex2long(startIdx: Int): String =
+      s"list_sum(list_transform(generate_series(1, 7), j -> " +
+        s"CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j + ${startIdx - 1}, 1)) - 1) AS BIGINT) " +
+        s"* CAST(power(16, 7 - j) AS BIGINT)))"
+    s"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+h AS (
+  SELECT doc_id, ws, n,
+         CAST(${hex2long(1)} AS BIGINT) AS h1,
+         CAST(${hex2long(9)} AS BIGINT) AS h2
+  FROM w WHERE n >= 9),
+p AS (
+  SELECT doc_id, ws, n,
+         1 + h1 % (n // 3) AS p1,
+         1 + h1 % (n // 3) + 1 + h2 % (n // 3) AS p2
+  FROM h)
+SELECT doc_id, n AS n_words, CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+       md5('<PRE>' || array_to_string(ws[1:CAST(p1 AS INT)], ' ') ||
+           '<SUF>' || array_to_string(ws[CAST(p2 + 1 AS INT):CAST(n AS INT)], ' ') ||
+           '<MID>' || array_to_string(ws[CAST(p1 + 1 AS INT):CAST(p2 AS INT)], ' ')) AS fim_hash
+FROM p ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------- incremental dedup
 
   /** Same normalization as [[Dedup]]/[[CorpusOps.keepBest]] (lowercase,
@@ -525,6 +590,7 @@ FROM r ORDER BY bucket_cap"""
     "token_rarity"      -> (tokenRarity _),
     "bpe_pair_counts"   -> (bpePairCounts _),
     "doc_chunking"      -> (docChunking _),
+    "fim_transform"     -> (fimTransform _),
     "dedup_incremental" -> (dedupIncremental _),
     "heavy_hitters"     -> (heavyHitters _),
     "span_dedup"        -> (spanDedup _),
@@ -538,6 +604,7 @@ FROM r ORDER BY bucket_cap"""
     "token_rarity"      -> tokenRarityOracle,
     "bpe_pair_counts"   -> bpePairCountsOracle,
     "doc_chunking"      -> docChunkingOracle,
+    "fim_transform"     -> fimTransformOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "heavy_hitters"     -> heavyHittersOracle,
     "span_dedup"        -> spanDedupOracle,
