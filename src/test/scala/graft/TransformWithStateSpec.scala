@@ -15,6 +15,61 @@ import graft.streaming.EventsStream
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("MapState keeps per-user per-type counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    rs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rs.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
+    // the composite-key state shape MapState exists for: per (user,
+    // event_type) counters without one grouping key per combination —
+    // a secondary index inside each user's state
+    class TypeCounts extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+      @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+      override def init(om: OutputMode,
+          tm: org.apache.spark.sql.streaming.TimeMode): Unit =
+        m = getHandle.getMapState[String, Long]("by_type",
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+          tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long)] = {
+        val touched = scala.collection.mutable.LinkedHashSet[String]()
+        rows.foreach { case (_, t) =>
+          m.updateValue(t, (if (m.containsKey(t)) m.getValue(t) else 0L) + 1L)
+          touched += t
+        }
+        touched.iterator.map(t => (user, t, m.getValue(t)))
+      }
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().groupByKey(_._1)
+      .transformWithState(new TypeCounts, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_type", "n")
+      .writeStream.format("memory").queryName("tws_mapstate")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "view"), (1L, "view"), (1L, "buy"), (2L, "view"))
+      q.processAllAvailable()
+      // batch 2 folds into the RESTORED per-type map entries
+      mem.addData((1L, "view"), (2L, "buy"), (2L, "view"))
+      q.processAllAvailable()
+      val rows = rs.table("tws_mapstate").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      // the LAST emission per (user, type) carries the cumulative count
+      val last = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last((1L, "view")) == 3L, s"user 1 views: $last")
+      assert(last((1L, "buy")) == 1L && last((2L, "view")) == 2L &&
+        last((2L, "buy")) == 1L, s"map entries wrong: $last")
+    } finally {
+      q.stop()
+      rs.catalog.dropTempView("tws_mapstate")
+    }
+  }
+
   test("initial-state bootstrap: batch totals migrate into streaming state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rs = spark.newSession()
