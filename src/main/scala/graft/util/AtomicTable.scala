@@ -218,29 +218,42 @@ object AtomicTable {
       // swap is already live (the orphan pruner reaps it after the TTL)
       try Files.deleteIfExists(claim)
       catch { case _: java.io.IOException => () }
-      val published = history(base)
-      val retained = published.takeRight(keep).toSet
-      val publishedSet = published.toSet
-      val now = System.currentTimeMillis()
-      versions(root)
-        .filterNot(v => retained(v._2.getFileName.toString))
-        .filter { case (_, p) =>
-          val vn = p.getFileName.toString
-          val claimP = root.resolve(vn + "._claim")
-          // in-flight-ness = the claim marker's heartbeat (falling back to
-          // dir mtime for pre-claim-era or hand-made dirs)
-          val lastAlive =
-            if (Files.exists(claimP)) Files.getLastModifiedTime(claimP).toMillis
-            else Files.getLastModifiedTime(p).toMillis
-          publishedSet(vn) || (now - lastAlive) > OrphanTtlMs
-        }
-        .foreach { case (_, p) =>
-          try {
-            deleteRecursively(p)
-            Files.deleteIfExists(root.resolve(p.getFileName.toString + "._claim"))
-          } catch { case _: java.io.IOException => () }
-        }
+      pruneLocked(base, keep)
     }
+  }
+
+  /** The retention sweep shared by [[commitVersion]] and [[vacuum]] —
+    * caller must hold the commit lock. Published versions beyond the
+    * `keep` newest are removed immediately (immutable, never in-flight);
+    * unpublished dirs only once their claim heartbeat (falling back to
+    * dir mtime for pre-claim-era or hand-made dirs) is older than
+    * [[OrphanTtlMs]] — they may be a concurrent writer's claim mid-write
+    * (the VACUUM retention window). Returns directories removed. */
+  private def pruneLocked(base: String, keep: Int): Int = {
+    val root = Paths.get(base)
+    val published = history(base)
+    val retained = published.takeRight(keep).toSet
+    val publishedSet = published.toSet
+    val now = System.currentTimeMillis()
+    var removed = 0
+    versions(root)
+      .filterNot(v => retained(v._2.getFileName.toString))
+      .filter { case (_, p) =>
+        val vn = p.getFileName.toString
+        val claimP = root.resolve(vn + "._claim")
+        val lastAlive =
+          if (Files.exists(claimP)) Files.getLastModifiedTime(claimP).toMillis
+          else Files.getLastModifiedTime(p).toMillis
+        publishedSet(vn) || (now - lastAlive) > OrphanTtlMs
+      }
+      .foreach { case (_, p) =>
+        try {
+          deleteRecursively(p)
+          Files.deleteIfExists(root.resolve(p.getFileName.toString + "._claim"))
+          removed += 1
+        } catch { case _: java.io.IOException => () }
+      }
+    removed
   }
 
   // -------------------------------------- multi-table snapshot commits
@@ -312,6 +325,19 @@ object AtomicTable {
 
   def overwrite(df: DataFrame, base: String, keep: Int = 1): Unit =
     publish(base, keep)(df.write.mode("overwrite").parquet(_))
+
+  /** Standalone retention maintenance — the `VACUUM` verb: prune
+    * published versions beyond the `keep` newest plus crashed-orphan
+    * claims older than [[OrphanTtlMs]], WITHOUT publishing anything.
+    * Runs under the same commit lock as a publish, so it cannot race a
+    * concurrent pointer swap; the live version is always retained (keep
+    * ≥ 1). Returns the number of version directories removed. */
+  def vacuum(base: String, keep: Int = 1): Int = {
+    require(keep >= 1, "must keep at least the current version")
+    val root = Paths.get(base)
+    if (!Files.isDirectory(root)) return 0
+    withCommitLock(root) { pruneLocked(base, keep) }
+  }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

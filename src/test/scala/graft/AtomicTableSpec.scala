@@ -163,6 +163,28 @@ class AtomicTableSpec extends AnyFunSuite {
     assert(AtomicTable.read(spark, base).count() == 3)
   }
 
+  test("vacuum prunes aged-out versions and orphans, never the live table") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(1), base, keep = 3)
+    AtomicTable.overwrite(df(2), base, keep = 3)
+    AtomicTable.overwrite(df(3), base, keep = 3)
+    // a crashed orphan past the TTL, and a LIVE in-flight claim (recent)
+    Files.createDirectories(Paths.get(base, "_v40"))
+    backdate(Paths.get(base, "_v40"))
+    Files.createDirectories(Paths.get(base, "_v41"))
+    assert(AtomicTable.history(base).size == 3)
+    val removed = AtomicTable.vacuum(base, keep = 1)
+    // two aged-out published versions + the stale orphan go; the live
+    // version and the fresh (possibly in-flight) claim stay
+    assert(removed == 3, s"expected 3 removals, got $removed")
+    assert(AtomicTable.read(spark, base).count() == 3)
+    assert(AtomicTable.history(base) == Seq(AtomicTable.history(base).last))
+    assert(!Files.exists(Paths.get(base, "_v40")), "stale orphan survived vacuum")
+    assert(Files.exists(Paths.get(base, "_v41")), "fresh claim must survive vacuum")
+    // idempotent: nothing left to remove
+    assert(AtomicTable.vacuum(base, keep = 1) == 0)
+  }
+
   test("schema evolution: each version carries its own schema, time travel reads the old one") {
     import spark.implicits._
     val base = freshBase()
