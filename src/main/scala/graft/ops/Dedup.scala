@@ -8,7 +8,9 @@ import graft.Tables
 /** Document deduplication suite — the training-data-pipeline extension
   * surface (SURVEY.md §7.5) over the `documents` table.
   *
-  * Five strategies, ordered by scale behavior:
+  * Core strategies, ordered by scale behavior (the object also carries
+  * their compositions: incremental index probes, connected-component
+  * clustering, and the end-to-end semantic-dedup funnel):
   *
   *  - [[exact]]       — hash-groupBy. One shuffle on md5(text); at 100 TB,
   *                      shuffling a 16-byte hash + ids instead of the text
