@@ -205,20 +205,33 @@ ORDER BY doc_a, doc_b"""
     * because only the exact-Jaccard-VERIFIED output is compared to the
     * oracle. At 100 TB this table IS the stored dedup index (banded rows
     * keyed by (band_idx, band_val) — what [[minhashIncremental]] probes). */
-  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
+  /** The 64 XOR "permutation" constants (seeded; shared by the batch
+    * index build and the streaming probe so their band values match). */
+  private[graft] lazy val Perms: Array[Long] = {
     val rng = new scala.util.Random(0x5eed)
-    val perms = Array.fill(NumHashes)(rng.nextLong())
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
-    val minAggs = (0 until NumHashes).map { p =>
-      min(col("h0").bitwiseXOR(lit(perms(p)))).as(s"h$p")
-    }
-    val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    // band value = hash of the band's 4 signature slots
-    val bandCols = (0 until Bands).map { bnd =>
-      hash((bnd * RowsPerBand until (bnd + 1) * RowsPerBand).map(i => col(s"h$i")): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    Array.fill(NumHashes)(rng.nextLong())
   }
+
+  /** PER-ROW banded signature array from a capped shingle-array column:
+    * min-over-XOR as `array_min` over a transformed array — no explode,
+    * no aggregation, so it runs as a narrow map (and inside a STREAMING
+    * query without consuming the one-aggregation budget). Element b is
+    * band b's value (murmur3 of its 4 signature slots). */
+  private[graft] def bandedOfShingles(sh: Column): Column = {
+    val sigs = (0 until NumHashes).map { p =>
+      array_min(transform(sh, x => x.bitwiseXOR(lit(Perms(p)))))
+    }
+    array((0 until Bands).map { b =>
+      hash(sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand): _*)
+    }: _*)
+  }
+
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+    // identical values to the old explode + 64-min-aggregates form (min
+    // over the same distinct shingle set), minus its aggregation — the
+    // index build is now a pure narrow pass over the shingle table
+    docs.select(col("doc_id"),
+      posexplode(bandedOfShingles(col("sh"))).as(Seq("band_idx", "band_val")))
 
   private val bandedCache =
     graft.util.SessionCaches.memo[(SparkSession, String)]("dedup.bands")

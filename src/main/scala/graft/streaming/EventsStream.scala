@@ -767,7 +767,57 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
       .orderBy("query_id", "rnk")
   }
 
+  /** STREAMING INGESTION DEDUP against the STORED LSH index — the
+    * arriving batch (the top doc_id decile, staged as files) probes the
+    * persisted MinHash band index ([[graft.ops.Dedup.bandedTable]], the
+    * SilverArtifact the batch path built) with THREE stream-static joins
+    * and no per-batch index work: each new document's banded signature is
+    * a pure per-row computation ([[graft.ops.Dedup.bandedOfShingles]] —
+    * `array_min` over transformed shingle arrays, no aggregation), its
+    * band values equi-join the stored index, and candidates are
+    * exact-Jaccard-verified against the stored shingle table. The one
+    * streaming aggregation collapses a pair's multiple band collisions.
+    * Because the file source delivers the whole batch, the final state
+    * must equal the batch [[graft.ops.Dedup.minhashIncremental]] — so
+    * this query SHARES that oracle, proving streaming ≡ batch. Daily
+    * cost scales with the arriving batch, never the corpus: the index
+    * side stays cached/partitioned, only new docs flow. */
+  def minhashDedupStream(s0: SparkSession, d: String): DataFrame = {
+    import graft.ops.Dedup
+    val s = streamSession(s0)
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_docs")
+    stageInto(s"$d/documents.parquet", stageDir, "documents.parquet")
+    val schema = graft.Tables.documents(s, d).schema
+    val maxId = graft.Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
+    val thr = 9L * maxId / 10
+    val shingles = Dedup.shingleTable(s, d)
+    val idx = Dedup.bandedTable(s, d).filter(col("doc_id") < thr)
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val batch = s.readStream.schema(schema).parquet(stageDir.toString)
+      .filter(col("doc_id") >= thr)
+      .select(col("doc_id").as("doc_b"))
+      .join(shingles.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("m").as("mb")), "doc_b")
+      .select(col("doc_b"), col("sh_b"), col("mb"),
+        posexplode(Dedup.bandedOfShingles(col("sh_b")))
+          .as(Seq("band_idx", "band_val")))
+    val hits = batch.join(idx, Seq("band_idx", "band_val"))
+      .join(shingles.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("m").as("ma")), "doc_a")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("ma") + col("mb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.9)
+      .groupBy("doc_a", "doc_b")
+      .agg(first("jaccard").as("jaccard"))
+    runToTable(s, hits, OutputMode.Complete, "graft_stream_minhash")
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_minhash_dedup"   -> (minhashDedupStream _),
     "stream_ann_serve"       -> (annServeStream _),
     "stream_corpus_filter"   -> (corpusFilterStream _),
     "stream_stream_join"     -> (streamStreamJoin _),
@@ -788,6 +838,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
   val oracleSql: Map[String, String] = Map(
     // streaming serving must equal the batch PQ result — shared oracle
     "stream_ann_serve"       -> graft.ops.Similarity.annPqOracle,
+    "stream_minhash_dedup"   -> graft.ops.Dedup.minhashIncrementalOracle(),
     "stream_corpus_filter"   -> corpusFilterStreamOracle,
     "stream_stream_join"     -> streamStreamJoinOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
