@@ -34,24 +34,46 @@ import graft.ops.{DateDim, SurrogateKeys}
   */
 object Medallion {
 
-  /** Session-scoped memo of materialized gold tables. The reference
+  /** Gold tables are READ-THROUGH stored artifacts, the way the reference
     * materializes gold to storage and queries read it back (etl_lakehouse
-    * .py:113-116 → test_queries.py:91-95); [[writeAll]] is that path here.
-    * Inside one driver-harness session the analog is persist(): each gold
-    * table is computed once and every query reuses it instead of re-deriving
-    * the whole silver DAG. At 100 TB you would NOT cache the fact in RAM —
-    * you'd read the written gold zone (columnar, partition-pruned); dims
-    * remain cacheable at any scale. */
+    * .py:113-116 → test_queries.py:91-95): the first session to touch a
+    * gold table per SOURCE VERSION derives it from silver and publishes it
+    * through [[graft.util.SilverArtifact]] (atomic, fingerprint-stamped);
+    * every later session — and every later query in THIS session — reads
+    * the stored columnar copy instead of re-deriving the whole silver DAG
+    * (joins + SK windows). The fingerprint covers the part files of all
+    * seven star source tables plus a logic-version tag, so regenerating
+    * any source, or changing the derivation code, rebuilds instead of
+    * serving stale gold. Within a session the artifact scan is addition-
+    * ally persist()ed: dims are small at any scale; at 100 TB you would
+    * drop the fact's persist and lean on the columnar scan (partition-
+    * pruned, column-pruned) — the artifact IS the written gold zone. */
   private val goldCache =
     graft.util.SessionCaches.memo[(SparkSession, String, String)]("medallion.gold")
+
+  /** Bump when any silver/gold derivation below changes semantics, so
+    * stored gold artifacts from older code are orphaned, not served. */
+  private val GoldLogicVersion = "gold-v1"
+
+  private def goldFp(d: String): String =
+    Tables.sourceNames.map(n =>
+      graft.util.SilverArtifact.sourceFingerprint(s"$d/$n.parquet", GoldLogicVersion))
+      .mkString("|")
 
   // keyed by the session INSTANCE (reference equality) — an identity
   // hashCode is a hash, not an identity, and a collision would hand a new
   // session a DataFrame bound to a stopped one. Entries live for the JVM;
   // a long-lived service evicts via SessionCaches.clear(session).
   private def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
-    goldCache.getOrElseUpdate((s, d, name),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    goldCache.getOrElseUpdate((s, d, name), {
+      val stored = graft.util.SilverArtifact.getOrBuild(
+        s, graft.util.SilverArtifact.pathFor(d, s"gold_$name"), goldFp(d))(build)
+      // the artifact is written as few files (it is dim/bench-fact sized);
+      // fan the FACT back out so its cached partitions use the full
+      // cluster — dims stay as-read (they broadcast into joins anyway)
+      val df = if (name == "fact_sales") Tables.fanout(s, stored) else stored
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ---- Silver (cleaned/conformed wide tables; etl_lakehouse.py:47-74) ----
 
