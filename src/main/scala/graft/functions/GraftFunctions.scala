@@ -85,41 +85,35 @@ case class ArrayDot(left: Expression, right: Expression)
 
 object GraftFunctions {
 
-  /** Register the custom expressions with the session (idempotent). */
+  /** Register the custom expressions with the session. Idempotent AND
+    * quiet: a name already present — from a previous register() call or
+    * from a session built with [[GraftExtensions]] — is left alone
+    * (createOrReplaceTempFunction on an existing name logs a "replaced a
+    * previously registered function" WARN per name per call, which turned
+    * every bench/verify log into noise; the builders are identical, so
+    * skipping is equivalent). */
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries",
-      exprs => MisraGriesAgg(
-        exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+    val reg = s.sessionState.functionRegistry
+    def ifAbsent(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     def asInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode",
-      exprs => PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_table",
-      exprs => PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_adc",
-      exprs => PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3))),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_min",
-      exprs => TopKMinAgg(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
-      "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", exprs => WordNgrams(exprs.head, exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash_windows",
-      exprs => RollingHashWindows(exprs.head, exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rle_contains", exprs => RleContains(exprs.head, exprs(1)), "built-in")
+    ifAbsent("array_dot")(exprs => ArrayDot(exprs.head, exprs(1)))
+    ifAbsent("misra_gries")(exprs =>
+      MisraGriesAgg(exprs.head, asInt(exprs(1))))
+    ifAbsent("pq_encode")(exprs =>
+      PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))))
+    ifAbsent("pq_table")(exprs =>
+      PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))))
+    ifAbsent("pq_adc")(exprs =>
+      PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3))))
+    ifAbsent("topk_min")(exprs =>
+      TopKMinAgg(exprs.head, exprs(1), asInt(exprs(2))))
+    ifAbsent("word_ngrams")(exprs => WordNgrams(exprs.head, exprs(1)))
+    ifAbsent("rolling_hash_windows")(exprs =>
+      RollingHashWindows(exprs.head, exprs(1)))
+    ifAbsent("rle_contains")(exprs => RleContains(exprs.head, exprs(1)))
   }
 
   /** Fused dot product over two array<double> columns (codegen'd). */

@@ -68,9 +68,13 @@ object Classifier {
         lit(1L).as("x0"),
         least(col("n_words"), lit(WordCap)).as("x1"),
         // DIV, not `/`: Column `/` on longs is a DOUBLE divide; both
-        // engines' integer division truncates toward zero
-        expr("(alpha * 1000000L) DIV n_chars").as("x2"),
-        expr("(stops * 1000000L) DIV n_words").as("x3"))
+        // engines' integer division truncates toward zero. greatest(1, _)
+        // guards the empty-document case symmetrically with the oracle:
+        // Spark's DIV by zero yields NULL while DuckDB's `//` raises, so
+        // an unguarded denominator would desync or fail the gate on any
+        // corpus containing an empty text (r11 ADVICE).
+        expr("(alpha * 1000000L) DIV greatest(1L, n_chars)").as("x2"),
+        expr("(stops * 1000000L) DIV greatest(1L, n_words)").as("x3"))
   }
 
   // the cached feature frame is scanned Rounds times — memoized like the
@@ -145,9 +149,9 @@ object Classifier {
          CAST(1 AS BIGINT) AS x0,
          least(CAST(len(string_split(text, ' ')) AS BIGINT), $WordCap) AS x1,
          (CAST(len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT)
-            * 1000000) // CAST(len(text) AS BIGINT) AS x2,
+            * 1000000) // greatest(1, CAST(len(text) AS BIGINT)) AS x2,
          (CAST(${TextOps.hitCountSql("en")} AS BIGINT) * 1000000)
-            // CAST(len(string_split(text, ' ')) AS BIGINT) AS x3
+            // greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS x3
   FROM (SELECT doc_id, text,
     $scoreCols
     FROM documents) sc_t)"""

@@ -51,13 +51,20 @@ object Medallion {
   private val goldCache =
     graft.util.SessionCaches.memo[(SparkSession, String, String)]("medallion.gold")
 
-  /** Bump when any silver/gold derivation below changes semantics, so
-    * stored gold artifacts from older code are orphaned, not served. */
-  private val GoldLogicVersion = "gold-v1"
-
-  private def goldFp(d: String): String =
+  /** The logic-version component of a gold artifact's fingerprint is a
+    * DIGEST OF THE DERIVATION ITSELF ([[graft.util.SilverArtifact
+    * .planFingerprint]] — the canonicalized analyzed plan of the builder
+    * DataFrame): any code change that alters the silver/gold derivation
+    * changes the plan and auto-orphans stored artifacts. The hand-bumped
+    * "gold-v1" constant this replaces was the one staleness hole left in
+    * the artifact tier — an edit that forgot the bump would silently
+    * serve stale gold to every later session (r11 verdict #2). Because a
+    * dim's plan includes its SOURCE paths and the fact's plan includes
+    * the DIM ARTIFACT version paths, a dim rebuild also cascades to the
+    * fact — over-invalidation, never staleness. */
+  private def goldFp(d: String, logic: String): String =
     Tables.sourceNames.map(n =>
-      graft.util.SilverArtifact.sourceFingerprint(s"$d/$n.parquet", GoldLogicVersion))
+      graft.util.SilverArtifact.sourceFingerprint(s"$d/$n.parquet", logic))
       .mkString("|")
 
   // keyed by the session INSTANCE (reference equality) — an identity
@@ -66,8 +73,12 @@ object Medallion {
   // a long-lived service evicts via SessionCaches.clear(session).
   private def cached(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
     goldCache.getOrElseUpdate((s, d, name), {
+      // constructing the builder frame is lazy (no action) — its plan
+      // digest is the fingerprint's logic component, computed per session
+      val built = build
       val stored = graft.util.SilverArtifact.getOrBuild(
-        s, graft.util.SilverArtifact.pathFor(d, s"gold_$name"), goldFp(d))(build)
+        s, graft.util.SilverArtifact.pathFor(d, s"gold_$name"),
+        goldFp(d, graft.util.SilverArtifact.planFingerprint(built)))(built)
       // the artifact is written as few files (it is dim/bench-fact sized);
       // fan the FACT back out so its cached partitions use the full
       // cluster — dims stay as-read (they broadcast into joins anyway)

@@ -580,7 +580,9 @@ FROM part GROUP BY p_brand ORDER BY p_brand"""
     * quarantined rows. This is the dead-letter pattern every production
     * feed needs: the pipeline stays up, the bad lines stay auditable.
     * (The .cache() is Spark's documented requirement for queries that
-    * touch the internal corrupt-record column.) */
+    * touch the internal corrupt-record column; guarded on storageLevel so
+    * a repeat invocation's identical plan doesn't re-cache — CacheManager
+    * WARNs "already cached" per repeat otherwise.) */
   def jsonBadRecords(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val out = s"/tmp/graft_badjson/${graft.util.PathKeys.safe(d)}/nation"
@@ -596,7 +598,8 @@ FROM part GROUP BY p_brand ORDER BY p_brand"""
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(out)
-      .cache()
+    if (parsed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      parsed.cache()
     parsed.agg(
       count(lit(1)).as("n_lines"),
       count(col("n_nationkey")).as("n_delivered"),

@@ -31,6 +31,14 @@ object PipelineOps {
   def writeRoundtrip(s: SparkSession, d: String): DataFrame = {
     val lake = s"/tmp/graft_lake/${graft.util.PathKeys.safe(d)}"
     Medallion.writeAll(s, d, lake)
+    // retention maintenance as part of the reload (r11 verdict #7): VACUUM
+    // every zone table with keep=1 — deliberately more aggressive than the
+    // commit's own keep=2, so the read below exercises the snapshot PIN:
+    // the versions named by the retained `_SNAPSHOT` manifests survive the
+    // sweep (pruneLocked unions them into `retained`), and the snapshot
+    // read stays resolvable with VACUUM in the path.
+    graft.util.AtomicTable.resolveSnapshot(lake).get.keys
+      .foreach(t => graft.util.AtomicTable.vacuum(s"$lake/$t", keep = 1))
     graft.util.AtomicTable.readSnapshot(s, lake, "gold/fact_sales")
       // sale_year is the directory-partition column added by the layout
       // optimization in writeAll — project back to the logical fact schema
@@ -65,6 +73,123 @@ SELECT year_val, nation, count(*) AS n_sales,
 FROM fact_sales JOIN dim_date USING (date_sk)
 JOIN dim_customer USING (customer_sk)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // one tiny two-commit lake per (session, dataset), shared by the
+  // time-travel and CDF queries; rebuilt fresh per session so the
+  // snapshot ids are deterministic
+  private val ttLakeCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("pipeline.ttlake")
+
+  /** Build a two-snapshot demo lake over the nation dim and return
+    * (root, firstSnapshotId). Snapshot 1 is the full dim; snapshot 2 a
+    * reload with planted row-level changes — every third key DELETED,
+    * every remaining fifth key's region UPDATED (+100), and the first
+    * three keys re-keyed +1000 as INSERTS. Between the commits and any
+    * read, the member table is VACUUMed with keep=1: only the retained
+    * manifests' version pins ([[graft.util.AtomicTable]] pruneLocked)
+    * keep the superseded snapshot-1 version alive — without
+    * manifest-aware retention the historical read would throw on a
+    * deleted directory. */
+  private def ttLake(s: SparkSession, d: String): (String, Long) =
+    ttLakeCache.getOrElseUpdate((s, d), {
+      import graft.util.AtomicTable
+      val root = s"/tmp/graft_snap_tt/${graft.util.PathKeys.safe(d)}"
+      AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+      val nation = Tables.nation(s, d)
+      def stage(df: DataFrame): Seq[(String, String)] = Seq("dim/nation" ->
+        AtomicTable.stageVersion(s"$root/dim/nation")(dir =>
+          df.coalesce(1).write.mode("overwrite").parquet(dir)))
+      val sn1 = AtomicTable.commitSnapshot(root, stage(nation))
+      val reloaded = nation.filter(col("n_nationkey") % 3 =!= 0)
+        .withColumn("n_regionkey",
+          when(col("n_nationkey") % 5 === 0, col("n_regionkey") + 100)
+            .otherwise(col("n_regionkey")))
+        .unionByName(nation.filter(col("n_nationkey") < 3)
+          .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      AtomicTable.commitSnapshot(root, stage(reloaded))
+      // ordinary per-table maintenance between commit and historical read:
+      // keep=1 would reclaim the superseded version — the sn1 manifest pin
+      // is the only thing keeping the old snapshot resolvable
+      AtomicTable.vacuum(s"$root/dim/nation", keep = 1)
+      (root, sn1)
+    })
+
+  /** TRANSACTION-level time travel ([[graft.util.AtomicTable
+    * .readSnapshotTablesAt]] — the `VERSION AS OF` analog at snapshot
+    * grain): the OLD snapshot of the [[ttLake]] dim re-read in full while
+    * the newer one is live — after a keep=1 vacuum of the member — and
+    * flagged by which rows survived the reload; the oracle restates both
+    * states from source. */
+  def snapshotTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val (root, sn1) = ttLake(s, d)
+    val old = AtomicTable.readSnapshotTablesAt(s, root, sn1,
+      Seq("dim/nation"))("dim/nation")
+    val live = AtomicTable.readSnapshotTables(s, root,
+      Seq("dim/nation"))("dim/nation")
+    old.join(live.select(col("n_nationkey").as("live_key")),
+        col("n_nationkey") === col("live_key"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        col("live_key").isNotNull.as("in_live"))
+      .orderBy("n_nationkey")
+  }
+
+  val snapshotTimeTravelOracle: String = """
+SELECT n_nationkey, n_name, (n_nationkey % 3 <> 0) AS in_live
+FROM nation ORDER BY n_nationkey"""
+
+  /** CHANGE-DATA READ between two retained snapshots (the Delta CDF /
+    * Iceberg incremental-read analog at transaction grain): both states
+    * of the [[ttLake]] dim are opened through one history resolution
+    * ([[graft.util.AtomicTable.readSnapshotTablesAt]] + the live
+    * manifest), full-outer joined on the key, and classified
+    * insert / delete / update (unchanged rows drop out). This is the
+    * "what changed since snapshot N" API an incremental consumer polls
+    * instead of re-scanning the table; at 100 TB the join is keyed on
+    * the PK — one co-partitioned shuffle, candidates only, no full
+    * comparison of unchanged column data beyond the keyed rows. The
+    * oracle restates the planted changes from source. */
+  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val (root, sn1) = ttLake(s, d)
+    val old = AtomicTable.readSnapshotTablesAt(s, root, sn1,
+      Seq("dim/nation"))("dim/nation")
+      .select(col("n_nationkey").as("o_key"), col("n_regionkey").as("old_region"))
+    val neu = AtomicTable.readSnapshotTables(s, root,
+      Seq("dim/nation"))("dim/nation")
+      .select(col("n_nationkey").as("n_key"), col("n_regionkey").as("new_region"))
+    old.join(neu, col("o_key") === col("n_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("o_key").isNull, "insert")
+          .when(col("n_key").isNull, "delete")
+          .when(col("old_region") =!= col("new_region"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("o_key"), col("n_key")).as("n_nationkey"),
+        col("change_type"), col("old_region"), col("new_region"))
+      .orderBy("n_nationkey", "change_type")
+  }
+
+  val snapshotCdfOracle: String = """
+WITH old AS (SELECT n_nationkey, n_regionkey FROM nation),
+new AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 100
+              ELSE n_regionkey END AS n_regionkey
+  FROM nation WHERE n_nationkey % 3 <> 0
+  UNION ALL
+  SELECT n_nationkey + 1000, n_regionkey FROM nation WHERE n_nationkey < 3),
+j AS (
+  SELECT old.n_nationkey AS o_key, old.n_regionkey AS old_region,
+         new.n_nationkey AS n_key, new.n_regionkey AS new_region
+  FROM old FULL OUTER JOIN new ON old.n_nationkey = new.n_nationkey)
+SELECT coalesce(o_key, n_key) AS n_nationkey,
+       CASE WHEN o_key IS NULL THEN 'insert'
+            WHEN n_key IS NULL THEN 'delete'
+            WHEN old_region <> new_region THEN 'update' END AS change_type,
+       old_region, new_region
+FROM j
+WHERE o_key IS NULL OR n_key IS NULL OR old_region <> new_region
+ORDER BY n_nationkey, change_type"""
 
   case class LineRow(l_returnflag: String, l_linestatus: String,
     l_quantity: Double, l_extendedprice: Double)
@@ -366,6 +491,8 @@ GROUP BY 1, 2 ORDER BY 1"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_write_roundtrip" -> (writeRoundtrip _),
     "snapshot_star_read" -> (snapshotStarRead _),
+    "snapshot_time_travel" -> (snapshotTimeTravel _),
+    "snapshot_cdf" -> (snapshotCdf _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "typed_cogroup"            -> (typedCogroup _),
     "json_extract_props"       -> (jsonExtract _),
@@ -378,6 +505,8 @@ GROUP BY 1, 2 ORDER BY 1"""
   val oracleSql: Map[String, String] = Map(
     "pipeline_write_roundtrip" -> Analytics.oracleSql("gold_fact_sales"),
     "snapshot_star_read" -> snapshotStarReadOracle,
+    "snapshot_time_travel" -> snapshotTimeTravelOracle,
+    "snapshot_cdf" -> snapshotCdfOracle,
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "typed_cogroup"            -> typedCogroupOracle,
     "json_extract_props"       -> jsonExtractOracle,

@@ -180,13 +180,21 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
     // move (rename of a vanished file throws for the rest), so the old
     // delete+create interleaving — where waiter 1's deleteIfExists could
     // remove waiter 2's freshly created LIVE lock (r10 ADVICE) — cannot
-    // occur. Ownership is still re-verified by token immediately before
-    // the manifest rename (a pathologically paused-but-alive holder can
-    // be broken; it must then lose, not publish over the breaker), and
-    // unlock deletes the lock file only while it still carries our token,
-    // so a successor's live lock survives our cleanup. This is the poor
-    // man's optimistic-concurrency loop a real table format runs on its
-    // version log; AtomicSinkSpec races threads through it.
+    // occur. While the lock is HELD, a daemon heartbeat refreshes the
+    // lock file's mtime every staleMs/6, so a LIVE holder — even one
+    // paused at a bad moment for several seconds — is never classified
+    // stale by waiters; only a holder whose JVM actually died stops
+    // refreshing (the same liveness discipline as AtomicTable's claim
+    // heartbeat). This shrinks the residual TOCTOU (r11 ADVICE: a paused
+    // holder broken mid-critical-section could rename its stale manifest
+    // over a successor's) to a holder paused for the FULL stale window —
+    // and ownership is still re-verified by token immediately before the
+    // manifest rename (a broken holder must then lose, not publish over
+    // the breaker), and unlock deletes the lock file only while it still
+    // carries our token, so a successor's live lock survives our cleanup.
+    // This is the poor man's optimistic-concurrency loop a real table
+    // format runs on its version log; AtomicSinkSpec races threads
+    // through it.
     val lock = dir.resolve("_COMMIT_LOCK")
     val token = s"$queryId/${java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName}/${Thread.currentThread().getId}/${System.nanoTime()}"
@@ -221,6 +229,22 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
             Thread.sleep(10)
         }
       }
+      // holder-liveness heartbeat: refresh OUR lock's mtime while inside
+      // the critical section, but only while the file still carries our
+      // token — touching a successor's lock after a break would wrongly
+      // extend it
+      val heartbeat = new Thread(() =>
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(math.max(50L, staleMs / 6))
+            try { if (holdsToken()) Files.setLastModifiedTime(lock,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())) }
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: InterruptedException => () },
+        "graft-sink-lock-heartbeat")
+      heartbeat.setDaemon(true)
+      heartbeat.start()
       val tmp = dir.resolve(s"_MANIFEST.${Integer.toHexString(token.hashCode)}.tmp")
       try {
         val prior =
@@ -239,6 +263,8 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
           published = true
         } else Files.deleteIfExists(tmp)
       } finally {
+        heartbeat.interrupt()
+        heartbeat.join()
         Files.deleteIfExists(tmp)
         if (holdsToken()) Files.deleteIfExists(lock)
       }

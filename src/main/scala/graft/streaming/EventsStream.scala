@@ -671,6 +671,110 @@ FROM events a JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
 ORDER BY a.user_id, view_id, purchase_id"""
 
+  /** Stream-stream FULL OUTER join, gated (MultiBatchStreamSpec proves the
+    * multi-batch expiry semantics; this makes the driver enforce it per
+    * round): same attribution join as [[streamStreamJoin]], but BOTH
+    * sides' unmatched rows emit null-padded once watermark expiry evicts
+    * them from state. Outer emission is expiry-driven, so the replay
+    * needs TWO micro-batches: the data file is batch 1 (watermark still
+    * at its floor — every row joins), then a SENTINEL file (one max-ts
+    * row of a type neither side keeps) forces batch 2, in which the
+    * batch-1 watermark (max event time − 10 min) is applied and the
+    * expired unmatched state emits. `maxFilesPerTrigger=1` plus pinned
+    * file mtimes fixes the batch order — sentinel-first would set the
+    * watermark BEFORE the data arrived and drop every real event as
+    * late. State whose window reaches past the watermark is still open
+    * (correctly — a live stream would see more data), so the gated value
+    * keeps only rows ≥ 25 h before the stream's end: view state expires
+    * at view_ts + 24 h < WM and purchase state at purchase_ts < WM, so
+    * everything at or below the cutoff is provably emitted, 50 min clear
+    * of either boundary. The oracle restates the batch FULL OUTER join
+    * under the same cutoff. */
+  def streamStreamOuter(s0: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val s = streamSession(s0)
+    // own staging dir: the sentinel row must never pollute the shared
+    // events stage other stream queries aggregate over
+    val stageDir = Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_outer")
+    stageInto(s"$d/events.parquet", stageDir, "events.parquet")
+    val dataFile = stageDir.resolve("events.parquet")
+    val dataMtime = Files.getLastModifiedTime(dataFile).toMillis
+    val sentinel = stageDir.resolve("zz_sentinel.parquet")
+    if (!Files.exists(sentinel) ||
+        Files.getLastModifiedTime(sentinel).toMillis <= dataMtime) {
+      // the max-RAW-ts row retyped: normalizeTs is monotonic in the raw
+      // encoding, so this row's event time equals the stream's max and
+      // never moves the watermark beyond what the data already set
+      val tmpDir = stageDir.resolve("zz_sentinel_stage")
+      graft.util.AtomicTable.deleteRecursively(tmpDir)
+      Tables.eventsRaw(s, d).orderBy(col("ts").desc).limit(1)
+        .withColumn("event_type", lit("sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val st = Files.list(tmpDir)
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.move(part, sentinel,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      graft.util.AtomicTable.deleteRecursively(tmpDir)
+    }
+    // the file source processes files in mtime order — pin data < sentinel
+    Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(dataMtime + 60000L))
+    val schema = Tables.eventsRaw(s, d).schema
+    // watermark BEFORE the type filter: the sentinel must flow through the
+    // EventTimeWatermark node (to let batch 2 exist with the data's max
+    // event time intact) and only then drop out of both join sides
+    def side(): DataFrame = Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stageDir.toString))
+      .withWatermark("ts", "10 minutes")
+    val views = side().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    val purchases = side().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = views.join(purchases,
+      col("v_user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"),
+      "fullOuter")
+    val out = runToTable(s0, joined, OutputMode.Append, "graft_stream_ss_outer")
+    // full-precision cutoff: lit(Timestamp) keeps micros, so the boundary
+    // compare is exact on both engines
+    val maxTs = Tables.events(s, d).agg(max("ts")).head().getTimestamp(0)
+    out.filter(coalesce(col("view_ts"), col("purchase_ts")) <=
+        lit(maxTs) - expr("INTERVAL 25 HOURS"))
+      .select(coalesce(col("v_user_id"), col("p_user_id")).as("user_id"),
+        col("view_id"), col("purchase_id"), col("view_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("view_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
+  val streamStreamOuterOracle: String = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id AS v_user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT * FROM v FULL OUTER JOIN p
+    ON v_user_id = p_user_id
+   AND purchase_ts > view_ts
+   AND purchase_ts <= view_ts + INTERVAL 24 HOURS)
+SELECT coalesce(v_user_id, p_user_id) AS user_id, view_id, purchase_id,
+       view_ts, purchase_ts
+FROM j
+WHERE coalesce(view_ts, purchase_ts) <=
+      (SELECT max(ts) FROM events) - INTERVAL 25 HOURS
+ORDER BY user_id, view_id NULLS FIRST, purchase_id NULLS FIRST"""
+
   /** Streaming corpus ingestion — the LLM-pipeline filters running as a
     * structured stream: documents arrive as files, each micro-batch is
     * language-classified and quality-scored with the SAME Column
@@ -821,6 +925,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_ann_serve"       -> (annServeStream _),
     "stream_corpus_filter"   -> (corpusFilterStream _),
     "stream_stream_join"     -> (streamStreamJoin _),
+    "stream_stream_outer"    -> (streamStreamOuter _),
     "stream_enrich_join"     -> (enrichJoin _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_drift_monitor"   -> (driftMonitor _),
@@ -841,6 +946,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     "stream_minhash_dedup"   -> graft.ops.Dedup.minhashIncrementalOracle(),
     "stream_corpus_filter"   -> corpusFilterStreamOracle,
     "stream_stream_join"     -> streamStreamJoinOracle,
+    "stream_stream_outer"    -> streamStreamOuterOracle,
     "stream_enrich_join"     -> enrichJoinOracle,
     "stream_tumbling_counts" -> tumblingOracle,
     "stream_drift_monitor"   -> driftMonitorOracle,

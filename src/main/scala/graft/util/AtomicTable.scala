@@ -224,7 +224,11 @@ object AtomicTable {
 
   /** The retention sweep shared by [[commitVersion]] and [[vacuum]] —
     * caller must hold the commit lock. Published versions beyond the
-    * `keep` newest are removed immediately (immutable, never in-flight);
+    * `keep` newest are removed immediately (immutable, never in-flight)
+    * UNLESS an enclosing snapshot root's retained manifests still name
+    * them ([[snapshotPinned]] — a `vacuum(member, keep=1)` must never
+    * delete a version a committed `_SNAPSHOT` resolves to, or
+    * [[readSnapshotTables]] would throw on a "committed" snapshot);
     * unpublished dirs only once their claim heartbeat (falling back to
     * dir mtime for pre-claim-era or hand-made dirs) is older than
     * [[OrphanTtlMs]] — they may be a concurrent writer's claim mid-write
@@ -232,7 +236,7 @@ object AtomicTable {
   private def pruneLocked(base: String, keep: Int): Int = {
     val root = Paths.get(base)
     val published = history(base)
-    val retained = published.takeRight(keep).toSet
+    val retained = published.takeRight(keep).toSet ++ snapshotPinned(root)
     val publishedSet = published.toSet
     val now = System.currentTimeMillis()
     var removed = 0
@@ -259,6 +263,62 @@ object AtomicTable {
   // -------------------------------------- multi-table snapshot commits
 
   private val Snapshot = "_SNAPSHOT"
+  private val SnapshotsDir = "_snapshots"
+  private val SnapRe = "sn_(\\d+)".r
+
+  private def snapshotIds(rootP: Path): Seq[Long] = {
+    val dir = rootP.resolve(SnapshotsDir)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.flatMap(_.getFileName.toString match {
+        case SnapRe(n) => Some(n.toLong)
+        case _         => None
+      }).toSeq
+      finally stream.close()
+    }
+  }
+
+  private def parseManifest(text: String): Map[String, String] =
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Member-table versions pinned by an enclosing snapshot root: walk up
+    * from the table directory to the nearest ancestor carrying snapshot
+    * state (`_SNAPSHOT` pointer or `_snapshots/` history), and collect
+    * every version that any RETAINED manifest (live + history) names for
+    * this table's relative path. These versions must survive any
+    * retention sweep — per-table `vacuum`/`commitVersion` maintenance
+    * must never break a committed snapshot read. Manifest files are
+    * written with atomic moves, so the lock-free reads here see only
+    * complete old or complete new content; a manifest deleted between
+    * list and read (a concurrent snapshot commit's history prune) is
+    * skipped — its pins were un-pinned by that very commit. */
+  private def snapshotPinned(base: Path): Set[String] = {
+    val abs = base.toAbsolutePath.normalize
+    var anc: Path = abs.getParent
+    var rel: String = abs.getFileName.toString
+    var root: Path = null
+    while (anc != null && root == null) {
+      if (Files.exists(anc.resolve(Snapshot)) ||
+          Files.isDirectory(anc.resolve(SnapshotsDir))) root = anc
+      else {
+        val fn = anc.getFileName
+        if (fn == null) anc = null
+        else { rel = fn.toString + "/" + rel; anc = anc.getParent }
+      }
+    }
+    if (root == null) return Set.empty
+    val manifests = Seq(root.resolve(Snapshot)) ++
+      snapshotIds(root).map(n => root.resolve(SnapshotsDir).resolve(s"sn_$n"))
+    manifests.flatMap { m =>
+      val text = try Files.readString(m)
+        catch { case _: java.io.IOException => "" }
+      parseManifest(text).get(rel)
+    }.toSet
+  }
 
   /** Commit a MULTI-TABLE transaction: one atomic pointer swap of the
     * snapshot manifest at `root/_SNAPSHOT` — a file naming every member
@@ -277,31 +337,96 @@ object AtomicTable {
     * the cross-table source of truth. `keep` defaults to 2 so a reader
     * holding the PREVIOUS snapshot survives one concurrent reload (the
     * same retention answer transactional formats give the read/prune
-    * race). */
+    * race).
+    *
+    * Every commit is also LOGGED as an immutable manifest under
+    * `root/_snapshots/sn_<N>` — the transaction-level lineage
+    * ([[snapshotHistory]] / [[readSnapshotTablesAt]] are the `DESCRIBE
+    * HISTORY` / `VERSION AS OF` analogs at snapshot grain). The `keep`
+    * newest manifests are retained; each retained manifest PINS its
+    * member versions against per-table retention sweeps
+    * ([[snapshotPinned]]), so time travel to any retained snapshot is
+    * guaranteed to resolve. Returns the committed snapshot id. */
   def commitSnapshot(root: String, entries: Seq[(String, String)],
-      keep: Int = 2): Unit = {
+      keep: Int = 2): Long = {
+    require(keep >= 1, "must keep at least the committed snapshot")
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    withCommitLock(rootP) {
+    val content = entries.map { case (t, v) => s"$t $v" }.mkString("", "\n", "\n")
+    val id = withCommitLock(rootP) {
+      val snDir = rootP.resolve(SnapshotsDir)
+      Files.createDirectories(snDir)
+      val next = snapshotIds(rootP).maxOption.getOrElse(0L) + 1L
+      // history manifest first (immutable once moved), then the live
+      // pointer swap — a crash between the two leaves a history entry the
+      // NEXT commit numbers past; readers of either file are never torn
+      val htmp = snDir.resolve(s"h$next.tmp")
+      Files.writeString(htmp, content)
+      Files.move(htmp, snDir.resolve(s"sn_$next"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       val tmp = rootP.resolve(Snapshot + ".tmp")
-      Files.writeString(tmp,
-        entries.map { case (t, v) => s"$t $v" }.mkString("", "\n", "\n"))
+      Files.writeString(tmp, content)
       Files.move(tmp, rootP.resolve(Snapshot),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // snapshot-level retention: dropping an aged-out manifest is what
+      // UN-pins its member versions — the next per-table sweep reclaims
+      // them. Best-effort: a stranded manifest pins disk, never wrongness.
+      snapshotIds(rootP).sorted.dropRight(keep).foreach { old =>
+        try Files.deleteIfExists(snDir.resolve(s"sn_$old"))
+        catch { case _: java.io.IOException => () }
+      }
+      next
     }
-    // compatibility pointers — a crash in this loop leaves some _CURRENTs
-    // stale, but the snapshot (already live) stays complete and correct
-    entries.foreach { case (t, v) => commitVersion(s"$root/$t", v, keep) }
+    // compatibility pointers — refreshed CONCURRENTLY (each member is an
+    // independent table with its own lock; the serial fsync+rename loop
+    // was the dominant post-manifest cost on wide snapshots). A crash or
+    // failure here leaves some _CURRENTs stale, but the snapshot (already
+    // live) stays complete and correct.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(entries.map { case (t, v) =>
+        Future(scala.concurrent.blocking(commitVersion(s"$root/$t", v, keep)))
+      }), Duration.Inf)
+    }
+    id
+  }
+
+  /** Committed-snapshot lineage still on disk, oldest first — the
+    * transaction-level time-travel horizon. */
+  def snapshotHistory(root: String): Seq[Long] =
+    snapshotIds(Paths.get(root)).sorted
+
+  /** The table → version map of a retained historical snapshot. */
+  def resolveSnapshotAt(root: String, id: Long): Option[Map[String, String]] = {
+    val p = Paths.get(root, SnapshotsDir, s"sn_$id")
+    if (!Files.exists(p)) None else Some(parseManifest(Files.readString(p)))
+  }
+
+  /** Time travel at the TRANSACTION level: open every requested member at
+    * the version pinned by retained snapshot `id` — the `VERSION AS OF`
+    * analog for a multi-table commit. Retained manifests pin their member
+    * versions against per-table sweeps ([[snapshotPinned]]), so this read
+    * cannot race a vacuum into a missing directory. */
+  def readSnapshotTablesAt(s: SparkSession, root: String, id: Long,
+      tables: Seq[String]): Map[String, DataFrame] = {
+    val m = resolveSnapshotAt(root, id).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot $id is not in the retained history at $root " +
+          s"(retained: ${snapshotHistory(root).mkString(",")})"))
+    tables.map { t =>
+      val v = m.getOrElse(t,
+        throw new IllegalStateException(s"table $t is not in snapshot $id at $root"))
+      t -> s.read.parquet(s"$root/$t/$v")
+    }.toMap
   }
 
   /** The live snapshot's table → version map, or None if never committed. */
   def resolveSnapshot(root: String): Option[Map[String, String]] = {
     val p = Paths.get(root, Snapshot)
     if (!Files.exists(p)) None
-    else Some(Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
-      val i = l.lastIndexOf(' ')
-      l.substring(0, i) -> l.substring(i + 1)
-    }.toMap)
+    else Some(parseManifest(Files.readString(p)))
   }
 
   /** Read `table` at the version pinned by ONE resolution of the live

@@ -55,6 +55,25 @@ object SilverArtifact {
     s"logic=$logicVersion;files=${files.size};bytes=$bytes;mtime=$maxMtime"
   }
 
+  /** Fingerprint component derived from the DERIVATION ITSELF: a SHA-256
+    * digest of the builder DataFrame's canonicalized analyzed plan.
+    * Folding this into an artifact's fingerprint makes code changes
+    * auto-invalidate stored copies — any edit that changes the logical
+    * plan (new column, changed join, different filter) orphans the
+    * artifact instead of silently serving stale semantics, with no
+    * hand-bumped logic-version constant to forget. Canonicalization
+    * normalizes expression ids, so the digest is stable across sessions
+    * for an unchanged derivation; it DOES include input paths, so an
+    * upstream artifact republished to a new version directory also
+    * invalidates downstream — over-invalidation (a rebuild), never
+    * staleness. */
+  def planFingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    "plan-" + md.digest(canon.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   private val FpFile = "_SOURCE_FP"
 
   // racing in-JVM misses must produce ONE build: N concurrent publishes

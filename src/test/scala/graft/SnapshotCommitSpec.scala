@@ -62,6 +62,53 @@ class SnapshotCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum(member, keep=1) never deletes a snapshot-pinned version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap").toString
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    val pinned = AtomicTable.resolveSnapshot(root).get
+    // per-table maintenance advances one member THREE publishes past the
+    // snapshot, each with keep=1 — the snapshot-pinned version must ride
+    // through every retention sweep
+    val member = s"$root/bronze/a"
+    (10 to 12).foreach { e =>
+      AtomicTable.publish(member, keep = 1)(dir =>
+        Seq.tabulate(4)(i => (i.toLong, e)).toDF("id", "epoch")
+          .coalesce(1).write.mode("overwrite").parquet(dir))
+    }
+    AtomicTable.vacuum(member, keep = 1)
+    // the r11 latent bug: without manifest pins this directory is gone and
+    // the "committed" snapshot read throws on a missing path
+    assert(Files.exists(java.nio.file.Paths.get(member, pinned("bronze/a"))),
+      "snapshot-pinned version was vacuumed")
+    assert(epochsVia(root) == Set(1), "live snapshot must still read epoch 1")
+    // the member's own live pointer serves the newest publish
+    assert(AtomicTable.read(spark, member)
+      .select("epoch").head().getInt(0) == 12)
+  }
+
+  test("snapshot history: readSnapshotTablesAt time-travels, aged-out ids un-pin") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    val sn1 = AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    val sn2 = AtomicTable.commitSnapshot(root, stageEpoch(root, 2))
+    val sn3 = AtomicTable.commitSnapshot(root, stageEpoch(root, 3))
+    assert(Seq(sn1, sn2, sn3) == Seq(1L, 2L, 3L))
+    // keep=2: sn1's manifest aged out, sn2+sn3 retained
+    assert(AtomicTable.snapshotHistory(root) == Seq(2L, 3L))
+    assert(AtomicTable.resolveSnapshotAt(root, sn1).isEmpty)
+    // transaction-level VERSION AS OF: the PREVIOUS snapshot re-read in
+    // full while the newer one is live — even after aggressive per-table
+    // maintenance, because the retained manifest pins its versions
+    members.foreach(rel => AtomicTable.vacuum(s"$root/$rel", keep = 1))
+    val old = AtomicTable.readSnapshotTablesAt(spark, root, sn2, members)
+    assert(old.values.map(_.select("epoch").head().getInt(0)).toSet == Set(2))
+    assert(epochsVia(root) == Set(3))
+    val gone = intercept[IllegalStateException] {
+      AtomicTable.readSnapshotTablesAt(spark, root, sn1, members)
+    }
+    assert(gone.getMessage.contains("not in the retained history"))
+  }
+
   test("concurrent reloads never expose a mixed snapshot") {
     val root = Files.createTempDirectory("graft-snap").toString
     AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
