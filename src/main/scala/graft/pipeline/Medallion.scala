@@ -262,10 +262,17 @@ object Medallion {
     // marker a small machine serializes the tail of the 15 writes (ADVICE
     // r4). On failure the Await rethrows and the staged dirs are left
     // UNCOMMITTED (invisible; the orphan pruner reaps them after the TTL).
+    val t0 = System.nanoTime()
     val staged: Seq[(String, String)] = Await.result(Future.sequence(
       stages.map { case (rel, write) => Future(scala.concurrent.blocking(
         rel -> AtomicTable.stageVersion(s"$lakeDir/$rel")(write)))
       }), Duration.Inf)
+    val t1 = System.nanoTime()
     AtomicTable.commitSnapshot(lakeDir, staged)
+    // phase observability (the "[graft]" stderr convention): a bench log
+    // shows where a reload's wall clock went — the staging writes or the
+    // manifest + pointer commit
+    System.err.println(f"[graft] writeAll staged=${(t1 - t0) / 1e9}%.3fs " +
+      f"commit=${(System.nanoTime() - t1) / 1e9}%.3fs $lakeDir")
   }
 }
