@@ -58,10 +58,11 @@ object Medallion {
     * changes the plan and auto-orphans stored artifacts. The hand-bumped
     * "gold-v1" constant this replaces was the one staleness hole left in
     * the artifact tier — an edit that forgot the bump would silently
-    * serve stale gold to every later session (r11 verdict #2). Because a
-    * dim's plan includes its SOURCE paths and the fact's plan includes
-    * the DIM ARTIFACT version paths, a dim rebuild also cascades to the
-    * fact — over-invalidation, never staleness. */
+    * serve stale gold to every later session (r11 verdict #2). Because
+    * the digest covers the builder's INPUT FILE LIST alongside the plan
+    * (plan text alone renders file relations path-less), the fact's
+    * fingerprint names the dim artifacts' version directories — a dim
+    * rebuild cascades to the fact. Over-invalidation, never staleness. */
   private def goldFp(d: String, logic: String): String =
     Tables.sourceNames.map(n =>
       graft.util.SilverArtifact.sourceFingerprint(s"$d/$n.parquet", logic))

@@ -36,9 +36,19 @@ object PipelineOps {
     // commit's own keep=2, so the read below exercises the snapshot PIN:
     // the versions named by the retained `_SNAPSHOT` manifests survive the
     // sweep (pruneLocked unions them into `retained`), and the snapshot
-    // read stays resolvable with VACUUM in the path.
-    graft.util.AtomicTable.resolveSnapshot(lake).get.keys
-      .foreach(t => graft.util.AtomicTable.vacuum(s"$lake/$t", keep = 1))
+    // read stays resolvable with VACUUM in the path. Fanned out like the
+    // commit's pointer refresh — each member holds its own lock, and a
+    // serial 15× lock+list+manifest-read loop is the same per-table
+    // latency chain commitSnapshot just shed.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val tables = graft.util.AtomicTable.resolveSnapshot(lake).get.keys.toSeq
+      Await.result(Future.sequence(tables.map(t =>
+        Future(scala.concurrent.blocking(
+          graft.util.AtomicTable.vacuum(s"$lake/$t", keep = 1))))), Duration.Inf)
+    }
     graft.util.AtomicTable.readSnapshot(s, lake, "gold/fact_sales")
       // sale_year is the directory-partition column added by the layout
       // optimization in writeAll — project back to the logical fact schema

@@ -230,9 +230,13 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
         }
       }
       // holder-liveness heartbeat: refresh OUR lock's mtime while inside
-      // the critical section, but only while the file still carries our
-      // token — touching a successor's lock after a break would wrongly
-      // extend it
+      // the critical section, guarded on the file still carrying our
+      // token. The guard is check-then-act, not atomic — a heartbeat
+      // paused past the full stale window could touch a successor's
+      // fresh lock once, making a then-dead successor look up to one
+      // refresh-period fresher (delaying the NEXT stale-break by at most
+      // staleMs). That is a liveness delay, never a safety loss: the
+      // manifest rename is still token-gated.
       val heartbeat = new Thread(() =>
         try {
           while (!Thread.currentThread().isInterrupted) {

@@ -701,12 +701,22 @@ ORDER BY a.user_id, view_id, purchase_id"""
     val dataFile = stageDir.resolve("events.parquet")
     val dataMtime = Files.getLastModifiedTime(dataFile).toMillis
     val sentinel = stageDir.resolve("zz_sentinel.parquet")
-    if (!Files.exists(sentinel) ||
-        Files.getLastModifiedTime(sentinel).toMillis <= dataMtime) {
+    // sentinel freshness is keyed on a CONTENT STAMP of the staged data
+    // file (size + mtime, in a dot-file the source listing ignores) —
+    // comparing the sentinel's pinned mtime against the data's would
+    // permanently suppress a rebuild after a source regeneration inside
+    // the pin offset, serving a stale-vintage sentinel (review finding)
+    val stamp = s"${Files.size(dataFile)}:$dataMtime"
+    val stampFile = stageDir.resolve(".zz_sentinel_src")
+    val fresh = Files.exists(sentinel) && Files.exists(stampFile) &&
+      Files.readString(stampFile).trim == stamp
+    if (!fresh) {
       // the max-RAW-ts row retyped: normalizeTs is monotonic in the raw
       // encoding, so this row's event time equals the stream's max and
-      // never moves the watermark beyond what the data already set
-      val tmpDir = stageDir.resolve("zz_sentinel_stage")
+      // never moves the watermark beyond what the data already set.
+      // Staged in a SIBLING dir — part files written inside the watched
+      // dir could be listed mid-write by a concurrent session's source.
+      val tmpDir = java.nio.file.Paths.get(stageDir.toString + "_stage")
       graft.util.AtomicTable.deleteRecursively(tmpDir)
       Tables.eventsRaw(s, d).orderBy(col("ts").desc).limit(1)
         .withColumn("event_type", lit("sentinel"))
@@ -721,6 +731,7 @@ ORDER BY a.user_id, view_id, purchase_id"""
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       graft.util.AtomicTable.deleteRecursively(tmpDir)
+      Files.writeString(stampFile, stamp)
     }
     // the file source processes files in mtime order — pin data < sentinel
     Files.setLastModifiedTime(sentinel,

@@ -279,10 +279,16 @@ object AtomicTable {
     }
   }
 
+  /** Manifest lines are `<table-rel-path> <version>`; malformed lines
+    * (no separator — a torn hand-edit, or a FOREIGN `_SNAPSHOT` file
+    * adopted by [[snapshotPinned]]'s ancestor walk) are SKIPPED, not
+    * thrown on: a parse error propagating out of pruneLocked would fail
+    * every publish under that subtree. */
   private def parseManifest(text: String): Map[String, String] =
-    text.linesIterator.filter(_.nonEmpty).map { l =>
+    text.linesIterator.filter(_.nonEmpty).flatMap { l =>
       val i = l.lastIndexOf(' ')
-      l.substring(0, i) -> l.substring(i + 1)
+      if (i <= 0 || i == l.length - 1) None
+      else Some(l.substring(0, i) -> l.substring(i + 1))
     }.toMap
 
   /** Member-table versions pinned by an enclosing snapshot root: walk up

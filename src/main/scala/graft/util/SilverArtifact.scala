@@ -56,22 +56,40 @@ object SilverArtifact {
   }
 
   /** Fingerprint component derived from the DERIVATION ITSELF: a SHA-256
-    * digest of the builder DataFrame's canonicalized analyzed plan.
-    * Folding this into an artifact's fingerprint makes code changes
-    * auto-invalidate stored copies — any edit that changes the logical
-    * plan (new column, changed join, different filter) orphans the
-    * artifact instead of silently serving stale semantics, with no
-    * hand-bumped logic-version constant to forget. Canonicalization
-    * normalizes expression ids, so the digest is stable across sessions
-    * for an unchanged derivation; it DOES include input paths, so an
-    * upstream artifact republished to a new version directory also
-    * invalidates downstream — over-invalidation (a rebuild), never
-    * staleness. */
+    * digest of the builder DataFrame's canonicalized analyzed plan PLUS
+    * its input file list. Folding this into an artifact's fingerprint
+    * makes code changes auto-invalidate stored copies — any edit that
+    * changes the logical plan (new column, changed join, different
+    * filter) orphans the artifact instead of silently serving stale
+    * semantics, with no hand-bumped logic-version constant to forget.
+    *
+    * Two deliberate choices, both review findings on the first cut:
+    *  - the plan is serialized with `toJSON`, NOT `toString` — node
+    *    toString goes through truncatedString and elides columns past
+    *    `spark.sql.debug.maxToStringFields` (default 25; the silver
+    *    sales projection is 32 wide), so a derivation change confined
+    *    to elided expressions would digest identically, and a session
+    *    with a different conf would digest everything differently;
+    *  - `df.inputFiles` (sorted) is digested alongside, because the
+    *    plan text renders a file relation as just "parquet" with NO
+    *    paths — the file list is what makes an upstream artifact
+    *    republished to a new version directory (a rebuilt dim under the
+    *    fact) invalidate downstream. Over-invalidation (a rebuild),
+    *    never staleness.
+    * Canonicalization normalizes expression ids, so the digest is
+    * stable across sessions for an unchanged derivation over unchanged
+    * stored inputs. */
   def planFingerprint(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val plan = df.queryExecution.analyzed.canonicalized
+    // toJSON is non-truncating; fall back to the (truncating) toString
+    // only if some exotic node refuses JSON serialization — a weaker
+    // digest beats a failed query
+    val canon = try plan.toJSON catch { case _: Throwable => plan.toString }
+    val inputs = df.inputFiles.sorted.mkString("\n")
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    "plan-" + md.digest(canon.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    md.update(canon.getBytes("UTF-8"))
+    md.update(inputs.getBytes("UTF-8"))
+    "plan-" + md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
   private val FpFile = "_SOURCE_FP"

@@ -104,6 +104,48 @@ class SilverArtifactSpec extends AnyFunSuite {
     assert(get(derive(7)).count() == 13 && builds == 2)
   }
 
+  test("plan digest covers input files: an upstream republish cascades downstream") {
+    // the review finding on the first cut: plan TEXT renders a file
+    // relation as just "parquet" — no paths — so a dim artifact rebuilt
+    // to a new version directory under an unchanged fact plan would NOT
+    // have changed the fact's digest. The file-list component is what
+    // makes the cascade real.
+    import org.apache.spark.sql.functions.col
+    val (src, _) = freshRoots()
+    writeSource(src, 1 to 10)
+    import spark.implicits._
+    (1 to 10).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(s"$src/t2.parquet")
+    def derive(path: String) =
+      spark.read.parquet(path).filter(col("x") > 5)
+    val d1 = SilverArtifact.planFingerprint(derive(s"$src/t.parquet"))
+    val d2 = SilverArtifact.planFingerprint(derive(s"$src/t2.parquet"))
+    assert(d1 != d2,
+      "identical plan over a different input directory must digest differently")
+  }
+
+  test("plan digest is not blind past the toString truncation width") {
+    // toString elides columns past spark.sql.debug.maxToStringFields
+    // (default 25) — a change confined to column 30 of a wide projection
+    // must still change the digest (the toJSON serialization is what
+    // guarantees it)
+    import org.apache.spark.sql.functions.{col, lit}
+    val (src, _) = freshRoots()
+    writeSource(src, 1 to 5)
+    def wide(knob: Int) = {
+      val cols = (0 until 30).map {
+        case 28 => (col("x") * knob).as("c28")
+        case i  => (col("x") + lit(i)).as(s"c$i")
+      }
+      spark.read.parquet(s"$src/t.parquet").select(cols: _*)
+    }
+    assert(SilverArtifact.planFingerprint(wide(2)) !=
+      SilverArtifact.planFingerprint(wide(3)),
+      "a change in an elided-by-toString column must still change the digest")
+    assert(SilverArtifact.planFingerprint(wide(2)) ==
+      SilverArtifact.planFingerprint(wide(2)))
+  }
+
   test("racing getOrBuild callers both land on a consistent published artifact") {
     val (src, store) = freshRoots()
     writeSource(src, 1 to 50)
