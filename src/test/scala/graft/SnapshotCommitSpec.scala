@@ -109,7 +109,58 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("not in the retained history"))
   }
 
+  test("concurrent reloads + aggressive member vacuums honor the keep=2 read contract") {
+    // the r12 pin machinery under RACE: a maintenance job hammering
+    // keep=1 vacuums on every member while reloads commit. The CONTRACT
+    // (keep=2) is that a reader's resolved snapshot survives ONE
+    // concurrent reload — so a read may fail ONLY when ≥2 reloads
+    // completed since its resolution (its manifest aged out and un-pinned
+    // legitimately); any failure inside the one-reload window is a pin
+    // violation. Successful reads must never see a mixed epoch, and
+    // vacuum itself never throws.
+    val root = Files.createTempDirectory("graft-snap").toString
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    @volatile var writerDone = false
+    @volatile var err: Throwable = null
+    val writer = new Thread(() => {
+      try (2 to 5).foreach(e => AtomicTable.commitSnapshot(root, stageEpoch(root, e)))
+      catch { case t: Throwable => err = t }
+      finally writerDone = true
+    })
+    val vacuumer = new Thread(() => {
+      try while (!writerDone)
+        members.foreach(rel => AtomicTable.vacuum(s"$root/$rel", keep = 1))
+      catch { case t: Throwable => err = t }
+    })
+    writer.start(); vacuumer.start()
+    var checks = 0
+    try {
+      while (!writerDone) {
+        val id0 = AtomicTable.snapshotHistory(root).lastOption.getOrElse(0L)
+        try {
+          val es = epochsVia(root)
+          assert(es.size == 1, s"mixed snapshot under vacuum race: epochs $es")
+          checks += 1
+        } catch {
+          case t: org.apache.spark.SparkException =>
+            val idNow = AtomicTable.snapshotHistory(root).lastOption.getOrElse(0L)
+            assert(idNow - id0 >= 2,
+              s"read failed after only ${idNow - id0} reload(s) since resolution — " +
+                s"a retained manifest's pin was violated: $t")
+        }
+      }
+    } finally { writer.join(); vacuumer.join() }
+    assert(err == null, s"writer/vacuumer failed: $err")
+    assert(checks > 0, "reader never overlapped the race")
+    assert(epochsVia(root) == Set(5))
+  }
+
   test("concurrent reloads never expose a mixed snapshot") {
+    // NB the keep=2 contract bounds what a reader may assert: a read that
+    // straddles ≥2 full reloads can legitimately lose its resolved
+    // versions to retention (observed under host load — the pre-r12 form
+    // of this test treated that as failure and flaked). Successful reads
+    // must be single-epoch; failed reads must have straddled ≥2 reloads.
     val root = Files.createTempDirectory("graft-snap").toString
     AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
     @volatile var writerDone = false
@@ -123,9 +174,17 @@ class SnapshotCommitSpec extends AnyFunSuite {
     var checks = 0
     try {
       while (!writerDone) {
-        val es = epochsVia(root)
-        assert(es.size == 1, s"mixed snapshot observed: epochs $es")
-        checks += 1
+        val id0 = AtomicTable.snapshotHistory(root).lastOption.getOrElse(0L)
+        try {
+          val es = epochsVia(root)
+          assert(es.size == 1, s"mixed snapshot observed: epochs $es")
+          checks += 1
+        } catch {
+          case t: org.apache.spark.SparkException =>
+            val idNow = AtomicTable.snapshotHistory(root).lastOption.getOrElse(0L)
+            assert(idNow - id0 >= 2,
+              s"read failed after only ${idNow - id0} reload(s) since resolution: $t")
+        }
       }
     } finally writer.join()
     assert(writerErr == null, s"writer failed: $writerErr")
