@@ -216,9 +216,6 @@ object Medallion {
     * [[graft.util.AtomicTable.readSnapshotTables]]. */
   def writeAll(s: SparkSession, srcDir: String, lakeDir: String): Unit = {
     import graft.util.AtomicTable
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     // Every zone table derives from srcDir (not from a prior zone), and
     // AtomicTable stagings are per-directory with no shared state — so
     // all 15 writes are independent Spark JOBS. Submitting them
@@ -258,16 +255,12 @@ object Medallion {
             .write.mode("overwrite")
             .partitionBy("sale_year")
             .parquet(dir)))
-    // blocking{}: each future spends its life inside a blocking Spark
-    // action, and the global pool only holds #cores threads — without the
-    // marker a small machine serializes the tail of the 15 writes (ADVICE
-    // r4). On failure the Await rethrows and the staged dirs are left
+    // On failure Par.blockingMap rethrows and the staged dirs are left
     // UNCOMMITTED (invisible; the orphan pruner reaps them after the TTL).
     val t0 = System.nanoTime()
-    val staged: Seq[(String, String)] = Await.result(Future.sequence(
-      stages.map { case (rel, write) => Future(scala.concurrent.blocking(
-        rel -> AtomicTable.stageVersion(s"$lakeDir/$rel")(write)))
-      }), Duration.Inf)
+    val staged: Seq[(String, String)] = graft.util.Par.blockingMap(stages) {
+      case (rel, write) => rel -> AtomicTable.stageVersion(s"$lakeDir/$rel")(write)
+    }
     val t1 = System.nanoTime()
     AtomicTable.commitSnapshot(lakeDir, staged)
     // phase observability (the "[graft]" stderr convention): a bench log

@@ -40,15 +40,9 @@ object PipelineOps {
     // commit's pointer refresh — each member holds its own lock, and a
     // serial 15× lock+list+manifest-read loop is the same per-table
     // latency chain commitSnapshot just shed.
-    locally {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val tables = graft.util.AtomicTable.resolveSnapshot(lake).get.keys.toSeq
-      Await.result(Future.sequence(tables.map(t =>
-        Future(scala.concurrent.blocking(
-          graft.util.AtomicTable.vacuum(s"$lake/$t", keep = 1))))), Duration.Inf)
-    }
+    graft.util.Par.blockingMap(
+      graft.util.AtomicTable.resolveSnapshot(lake).get.keys.toSeq)(t =>
+      graft.util.AtomicTable.vacuum(s"$lake/$t", keep = 1))
     graft.util.AtomicTable.readSnapshot(s, lake, "gold/fact_sales")
       // sale_year is the directory-partition column added by the layout
       // optimization in writeAll — project back to the logical fact schema

@@ -194,7 +194,12 @@ private[graft] class SinkBatchWrite(path: String, schema: StructType, queryId: S
     // carries our token, so a successor's live lock survives our cleanup.
     // This is the poor man's optimistic-concurrency loop a real table
     // format runs on its version log; AtomicSinkSpec races threads
-    // through it.
+    // through it. Deliberately NOT an OS FileChannel.lock (which
+    // AtomicTable.withCommitLock uses and which would erase the stale
+    // protocol): this sink models the OBJECT-STORE commit discipline —
+    // create-if-absent + token + mtime heartbeat are all operations an
+    // S3-class store offers, flock is not — so the protocol stays
+    // portable to where a DSv2 sink actually runs at scale.
     val lock = dir.resolve("_COMMIT_LOCK")
     val token = s"$queryId/${java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName}/${Thread.currentThread().getId}/${System.nanoTime()}"

@@ -61,8 +61,12 @@ object AtomicTable {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   private def withCommitLock[T](root: Path)(body: => T): T = {
+    // normalize(): two spellings of one table ('/lake/t' vs
+    // '/lake/../lake/t') must map to ONE jvm lock, or both threads reach
+    // FileChannel.lock on the same _LOCK and the second throws
+    // OverlappingFileLockException instead of serializing
     val jvmLock = jvmLocks.getOrElseUpdate(
-      root.toAbsolutePath.toString, new Object)
+      root.toAbsolutePath.normalize.toString, new Object)
     jvmLock.synchronized {
       val ch = java.nio.channels.FileChannel.open(root.resolve("_LOCK"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -191,9 +195,37 @@ object AtomicTable {
     * version, append the lineage log, prune aged-out versions. */
   def commitVersion(base: String, name: String, keep: Int = 1): Unit = {
     require(keep >= 1, "must keep at least the current version")
+    withCommitLock(Paths.get(base)) { commitVersionLocked(base, name, keep) }
+  }
+
+  private def versionNum(name: String): Long = name match {
+    case VersionRe(n) => n.toLong
+    case _            => Long.MaxValue
+  }
+
+  /** [[commitVersion]] that refuses to move `_CURRENT` BACKWARDS — the
+    * compatibility-pointer refresh after a snapshot commit: two
+    * overlapping reloads both commit their snapshots successfully, but
+    * their per-table pointer refreshes race last-write-wins, and without
+    * this guard the slower (older) reload could regress a member's
+    * `_CURRENT` below the live snapshot indefinitely. Version numbers are
+    * allocation-monotonic per table, so newer-reload ⇒ higher number; an
+    * already-newer pointer makes this a prune-only no-op. (Deliberate
+    * rollback to an older version goes through [[commitVersion]], which
+    * keeps last-write-wins semantics.) */
+  private[graft] def commitVersionIfNewer(base: String, name: String, keep: Int): Unit =
+    withCommitLock(Paths.get(base)) {
+      val cur = resolve(base)
+        .map(p => versionNum(Paths.get(p).getFileName.toString)).getOrElse(-1L)
+      if (versionNum(name) >= cur) commitVersionLocked(base, name, keep)
+      else pruneLocked(base, keep)
+    }
+
+  /** Body of a version commit — caller must hold the commit lock. */
+  private def commitVersionLocked(base: String, name: String, keep: Int): Unit = {
     val root = Paths.get(base)
     val claim = root.resolve(name + "._claim")
-    withCommitLock(root) {
+    locally {
       val tmp = root.resolve(Pointer + ".tmp")
       Files.writeString(tmp, name)
       Files.move(tmp, root.resolve(Pointer),
@@ -236,7 +268,16 @@ object AtomicTable {
   private def pruneLocked(base: String, keep: Int): Int = {
     val root = Paths.get(base)
     val published = history(base)
-    val retained = published.takeRight(keep).toSet ++ snapshotPinned(root)
+    // three retention sources, all mandatory: the keep-newest tail of the
+    // LOG; snapshot-manifest pins; and the version _CURRENT itself names.
+    // The last one covers the crash window between the pointer swap and
+    // the log append in commitVersion — a live-but-unlogged version would
+    // otherwise age into an "orphan" and a later vacuum would delete the
+    // table out from under its own pointer.
+    val livePointer =
+      resolve(base).map(p => Paths.get(p).getFileName.toString).toSet
+    val retained =
+      published.takeRight(keep).toSet ++ snapshotPinned(root) ++ livePointer
     val publishedSet = published.toSet
     val now = System.currentTimeMillis()
     var removed = 0
@@ -385,16 +426,13 @@ object AtomicTable {
     }
     // compatibility pointers — refreshed CONCURRENTLY (each member is an
     // independent table with its own lock; the serial fsync+rename loop
-    // was the dominant post-manifest cost on wide snapshots). A crash or
+    // was the dominant post-manifest cost on wide snapshots), and only
+    // FORWARD (commitVersionIfNewer — a slower overlapping reload must
+    // not regress a member's pointer below the live snapshot). A crash or
     // failure here leaves some _CURRENTs stale, but the snapshot (already
     // live) stays complete and correct.
-    locally {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(entries.map { case (t, v) =>
-        Future(scala.concurrent.blocking(commitVersion(s"$root/$t", v, keep)))
-      }), Duration.Inf)
+    Par.blockingMap(entries) { case (t, v) =>
+      commitVersionIfNewer(s"$root/$t", v, keep)
     }
     id
   }

@@ -31,25 +31,34 @@ object SessionCaches {
     * SparkSession; values that are DataFrames are unpersisted on evict. */
   final class Memo[K <: Product] private[SessionCaches] () {
     private val m = TrieMap[K, Any]()
-    /** First-touch is guarded by a per-memo lock: TrieMap's own
+    private val buildLocks = TrieMap[K, Object]()
+    /** First-touch is guarded by a PER-KEY lock: TrieMap's own
       * getOrElseUpdate may evaluate the builder on BOTH of two racing
       * threads and silently drop one result — and a dropped
       * MEMORY_AND_DISK-persisted DataFrame would stay pinned for the JVM
-      * lifetime (r7 ADVICE). Builders here are cheap driver-side plan
-      * construction (persist() registration is lazy), so serializing
-      * first-touch costs nothing measurable; hits stay lock-free. */
+      * lifetime (r7 ADVICE). Per-key (not per-memo) because some builders
+      * are NOT cheap plan construction — the gold-zone memo runs a
+      * SilverArtifact publish (real write jobs) on a store miss, and a
+      * single memo-wide monitor would serialize writeAll's concurrently
+      * staged gold builds one behind another (review finding). Distinct
+      * keys build in parallel; racing callers of the SAME key collapse to
+      * one build; hits stay lock-free. Lock identity comes from TrieMap's
+      * atomic putIfAbsent-style getOrElseUpdate, so both racers see one
+      * winner object. */
     def getOrElseUpdate[V](k: K, v: => V): V =
       m.get(k) match {
         case Some(x) => x.asInstanceOf[V]
-        case None => m.synchronized {
-          m.get(k) match {
-            case Some(x) => x.asInstanceOf[V]
-            case None =>
-              val built = v
-              m.put(k, built)
-              built
+        case None =>
+          val lock = buildLocks.getOrElseUpdate(k, new Object)
+          lock.synchronized {
+            m.get(k) match {
+              case Some(x) => x.asInstanceOf[V]
+              case None =>
+                val built = v
+                m.put(k, built)
+                built
+            }
           }
-        }
       }
     private[SessionCaches] def evict(s: SparkSession): Int = {
       var n = 0
@@ -57,6 +66,7 @@ object SessionCaches {
         if (k.productElement(0).asInstanceOf[AnyRef] eq s)
           m.remove(k).foreach { v =>
             v match { case df: DataFrame => df.unpersist(); case _ => () }
+            buildLocks.remove(k)
             n += 1
           }
       }

@@ -84,13 +84,22 @@ object SilverArtifact {
     // toJSON is non-truncating; fall back to the (truncating) toString
     // only if some exotic node refuses JSON serialization — a weaker
     // digest beats a failed query
-    val canon = try plan.toJSON catch { case _: Throwable => plan.toString }
+    val canon = scrubJvmIds(
+      try plan.toJSON catch { case _: Throwable => plan.toString })
     val inputs = df.inputFiles.sorted.mkString("\n")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(canon.getBytes("UTF-8"))
     md.update(inputs.getBytes("UTF-8"))
     "plan-" + md.digest().take(8).map(b => f"$b%02x").mkString
   }
+
+  /** Canonicalization normalizes exprId NUMBERS but toJSON still embeds
+    * each ExprId's `jvmId` — a per-JVM random UUID — so the raw JSON
+    * differs on every session and would miss every stored artifact
+    * (measured: two sessions' plan dumps were identical except jvmId,
+    * and every gold artifact rebuilt per session until this scrub). */
+  private[graft] def scrubJvmIds(planJson: String): String =
+    planJson.replaceAll("\"jvmId\"\\s*:\\s*\"[0-9a-fA-F-]+\"", "\"jvmId\":\"0\"")
 
   private val FpFile = "_SOURCE_FP"
 
@@ -106,15 +115,23 @@ object SilverArtifact {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Read the artifact at `base` if its stored fingerprint matches `fp`;
-    * otherwise evaluate `build`, publish it atomically, stamp the
-    * fingerprint, and read the published copy back. The returned frame is
-    * always a plain parquet scan of the published version — callers add
-    * their own repartition/persist/order on top. */
+    * otherwise evaluate `build`, publish it atomically, and read the
+    * published copy back. The fingerprint stamp lives INSIDE the version
+    * directory (written after the parquet, before the pointer swap —
+    * underscore-prefixed, so Spark's file listing ignores it like
+    * _SUCCESS): data and stamp become visible in the SAME atomic pointer
+    * move. A base-level stamp written after the publish (the first cut)
+    * had a crash window where the NEW data was live under the OLD
+    * fingerprint — a session still running the old code would "hit" and
+    * silently read the new artifact under the old logic's contract. The
+    * returned frame is always a plain parquet scan of the published
+    * version — callers add their own repartition/persist/order on top. */
   def getOrBuild(s: SparkSession, base: String, fp: String,
       coalesceTo: Int = 4)(build: => DataFrame): DataFrame = {
-    val fpPath = Paths.get(base, FpFile)
-    def hit(): Boolean = AtomicTable.exists(base) && Files.exists(fpPath) &&
-      Files.readString(fpPath).trim == fp
+    def hit(): Boolean = AtomicTable.resolve(base).exists { v =>
+      val p = Paths.get(v, FpFile)
+      Files.exists(p) && Files.readString(p).trim == fp
+    }
     val first = hit()
     // the bench-environment instrumentation the r10 verdict asked for:
     // a cold pass that logs "hit" read the store; "miss" means the store
@@ -125,12 +142,10 @@ object SilverArtifact {
       lock.synchronized {
         if (!hit()) {
           val df = build
-          AtomicTable.publish(base, keep = 2)(dir =>
-            df.coalesce(coalesceTo).write.mode("overwrite").parquet(dir))
-          val tmp = Paths.get(base, FpFile + ".tmp")
-          Files.writeString(tmp, fp)
-          Files.move(tmp, fpPath,
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          AtomicTable.publish(base, keep = 2) { dir =>
+            df.coalesce(coalesceTo).write.mode("overwrite").parquet(dir)
+            Files.writeString(Paths.get(dir, FpFile), fp)
+          }
         }
       }
     }

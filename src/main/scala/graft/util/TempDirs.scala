@@ -13,7 +13,12 @@ object TempDirs {
   private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
   sys.addShutdownHook {
-    live.forEach(p => AtomicTable.deleteRecursively(p))
+    // per-dir isolation: one dir failing to delete (a straggler task
+    // still appending → DirectoryNotEmpty/NoSuchFile from the stale walk
+    // snapshot) must not abort the sweep and leak every remaining dir
+    live.forEach(p =>
+      try AtomicTable.deleteRecursively(p)
+      catch { case _: java.io.IOException => () })
   }
 
   /** A fresh scratch dir registered for JVM-exit deletion. */

@@ -40,6 +40,44 @@ class AtomicTableSpec extends AnyFunSuite {
     assert(vDirs == 1, "superseded versions must be pruned")
   }
 
+  test("vacuum never deletes the live version, even when it is unlogged (crash between pointer swap and log append)") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(3), base, keep = 2)
+    // simulate the crash window INSIDE commitVersion: the new version is
+    // fully written and _CURRENT already points at it, but the JVM died
+    // before the _LOG append — live but unlogged
+    val name = AtomicTable.stageVersion(base)(dir =>
+      df(7).coalesce(1).write.mode("overwrite").parquet(dir))
+    Files.writeString(Paths.get(base, "_CURRENT"), name)
+    Files.deleteIfExists(Paths.get(base, name + "._claim"))
+    // age it past the orphan TTL — the classification that previously
+    // made vacuum destroy the table out from under its own pointer
+    backdate(Paths.get(base, name))
+    assert(AtomicTable.read(spark, base).count() == 7)
+    AtomicTable.vacuum(base, keep = 1)
+    assert(AtomicTable.read(spark, base).count() == 7,
+      "the version _CURRENT names must survive every sweep, logged or not")
+    // recovery is a normal publish: the next overwrite logs and swaps
+    AtomicTable.overwrite(df(9), base)
+    assert(AtomicTable.read(spark, base).count() == 9)
+  }
+
+  test("snapshot compat pointers never regress a member (overlapping-reload race)") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(3), base, keep = 3) // _v1
+    AtomicTable.overwrite(df(5), base, keep = 3) // _v2 live
+    // the slower of two overlapping reloads delivers its pointer refresh
+    // AFTER the newer reload completed — must be a no-op, not a regression
+    AtomicTable.commitVersionIfNewer(base, "_v1", keep = 3)
+    assert(AtomicTable.read(spark, base).count() == 5,
+      "a late older refresh must not move _CURRENT backwards")
+    // a genuinely newer refresh still advances the pointer
+    val v3 = AtomicTable.stageVersion(base)(dir =>
+      df(7).coalesce(1).write.mode("overwrite").parquet(dir))
+    AtomicTable.commitVersionIfNewer(base, v3, keep = 3)
+    assert(AtomicTable.read(spark, base).count() == 7)
+  }
+
   test("crash after writing the new version but BEFORE the pointer swap: readers stay on the old complete version") {
     val base = freshBase()
     AtomicTable.overwrite(df(3), base)

@@ -104,6 +104,23 @@ class SilverArtifactSpec extends AnyFunSuite {
     assert(get(derive(7)).count() == 13 && builds == 2)
   }
 
+  test("plan digest scrubs per-JVM exprId UUIDs (cross-session stability)") {
+    // canonicalized.toJSON embeds ExprId.jvmId, a random UUID minted per
+    // JVM — without the scrub every session computed a fresh digest and
+    // every stored gold artifact missed (caught by hit/miss stderr lines,
+    // invisible to single-JVM tests). The scrub must equate two dumps
+    // differing only in that UUID and leave everything else significant.
+    def doc(id: String) =
+      s"""{"class":"Alias","exprId":{"id":7,"jvmId":"$id"},"child":[{"num-children":0}]}"""
+    val a = SilverArtifact.scrubJvmIds(doc("4b8cb9f9-e5f8-43ad-8de8-8b06ee67523f"))
+    val b = SilverArtifact.scrubJvmIds(doc("d6382089-78b8-4bd2-a361-4380b1dfd2f6"))
+    assert(a == b, "jvmId-only differences must scrub to identical text")
+    assert(a.contains("\"id\":7"), "the canonicalized exprId NUMBER must survive")
+    assert(SilverArtifact.scrubJvmIds(doc("x").replace("7", "8")) !=
+      SilverArtifact.scrubJvmIds(doc("x")),
+      "non-jvmId differences must remain significant")
+  }
+
   test("plan digest covers input files: an upstream republish cascades downstream") {
     // the review finding on the first cut: plan TEXT renders a file
     // relation as just "parquet" — no paths — so a dim artifact rebuilt
