@@ -85,35 +85,47 @@ case class ArrayDot(left: Expression, right: Expression)
 
 object GraftFunctions {
 
+  private def asInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
+  /** The ONE name → (implementing class, builder) table both registration
+    * paths share — [[register]] (live sessions) and [[GraftExtensions]]
+    * (session-build injection) previously each hand-listed all nine
+    * builders, a copy-paste pair that had already drifted stylistically
+    * and would eventually drift semantically. */
+  private[functions] val defs: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("array_dot", classOf[ArrayDot],
+      exprs => ArrayDot(exprs.head, exprs(1))),
+    ("misra_gries", classOf[MisraGriesAgg],
+      exprs => MisraGriesAgg(exprs.head, asInt(exprs(1)))),
+    ("pq_encode", classOf[PqEncode],
+      exprs => PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4)))),
+    ("pq_table", classOf[PqTable],
+      exprs => PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4)))),
+    ("pq_adc", classOf[PqAdc],
+      exprs => PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)))),
+    ("topk_min", classOf[TopKMinAgg],
+      exprs => TopKMinAgg(exprs.head, exprs(1), asInt(exprs(2)))),
+    ("word_ngrams", classOf[WordNgrams],
+      exprs => WordNgrams(exprs.head, exprs(1))),
+    ("rolling_hash_windows", classOf[RollingHashWindows],
+      exprs => RollingHashWindows(exprs.head, exprs(1))),
+    ("rle_contains", classOf[RleContains],
+      exprs => RleContains(exprs.head, exprs(1))))
+
   /** Register the custom expressions with the session. Idempotent AND
     * quiet: a name already present — from a previous register() call or
     * from a session built with [[GraftExtensions]] — is left alone
     * (createOrReplaceTempFunction on an existing name logs a "replaced a
     * previously registered function" WARN per name per call, which turned
-    * every bench/verify log into noise; the builders are identical, so
-    * skipping is equivalent). */
+    * every bench/verify log into noise; the builders are identical — the
+    * same [[defs]] table — so skipping is equivalent). */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
-    def ifAbsent(name: String)(builder: Seq[Expression] => Expression): Unit =
+    defs.foreach { case (name, _, builder) =>
       if (!reg.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-    def asInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
-    ifAbsent("array_dot")(exprs => ArrayDot(exprs.head, exprs(1)))
-    ifAbsent("misra_gries")(exprs =>
-      MisraGriesAgg(exprs.head, asInt(exprs(1))))
-    ifAbsent("pq_encode")(exprs =>
-      PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))))
-    ifAbsent("pq_table")(exprs =>
-      PqTable(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4))))
-    ifAbsent("pq_adc")(exprs =>
-      PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3))))
-    ifAbsent("topk_min")(exprs =>
-      TopKMinAgg(exprs.head, exprs(1), asInt(exprs(2))))
-    ifAbsent("word_ngrams")(exprs => WordNgrams(exprs.head, exprs(1)))
-    ifAbsent("rolling_hash_windows")(exprs =>
-      RollingHashWindows(exprs.head, exprs(1)))
-    ifAbsent("rle_contains")(exprs => RleContains(exprs.head, exprs(1)))
+    }
   }
 
   /** Fused dot product over two array<double> columns (codegen'd). */

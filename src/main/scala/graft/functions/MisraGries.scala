@@ -52,6 +52,14 @@ case class MisraGriesAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // SQL-registered: without this, a non-string column passes analysis and
+  // every task dies with ClassCastException in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a string column, got ${child.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 

@@ -24,6 +24,16 @@ abstract class PqKernel extends BinaryExpression {
   /** (left element type, right element type) both arrays. */
   protected def elemTypes: (DataType, DataType)
   override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Geometry guard: UnsafeArrayData does NO bounds checking, so an
+    * undersized vector/codebook/code array would read adjacent memory
+    * and return silently-wrong distances instead of failing. One length
+    * compare per row (vs m·c·sub multiply-adds) is noise. */
+  @inline protected final def requireLen(
+      a: ArrayData, expected: Int, what: String): Unit =
+    if (a.numElements() != expected)
+      throw new IllegalArgumentException(
+        s"$prettyName: $what must have $expected elements, got ${a.numElements()}")
   override def checkInputDataTypes(): TypeCheckResult = {
     val (lt, rt) = elemTypes
     val ok = (left.dataType, right.dataType) match {
@@ -47,6 +57,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, c: Int, sub: In
 
   override protected def nullSafeEval(q: Any, cb: Any): Any = {
     val qa = q.asInstanceOf[ArrayData]; val cba = cb.asInstanceOf[ArrayData]
+    requireLen(qa, m * sub, "vector"); requireLen(cba, m * c * sub, "codebook")
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -72,6 +83,9 @@ case class PqEncode(left: Expression, right: Expression, m: Int, c: Int, sub: In
       val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
       val s = ctx.freshName("s"); val diff = ctx.freshName("diff")
       s"""
+         |if ($q.numElements() != ${m * sub} || $cb.numElements() != ${m * c * sub})
+         |  throw new IllegalArgumentException("pq_encode: need vector[${m * sub}]"
+         |    + " and codebook[${m * c * sub}], got " + $q.numElements() + ", " + $cb.numElements());
          |int[] $out = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  long $best = Long.MAX_VALUE; int $bestC = 0;
@@ -104,6 +118,7 @@ case class PqTable(left: Expression, right: Expression, m: Int, c: Int, sub: Int
 
   override protected def nullSafeEval(q: Any, cb: Any): Any = {
     val qa = q.asInstanceOf[ArrayData]; val cba = cb.asInstanceOf[ArrayData]
+    requireLen(qa, m * sub, "vector"); requireLen(cba, m * c * sub, "codebook")
     val out = new Array[Long](m * c)
     var mi = 0
     while (mi < m) {
@@ -127,6 +142,9 @@ case class PqTable(left: Expression, right: Expression, m: Int, c: Int, sub: Int
       val mi = ctx.freshName("mi"); val ci = ctx.freshName("ci"); val j = ctx.freshName("j")
       val s = ctx.freshName("s"); val diff = ctx.freshName("diff")
       s"""
+         |if ($q.numElements() != ${m * sub} || $cb.numElements() != ${m * c * sub})
+         |  throw new IllegalArgumentException("pq_table: need vector[${m * sub}]"
+         |    + " and codebook[${m * c * sub}], got " + $q.numElements() + ", " + $cb.numElements());
          |long[] $out = new long[${m * c}];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  for (int $ci = 0; $ci < $c; $ci++) {
@@ -157,18 +175,32 @@ case class PqAdc(left: Expression, right: Expression, m: Int, c: Int)
 
   override protected def nullSafeEval(qtab: Any, codes: Any): Any = {
     val ta = qtab.asInstanceOf[ArrayData]; val ca = codes.asInstanceOf[ArrayData]
+    requireLen(ta, m * c, "query table"); requireLen(ca, m, "codes")
     var s = 0L; var mi = 0
-    while (mi < m) { s += ta.getLong(mi * c + ca.getInt(mi)); mi += 1 }
+    while (mi < m) {
+      val code = ca.getInt(mi)
+      if (code < 0 || code >= c)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code out of range [0, $c) at subspace $mi")
+      s += ta.getLong(mi * c + code); mi += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (qtab, codes) => {
       val s = ctx.freshName("s"); val mi = ctx.freshName("mi")
+      val code = ctx.freshName("code")
       s"""
+         |if ($qtab.numElements() != ${m * c} || $codes.numElements() != $m)
+         |  throw new IllegalArgumentException("pq_adc: need qtab[${m * c}] and codes[$m],"
+         |    + " got " + $qtab.numElements() + ", " + $codes.numElements());
          |long $s = 0L;
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $s += $qtab.getLong($mi * $c + $codes.getInt($mi));
+         |  int $code = $codes.getInt($mi);
+         |  if ($code < 0 || $code >= $c)
+         |    throw new IllegalArgumentException("pq_adc: code " + $code + " out of range");
+         |  $s += $qtab.getLong($mi * $c + $code);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -41,6 +41,15 @@ case class TopKMinAgg(
   override def prettyName: String = "topk_min"
   override def children: Seq[Expression] = dist :: id :: Nil
   override def nullable: Boolean = false
+
+  // SQL-registered, so analysis-time validation is the only thing between
+  // a mistyped column and a per-task ClassCastException on executors
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (dist.dataType != LongType || id.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_min requires (bigint dist, bigint id), got " +
+          s"${dist.dataType.catalogString}, ${id.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("dist", LongType, nullable = false))), containsNull = false)

@@ -37,8 +37,9 @@ case class WordNgrams(child: Expression, nExpr: Expression)
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"word_ngrams requires a string column, got ${child.dataType.catalogString}")
-    else if (nExpr.dataType != IntegerType || !nExpr.foldable)
-      TypeCheckResult.TypeCheckFailure("word_ngrams requires a literal int n")
+    else if (nExpr.dataType != IntegerType || !nExpr.foldable ||
+        nExpr.eval() == null) // a foldable NULL would NPE at first eval
+      TypeCheckResult.TypeCheckFailure("word_ngrams requires a non-null literal int n")
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val n: Int = nExpr.eval().asInstanceOf[Number].intValue()

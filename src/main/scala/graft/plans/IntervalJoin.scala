@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -46,13 +46,46 @@ object IntervalJoin {
     val s = left.sparkSession
     PlanBridge.addStrategy(s, IntervalJoinStrategy)
     val lplan = left.queryExecution.analyzed
-    val rplan = right.queryExecution.analyzed
-    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
-    val node = IntervalJoinPlan(lplan, rplan,
-      attr(lplan, probeCol, "left"), attr(rplan, loCol, "right"), attr(rplan, hiCol, "right"))
-    PlanBridge.ofRows(s, node)
+    val rplan0 = right.queryExecution.analyzed
+    // shared-lineage inputs (both sides derived from one scan) carry the
+    // SAME AttributeReferences; Spark's analyzer dedups exprIds for its
+    // own joins, but this node is built post-analysis — without a fresh
+    // alias layer, UnsafeProjection would bind right-side columns to the
+    // left-side positions and emit the probe row's values in the interval
+    // columns. Re-alias the right side whenever the outputs overlap.
+    val rplan: LogicalPlan =
+      if (rplan0.outputSet.intersect(lplan.outputSet).isEmpty) rplan0
+      else Project(rplan0.output.map(a => Alias(a, a.name)()), rplan0)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute = {
+      val exact = plan.output.filter(_.name == name)
+      val resolved =
+        if (exact.nonEmpty) exact
+        else plan.output.filter(_.name.equalsIgnoreCase(name)) // session default resolution
+      resolved match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"$side side column '$name' is ambiguous (${many.size} case-insensitive matches)")
+      }
+    }
+    val (p, lo, hi) =
+      (attr(lplan, probeCol, "left"), attr(rplan, loCol, "right"), attr(rplan, hiCol, "right"))
+    // the doc-stated type contract, enforced at construction instead of
+    // failing (or silently mismatching units) per-row on executors:
+    // integrals are mutually comparable after widening, but Date (days)
+    // vs Timestamp (micros) would compare raw values in different units
+    locally {
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      val ts = Seq(p.dataType, lo.dataType, hi.dataType)
+      val ok = ts.forall(integral.contains) ||
+        (ts.distinct.size == 1 &&
+          (ts.head == DateType || ts.head == TimestampType || ts.head == TimestampNTZType))
+      require(ok, s"interval join needs all-integral or same-typed date/timestamp " +
+        s"probe/lo/hi columns, got ${ts.map(_.catalogString).mkString(", ")}")
+    }
+    PlanBridge.ofRows(s, IntervalJoinPlan(lplan, rplan, p, lo, hi))
   }
 }
 

@@ -163,11 +163,22 @@ object PushAggThroughUniqueJoin extends Rule[LogicalPlan] {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         val ok = ae.aggregateFunction match {
+          // TRY eval mode is rejected: `case f: Sum` also matches try_sum
+          // (Sum carries an eval context in Spark 4), and splitting a TRY
+          // sum is unsound — a partial that overflows to NULL would be
+          // SKIPPED by the merge Sum instead of nulling the group, a
+          // silently-wrong non-null answer. LEGACY wrap-around addition
+          // is fully associative (exact under any split); ANSI overflow
+          // already depends on Spark's own partition-order partial
+          // aggregation, and the merge preserves the original's eval
+          // context, so an overflow still surfaces as the ANSI error.
           case f: Sum =>
-            f.child.deterministic && f.child.references.subsetOf(left.outputSet) &&
+            f.evalContext.evalMode != EvalMode.TRY &&
+              f.child.deterministic && f.child.references.subsetOf(left.outputSet) &&
               PushableNumeric.contains(f.child.dataType)
           case f: Average =>
-            f.child.deterministic && f.child.references.subsetOf(left.outputSet) &&
+            f.evalMode != EvalMode.TRY &&
+              f.child.deterministic && f.child.references.subsetOf(left.outputSet) &&
               PushableNumeric.contains(f.child.dataType)
           case f: Min => f.child.deterministic && f.child.references.subsetOf(left.outputSet)
           case f: Max => f.child.deterministic && f.child.references.subsetOf(left.outputSet)
@@ -203,8 +214,18 @@ object PushAggThroughUniqueJoin extends Rule[LogicalPlan] {
         partialDefs += al
         al.toAttribute
       }
+      // rebuilt merge expressions pin their eval contexts EXPLICITLY —
+      // the companion apply reads the SESSION conf at rewrite time, which
+      // need not match the context the original was analyzed under. The
+      // merge Sum of a pushed Sum inherits the ORIGINAL's context (an
+      // ANSI overflow must still surface as the ANSI error); count/avg
+      // plumbing sums are LEGACY by construction — count partials cannot
+      // overflow a Long, and double sums never throw — and the avg merge
+      // Divide is LEGACY because its divisor is either NULL (empty input
+      // ⇒ null result, matching Average) or a positive count, never 0.
+      val legacy = NumericEvalContext(EvalMode.LEGACY)
       val merged: Expression = p.fn match {
-        case f: Sum => complete(Sum(partial(f, "")))
+        case f: Sum => complete(Sum(partial(f, ""), f.evalContext))
         case f: Min => complete(Min(partial(f, "")))
         case f: Max => complete(Max(partial(f, "")))
         case f: Count =>
@@ -212,16 +233,17 @@ object PushAggThroughUniqueJoin extends Rule[LogicalPlan] {
           // invariants that a bare SUM merge breaks: a GLOBAL count over
           // an empty join must return 0 (SUM would return NULL), and the
           // original output attribute is non-nullable (SUM's isn't)
-          Coalesce(Seq(complete(Sum(partial(f, ""))), Literal(0L)))
+          Coalesce(Seq(complete(Sum(partial(f, ""), legacy)), Literal(0L)))
         case f: Average =>
           // push sum+count partials; merge as Σsum / Σcount — the same
           // DoubleType accumulator Average itself uses for non-decimal
           // input, so the output type (Double) and null-on-no-input
           // semantics are preserved (empty ⇒ Sum is NULL ⇒ Divide is
           // NULL, exactly Average's empty result)
-          val s = partial(Sum(Cast(f.child, DoubleType)), "s")
+          val s = partial(Sum(Cast(f.child, DoubleType), legacy), "s")
           val c = partial(Count(Seq(f.child)), "c")
-          Divide(complete(Sum(s)), Cast(complete(Sum(c)), DoubleType))
+          Divide(complete(Sum(s, legacy)),
+            Cast(complete(Sum(c, legacy)), DoubleType), legacy)
       }
       p.alias.exprId -> merged
     }.toMap

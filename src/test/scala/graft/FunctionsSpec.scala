@@ -69,6 +69,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tie.getSeq[Int](0) == Seq(0), "equidistant must pick centroid 0")
   }
 
+  test("SQL-registered aggregates reject wrong input types at analysis") {
+    // without checkInputDataTypes these passed analysis and died with a
+    // per-task ClassCastException on executors (review finding)
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(id, 4) FROM range(10)").collect()
+    }
+    assert(e1.getMessage.contains("string column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_min(CAST(id AS INT), id, 3) FROM range(10)").collect()
+    }
+    assert(e2.getMessage.contains("bigint"), e2.getMessage)
+    // a foldable NULL n used to NPE at first eval instead of failing analysis
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT word_ngrams('a b c', CAST(NULL AS INT))").collect()
+    }
+    assert(e3.getMessage.contains("non-null literal"), e3.getMessage)
+  }
+
+  test("pq kernels reject malformed geometry instead of reading garbage") {
+    GraftFunctions.register(spark)
+    // codes array shorter than m: UnsafeArrayData would read adjacent
+    // memory and return a silently-wrong distance without the guard
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT pq_adc(array(1L,2L,3L,4L), array(0), 2, 2)").collect()
+    }
+    assert(e1.getMessage.contains("codes"), e1.getMessage)
+    // out-of-range code: would index another subspace's slot
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT pq_adc(array(1L,2L,3L,4L), array(0, 3), 2, 2)").collect()
+    }
+    assert(e2.getMessage.contains("out of range"), e2.getMessage)
+    // undersized codebook for pq_encode
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT pq_encode(array(1L,2L), array(0L,0L), 2, 2, 1)").collect()
+    }
+    assert(e3.getMessage.contains("codebook"), e3.getMessage)
+  }
+
   test("topk_min keeps the K smallest (dist, id) pairs in rank order") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -79,4 +79,43 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(perBand("low") == vals.filter("id < 100").count())
     assert(perBand("high") == vals.filter("id >= 500").count())
   }
+
+  test("shared-lineage sides (same exprIds) produce correct right columns") {
+    // both sides derived from ONE frame carry the same AttributeReferences;
+    // without the re-alias layer, UnsafeProjection bound the right-side
+    // columns to the LEFT positions and emitted the probe row's values in
+    // the interval columns (review finding)
+    val base = spark.range(0, 10).select(col("id"),
+      (col("id") * 100).as("lo"), (col("id") * 100 + 50).as("hi"))
+    val probesSide = base.select(col("id").as("pid"), (col("id") * 100 + 10).as("pv"))
+    val got = IntervalJoin.join(probesSide, base.select("id", "lo", "hi"),
+      "pv", "lo", "hi")
+    val rows = got.orderBy("pid").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (pid, pv) = (r.getLong(0), r.getLong(1))
+      val (iid, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(iid == pid && lo == pid * 100 && hi == pid * 100 + 50,
+        s"interval columns carry wrong values: $r")
+      assert(pv == pid * 100 + 10)
+    }
+  }
+
+  test("mixed date/timestamp keys are rejected at construction, not mis-joined") {
+    // Date is days-since-epoch, Timestamp micros — raw comparison would
+    // silently join in different units
+    val iv = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("iid", "lo", "hi")
+    val dprobes = Seq(Tuple1(java.sql.Date.valueOf("2024-01-01"))).toDF("d")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.join(dprobes, iv, "d", "lo", "hi")
+    }
+    assert(e.getMessage.contains("interval join needs"), e.getMessage)
+  }
+
+  test("column resolution falls back case-insensitively, like the session resolver") {
+    val bands = Seq(("a", 0L, 10L)).toDF("band", "lo", "hi")
+    val vals = Seq(Tuple1(5L)).toDF("id")
+    assert(IntervalJoin.join(vals, bands, "ID", "LO", "Hi").count() == 1)
+  }
 }

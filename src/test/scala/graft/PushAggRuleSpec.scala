@@ -225,6 +225,28 @@ class PushAggRuleSpec extends AnyFunSuite {
       "fired on a decimal avg")
   }
 
+  test("rule does NOT fire on try_sum/try_avg (non-LEGACY eval modes)") {
+    // `case f: Sum` also matches try_sum — Sum carrying EvalMode.TRY. A
+    // TRY partial that overflows to NULL would be SKIPPED by the merge
+    // Sum instead of nulling the whole group, so the rule must stay its
+    // hand on anything but LEGACY (review finding; values + plan shape).
+    import spark.implicits._
+    PushAggThroughUniqueJoin.ensure(spark)
+    val fact = Seq((1L, Long.MaxValue), (1L, Long.MaxValue), (2L, 7L))
+      .toDF("fk", "x")
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("k", "lim")
+      .groupBy("k").agg(max("lim").as("lim"))
+    val q = fact.join(dim, col("fk") === col("k"))
+      .groupBy("lim").agg(expr("try_sum(x)").as("ts"), expr("try_avg(x)").as("ta"))
+    val j = joins(q.queryExecution.optimizedPlan)
+    assert(j.nonEmpty && j.head.left.collect { case a: Aggregate => a }.isEmpty,
+      s"fired on try_sum/try_avg:\n${q.queryExecution.optimizedPlan}")
+    // and the TRY semantics hold: the overflowing group nulls out
+    val rows = q.orderBy("lim").collect()
+    assert(rows(0).isNullAt(1), s"try_sum overflow must be NULL: ${rows.toSeq}")
+    assert(rows(1).getLong(1) == 7L)
+  }
+
   test("rule does NOT fire without the uniqueness proof or with distinct aggs") {
     PushAggThroughUniqueJoin.ensure(spark)
     // dim side is a raw table — unique in fact but not PROVABLY so
