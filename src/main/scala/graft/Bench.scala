@@ -49,6 +49,8 @@ object Bench {
       graft.ops.DeletionVectors.dvOrders(spark, sfDir)
       graft.ops.DeletionVectors.dvPrunedOrders(spark, sfDir)
       graft.ops.MergeOnRead.morOrders(spark, sfDir)
+      graft.ops.MergeOnRead.fullOrders(spark, sfDir)
+      graft.ops.InvertedIndex.indexTable(spark, sfDir).count()
       graft.ops.DataSkipping.zorderedLineitem(spark, sfDir)
       graft.ops.DataSkipping.dateClusteredOrders(spark, sfDir)
       // bucketed tables live in the session CATALOG (bucket spec needs

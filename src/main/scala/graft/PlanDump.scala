@@ -69,6 +69,9 @@ object PlanDump {
     "merge_upsert_mor" -> "merge-on-read read path: DV applied as a broadcast anti-join on the physical position, data + _mor scan union never shuffles",
     "dsir_importance_sample" -> "DSIR: 256-row bucket-stats side broadcast onto the token stream, only (bucket, doc_id) ints reach the doc-score exchange",
     "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only",
+    "phrase_search" -> "positional inverted index: each phrase term reads its own PushedFilters-pruned sliver of the stored term-sorted index, adjacency joins carry candidate positions only - the corpus is never scanned at query time",
+    "analyze_table_stats" -> "ANALYZE stats: ONE aggregate pass - multi-distinct planned via Expand, no join, min/max/null counts ride the same shuffle",
+    "merge_full" -> "full MERGE matrix read path: same DV broadcast anti-join + data+_mor union as merge_upsert_mor; the merge WRITE classified matched/not-matched-by-source in one broadcast-source pass",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
     "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",

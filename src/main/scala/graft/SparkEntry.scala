@@ -20,7 +20,8 @@ object SparkEntry {
       graft.ops.SubstringDedup.queries ++ graft.ops.Boilerplate.queries ++
       graft.ops.DataSkipping.queries ++ graft.sources.SkippingFileIndex.queries ++
       graft.ops.DeletionVectors.queries ++ graft.ops.MergeOnRead.queries ++
-      graft.ops.Classifier.queries ++
+      graft.ops.Classifier.queries ++ graft.ops.InvertedIndex.queries ++
+      graft.ops.TableStats.queries ++
       graft.sources.GraftSink.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.ops.SubstringDedup.oracleSql ++ graft.ops.Boilerplate.oracleSql ++
       graft.ops.DataSkipping.oracleSql ++ graft.sources.SkippingFileIndex.oracleSql ++
       graft.ops.DeletionVectors.oracleSql ++ graft.ops.MergeOnRead.oracleSql ++
-      graft.ops.Classifier.oracleSql ++
+      graft.ops.Classifier.oracleSql ++ graft.ops.InvertedIndex.oracleSql ++
+      graft.ops.TableStats.oracleSql ++
       graft.sources.GraftSink.oracleSql
 }

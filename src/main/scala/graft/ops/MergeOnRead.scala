@@ -87,6 +87,81 @@ object MergeOnRead {
       survivors.repartition(nFiles).write.mode("overwrite").parquet(dir))
   }
 
+  import org.apache.spark.sql.Column
+
+  /** The FULL MERGE clause matrix — the Delta/Iceberg `MERGE INTO` shape
+    * [[mergeUpsert]] only covers the upsert corner of:
+    *
+    *   WHEN MATCHED AND `matchedUpdateCond` THEN UPDATE SET `updateSet`
+    *   WHEN MATCHED AND `matchedDeleteCond` THEN DELETE
+    *   WHEN NOT MATCHED THEN INSERT *               (if `insertNotMatched`)
+    *   WHEN NOT MATCHED BY SOURCE AND `notMatchedBySourceDeleteCond`
+    *     THEN DELETE
+    *
+    * Clause order is first-match-wins (UPDATE before DELETE), as in the
+    * SQL standard. Conditions and `updateSet` values are Columns over the
+    * matched pair: target columns by their own names, source columns
+    * prefixed `__src_` (e.g. `col("__src_o_totalprice")`). Source keys
+    * must be unique (the transactional formats raise on multi-match; here
+    * a duplicate source key would DV one position and insert two row
+    * versions — enforce upstream).
+    *
+    * Cost model, unchanged from [[mergeUpsert]]: matched/not-matched-by-
+    * source classification is ONE scan of the live table against the
+    * broadcast source (the scan is zone-map-prunable on the key only for
+    * the matched clauses; a NOT MATCHED BY SOURCE clause inherently
+    * touches every target row — identical in Delta, which is why its
+    * docs warn the clause forces a full-table scan); writes are
+    * kilobytes of DV positions plus batch-sized `_mor` appends. The one
+    * materialization (`persist` + `count`) pins the classification
+    * BEFORE the DV append lands, so the lazily-re-read sidecar cannot
+    * re-classify rows mid-merge (the same self-match hazard
+    * [[mergeUpsert]] dodges by deriving its batch from the source). */
+  def mergeFull(s: SparkSession, base: String, source: DataFrame,
+      keyCol: String,
+      matchedUpdateCond: Column, updateSet: Map[String, Column],
+      matchedDeleteCond: Column,
+      insertNotMatched: Boolean,
+      notMatchedBySourceDeleteCond: Column): Unit = {
+    val srcKey = s"__src_$keyCol"
+    val srcP = source.columns.foldLeft(source)(
+      (d, c) => d.withColumnRenamed(c, s"__src_$c"))
+    val joined = liveWithPos(s, base)
+      .join(broadcast(srcP), col(keyCol) === col(srcKey), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    joined.count() // pin the classification before the sidecars grow
+    try {
+      val matched = col(srcKey).isNotNull
+      val updating = matched && matchedUpdateCond
+      val deleting =
+        (matched && !matchedUpdateCond && matchedDeleteCond) ||
+          (!matched && notMatchedBySourceDeleteCond)
+      joined.filter(updating || deleting)
+        .select(col("__path").as("path"), col("__pos").as("pos"))
+        .coalesce(1)
+        .write.mode("append").parquet(DeletionVectors.dvPath(base))
+
+      val tcols = AtomicTable.read(s, base).columns.toSeq
+      val updated = joined.filter(updating)
+        .select(tcols.map(c => updateSet.getOrElse(c, col(c)).as(c)): _*)
+      val inserted =
+        if (!insertNotMatched) None
+        else {
+          // matched keys come from the PINNED classification, not a
+          // re-scan (a re-scan after the DV append would resurrect a
+          // matched-DELETEd key as an insert)
+          val matchedKeys = joined.filter(matched)
+            .select(col(srcKey).as("__mk")).distinct()
+          Some(srcP.join(broadcast(matchedKeys),
+              col(srcKey) === col("__mk"), "left_anti")
+            .select(tcols.map(c => col(s"__src_$c").as(c)): _*))
+        }
+      inserted.fold(updated)(updated.unionByName(_))
+        .coalesce(1)
+        .write.mode("append").parquet(morPath(base))
+    } finally joined.unpersist()
+  }
+
   // --------------------------------------------------------------- queries
 
   private val morMemo =
@@ -149,8 +224,67 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
+  // ----------------------------------------------------- full-matrix query
+
+  private val fullMemo =
+    SessionCaches.memo[(SparkSession, String)]("merge_on_read.orders_full")
+
+  /** Source batch for the full-matrix MERGE: every key ≡ 0 mod 5 arrives
+    * re-priced (+7.00, exact in doubles); keys ≡ 0 mod 19 arrive as NEW
+    * orders (key offset by 2·10^8, status 'X'). */
+  private def fullBatch(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(7.0))
+      .unionByName(
+        o.where(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+          .withColumn("o_orderstatus", lit("X")))
+  }
+
+  /** orders with the full clause matrix committed once per source
+    * version:
+    *   MATCHED AND tgt.status='F'  → UPDATE (take source price, mark)
+    *   MATCHED AND tgt.status='P'  → DELETE
+    *   NOT MATCHED                 → INSERT
+    *   NOT MATCHED BY SOURCE AND key%3=0 → DELETE
+    * Matched 'O' rows hit no clause and survive untouched. */
+  private[graft] def fullOrders(s: SparkSession, d: String): String =
+    fullMemo.getOrElseUpdate((s, d), {
+      val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_full"
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet", "morfull-v1")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        AtomicTable.publish(base) { dir =>
+          Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+        }
+        mergeFull(s, base, fullBatch(s, d), "o_orderkey",
+          matchedUpdateCond = col("o_orderstatus") === "F",
+          updateSet = Map(
+            "o_totalprice" -> col("__src_o_totalprice"),
+            "o_orderpriority" -> lit("1-UPDATED")),
+          matchedDeleteCond = col("o_orderstatus") === "P",
+          insertNotMatched = true,
+          notMatchedBySourceDeleteCond = col("o_orderkey") % 3 === 0)
+      }
+      base
+    })
+
+  /** Aggregate over the full-matrix-merged table; `n_updated` counts the
+    * marker priority, proving UPDATE SET applied (and only under its
+    * condition). Same exact-cents discipline as [[mergeUpsertMor]]. */
+  def mergeFullMatrix(s: SparkSession, d: String): DataFrame =
+    readMerged(s, fullOrders(s, d))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === "1-UPDATED", 1L).otherwise(0L))
+          .as("n_updated"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "merge_upsert_mor" -> (mergeUpsertMor _)
+    "merge_upsert_mor" -> (mergeUpsertMor _),
+    "merge_full"       -> (mergeFullMatrix _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -165,6 +299,27 @@ FROM (
   UNION ALL
   SELECT 'N' AS o_orderstatus, o_totalprice + 5.0 AS p
   FROM orders WHERE o_orderkey % 13 = 0
+)
+GROUP BY 1 ORDER BY 1""",
+    // the clause matrix restated over the source: matched F → source
+    // price (+7) and the marker; matched P → gone; matched O →
+    // untouched; unmatched key%3=0 → gone; inserts carry status X.
+    "merge_full" -> """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(upd) AS BIGINT) AS n_updated,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderstatus, 1 AS upd, o_totalprice + 7.0 AS p
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderstatus, 0, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderstatus, 0, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT 'X', 0, o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
 )
 GROUP BY 1 ORDER BY 1"""
   )

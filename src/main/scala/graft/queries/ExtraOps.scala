@@ -346,6 +346,32 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
   val timeTravelReadOracle: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
 
+  /** `RESTORE TABLE ... TO VERSION AS OF` through the versioned store:
+    * v1 = supplier, v2 = a "bad deploy" (rows dropped, balances zeroed),
+    * then [[graft.util.AtomicTable.restore]] rolls FORWARD to a v3 that
+    * hardlinks v1's files — no Spark job, O(files). The gate reads the
+    * LIVE table after the restore; matching the raw supplier oracle
+    * proves the roll-forward restored every row and that the bad v2
+    * stayed in history rather than being the read path. */
+  def tableRestore(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_restore/${graft.util.PathKeys.safe(d)}/supplier"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    val sup = Tables.supplier(s, d)
+    AtomicTable.publish(base, keep = 3)(dir =>
+      sup.write.mode("overwrite").parquet(dir))
+    AtomicTable.publish(base, keep = 3)(dir =>
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .withColumn("s_acctbal", lit(0.0))
+        .write.mode("overwrite").parquet(dir))
+    val v1 = AtomicTable.history(base).head
+    AtomicTable.restore(base, v1, keep = 3)
+    AtomicTable.read(s, base).orderBy("s_suppkey")
+  }
+
+  val tableRestoreOracle: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
   /** Change-data-feed between two stored table versions: publish customer
     * twice through [[graft.util.AtomicTable]] (v2 = deletes at key%11=0,
     * segment updates at key%7=0, inserts at key+1000000 for key%13=0), then
@@ -776,6 +802,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "random_projection" -> (randomProjection _),
     "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _),
+    "table_restore"     -> (tableRestore _),
     "version_diff"      -> (versionDiff _),
     "mv_cdc_refresh"    -> (mvCdcRefresh _),
     "gen_source_scan"   -> (genSourceScan _),
@@ -800,6 +827,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "random_projection" -> randomProjectionOracle,
     "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle,
+    "table_restore"     -> tableRestoreOracle,
     "version_diff"      -> versionDiffOracle,
     "mv_cdc_refresh"    -> mvCdcRefreshOracle,
     "gen_source_scan"   -> genSourceScanOracle,

@@ -195,6 +195,56 @@ FROM j
 WHERE o_key IS NULL OR n_key IS NULL OR old_region <> new_region
 ORDER BY n_nationkey, change_type"""
 
+  private val restoreLakeCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("pipeline.restorelake")
+
+  /** TRANSACTION-level RESTORE ([[graft.util.AtomicTable
+    * .restoreSnapshot]] — the snapshot twin of the table-level
+    * `table_restore`): a two-member lake (nation + region) commits a
+    * clean snapshot, then a "bad deploy" snapshot (nations halved,
+    * region names vandalized) — with a keep=1 vacuum of BOTH members in
+    * between, so only manifest pins keep the clean versions alive. The
+    * restore re-commits the clean manifest as snapshot 3 WITHOUT touching
+    * any version directory (O(manifest)); the gate then reads the LIVE
+    * snapshot through `readSnapshotTables` and joins the members —
+    * matching the raw source oracle proves the roll-forward restored
+    * BOTH tables atomically and that the vandalized snapshot 2 stayed in
+    * history rather than being the read path. */
+  def snapshotRestore(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val root = restoreLakeCache.getOrElseUpdate((s, d), {
+      val r = s"/tmp/graft_snap_restore/${graft.util.PathKeys.safe(d)}"
+      AtomicTable.deleteRecursively(java.nio.file.Paths.get(r))
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d)
+      def stage(n: DataFrame, g: DataFrame): Seq[(String, String)] = Seq(
+        "dim/nation" -> AtomicTable.stageVersion(s"$r/dim/nation")(dir =>
+          n.coalesce(1).write.mode("overwrite").parquet(dir)),
+        "dim/region" -> AtomicTable.stageVersion(s"$r/dim/region")(dir =>
+          g.coalesce(1).write.mode("overwrite").parquet(dir)))
+      val sn1 = AtomicTable.commitSnapshot(r, stage(nation, region))
+      AtomicTable.commitSnapshot(r,
+        stage(nation.filter(col("n_nationkey") % 2 === 0),
+          region.withColumn("r_name", concat(col("r_name"), lit("_BAD")))))
+      AtomicTable.vacuum(s"$r/dim/nation", keep = 1)
+      AtomicTable.vacuum(s"$r/dim/region", keep = 1)
+      AtomicTable.restoreSnapshot(r, sn1)
+      r
+    })
+    val t = AtomicTable.readSnapshotTables(s, root,
+      Seq("dim/nation", "dim/region"))
+    t("dim/nation")
+      .join(broadcast(t("dim/region").select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  val snapshotRestoreOracle: String = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey"""
+
   case class LineRow(l_returnflag: String, l_linestatus: String,
     l_quantity: Double, l_extendedprice: Double)
   case class FlagAgg(flag_status: String, sum_qty: Double, n_rows: Long)
@@ -497,6 +547,7 @@ GROUP BY 1, 2 ORDER BY 1"""
     "snapshot_star_read" -> (snapshotStarRead _),
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_cdf" -> (snapshotCdf _),
+    "snapshot_restore" -> (snapshotRestore _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "typed_cogroup"            -> (typedCogroup _),
     "json_extract_props"       -> (jsonExtract _),
@@ -511,6 +562,7 @@ GROUP BY 1, 2 ORDER BY 1"""
     "snapshot_star_read" -> snapshotStarReadOracle,
     "snapshot_time_travel" -> snapshotTimeTravelOracle,
     "snapshot_cdf" -> snapshotCdfOracle,
+    "snapshot_restore" -> snapshotRestoreOracle,
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "typed_cogroup"            -> typedCogroupOracle,
     "json_extract_props"       -> jsonExtractOracle,

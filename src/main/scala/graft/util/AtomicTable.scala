@@ -442,6 +442,21 @@ object AtomicTable {
   def snapshotHistory(root: String): Seq[Long] =
     snapshotIds(Paths.get(root)).sorted
 
+  /** `RESTORE` at TRANSACTION grain — the snapshot-level twin of
+    * [[restore]]: re-commit a retained historical snapshot's exact
+    * table→version map as a NEW snapshot. Roll-forward, O(manifest):
+    * no version directory is touched at all — the old members are still
+    * on disk precisely because their manifest pinned them
+    * ([[snapshotPinned]]), and the new manifest re-pins them; the bad
+    * snapshot stays in history under its own id. Returns the new
+    * snapshot id. */
+  def restoreSnapshot(root: String, id: Long, keep: Int = 2): Long = {
+    val entries = resolveSnapshotAt(root, id).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $id is not in the retained history of $root"))
+    commitSnapshot(root, entries.toSeq.sortBy(_._1), keep)
+  }
+
   /** The table → version map of a retained historical snapshot. */
   def resolveSnapshotAt(root: String, id: Long): Option[Map[String, String]] = {
     val p = Paths.get(root, SnapshotsDir, s"sn_$id")
@@ -494,6 +509,37 @@ object AtomicTable {
 
   def overwrite(df: DataFrame, base: String, keep: Int = 1): Unit =
     publish(base, keep)(df.write.mode("overwrite").parquet(_))
+
+  /** The `RESTORE TABLE ... TO VERSION AS OF` verb: re-publish a retained
+    * historical version as the NEW current version. Roll-FORWARD, exactly
+    * as in the transactional formats — the bad version stays in history
+    * (auditable, still time-travelable under the retention window), and a
+    * crash mid-restore leaves the table untouched because the restored
+    * copy goes through the same stage-then-swap path as any publish.
+    *
+    * Cost is O(files), not O(data): the new version directory HARDLINKS
+    * the source version's files (falling back to copy where the
+    * filesystem refuses links) — the local-FS analog of Delta RESTORE,
+    * which re-adds the old version's data FILES to the log rather than
+    * rewriting them. No Spark job runs at all. Retention stays safe: a
+    * pruned source version loses only its own directory entries; the
+    * restored version's links keep the shared inodes alive. */
+  def restore(base: String, version: String, keep: Int = 2): Unit = {
+    require(history(base).contains(version),
+      s"version $version is not in the published, still-retained history of $base")
+    publish(base, keep) { dir =>
+      val src = Paths.get(base, version)
+      val files = Files.list(src)
+      val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+                  finally files.close()
+      names.filter(n => Files.isRegularFile(src.resolve(n))).foreach { n =>
+        val to = Paths.get(dir, n)
+        try Files.createLink(to, src.resolve(n))
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src.resolve(n), to) }
+      }
+    }
+  }
 
   /** Standalone retention maintenance — the `VACUUM` verb: prune
     * published versions beyond the `keep` newest plus crashed-orphan

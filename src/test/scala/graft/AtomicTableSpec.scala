@@ -243,4 +243,31 @@ class AtomicTableSpec extends AnyFunSuite {
       s"time-travel read must serve v1's schema, got ${old.columns.toSeq}")
     assert(old.count() == 3)
   }
+
+  test("restore rolls FORWARD to an old version by hardlink, keeping history") {
+    val base = freshBase()
+    AtomicTable.publish(base, keep = 3)(d => df(10).write.mode("overwrite").parquet(d))
+    AtomicTable.publish(base, keep = 3)(d => df(3).write.mode("overwrite").parquet(d))
+    val Seq(v1, v2) = AtomicTable.history(base)
+    AtomicTable.restore(base, v1, keep = 3)
+    // the LIVE table is v1's contents again, via a NEW version
+    val v3 = AtomicTable.resolve(base).get
+    assert(!v3.endsWith(v1) && !v3.endsWith(v2), "restore must publish a new version")
+    assert(AtomicTable.read(spark, base).count() == 10)
+    assert(AtomicTable.history(base).size == 3, "the bad version stays in history")
+    // O(files): restored parquet files are hardlinks of v1's (same inode)
+    val v1p = Paths.get(base, v1)
+    val linked = Files.list(Paths.get(v3)).iterator()
+    val restoredParquet = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    while (linked.hasNext) { val p = linked.next()
+      if (p.getFileName.toString.endsWith(".parquet")) restoredParquet += p }
+    assert(restoredParquet.nonEmpty)
+    assert(restoredParquet.forall(p =>
+      Files.isSameFile(p, v1p.resolve(p.getFileName.toString))),
+      "restored files must be hardlinks of the source version's files")
+    // restoring an unknown / pruned version refuses
+    intercept[IllegalArgumentException] {
+      AtomicTable.restore(base, "_v9999", keep = 3)
+    }
+  }
 }

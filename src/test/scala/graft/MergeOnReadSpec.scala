@@ -106,4 +106,60 @@ class MergeOnReadSpec extends AnyFunSuite {
         want(k)._1 == n && math.abs(want(k)._2 - p) < 1e-6 },
       "compaction changed the table's contents")
   }
+
+  test("full MERGE matrix: update/delete/insert/not-matched-by-source") {
+    val base = stage("full")
+    val before = dataFiles(base)
+    val o = Tables.orders(spark, sf)
+    val src = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(7.0))
+      .unionByName(
+        o.where(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+          .withColumn("o_orderstatus", lit("X")))
+    MergeOnRead.mergeFull(spark, base, src, "o_orderkey",
+      matchedUpdateCond = col("o_orderstatus") === "F",
+      updateSet = Map(
+        "o_totalprice" -> col("__src_o_totalprice"),
+        "o_orderpriority" -> lit("1-UPDATED")),
+      matchedDeleteCond = col("o_orderstatus") === "P",
+      insertNotMatched = true,
+      notMatchedBySourceDeleteCond = col("o_orderkey") % 3 === 0)
+    assert(dataFiles(base) == before, "MERGE must not rewrite data files")
+
+    val want = o.where(col("o_orderkey") % 5 === 0 && col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") + lit(7.0))
+      .withColumn("o_orderpriority", lit("1-UPDATED"))
+      .unionByName(o.where(
+        col("o_orderkey") % 5 === 0 && col("o_orderstatus") === "O"))
+      .unionByName(o.where(
+        col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 =!= 0))
+      .unionByName(o.where(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .withColumn("o_orderstatus", lit("X")))
+    val got = MergeOnRead.readMerged(spark, base)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "full-matrix merge must equal the direct clause restatement")
+  }
+
+  test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {
+    val base = stage("noresurrect")
+    val o = Tables.orders(spark, sf)
+    // source = every 'P' order; clause matrix deletes all of them
+    val src = o.where(col("o_orderstatus") === "P")
+    val nP = src.count()
+    assert(nP > 0, "fixture needs P orders")
+    MergeOnRead.mergeFull(spark, base, src, "o_orderkey",
+      matchedUpdateCond = lit(false),
+      updateSet = Map.empty,
+      matchedDeleteCond = lit(true),
+      insertNotMatched = true,
+      notMatchedBySourceDeleteCond = lit(false))
+    val after = MergeOnRead.readMerged(spark, base)
+    assert(after.where(col("o_orderstatus") === "P").count() == 0L,
+      "matched DELETE must remove the rows")
+    assert(after.count() == o.count() - nP,
+      "a matched-DELETEd source row must not re-enter via NOT MATCHED INSERT")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -190,5 +191,40 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(writerErr == null, s"writer failed: $writerErr")
     assert(checks > 0, "reader never overlapped the writer")
     assert(epochsVia(root) == Set(5))
+  }
+
+  test("restoreSnapshot re-commits an old manifest without touching any version dir") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    val sn1 = AtomicTable.commitSnapshot(root, stageEpoch(root, 1))
+    AtomicTable.commitSnapshot(root, stageEpoch(root, 2))
+    // aggressive per-table maintenance: only manifest pins keep epoch 1
+    members.foreach(rel => AtomicTable.vacuum(s"$root/$rel", keep = 1))
+    val dirsBefore = members.map { rel =>
+      val p = java.nio.file.Paths.get(s"$root/$rel")
+      val l = Files.list(p)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet finally l.close()
+    }
+    val sn3 = AtomicTable.restoreSnapshot(root, sn1)
+    assert(sn3 > sn1)
+    // O(manifest): no member gained or lost a version directory
+    val dirsAfter = members.map { rel =>
+      val p = java.nio.file.Paths.get(s"$root/$rel")
+      val l = Files.list(p)
+      try l.iterator().asScala.map(_.getFileName.toString).toSet finally l.close()
+    }
+    assert(dirsBefore.zip(dirsAfter).forall { case (b, a) =>
+      b.filter(_.startsWith("_v")) == a.filter(_.startsWith("_v")) },
+      "restoreSnapshot must not create or delete version directories")
+    // the LIVE snapshot is epoch 1 again; the bad epoch 2 stays in history
+    assert(epochsVia(root) == Set(1))
+    val snaps = AtomicTable.snapshotHistory(root)
+    assert(snaps.contains(sn3) && snaps.size >= 2)
+    // further member maintenance must not break the restored read
+    members.foreach(rel => AtomicTable.vacuum(s"$root/$rel", keep = 1))
+    assert(epochsVia(root) == Set(1))
+    // an aged-out (dropped) snapshot id refuses to restore
+    intercept[IllegalArgumentException] {
+      AtomicTable.restoreSnapshot(root, 99999L)
+    }
   }
 }
