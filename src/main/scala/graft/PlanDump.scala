@@ -72,6 +72,9 @@ object PlanDump {
     "phrase_search" -> "positional inverted index: each phrase term reads its own PushedFilters-pruned sliver of the stored term-sorted index, adjacency joins carry candidate positions only - the corpus is never scanned at query time",
     "analyze_table_stats" -> "ANALYZE stats: ONE aggregate pass - multi-distinct planned via Expand, no join, min/max/null counts ride the same shuffle",
     "merge_full" -> "full MERGE matrix read path: same DV broadcast anti-join + data+_mor union as merge_upsert_mor; the merge WRITE classified matched/not-matched-by-source in one broadcast-source pass",
+    "table_changes" -> "change-data-feed read: one FileScan over batch-sized _changes files with a hash-agg on top - the table itself is never scanned; the feed was an O(batch) by-product of the MERGE's own classification",
+    "table_clone" -> "shallow clone read: plain FileScan of the clone's version dir - the clone is hardlinks, so plan and cost are identical to reading the source version; no copy ever happened",
+    "constrained_write" -> "CHECK-enforced write: violation counts ride the write job as observe metrics (CollectMetrics node over the scan) - zero extra passes; the refused commit never moves the pointer",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
     "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",

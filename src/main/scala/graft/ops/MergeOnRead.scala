@@ -64,19 +64,68 @@ object MergeOnRead {
     liveWithPos(s, base).select(dataCols: _*)
   }
 
+  /** Root-level change-data directory (Delta `_change_data` analog): it
+    * is NOT a `_v<N>` name, so table retention never sweeps it, and it is
+    * not under a version dir, so the feed survives compaction/publishes —
+    * the change LOG outlives the states it connects. */
+  private[graft] def changesPath(base: String): String = s"$base/_changes"
+
+  private[graft] def hasChanges(base: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(changesPath(base)))
+
   /** MERGE: rows of `batch` whose `keyCol` matches a live row REPLACE it
     * (positional delete + insert); unmatched rows INSERT. The matched
     * positions are materialized into the DV BEFORE the batch lands in
-    * `_mor`, so the batch can never match itself. */
+    * `_mor`, so the batch can never match itself.
+    *
+    * With `cdfVersion = Some(v)` the merge also emits a CHANGE-DATA-FEED
+    * file (Delta CDF: `table_changes` rows typed `update_preimage` /
+    * `update_postimage` / `insert`, stamped `_commit_version = v`) into
+    * [[changesPath]]. The change rows are a FREE BY-PRODUCT of the merge's
+    * own classification — the matched-live frame is pinned once and feeds
+    * both the DV append and the preimages — so CDF costs O(batch) extra
+    * write, never a table diff (exactly why Delta computes CDF during the
+    * DML instead of diffing versions after the fact). */
   def mergeUpsert(s: SparkSession, base: String, batch: DataFrame,
-                  keyCol: String): Unit = {
+                  keyCol: String, cdfVersion: Option[Long] = None): Unit = {
     val keys = batch.select(keyCol).distinct()
-    liveWithPos(s, base)
-      .join(broadcast(keys), keyCol)
-      .select(col("__path").as("path"), col("__pos").as("pos"))
-      .coalesce(1)
-      .write.mode("append").parquet(DeletionVectors.dvPath(base))
-    batch.coalesce(1).write.mode("append").parquet(morPath(base))
+    val matchedLive = liveWithPos(s, base).join(broadcast(keys), keyCol)
+    def dvAppend(m: DataFrame): Unit =
+      m.select(col("__path").as("path"), col("__pos").as("pos"))
+        .coalesce(1)
+        .write.mode("append").parquet(DeletionVectors.dvPath(base))
+    cdfVersion match {
+      case None =>
+        dvAppend(matchedLive)
+        batch.coalesce(1).write.mode("append").parquet(morPath(base))
+      case Some(v) =>
+        // pin the classification with an EAGER localCheckpoint, not
+        // persist+count: the sidecar appends below land under the cached
+        // plan's read paths, and Spark's CacheManager.recacheByPath
+        // RECOMPUTES such caches on write — a persisted frame would
+        // silently re-classify from the grown sidecars and emit the
+        // batch's own values as "preimages" (caught by the gate on the
+        // second commit). The checkpoint truncates the plan to the
+        // materialized rows (LogicalRDD — no file relation left for the
+        // recache to match), and it is batch-sized: the matched-live
+        // frame is the broadcast-key join's output, never the table.
+        val pinned = matchedLive.localCheckpoint()
+        dvAppend(pinned)
+        batch.coalesce(1).write.mode("append").parquet(morPath(base))
+        val tcols = AtomicTable.read(s, base).columns.toSeq
+        val matchedKeys = pinned.select(col(keyCol)).distinct()
+        val pre = pinned.select(tcols.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = batch.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
+          .select(tcols.map(col): _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = batch.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+          .select(tcols.map(col): _*)
+          .withColumn("_change_type", lit("insert"))
+        pre.unionByName(post).unionByName(ins)
+          .withColumn("_commit_version", lit(v))
+          .coalesce(1).write.mode("append").parquet(changesPath(base))
+    }
   }
 
   /** Pay back the merge-on-read debt: publish the merged state as a fresh
@@ -112,54 +161,83 @@ object MergeOnRead {
     * the matched clauses; a NOT MATCHED BY SOURCE clause inherently
     * touches every target row — identical in Delta, which is why its
     * docs warn the clause forces a full-table scan); writes are
-    * kilobytes of DV positions plus batch-sized `_mor` appends. The one
-    * materialization (`persist` + `count`) pins the classification
-    * BEFORE the DV append lands, so the lazily-re-read sidecar cannot
-    * re-classify rows mid-merge (the same self-match hazard
-    * [[mergeUpsert]] dodges by deriving its batch from the source). */
+    * kilobytes of DV positions plus batch-sized `_mor` appends. All
+    * outputs are MATERIALIZED from one persisted classification pass
+    * before any sidecar write lands — see the in-body comment for why
+    * the pin must be a localCheckpoint rather than a persist. */
   def mergeFull(s: SparkSession, base: String, source: DataFrame,
       keyCol: String,
       matchedUpdateCond: Column, updateSet: Map[String, Column],
       matchedDeleteCond: Column,
       insertNotMatched: Boolean,
-      notMatchedBySourceDeleteCond: Column): Unit = {
+      notMatchedBySourceDeleteCond: Column,
+      cdfVersion: Option[Long] = None): Unit = {
     val srcKey = s"__src_$keyCol"
     val srcP = source.columns.foldLeft(source)(
       (d, c) => d.withColumnRenamed(c, s"__src_$c"))
+    // the classification pass is persisted only while the OUTPUT frames
+    // materialize below — every write target lands under the live table's
+    // read paths, and Spark's CacheManager.recacheByPath RECOMPUTES any
+    // cache reading those paths on write, so a frame still rooted in the
+    // table scan would silently re-classify from the grown sidecars
+    // mid-merge (matched-DELETEd rows resurrecting as inserts; batch
+    // values posing as preimages). The defense: derive ALL outputs from
+    // the persisted classification, pin each with an eager
+    // localCheckpoint (LogicalRDD — no file relation for the recache to
+    // match, and each is O(batch)-sized, never the table), and only THEN
+    // touch the sidecars.
     val joined = liveWithPos(s, base)
       .join(broadcast(srcP), col(keyCol) === col(srcKey), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    joined.count() // pin the classification before the sidecars grow
-    try {
-      val matched = col(srcKey).isNotNull
-      val updating = matched && matchedUpdateCond
-      val deleting =
-        (matched && !matchedUpdateCond && matchedDeleteCond) ||
-          (!matched && notMatchedBySourceDeleteCond)
-      joined.filter(updating || deleting)
-        .select(col("__path").as("path"), col("__pos").as("pos"))
-        .coalesce(1)
-        .write.mode("append").parquet(DeletionVectors.dvPath(base))
+    val (dvOut, morOut, cdfOut) =
+      try {
+        val matched = col(srcKey).isNotNull
+        val updating = matched && matchedUpdateCond
+        val deleting =
+          (matched && !matchedUpdateCond && matchedDeleteCond) ||
+            (!matched && notMatchedBySourceDeleteCond)
+        val dv = joined.filter(updating || deleting)
+          .select(col("__path").as("path"), col("__pos").as("pos"))
+          .localCheckpoint()
 
-      val tcols = AtomicTable.read(s, base).columns.toSeq
-      val updated = joined.filter(updating)
-        .select(tcols.map(c => updateSet.getOrElse(c, col(c)).as(c)): _*)
-      val inserted =
-        if (!insertNotMatched) None
-        else {
-          // matched keys come from the PINNED classification, not a
-          // re-scan (a re-scan after the DV append would resurrect a
-          // matched-DELETEd key as an insert)
-          val matchedKeys = joined.filter(matched)
-            .select(col(srcKey).as("__mk")).distinct()
-          Some(srcP.join(broadcast(matchedKeys),
-              col(srcKey) === col("__mk"), "left_anti")
-            .select(tcols.map(c => col(s"__src_$c").as(c)): _*))
+        val tcols = AtomicTable.read(s, base).columns.toSeq
+        val updated = joined.filter(updating)
+          .select(tcols.map(c => updateSet.getOrElse(c, col(c)).as(c)): _*)
+        val inserted =
+          if (!insertNotMatched) None
+          else {
+            // matched keys come from the pinned classification, not a
+            // re-scan, so a matched-DELETEd key cannot resurrect as an
+            // insert
+            val matchedKeys = joined.filter(matched)
+              .select(col(srcKey).as("__mk")).distinct()
+            Some(srcP.join(broadcast(matchedKeys),
+                col(srcKey) === col("__mk"), "left_anti")
+              .select(tcols.map(c => col(s"__src_$c").as(c)): _*))
+          }
+        val mor = inserted.fold(updated)(updated.unionByName(_)).localCheckpoint()
+
+        // change-data feed: a free O(batch) by-product of the
+        // classification the merge already did — see [[mergeUpsert]].
+        // The full matrix adds the 'delete' type the upsert never emits.
+        val cdf = cdfVersion.map { v =>
+          val pre = joined.filter(updating).select(tcols.map(col): _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = updated.withColumn("_change_type", lit("update_postimage"))
+          val del = joined.filter(deleting).select(tcols.map(col): _*)
+            .withColumn("_change_type", lit("delete"))
+          val ins = inserted.map(_.withColumn("_change_type", lit("insert")))
+          ins.fold(pre.unionByName(post).unionByName(del))(
+              pre.unionByName(post).unionByName(del).unionByName(_))
+            .withColumn("_commit_version", lit(v))
+            .localCheckpoint()
         }
-      inserted.fold(updated)(updated.unionByName(_))
-        .coalesce(1)
-        .write.mode("append").parquet(morPath(base))
-    } finally joined.unpersist()
+        (dv, mor, cdf)
+      } finally joined.unpersist()
+    dvOut.coalesce(1).write.mode("append").parquet(DeletionVectors.dvPath(base))
+    morOut.coalesce(1).write.mode("append").parquet(morPath(base))
+    cdfOut.foreach(
+      _.coalesce(1).write.mode("append").parquet(changesPath(base)))
   }
 
   // --------------------------------------------------------------- queries
@@ -199,13 +277,18 @@ object MergeOnRead {
     morMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "mor-v1-batch1-batch2")
+        s"$d/orders.parquet", "mor-v3-cdf-pin")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
+        // restage = reload from scratch: the root-level change feed
+        // deliberately outlives version publishes, so a full rebuild
+        // must reset it or the replayed merges would double every row
+        AtomicTable.deleteRecursively(
+          java.nio.file.Paths.get(changesPath(base)))
         AtomicTable.publish(base) { dir =>
           Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
         }
-        mergeUpsert(s, base, batch1(s, d), "o_orderkey")
-        mergeUpsert(s, base, batch2(s, d), "o_orderkey")
+        mergeUpsert(s, base, batch1(s, d), "o_orderkey", cdfVersion = Some(1L))
+        mergeUpsert(s, base, batch2(s, d), "o_orderkey", cdfVersion = Some(2L))
       }
       base
     })
@@ -253,8 +336,13 @@ object MergeOnRead {
     fullMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_full"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "morfull-v1")
+        s"$d/orders.parquet", "morfull-v3-cdf-pin")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
+        // restage = reload from scratch: the root-level change feed
+        // deliberately outlives version publishes, so a full rebuild
+        // must reset it or the replayed merges would double every row
+        AtomicTable.deleteRecursively(
+          java.nio.file.Paths.get(changesPath(base)))
         AtomicTable.publish(base) { dir =>
           Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
         }
@@ -265,7 +353,8 @@ object MergeOnRead {
             "o_orderpriority" -> lit("1-UPDATED")),
           matchedDeleteCond = col("o_orderstatus") === "P",
           insertNotMatched = true,
-          notMatchedBySourceDeleteCond = col("o_orderkey") % 3 === 0)
+          notMatchedBySourceDeleteCond = col("o_orderkey") % 3 === 0,
+          cdfVersion = Some(1L))
       }
       base
     })
@@ -282,9 +371,27 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
+  /** The `table_changes(...)` read over the full-matrix merge's CDF:
+    * every change row the MERGE emitted, rolled up per (commit, type) —
+    * all FOUR Delta change types present (update_preimage /
+    * update_postimage / delete / insert). The cents discipline matches
+    * [[mergeUpsertMor]]; the oracle restates each clause's pre/post
+    * state directly from the source, so a wrong preimage (e.g. one
+    * computed AFTER the DV landed) or a mis-classified row breaks the
+    * hash. Reading the feed costs one scan of `_changes` — batch-sized
+    * files, never the table. */
+  def tableChanges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(changesPath(fullOrders(s, d)))
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("commit_version", "change_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_mor" -> (mergeUpsertMor _),
-    "merge_full"       -> (mergeFullMatrix _)
+    "merge_full"       -> (mergeFullMatrix _),
+    "table_changes"    -> (tableChanges _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -321,6 +428,29 @@ FROM (
   SELECT 'X', 0, o_totalprice
   FROM orders WHERE o_orderkey % 19 = 0
 )
-GROUP BY 1 ORDER BY 1"""
+GROUP BY 1 ORDER BY 1""",
+    // the full-matrix CDF restated from source: updates are matched 'F'
+    // rows (pre = original, post = source price = original+7); deletes
+    // are matched 'P' rows plus unmatched key%3=0 rows at their original
+    // values; inserts are the key%19=0 re-entries (price unchanged).
+    "table_changes" -> """
+SELECT CAST(cv AS BIGINT) AS commit_version, ct AS change_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT 1 AS cv, 'update_preimage' AS ct, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+  UNION ALL
+  SELECT 1, 'update_postimage', o_totalprice + 7.0
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+  UNION ALL
+  SELECT 1, 'delete', o_totalprice
+  FROM orders WHERE (o_orderkey % 5 = 0 AND o_orderstatus = 'P')
+                 OR (o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0)
+  UNION ALL
+  SELECT 1, 'insert', o_totalprice
+  FROM orders WHERE o_orderkey % 19 = 0
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

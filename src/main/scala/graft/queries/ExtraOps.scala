@@ -372,6 +372,81 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
   val tableRestoreOracle: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** SHALLOW CLONE ([[graft.util.AtomicTable.cloneTable]] — the Delta
+    * `CREATE TABLE ... SHALLOW CLONE` analog): part is published, cloned
+    * (zero bytes copied — hardlinks), and then the SOURCE moves on: a
+    * keep=1 publish of a vandalized v2 that also PRUNES the cloned v1 out
+    * of the source's own history. The gate reads the CLONE — matching the
+    * raw part oracle proves (a) the clone is pinned to clone-time state
+    * (the source's later version never leaks in) and (b) source retention
+    * cannot break it (v1's directory is gone; the clone's links keep the
+    * shared inodes alive — stronger than Delta, where a source VACUUM
+    * orphans shallow clones). */
+  def tableClone(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val root = s"/tmp/graft_clone/${graft.util.PathKeys.safe(d)}"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    val (src, dst) = (s"$root/part_src", s"$root/part_clone")
+    val p = Tables.part(s, d)
+    AtomicTable.publish(src)(dir =>
+      p.write.mode("overwrite").parquet(dir))
+    AtomicTable.cloneTable(src, dst)
+    AtomicTable.publish(src, keep = 1)(dir =>
+      p.filter(col("p_partkey") % 2 === 0)
+        .withColumn("p_retailprice", lit(0.0))
+        .write.mode("overwrite").parquet(dir))
+    AtomicTable.read(s, dst).orderBy("p_partkey")
+  }
+
+  val tableCloneOracle: String =
+    "SELECT * FROM part ORDER BY p_partkey"
+
+  /** Write-side CHECK constraints ([[graft.util.AtomicTable
+    * .publishChecked]] — the `ALTER TABLE ... ADD CONSTRAINT CHECK`
+    * write-path enforcement): a clean publish commits, then a batch with
+    * vandalized rows (prices negated for key%3=0) is REFUSED atomically —
+    * enforcement rides the write job's `observe` accumulators, zero extra
+    * passes. The result reads the LIVE table (cents would shift if the
+    * refused batch had committed) plus the refusal evidence: the
+    * per-constraint violating-row count from the exception and the
+    * history length proving no second version exists. */
+  def constrainedWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_checked/${graft.util.PathKeys.safe(d)}/orders"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    val o = Tables.orders(s, d)
+    val checks = Map(
+      "price_positive" -> (col("o_totalprice") > 0.0),
+      "status_domain"  -> col("o_orderstatus").isin("O", "F", "P"))
+    AtomicTable.publishChecked(o, base, checks)
+    val rejected =
+      try {
+        AtomicTable.publishChecked(
+          o.withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice"))),
+          base, checks)
+        -1L // unreachable: the publish above must throw
+      } catch {
+        case e: AtomicTable.ConstraintViolationException =>
+          e.counts.getOrElse("price_positive", 0L)
+      }
+    AtomicTable.read(s, base)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .withColumn("n_rejected_rows", lit(rejected))
+      .withColumn("n_versions", lit(AtomicTable.history(base).size.toLong))
+  }
+
+  val constrainedWriteOracle: String = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+         AS n_rejected_rows,
+       CAST(1 AS BIGINT) AS n_versions
+FROM orders"""
+
   /** Change-data-feed between two stored table versions: publish customer
     * twice through [[graft.util.AtomicTable]] (v2 = deletes at key%11=0,
     * segment updates at key%7=0, inserts at key+1000000 for key%13=0), then
@@ -803,6 +878,8 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "quantile_buckets"  -> (quantileBuckets _),
     "time_travel_read"  -> (timeTravelRead _),
     "table_restore"     -> (tableRestore _),
+    "table_clone"       -> (tableClone _),
+    "constrained_write" -> (constrainedWrite _),
     "version_diff"      -> (versionDiff _),
     "mv_cdc_refresh"    -> (mvCdcRefresh _),
     "gen_source_scan"   -> (genSourceScan _),
@@ -828,6 +905,8 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "quantile_buckets"  -> quantileBucketsOracle,
     "time_travel_read"  -> timeTravelReadOracle,
     "table_restore"     -> tableRestoreOracle,
+    "table_clone"       -> tableCloneOracle,
+    "constrained_write" -> constrainedWriteOracle,
     "version_diff"      -> versionDiffOracle,
     "mv_cdc_refresh"    -> mvCdcRefreshOracle,
     "gen_source_scan"   -> genSourceScanOracle,

@@ -931,7 +931,103 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACTLY-ONCE streaming ingestion into the versioned store — the
+    * Delta idempotent-`foreachBatch` pattern ([[graft.util.AtomicTable
+    * .publishIdempotent]] is the `txnAppId`/`txnVersion` contract): each
+    * micro-batch publishes under its batch id as the transaction
+    * version, so a RESTARTED stream that replays a batch (here: a second
+    * run with no checkpoint, which re-delivers everything as batch 0)
+    * skips the duplicate publish instead of double-ingesting. The gate
+    * aggregates the LIVE table after the replay run — doubled rows would
+    * break both count and sum. The failure mode this kills is the #1
+    * real-world streaming-sink bug: foreachBatch + a non-transactional
+    * write + a crash between sink write and checkpoint commit =
+    * duplicated batch on recovery. */
+  def exactlyOnceIngest(s0: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val tableDir =
+      s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/events_txn"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(tableDir))
+    def runOnce(): Unit = {
+      val q = eventsStream(s0, d).writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          AtomicTable.publishIdempotent(tableDir, "events_ingest", id,
+            keep = 2) { dir =>
+            val merged =
+              if (AtomicTable.exists(tableDir))
+                AtomicTable.read(batch.sparkSession, tableDir).unionByName(batch)
+              else batch
+            merged.coalesce(4).write.mode("overwrite").parquet(dir)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // first run ingests batch 0
+    runOnce() // checkpoint lost → full replay as batch 0 again: must skip
+    AtomicTable.read(streamSession(s0), tableDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val exactlyOnceIngestOracle: String = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1 ORDER BY 1"""
+
+  /** STREAMING consumption of a table's change-data feed — the Delta
+    * `readChangeFeed` analog: a downstream incremental consumer (MV
+    * maintenance, replication, a search-index updater) subscribes to the
+    * MERGE-emitted `_changes` files ([[graft.ops.MergeOnRead]]) instead
+    * of re-scanning the table. `maxFilesPerTrigger=1` mirrors per-commit
+    * delivery — each merge commit wrote exactly one change file, so the
+    * two upsert commits arrive as two micro-batches, and the Complete-
+    * mode rollup must converge on the batch [[graft.ops.MergeOnRead
+    * .changesPath]] read's answer (the oracle restates both commits'
+    * pre/post images from source). Consumer cost is ∝ changes, never
+    * ∝ table — the whole point of a CDF at 100 TB. */
+  def tableChangesStream(s0: SparkSession, d: String): DataFrame = {
+    val base = graft.ops.MergeOnRead.morOrders(s0, d)
+    val dir = graft.ops.MergeOnRead.changesPath(base)
+    val s = streamSession(s0)
+    val schema = s.read.parquet(dir).schema
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    runToTable(s, agg, OutputMode.Complete, "graft_stream_cdf")
+      .orderBy("commit_version", "change_type")
+  }
+
+  val tableChangesStreamOracle: String = """
+SELECT CAST(cv AS BIGINT) AS commit_version, ct AS change_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT 1 AS cv, 'update_preimage' AS ct, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 1, 'update_postimage', o_totalprice + 10.0
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 1, 'insert', o_totalprice FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 2, 'update_preimage', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 2, 'update_postimage', o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_table_changes"   -> (tableChangesStream _),
+    "stream_exactly_once"    -> (exactlyOnceIngest _),
     "stream_minhash_dedup"   -> (minhashDedupStream _),
     "stream_ann_serve"       -> (annServeStream _),
     "stream_corpus_filter"   -> (corpusFilterStream _),
@@ -954,6 +1050,8 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
   val oracleSql: Map[String, String] = Map(
     // streaming serving must equal the batch PQ result — shared oracle
     "stream_ann_serve"       -> graft.ops.Similarity.annPqOracle,
+    "stream_table_changes"   -> tableChangesStreamOracle,
+    "stream_exactly_once"    -> exactlyOnceIngestOracle,
     "stream_minhash_dedup"   -> graft.ops.Dedup.minhashIncrementalOracle(),
     "stream_corpus_filter"   -> corpusFilterStreamOracle,
     "stream_stream_join"     -> streamStreamJoinOracle,

@@ -89,12 +89,36 @@ object AtomicTable {
       finally stream.close() // directory streams hold an fd until closed
     }
 
-  /** Live version directory, or None if never published. */
-  def resolve(base: String): Option[String] = {
+  /** The pointer file's lines: line 1 is the live version name; any
+    * following `txn <appId> <version>` lines are the idempotent-writer
+    * watermark map ([[publishIdempotent]]). Keeping the txn map INSIDE
+    * the pointer makes {data visible, txn recorded} a SINGLE atomic
+    * rename — the Delta-log analog, where SetTransaction actions commit
+    * in the same log entry as the files they cover; any two-file scheme
+    * has a crash window that either loses a batch or double-applies it. */
+  private def pointerLines(base: String): Seq[String] = {
     val ptr = Paths.get(base, Pointer)
-    if (Files.exists(ptr)) Some(base + "/" + Files.readString(ptr).trim)
-    else None
+    if (!Files.exists(ptr)) Seq.empty
+    else Files.readString(ptr).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Live version directory, or None if never published. */
+  def resolve(base: String): Option[String] =
+    pointerLines(base).headOption.map(base + "/" + _)
+
+  /** The committed idempotent-writer watermarks: appId → highest
+    * transaction version ever committed for that app. */
+  def txnVersions(base: String): Map[String, Long] =
+    pointerLines(base).drop(1).flatMap { l =>
+      l.split(' ') match {
+        case Array("txn", app, v) => v.toLongOption.map(app -> _)
+        case _                    => None
+      }
+    }.toMap
+
+  /** Highest committed transaction version for `appId`, if any. */
+  def txnLatest(base: String, appId: String): Option[Long] =
+    txnVersions(base).get(appId)
 
   def exists(base: String): Boolean = resolve(base).isDefined
 
@@ -221,13 +245,24 @@ object AtomicTable {
       else pruneLocked(base, keep)
     }
 
-  /** Body of a version commit — caller must hold the commit lock. */
-  private def commitVersionLocked(base: String, name: String, keep: Int): Unit = {
+  /** Body of a version commit — caller must hold the commit lock. The
+    * pointer swap CARRIES FORWARD the committed txn watermark map (and
+    * merges in `txn`, keeping the max per app), so idempotent-writer
+    * state survives ordinary publishes and commits atomically with the
+    * data it covers. */
+  private def commitVersionLocked(base: String, name: String, keep: Int,
+      txn: Option[(String, Long)] = None): Unit = {
     val root = Paths.get(base)
     val claim = root.resolve(name + "._claim")
     locally {
+      val prevTxn = txnVersions(base)
+      val merged = txn.fold(prevTxn) { case (app, v) =>
+        prevTxn.updated(app, math.max(v, prevTxn.getOrElse(app, Long.MinValue)))
+      }
+      val content = (name +: merged.toSeq.sortBy(_._1)
+        .map { case (app, v) => s"txn $app $v" }).mkString("", "\n", "\n")
       val tmp = root.resolve(Pointer + ".tmp")
-      Files.writeString(tmp, name)
+      Files.writeString(tmp, content)
       Files.move(tmp, root.resolve(Pointer),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       // lineage append — rewritten whole + atomic move under the commit
@@ -527,16 +562,123 @@ object AtomicTable {
   def restore(base: String, version: String, keep: Int = 2): Unit = {
     require(history(base).contains(version),
       s"version $version is not in the published, still-retained history of $base")
-    publish(base, keep) { dir =>
-      val src = Paths.get(base, version)
-      val files = Files.list(src)
-      val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
-                  finally files.close()
-      names.filter(n => Files.isRegularFile(src.resolve(n))).foreach { n =>
-        val to = Paths.get(dir, n)
-        try Files.createLink(to, src.resolve(n))
-        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(src.resolve(n), to) }
+    publish(base, keep)(linkFilesInto(Paths.get(base, version), _))
+  }
+
+  /** Hardlink every regular file of `src` into `dstDir` (copy where the
+    * filesystem refuses links) — the zero-copy primitive behind
+    * [[restore]] and [[cloneTable]]. Version directories are immutable
+    * once published, so shared inodes can never see a write; pruning one
+    * side deletes only its own directory entries. */
+  private def linkFilesInto(src: Path, dstDir: String): Unit = {
+    val files = Files.list(src)
+    val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally files.close()
+    names.filter(n => Files.isRegularFile(src.resolve(n))).foreach { n =>
+      val to = Paths.get(dstDir, n)
+      try Files.createLink(to, src.resolve(n))
+      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src.resolve(n), to) }
+    }
+  }
+
+  /** SHALLOW CLONE: publish the LIVE version of `src` as a brand-new
+    * table at `dst` — zero data copied (hardlinks, the local-FS analog of
+    * Delta `CREATE TABLE ... SHALLOW CLONE`, whose clone references the
+    * source's data files by path). The clone is INDEPENDENT from birth:
+    * its own `_CURRENT`/`_LOG`/lock, so publishes to either side never
+    * touch the other, and source retention cannot break the clone — a
+    * pruned source version loses only its own directory entries while the
+    * clone's links keep the shared inodes alive (stronger than Delta's
+    * shallow clone, which a source VACUUM can orphan). Snapshot of NOW:
+    * later source versions are invisible to the clone by construction. */
+  def cloneTable(src: String, dst: String, keep: Int = 1): Unit = {
+    val from = resolve(src).getOrElse(
+      throw new IllegalStateException(s"no published version at $src to clone"))
+    require(!exists(dst), s"clone target $dst already has a published version")
+    publish(dst, keep)(linkFilesInto(Paths.get(from), _))
+  }
+
+  /** A constraint-refused publish: carries per-constraint violating-row
+    * counts. The staged version was discarded; the table is untouched. */
+  final class ConstraintViolationException(msg: String,
+      val counts: Map[String, Long]) extends RuntimeException(msg)
+
+  /** CHECK-constraint-enforced publish — the write-side enforcement the
+    * transactional formats run during `INSERT`/`MERGE` (`ALTER TABLE ...
+    * ADD CONSTRAINT ... CHECK`). Violation counting rides the SAME write
+    * job via `Dataset.observe` accumulators, so enforcement costs ZERO
+    * extra passes over the data (the alternative — re-scanning the staged
+    * files — would double the write's read volume at 100 TB). Semantics
+    * are SQL-standard CHECK: a row violates only when the predicate is
+    * FALSE; NULL (unknown) passes. If any constraint is violated the
+    * staged version directory is discarded and the pointer never moves —
+    * the commit is refused atomically, with per-constraint counts in the
+    * exception; readers keep the previous version. */
+  def publishChecked(df: DataFrame, base: String,
+      constraints: Map[String, org.apache.spark.sql.Column],
+      keep: Int = 1): Unit = {
+    require(constraints.nonEmpty, "publishChecked needs at least one constraint")
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    val obs = new org.apache.spark.sql.Observation()
+    val names = constraints.keys.toSeq
+    val metrics = names.map { n =>
+      // FALSE violates; NULL passes (SQL CHECK); empty frame sums to 0
+      coalesce(sum(when(coalesce(constraints(n), lit(true)), 0L).otherwise(1L)),
+        lit(0L)).as(n)
+    }
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val name = stageVersion(base)(dir =>
+      observed.write.mode("overwrite").parquet(dir))
+    val row = obs.get
+    val bad = names.map(n => n -> row(n).asInstanceOf[Long]).filter(_._2 > 0L)
+    if (bad.isEmpty) commitVersion(base, name, keep)
+    else {
+      // refuse: drop the staged dir eagerly (it would otherwise linger
+      // until the orphan TTL); the pointer was never touched
+      val root = Paths.get(base)
+      try {
+        deleteRecursively(root.resolve(name))
+        Files.deleteIfExists(root.resolve(name + "._claim"))
+      } catch { case _: java.io.IOException => () }
+      throw new ConstraintViolationException(
+        bad.map { case (n, c) => s"$n: $c rows" }
+          .mkString(s"CHECK constraint(s) violated publishing to $base: ", ", ", ""),
+        bad.toMap)
+    }
+  }
+
+  /** IDEMPOTENT publish — the Delta `txnAppId`/`txnVersion` writer
+    * contract that makes `foreachBatch` sinks EXACTLY-ONCE across
+    * restarts: each writer app commits monotonically increasing
+    * transaction versions (a streaming sink passes its micro-batch id),
+    * and a publish whose `txnVersion` is ≤ the app's committed watermark
+    * is SKIPPED — the replayed batch after a crash/restart can never
+    * double-apply. The watermark commits atomically WITH the data (one
+    * pointer rename carries both — see [[pointerLines]]), so there is no
+    * ordering crash window: either the batch is visible and recorded, or
+    * neither. Returns true if the write ran, false if it was skipped as
+    * a replay. Skip detection is double-checked under the commit lock —
+    * two racing replayers stage two candidate versions but only one
+    * commits; the loser's staged directory is discarded eagerly. */
+  def publishIdempotent(base: String, appId: String, txnVersion: Long,
+      keep: Int = 1)(write: String => Unit): Boolean = {
+    require(keep >= 1, "must keep at least the current version")
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      "appId must be non-empty and whitespace-free (it lives in the pointer file)")
+    if (txnLatest(base, appId).exists(_ >= txnVersion)) return false
+    val name = stageVersion(base)(write)
+    withCommitLock(Paths.get(base)) {
+      if (txnLatest(base, appId).exists(_ >= txnVersion)) {
+        val root = Paths.get(base)
+        try {
+          deleteRecursively(root.resolve(name))
+          Files.deleteIfExists(root.resolve(name + "._claim"))
+        } catch { case _: java.io.IOException => () }
+        false
+      } else {
+        commitVersionLocked(base, name, keep, txn = Some(appId -> txnVersion))
+        true
       }
     }
   }

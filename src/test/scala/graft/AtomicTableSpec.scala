@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -269,5 +270,70 @@ class AtomicTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AtomicTable.restore(base, "_v9999", keep = 3)
     }
+  }
+
+  test("idempotent publish: replays skip, watermarks commit atomically and survive ordinary publishes") {
+    val base = freshBase()
+    def pub(v: Long, rows: Int, app: String = "app") =
+      AtomicTable.publishIdempotent(base, app, v)(d =>
+        df(rows).write.mode("overwrite").parquet(d))
+    assert(pub(1L, 3), "first transaction must apply")
+    assert(AtomicTable.read(spark, base).count() == 3)
+    // replaying the SAME version with different data: skipped, untouched
+    assert(!pub(1L, 99), "replayed transaction version must be skipped")
+    assert(AtomicTable.read(spark, base).count() == 3)
+    // ... and the skipped attempt's staged dir was discarded
+    val vDirs = Files.list(Paths.get(base)).iterator().asScala
+      .count(_.getFileName.toString.matches("_v\\d+"))
+    assert(vDirs == 1, "a skipped replay must not strand its staged version")
+    assert(!pub(0L, 99), "older versions are also replays")
+    // an ordinary (non-txn) publish must CARRY the watermark forward
+    AtomicTable.overwrite(df(5), base)
+    assert(AtomicTable.txnLatest(base, "app").contains(1L),
+      "ordinary publishes must not lose idempotent-writer watermarks")
+    assert(!pub(1L, 99))
+    // the next version applies; apps are independent
+    assert(pub(2L, 7))
+    assert(AtomicTable.read(spark, base).count() == 7)
+    assert(pub(1L, 9, app = "other"))
+    assert(AtomicTable.txnVersions(base) == Map("app" -> 2L, "other" -> 1L))
+    assert(AtomicTable.read(spark, base).count() == 9)
+  }
+
+  test("shallow clone: zero-copy, pinned against source evolution AND retention, independent history") {
+    val base = freshBase()
+    val dst = base + "_clone"
+    AtomicTable.overwrite(df(10), base)
+    AtomicTable.cloneTable(base, dst)
+    // zero bytes copied: every cloned parquet file shares its source's inode
+    val srcV = Paths.get(AtomicTable.resolve(base).get)
+    val dstV = Paths.get(AtomicTable.resolve(dst).get)
+    val cloned = Files.list(dstV).iterator()
+    var nParquet = 0
+    while (cloned.hasNext) {
+      val p = cloned.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        nParquet += 1
+        assert(Files.isSameFile(p, srcV.resolve(p.getFileName.toString)),
+          "cloned files must be hardlinks of the source version's files")
+      }
+    }
+    assert(nParquet > 0)
+    assert(AtomicTable.read(spark, dst).count() == 10)
+    // the source moves on with keep=1 — the cloned version's DIRECTORY is
+    // pruned out of the source, but the clone's links keep the inodes alive
+    AtomicTable.overwrite(df(3), base, keep = 1)
+    assert(AtomicTable.read(spark, dst).count() == 10,
+      "source retention must never break a clone")
+    // histories are independent in both directions
+    AtomicTable.overwrite(df(5), dst)
+    assert(AtomicTable.read(spark, dst).count() == 5)
+    assert(AtomicTable.read(spark, base).count() == 3,
+      "publishing to the clone must not touch the source")
+    // refusals: no source version; target already a table
+    intercept[IllegalStateException] {
+      AtomicTable.cloneTable(base + "_never_published", freshBase())
+    }
+    intercept[IllegalArgumentException] { AtomicTable.cloneTable(base, dst) }
   }
 }

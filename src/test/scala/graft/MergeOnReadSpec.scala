@@ -143,6 +143,128 @@ class MergeOnReadSpec extends AnyFunSuite {
       "full-matrix merge must equal the direct clause restatement")
   }
 
+  /** The change-feed consistency law: applying a commit's change rows to
+    * the pre-merge state must land EXACTLY on the post-merge table —
+    * post = (pre ∖ preimages ∖ deletes) ∪ postimages ∪ inserts. A wrong
+    * preimage (e.g. computed after the DV landed), a mis-typed row, or a
+    * missed clause all break the multiset identity. */
+  private def assertCdfReplays(base: String,
+      pre: org.apache.spark.sql.DataFrame): Unit = {
+    val cols = pre.columns.toSeq
+    val ch = spark.read.parquet(base + "/_changes")
+    def pick(t: String) = ch.filter(col("_change_type") === t)
+      .select(cols.map(col): _*)
+    val replay = pre
+      .exceptAll(pick("update_preimage")).exceptAll(pick("delete"))
+      .unionByName(pick("update_postimage")).unionByName(pick("insert"))
+    val got = MergeOnRead.readMerged(spark, base)
+    assert(replay.exceptAll(got).isEmpty && got.exceptAll(replay).isEmpty,
+      "replaying the change feed over the pre-state must reproduce the merged table")
+  }
+
+  test("upsert CDF: the change feed replays the merge and stamps the commit version") {
+    val base = stage("cdf_upsert")
+    val pre = AtomicTable.read(spark, base)
+    MergeOnRead.mergeUpsert(spark, base, batch(), "o_orderkey",
+      cdfVersion = Some(7L))
+    assertCdfReplays(base, pre)
+    val versions = spark.read.parquet(base + "/_changes")
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq
+    assert(versions == Seq(7L), "every change row carries its commit version")
+  }
+
+  test("second-commit CDF: preimages reflect the pre-merge state, not the arriving batch (recacheByPath regression)") {
+    // the observed production bug: the sidecar appends land under the
+    // cached classification's read paths, CacheManager.recacheByPath
+    // RECOMPUTES the cache, and commit 2's "preimages" silently become
+    // the batch's own (post) values. Replay of EACH commit over its own
+    // pre-state is the law that catches it.
+    val base = stage("cdf_two_commits")
+    val o = Tables.orders(spark, sf)
+    val b1 = batch()
+    MergeOnRead.mergeUpsert(spark, base, b1, "o_orderkey", cdfVersion = Some(1L))
+    val afterC1 = MergeOnRead.readMerged(spark, base).localCheckpoint()
+    // commit 2 updates rows commit 1 INSERTED (the offset keys) — its
+    // preimages live in _mor files, the exact recache-corruption shape
+    val b2 = o.where(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    MergeOnRead.mergeUpsert(spark, base, b2, "o_orderkey", cdfVersion = Some(2L))
+    val cols = o.columns.toSeq
+    val ch = spark.read.parquet(base + "/_changes")
+      .filter(col("_commit_version") === 2L)
+    def pick(t: String) = ch.filter(col("_change_type") === t)
+      .select(cols.map(col): _*)
+    // commit-2 preimages must be the POST-COMMIT-1 rows at those keys —
+    // original prices, NOT the +5.0 batch values
+    val wantPre = afterC1.join(
+      b2.select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+    val gotPre = pick("update_preimage")
+    assert(gotPre.count() == wantPre.count() && wantPre.count() > 0)
+    assert(gotPre.exceptAll(wantPre).isEmpty && wantPre.exceptAll(gotPre).isEmpty,
+      "commit-2 preimages must carry pre-merge values, not the batch's")
+    // and the commit-2 feed replays over the post-commit-1 state
+    val replay = afterC1
+      .exceptAll(pick("update_preimage")).exceptAll(pick("delete"))
+      .unionByName(pick("update_postimage")).unionByName(pick("insert"))
+    val got = MergeOnRead.readMerged(spark, base)
+    assert(replay.exceptAll(got).isEmpty && got.exceptAll(replay).isEmpty)
+  }
+
+  test("second full-matrix MERGE classifies from the pre-merge state (existing sidecars)") {
+    val base = stage("full_two_commits")
+    val o = Tables.orders(spark, sf)
+    // commit 1: plain upsert grows _dv and _mor
+    MergeOnRead.mergeUpsert(spark, base, batch(), "o_orderkey")
+    val afterC1 = MergeOnRead.readMerged(spark, base).localCheckpoint()
+    // commit 2: full matrix whose update hits rows living in _mor ('M'
+    // rows written by commit 1) — a recache mid-merge would re-classify
+    val src = afterC1.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(3.0))
+      .localCheckpoint()
+    MergeOnRead.mergeFull(spark, base, src, "o_orderkey",
+      matchedUpdateCond = col("o_orderstatus").isin("M", "O"),
+      updateSet = Map("o_totalprice" -> col("__src_o_totalprice")),
+      matchedDeleteCond = col("o_orderstatus") === "P",
+      insertNotMatched = false,
+      notMatchedBySourceDeleteCond = lit(false))
+    val want = afterC1.where(col("o_orderkey") % 2 =!= 0
+        || !col("o_orderstatus").isin("M", "O", "P"))
+      .unionByName(afterC1.where(col("o_orderkey") % 2 === 0
+          && col("o_orderstatus").isin("M", "O"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(3.0)))
+    val got = MergeOnRead.readMerged(spark, base)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "a second merge must classify against the pre-merge live state")
+  }
+
+  test("full-matrix CDF: all four change types present and the feed replays the merge") {
+    val base = stage("cdf_full")
+    val pre = AtomicTable.read(spark, base)
+    val o = Tables.orders(spark, sf)
+    val src = o.where(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(7.0))
+      .unionByName(
+        o.where(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+          .withColumn("o_orderstatus", lit("X")))
+    MergeOnRead.mergeFull(spark, base, src, "o_orderkey",
+      matchedUpdateCond = col("o_orderstatus") === "F",
+      updateSet = Map(
+        "o_totalprice" -> col("__src_o_totalprice"),
+        "o_orderpriority" -> lit("1-UPDATED")),
+      matchedDeleteCond = col("o_orderstatus") === "P",
+      insertNotMatched = true,
+      notMatchedBySourceDeleteCond = col("o_orderkey") % 3 === 0,
+      cdfVersion = Some(1L))
+    val types = spark.read.parquet(base + "/_changes")
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("update_preimage", "update_postimage", "delete", "insert"),
+      s"the full matrix must emit all four Delta change types, got $types")
+    assertCdfReplays(base, pre)
+  }
+
   test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {
     val base = stage("noresurrect")
     val o = Tables.orders(spark, sf)
