@@ -75,6 +75,8 @@ object PlanDump {
     "table_changes" -> "change-data-feed read: one FileScan over batch-sized _changes files with a hash-agg on top - the table itself is never scanned; the feed was an O(batch) by-product of the MERGE's own classification",
     "table_clone" -> "shallow clone read: plain FileScan of the clone's version dir - the clone is hardlinks, so plan and cost are identical to reading the source version; no copy ever happened",
     "constrained_write" -> "CHECK-enforced write: violation counts ride the write job as observe metrics (CollectMetrics node over the scan) - zero extra passes; the refused commit never moves the pointer",
+    "merge_schema_evolution" -> "evolved merge read: footer-level mergeSchema + union with NULL backfill for pre-evolution rows - the widened projection is the only plan change, no data was ever rewritten",
+    "generated_columns" -> "generated-column read: plain scan of the stored table - generation ran once at write time (computed or observe-verified), queries pay nothing",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
     "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",

@@ -44,12 +44,20 @@ object MergeOnRead {
       .withColumn("__pos", col("_metadata.row_index"))
 
   /** Live rows with positions: (data ∪ mor) ANTI dv, `__path`/`__pos`
-    * still attached (internal — callers project them away). */
+    * still attached (internal — callers project them away). The `_mor`
+    * scan reconciles footers (`mergeSchema`) and the union tolerates
+    * missing columns, so a schema-EVOLVED merge batch
+    * ([[readMergedEvolved]]) never breaks old readers: [[readMerged]]
+    * projects the original columns, which every file still carries. */
   private def liveWithPos(s: SparkSession, base: String): DataFrame = {
     val data = scanWithPos(s, DeletionVectors.verDir(base))
     val all =
-      if (hasMor(base)) data.unionByName(scanWithPos(s, morPath(base)))
-      else data
+      if (hasMor(base)) {
+        val mor = s.read.option("mergeSchema", "true").parquet(morPath(base))
+          .withColumn("__path", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        data.unionByName(mor, allowMissingColumns = true)
+      } else data
     if (!DeletionVectors.hasDv(base)) all
     else {
       val dv = s.read.parquet(DeletionVectors.dvPath(base))
@@ -126,6 +134,39 @@ object MergeOnRead {
           .withColumn("_commit_version", lit(v))
           .coalesce(1).write.mode("append").parquet(changesPath(base))
     }
+  }
+
+  /** The merged table under SCHEMA EVOLUTION — the Delta
+    * `spark.databricks.delta.schema.autoMerge` MERGE shape: a batch may
+    * carry columns the table never had; they land in the `_mor` files
+    * as-is (parquet files are self-describing, so the sidecar needs no
+    * coordination), and THIS read surfaces the union schema — footer
+    * `mergeSchema` on each scan, `unionByName(allowMissingColumns)`
+    * across them — with NULLs for rows that predate each column, exactly
+    * Delta's backfill-free semantics. Old readers ([[readMerged]]) keep
+    * working: they project the original columns, which every file still
+    * carries. Cost note: `mergeSchema` reconciles FOOTERS (one metadata
+    * task per file), never data — at 100 TB the read plan is unchanged
+    * except for the widened projection. */
+  def readMergedEvolved(s: SparkSession, base: String): DataFrame = {
+    def scanned(dir: String): DataFrame =
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .withColumn("__path", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val data = scanned(DeletionVectors.verDir(base))
+    val all =
+      if (hasMor(base))
+        data.unionByName(scanned(morPath(base)), allowMissingColumns = true)
+      else data
+    val live =
+      if (!DeletionVectors.hasDv(base)) all
+      else {
+        val dv = s.read.parquet(DeletionVectors.dvPath(base))
+          .select(col("path").as("__path"), col("pos").as("__pos"))
+        all.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
+      }
+    val dataCols = live.columns.filterNot(_.startsWith("__")).map(col).toSeq
+    live.select(dataCols: _*)
   }
 
   /** Pay back the merge-on-read debt: publish the merged state as a fresh
@@ -371,6 +412,46 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
+  // ------------------------------------------------ schema-evolution query
+
+  private val evoMemo =
+    SessionCaches.memo[(SparkSession, String)]("merge_on_read.orders_evo")
+
+  /** orders with one schema-EVOLVING merge committed: every key ≡ 0 mod 4
+    * arrives re-priced (+1.00, exact) and carrying a column the table
+    * never had (`o_channel`, keyed deterministically off the order key). */
+  private[graft] def evoOrders(s: SparkSession, d: String): String =
+    evoMemo.getOrElseUpdate((s, d), {
+      val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_evo"
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/orders.parquet", "morevo-v1")
+      graft.util.SilverArtifact.stagedOnce(base, fp) {
+        AtomicTable.deleteRecursively(
+          java.nio.file.Paths.get(changesPath(base)))
+        AtomicTable.publish(base) { dir =>
+          Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
+        }
+        val o = Tables.orders(s, d)
+        val batch = o.where(col("o_orderkey") % 4 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .withColumn("o_channel",
+            when(col("o_orderkey") % 8 === 0, "web").otherwise("store"))
+        mergeUpsert(s, base, batch, "o_orderkey")
+      }
+      base
+    })
+
+  /** Aggregate over the union schema: merged rows carry their channel,
+    * pre-evolution rows read NULL (rendered 'none' so both engines order
+    * the groups identically). The same exact-cents discipline. */
+  def mergeSchemaEvolution(s: SparkSession, d: String): DataFrame =
+    readMergedEvolved(s, evoOrders(s, d))
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("o_channel"), lit("none")).as("o_channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("o_orderstatus", "o_channel")
+
   /** The `table_changes(...)` read over the full-matrix merge's CDF:
     * every change row the MERGE emitted, rolled up per (commit, type) —
     * all FOUR Delta change types present (update_preimage /
@@ -391,6 +472,7 @@ object MergeOnRead {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_mor" -> (mergeUpsertMor _),
     "merge_full"       -> (mergeFullMatrix _),
+    "merge_schema_evolution" -> (mergeSchemaEvolution _),
     "table_changes"    -> (tableChanges _)
   )
 
@@ -429,6 +511,22 @@ FROM (
   FROM orders WHERE o_orderkey % 19 = 0
 )
 GROUP BY 1 ORDER BY 1""",
+    // the evolving merge restated: key%4=0 rows re-priced with a channel,
+    // everything else untouched with channel 'none' (NULL rendered so both
+    // engines group and ORDER identically)
+    "merge_schema_evolution" -> """
+SELECT o_orderstatus, o_channel, count(*) AS n_rows,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 8 = 0 THEN 'web' ELSE 'store' END AS o_channel,
+         o_totalprice + 1.0 AS p
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderstatus, 'none', o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+GROUP BY 1, 2 ORDER BY 1, 2""",
     // the full-matrix CDF restated from source: updates are matched 'F'
     // rows (pre = original, post = source price = original+7); deletes
     // are matched 'P' rows plus unmatched key%3=0 rows at their original

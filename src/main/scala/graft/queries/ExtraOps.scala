@@ -447,6 +447,33 @@ SELECT count(*) AS n_orders,
        CAST(1 AS BIGINT) AS n_versions
 FROM orders"""
 
+  /** GENERATED columns ([[graft.util.AtomicTable.publishGenerated]] —
+    * Delta generated-column writes): `o_year` and `o_cents` are ABSENT
+    * from the incoming frame, so the write computes them from their
+    * generation expressions; the gate then aggregates THROUGH the stored
+    * generated columns — wrong or missing generation breaks grouping and
+    * sums alike. (The verify-on-supply path — a writer providing values
+    * that must match the generator — is spec-covered, including the
+    * refusal.) */
+  def generatedColumns(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_generated/${graft.util.PathKeys.safe(d)}/orders"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(base))
+    AtomicTable.publishGenerated(Tables.orders(s, d), base, Map(
+      "o_year"  -> year(col("o_orderdate")).cast("long"),
+      "o_cents" -> round(col("o_totalprice") * 100).cast("long")))
+    AtomicTable.read(s, base)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"), sum("o_cents").as("total_cents"))
+      .orderBy("o_year")
+  }
+
+  val generatedColumnsOracle: String = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1 ORDER BY 1"""
+
   /** Change-data-feed between two stored table versions: publish customer
     * twice through [[graft.util.AtomicTable]] (v2 = deletes at key%11=0,
     * segment updates at key%7=0, inserts at key+1000000 for key%13=0), then
@@ -880,6 +907,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "table_restore"     -> (tableRestore _),
     "table_clone"       -> (tableClone _),
     "constrained_write" -> (constrainedWrite _),
+    "generated_columns" -> (generatedColumns _),
     "version_diff"      -> (versionDiff _),
     "mv_cdc_refresh"    -> (mvCdcRefresh _),
     "gen_source_scan"   -> (genSourceScan _),
@@ -907,6 +935,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "table_restore"     -> tableRestoreOracle,
     "table_clone"       -> tableCloneOracle,
     "constrained_write" -> constrainedWriteOracle,
+    "generated_columns" -> generatedColumnsOracle,
     "version_diff"      -> versionDiffOracle,
     "mv_cdc_refresh"    -> mvCdcRefreshOracle,
     "gen_source_scan"   -> genSourceScanOracle,

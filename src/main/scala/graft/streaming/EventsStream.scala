@@ -931,6 +931,74 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW maintenance driven by the streaming
+    * change feed — the composition the whole CDF tier exists for: a
+    * per-status aggregate MV is seeded from the PRE-MERGE table, then
+    * each micro-batch of `_changes` (one merge commit per trigger)
+    * folds in as algebraic deltas — `update_preimage`/`delete` retract
+    * (−1, −cents), `update_postimage`/`insert` add — and the refreshed
+    * MV publishes through [[graft.util.AtomicTable.publishIdempotent]]
+    * under the batch id, so a restarted maintainer can never
+    * double-apply a commit. Refresh cost is ∝ |changes| + |MV|, never
+    * ∝ |table| (the batch `mv_cdc_refresh` argument, now with the feed,
+    * the delivery, and the exactly-once sink all real). The gate: the
+    * final MV must land EXACTLY on the merged table's aggregate — it
+    * shares `merge_upsert_mor`'s oracle, proving feed-maintained ≡
+    * recomputed. */
+  def mvFromChangesStream(s0: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = graft.ops.MergeOnRead.morOrders(s0, d)
+    val dir = graft.ops.MergeOnRead.changesPath(base)
+    val s = streamSession(s0)
+    val mvDir =
+      s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/mv_from_cdf"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(mvDir))
+    // seed: the MV over the table as of the initial publish (v1 data
+    // files — the merges changed only sidecars, so this is the pre-merge
+    // state, exactly where the change feed picks up)
+    AtomicTable.overwrite(
+      AtomicTable.read(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .coalesce(1),
+      mvDir, keep = 2)
+    val schema = s.read.parquet(dir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        val deltas = batch.withColumn("sign",
+            when(col("_change_type").isin("update_preimage", "delete"), -1L)
+              .otherwise(1L))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("sign")).as("dn"),
+            sum(col("sign") * round(col("o_totalprice") * 100).cast("long"))
+              .as("dcents"))
+        // no recache hazard here: deltas read only the micro-batch's CDF
+        // files, and the MV read inside the staged write resolves the
+        // CURRENT version path eagerly — the write targets a different,
+        // not-yet-published directory
+        AtomicTable.publishIdempotent(mvDir, "mv_maintainer", id, keep = 2) {
+          out =>
+            AtomicTable.read(ss, mvDir)
+              .join(deltas, Seq("o_orderstatus"), "full_outer")
+              .select(col("o_orderstatus"),
+                (coalesce(col("n_orders"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n_orders"),
+                (coalesce(col("total_cents"), lit(0L)) +
+                  coalesce(col("dcents"), lit(0L))).as("total_cents"))
+              .filter(col("n_orders") > 0L)
+              .coalesce(1).write.mode("overwrite").parquet(out)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    AtomicTable.read(s, mvDir).orderBy("o_orderstatus")
+  }
+
   /** EXACTLY-ONCE streaming ingestion into the versioned store — the
     * Delta idempotent-`foreachBatch` pattern ([[graft.util.AtomicTable
     * .publishIdempotent]] is the `txnAppId`/`txnVersion` contract): each
@@ -1027,6 +1095,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_table_changes"   -> (tableChangesStream _),
+    "stream_mv_from_changes" -> (mvFromChangesStream _),
     "stream_exactly_once"    -> (exactlyOnceIngest _),
     "stream_minhash_dedup"   -> (minhashDedupStream _),
     "stream_ann_serve"       -> (annServeStream _),
@@ -1051,6 +1120,9 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     // streaming serving must equal the batch PQ result — shared oracle
     "stream_ann_serve"       -> graft.ops.Similarity.annPqOracle,
     "stream_table_changes"   -> tableChangesStreamOracle,
+    // feed-maintained MV ≡ the merged table's aggregate: shares the
+    // merge_upsert_mor restatement verbatim
+    "stream_mv_from_changes" -> graft.ops.MergeOnRead.oracleSql("merge_upsert_mor"),
     "stream_exactly_once"    -> exactlyOnceIngestOracle,
     "stream_minhash_dedup"   -> graft.ops.Dedup.minhashIncrementalOracle(),
     "stream_corpus_filter"   -> corpusFilterStreamOracle,

@@ -648,6 +648,29 @@ object AtomicTable {
     }
   }
 
+  /** GENERATED columns — Delta generated-column write semantics: each
+    * entry of `gens` maps a column name to its generation expression over
+    * the other columns. A column ABSENT from `df` is COMPUTED at write
+    * time; a column the writer SUPPLIES is VERIFIED instead — every row
+    * must null-safely equal its generation expression (Delta refuses
+    * writes whose explicit values disagree with the generator).
+    * Verification rides the write job's observe metrics via
+    * [[publishChecked]] (constraint names `generated_<col>`), so neither
+    * path costs an extra pass over the data. */
+  def publishGenerated(df: DataFrame, base: String,
+      gens: Map[String, org.apache.spark.sql.Column], keep: Int = 1): Unit = {
+    require(gens.nonEmpty, "publishGenerated needs at least one generated column")
+    val present = df.columns.toSet
+    val (verify, compute) = gens.partition { case (n, _) => present(n) }
+    val widened = compute.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+    if (verify.isEmpty)
+      publish(base, keep)(widened.write.mode("overwrite").parquet(_))
+    else publishChecked(widened, base,
+      verify.map { case (n, e) =>
+        s"generated_$n" -> (org.apache.spark.sql.functions.col(n) <=> e)
+      }, keep)
+  }
+
   /** IDEMPOTENT publish — the Delta `txnAppId`/`txnVersion` writer
     * contract that makes `foreachBatch` sinks EXACTLY-ONCE across
     * restarts: each writer app commits monotonically increasing

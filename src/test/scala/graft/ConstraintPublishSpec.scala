@@ -71,4 +71,26 @@ class ConstraintPublishSpec extends AnyFunSuite {
       Map("pos" -> (col("x") > 0)))
     assert(AtomicTable.read(spark, base).count() == 0)
   }
+
+  test("generated columns: absent computes, correct-supplied passes, wrong-supplied refused") {
+    import spark.implicits._
+    val gens = Map("y" -> (col("x") * 2))
+    // absent → computed at write
+    val base = freshBase()
+    AtomicTable.publishGenerated(Seq(1, 2, 3).toDF("x"), base, gens)
+    val got = AtomicTable.read(spark, base).orderBy("x")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 2), (2, 4), (3, 6)))
+    // supplied and consistent → verified, commits
+    AtomicTable.publishGenerated(
+      Seq((4, 8), (5, 10)).toDF("x", "y"), base, gens)
+    assert(AtomicTable.read(spark, base).count() == 2)
+    // supplied but disagreeing with the generator → refused, untouched
+    val e = intercept[AtomicTable.ConstraintViolationException] {
+      AtomicTable.publishGenerated(
+        Seq((6, 12), (7, 99)).toDF("x", "y"), base, gens)
+    }
+    assert(e.counts == Map("generated_y" -> 1L))
+    assert(AtomicTable.read(spark, base).count() == 2)
+  }
 }

@@ -265,6 +265,30 @@ class MergeOnReadSpec extends AnyFunSuite {
     assertCdfReplays(base, pre)
   }
 
+  test("schema-evolving merge: union schema with NULL backfill, old readers keep working") {
+    val base = stage("evolve")
+    val o = Tables.orders(spark, sf)
+    val batch = o.where(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 8 === 0, "web").otherwise("store"))
+    MergeOnRead.mergeUpsert(spark, base, batch, "o_orderkey")
+    val evolved = MergeOnRead.readMergedEvolved(spark, base)
+    assert(evolved.columns.contains("o_channel"),
+      "the evolved read must surface the batch's new column")
+    // merged rows carry their channel; pre-evolution rows read NULL
+    val n4 = o.where(col("o_orderkey") % 4 === 0).count()
+    assert(evolved.where(col("o_channel").isNotNull).count() == n4)
+    assert(evolved.where(col("o_channel").isNull).count() ==
+      o.count() - n4, "pre-evolution rows must backfill as NULL")
+    assert(evolved.where(col("o_channel") === "web").count() ==
+      o.where(col("o_orderkey") % 8 === 0).count())
+    // an OLD reader projecting the original schema still works
+    val old = MergeOnRead.readMerged(spark, base)
+    assert(old.columns.toSeq == o.columns.toSeq)
+    assert(old.count() == o.count())
+  }
+
   test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {
     val base = stage("noresurrect")
     val o = Tables.orders(spark, sf)
