@@ -50,6 +50,7 @@ object Bench {
       graft.ops.DeletionVectors.dvPrunedOrders(spark, sfDir)
       graft.ops.MergeOnRead.morOrders(spark, sfDir)
       graft.ops.MergeOnRead.fullOrders(spark, sfDir)
+      graft.ops.MergeOnRead.evoOrders(spark, sfDir)
       graft.ops.InvertedIndex.indexTable(spark, sfDir).count()
       graft.ops.DataSkipping.zorderedLineitem(spark, sfDir)
       graft.ops.DataSkipping.dateClusteredOrders(spark, sfDir)

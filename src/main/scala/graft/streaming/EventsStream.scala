@@ -1020,14 +1020,13 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
       val q = eventsStream(s0, d).writeStream
         .outputMode(OutputMode.Append)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          AtomicTable.publishIdempotent(tableDir, "events_ingest", id,
-            keep = 2) { dir =>
-            val merged =
-              if (AtomicTable.exists(tableDir))
-                AtomicTable.read(batch.sparkSession, tableDir).unionByName(batch)
-              else batch
-            merged.coalesce(4).write.mode("overwrite").parquet(dir)
-          }
+          // O(batch) exactly-once append: prior files hardlink into the
+          // new version (metadata-only), only the batch's files write —
+          // a 100 TB table takes a micro-batch at batch cost, never a
+          // union-rewrite
+          AtomicTable.appendIdempotent(tableDir, "events_ingest", id,
+            keep = 2)(dir =>
+            batch.coalesce(4).write.mode("append").parquet(dir))
           ()
         }
         .start()

@@ -671,6 +671,31 @@ object AtomicTable {
       }, keep)
   }
 
+  /** O(batch) APPEND as a version publish: the staged directory first
+    * HARDLINKS every file of the current version (metadata-only, like a
+    * Delta append commit re-listing prior files in the log), then `write`
+    * adds ONLY the batch's files alongside (Spark part-file names carry a
+    * task UUID, so links and new files never collide). A 100 TB table
+    * takes a micro-batch append at the cost of the batch plus one
+    * directory listing — never a table rewrite — while keeping the full
+    * versioned-commit semantics (atomic swap, retention, time travel).
+    * On an empty table this is just a first publish. Writers must use
+    * `mode("append")` so the pre-linked files survive the Spark write. */
+  def publishAppend(base: String, keep: Int = 1)(write: String => Unit): Unit =
+    publish(base, keep) { dir =>
+      resolve(base).foreach(cur => linkFilesInto(Paths.get(cur), dir))
+      write(dir)
+    }
+
+  /** [[publishAppend]] under an idempotent-writer transaction
+    * ([[publishIdempotent]]) — the exactly-once streaming APPEND sink. */
+  def appendIdempotent(base: String, appId: String, txnVersion: Long,
+      keep: Int = 1)(write: String => Unit): Boolean =
+    publishIdempotent(base, appId, txnVersion, keep) { dir =>
+      resolve(base).foreach(cur => linkFilesInto(Paths.get(cur), dir))
+      write(dir)
+    }
+
   /** IDEMPOTENT publish — the Delta `txnAppId`/`txnVersion` writer
     * contract that makes `foreachBatch` sinks EXACTLY-ONCE across
     * restarts: each writer app commits monotonically increasing

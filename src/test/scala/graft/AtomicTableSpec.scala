@@ -272,6 +272,28 @@ class AtomicTableSpec extends AnyFunSuite {
     }
   }
 
+  test("publishAppend: prior files hardlink into the new version, only the batch writes") {
+    val base = freshBase()
+    AtomicTable.publishAppend(base, keep = 2)(d =>
+      df(3).coalesce(1).write.mode("append").parquet(d))
+    assert(AtomicTable.read(spark, base).count() == 3)
+    AtomicTable.publishAppend(base, keep = 2)(d =>
+      df(4).coalesce(1).write.mode("append").parquet(d))
+    assert(AtomicTable.read(spark, base).count() == 7,
+      "append must accumulate, not replace")
+    // time travel still sees the pre-append state
+    val Seq(v1, v2) = AtomicTable.history(base)
+    assert(AtomicTable.readVersion(spark, base, v1).count() == 3)
+    // v1's parquet files were hardlinked into v2, not copied or rewritten
+    val v1p = Paths.get(base, v1)
+    val carried = Files.list(v1p).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(carried.nonEmpty)
+    assert(carried.forall(p =>
+      Files.isSameFile(p, Paths.get(base, v2, p.getFileName.toString))),
+      "append must carry prior files by hardlink (same inode)")
+  }
+
   test("idempotent publish: replays skip, watermarks commit atomically and survive ordinary publishes") {
     val base = freshBase()
     def pub(v: Long, rows: Int, app: String = "app") =
