@@ -118,7 +118,15 @@ object GraftFunctions {
     * (createOrReplaceTempFunction on an existing name logs a "replaced a
     * previously registered function" WARN per name per call, which turned
     * every bench/verify log into noise; the builders are identical — the
-    * same [[defs]] table — so skipping is equivalent). */
+    * same [[defs]] table — so skipping is equivalent).
+    *
+    * ASSUMPTION the skip rests on: within this engine only [[defs]] ever
+    * registers these nine names, so "already present" implies "ours". An
+    * embedding application that registered a FOREIGN function under one
+    * of these names before graft initializes would be silently kept and
+    * graft queries would run its semantics — if that integration ever
+    * matters, replace the existence check with an ownership marker
+    * (register a sentinel function and test for it). */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
     defs.foreach { case (name, _, builder) =>

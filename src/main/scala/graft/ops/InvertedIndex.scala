@@ -77,7 +77,9 @@ object InvertedIndex {
   /** The phrase join over an arbitrary postings frame — shared by the
     * stored-index path and the incremental stored∪batch path. */
   private def phraseOver(idx: DataFrame, phrase: String): DataFrame = {
-    val terms = phrase.split(" ").toSeq
+    // split(" ") of "" is Array("") — filter so a blank phrase actually
+    // trips the guard instead of running a vacuous term="" scan
+    val terms = phrase.split(" ").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
     val anchor = idx.filter(col("term") === terms.head)
       .select(col("doc_id"), col("pos"))

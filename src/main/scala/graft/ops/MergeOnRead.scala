@@ -118,16 +118,21 @@ object MergeOnRead {
         // recache to match), and it is batch-sized: the matched-live
         // frame is the broadcast-key join's output, never the table.
         val pinned = matchedLive.localCheckpoint()
+        // the batch pins too: a TABLE-DERIVED batch (built from
+        // readMerged) would otherwise re-evaluate over the grown sidecars
+        // when the post/insert change rows run after the appends below —
+        // the same recache hazard, one frame over
+        val bpin = batch.localCheckpoint()
         dvAppend(pinned)
-        batch.coalesce(1).write.mode("append").parquet(morPath(base))
+        bpin.coalesce(1).write.mode("append").parquet(morPath(base))
         val tcols = AtomicTable.read(s, base).columns.toSeq
         val matchedKeys = pinned.select(col(keyCol)).distinct()
         val pre = pinned.select(tcols.map(col): _*)
           .withColumn("_change_type", lit("update_preimage"))
-        val post = batch.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
+        val post = bpin.join(broadcast(matchedKeys), Seq(keyCol), "left_semi")
           .select(tcols.map(col): _*)
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = batch.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+        val ins = bpin.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
           .select(tcols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
         pre.unionByName(post).unionByName(ins)

@@ -267,13 +267,20 @@ object AtomicTable {
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       // lineage append — rewritten whole + atomic move under the commit
       // lock (metadata only; a crash here costs time-travel history,
-      // never the live table)
+      // never the live table). The log is the PUBLISHED SET: re-committing
+      // an already-logged version (a snapshot-refresh retry, or
+      // restoreSnapshot re-pointing members at historical versions) must
+      // not append a duplicate line — a duplicate would shrink
+      // pruneLocked's takeRight(keep) retention tail and prematurely
+      // prune the previous version out from under the keep contract.
       val logPath = root.resolve(Log)
       val prevLog = if (Files.exists(logPath)) Files.readString(logPath) else ""
-      val logTmp = root.resolve(Log + ".tmp")
-      Files.writeString(logTmp, prevLog + name + "\n")
-      Files.move(logTmp, logPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      if (!prevLog.linesIterator.map(_.trim).contains(name)) {
+        val logTmp = root.resolve(Log + ".tmp")
+        Files.writeString(logTmp, prevLog + name + "\n")
+        Files.move(logTmp, logPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
       // only after the new version is live: prune published versions that
       // aged out of the retention tail (in the log — immutable, never
       // in-flight), and unpublished dirs only once older than OrphanTtlMs
@@ -489,7 +496,18 @@ object AtomicTable {
     val entries = resolveSnapshotAt(root, id).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $id is not in the retained history of $root"))
-    commitSnapshot(root, entries.toSeq.sortBy(_._1), keep)
+    val sorted = entries.toSeq.sortBy(_._1)
+    val newId = commitSnapshot(root, sorted, keep)
+    // commitSnapshot's compatibility refresh is deliberately
+    // forward-only (commitVersionIfNewer — an overlapping ordinary
+    // reload must never regress a pointer), so for a RESTORE the member
+    // `_CURRENT`s must be rolled BACK explicitly through the
+    // last-write-wins commit: without this, per-table readers would keep
+    // serving the bad-deploy versions forever while snapshot readers see
+    // the restored state — a permanent split-brain. Re-pointing at an
+    // already-logged version appends no duplicate lineage line.
+    Par.blockingMap(sorted) { case (t, v) => commitVersion(s"$root/$t", v, keep) }
+    newId
   }
 
   /** The table → version map of a retained historical snapshot. */
@@ -562,23 +580,33 @@ object AtomicTable {
   def restore(base: String, version: String, keep: Int = 2): Unit = {
     require(history(base).contains(version),
       s"version $version is not in the published, still-retained history of $base")
+    requireRelocatable(Paths.get(base, version), "restore")
     publish(base, keep)(linkFilesInto(Paths.get(base, version), _))
   }
 
-  /** Hardlink every regular file of `src` into `dstDir` (copy where the
-    * filesystem refuses links) — the zero-copy primitive behind
-    * [[restore]] and [[cloneTable]]. Version directories are immutable
-    * once published, so shared inodes can never see a write; pruning one
-    * side deletes only its own directory entries. */
+  /** Hardlink every regular file of `src` into `dstDir`, RECURSING into
+    * subdirectories (copy where the filesystem refuses links) — the
+    * zero-copy primitive behind [[restore]], [[cloneTable]] and
+    * [[publishAppend]]. Recursion matters: a version directory may carry
+    * `_dv`/`_mor` merge sidecars INSIDE it, and a restore/clone/append
+    * that linked only the top level would silently serve the PRE-merge
+    * state (deleted rows resurrected, merged batches lost). Version
+    * directories are immutable once published, so shared inodes can
+    * never see a write; pruning one side deletes only its own directory
+    * entries. */
   private def linkFilesInto(src: Path, dstDir: String): Unit = {
     val files = Files.list(src)
-    val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
-                finally files.close()
-    names.filter(n => Files.isRegularFile(src.resolve(n))).foreach { n =>
-      val to = Paths.get(dstDir, n)
-      try Files.createLink(to, src.resolve(n))
-      catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        Files.copy(src.resolve(n), to) }
+    val entries = try files.iterator().asScala.toSeq finally files.close()
+    entries.foreach { p =>
+      val to = Paths.get(dstDir, p.getFileName.toString)
+      if (Files.isDirectory(p)) {
+        Files.createDirectories(to)
+        linkFilesInto(p, to.toString)
+      } else if (Files.isRegularFile(p)) {
+        try Files.createLink(to, p)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(p, to) }
+      }
     }
   }
 
@@ -595,6 +623,7 @@ object AtomicTable {
   def cloneTable(src: String, dst: String, keep: Int = 1): Unit = {
     val from = resolve(src).getOrElse(
       throw new IllegalStateException(s"no published version at $src to clone"))
+    requireRelocatable(Paths.get(from), "cloneTable")
     require(!exists(dst), s"clone target $dst already has a published version")
     publish(dst, keep)(linkFilesInto(Paths.get(from), _))
   }
@@ -636,11 +665,7 @@ object AtomicTable {
     else {
       // refuse: drop the staged dir eagerly (it would otherwise linger
       // until the orphan TTL); the pointer was never touched
-      val root = Paths.get(base)
-      try {
-        deleteRecursively(root.resolve(name))
-        Files.deleteIfExists(root.resolve(name + "._claim"))
-      } catch { case _: java.io.IOException => () }
+      discardStagedLocked(base, name)
       throw new ConstraintViolationException(
         bad.map { case (n, c) => s"$n: $c rows" }
           .mkString(s"CHECK constraint(s) violated publishing to $base: ", ", ", ""),
@@ -671,6 +696,25 @@ object AtomicTable {
       }, keep)
   }
 
+  /** Sidecar directories keyed by ABSOLUTE file path — positional
+    * deletes/merges (`_dv`/`_dvbm`/`_mor`) and zone-map stats (`_skip`).
+    * Relocating a version by hardlink gives its files NEW paths, which
+    * silently invalidates every one of these (deletes resurrect, merged
+    * batches vanish, skipping joins go empty), so the relocating verbs
+    * refuse instead and point at compaction. */
+  private val PathKeyedSidecars = Seq("_dv", "_dvbm", "_mor", "_skip")
+
+  private def requireRelocatable(verDir: Path, verb: String): Unit = {
+    val live = PathKeyedSidecars.filter(n => Files.isDirectory(verDir.resolve(n)))
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"$verb would relocate version $verDir, which carries path-keyed " +
+        s"sidecars ${live.mkString(", ")}; their absolute-file-path keys do " +
+        "not survive relocation (deleted rows would silently resurrect, " +
+        "merged batches vanish, skipping stats go stale) — compact first " +
+        "(MergeOnRead.compactMerged / DeletionVectors.compactDeletes, or " +
+        "rewrite with fresh stats) and retry")
+  }
+
   /** O(batch) APPEND as a version publish: the staged directory first
     * HARDLINKS every file of the current version (metadata-only, like a
     * Delta append commit re-listing prior files in the log), then `write`
@@ -680,21 +724,83 @@ object AtomicTable {
     * directory listing — never a table rewrite — while keeping the full
     * versioned-commit semantics (atomic swap, retention, time travel).
     * On an empty table this is just a first publish. Writers must use
-    * `mode("append")` so the pre-linked files survive the Spark write. */
-  def publishAppend(base: String, keep: Int = 1)(write: String => Unit): Unit =
-    publish(base, keep) { dir =>
-      resolve(base).foreach(cur => linkFilesInto(Paths.get(cur), dir))
-      write(dir)
+    * `mode("append")` so the pre-linked files survive the Spark write.
+    *
+    * Appends are OPTIMISTIC about concurrent writers: the base version is
+    * resolved before staging, and the commit re-checks it under the lock —
+    * if another commit landed in between, the staged candidate (which
+    * linked the superseded version and would silently LOSE that commit's
+    * rows) is discarded and the whole append retries against the new
+    * current. Exactly the transactional formats' optimistic-concurrency
+    * loop for append-vs-append conflicts. */
+  def publishAppend(base: String, keep: Int = 1)(write: String => Unit): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"publishAppend lost the optimistic append race 10 times at $base")
+      val cur = resolve(base)
+      cur.foreach(c => requireRelocatable(Paths.get(c), "publishAppend"))
+      val name = stageVersion(base) { dir =>
+        cur.foreach(c => linkFilesInto(Paths.get(c), dir))
+        write(dir)
+      }
+      withCommitLock(Paths.get(base)) {
+        if (resolve(base) == cur) {
+          commitVersionLocked(base, name, keep)
+          committed = true
+        } else discardStagedLocked(base, name)
+      }
     }
+  }
 
   /** [[publishAppend]] under an idempotent-writer transaction
-    * ([[publishIdempotent]]) — the exactly-once streaming APPEND sink. */
+    * ([[publishIdempotent]]) — the exactly-once streaming APPEND sink.
+    * Both checks re-run under the commit lock: a replayed transaction
+    * skips, a lost append race retries. */
   def appendIdempotent(base: String, appId: String, txnVersion: Long,
-      keep: Int = 1)(write: String => Unit): Boolean =
-    publishIdempotent(base, appId, txnVersion, keep) { dir =>
-      resolve(base).foreach(cur => linkFilesInto(Paths.get(cur), dir))
-      write(dir)
+      keep: Int = 1)(write: String => Unit): Boolean = {
+    require(keep >= 1, "must keep at least the current version")
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      "appId must be non-empty and whitespace-free (it lives in the pointer file)")
+    var attempts = 0
+    var result: Option[Boolean] = None
+    while (result.isEmpty) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"appendIdempotent lost the optimistic append race 10 times at $base")
+      if (txnLatest(base, appId).exists(_ >= txnVersion)) result = Some(false)
+      else {
+        val cur = resolve(base)
+        cur.foreach(c => requireRelocatable(Paths.get(c), "appendIdempotent"))
+        val name = stageVersion(base) { dir =>
+          cur.foreach(c => linkFilesInto(Paths.get(c), dir))
+          write(dir)
+        }
+        withCommitLock(Paths.get(base)) {
+          if (txnLatest(base, appId).exists(_ >= txnVersion)) {
+            discardStagedLocked(base, name)
+            result = Some(false)
+          } else if (resolve(base) == cur) {
+            commitVersionLocked(base, name, keep, txn = Some(appId -> txnVersion))
+            result = Some(true)
+          } else discardStagedLocked(base, name) // lost the race: retry
+        }
+      }
     }
+    result.get
+  }
+
+  /** Drop a staged-but-unwanted version directory eagerly (it would
+    * otherwise linger until the orphan TTL). Best-effort cleanup. */
+  private def discardStagedLocked(base: String, name: String): Unit = {
+    val root = Paths.get(base)
+    try {
+      deleteRecursively(root.resolve(name))
+      Files.deleteIfExists(root.resolve(name + "._claim"))
+    } catch { case _: java.io.IOException => () }
+  }
 
   /** IDEMPOTENT publish — the Delta `txnAppId`/`txnVersion` writer
     * contract that makes `foreachBatch` sinks EXACTLY-ONCE across
@@ -718,11 +824,7 @@ object AtomicTable {
     val name = stageVersion(base)(write)
     withCommitLock(Paths.get(base)) {
       if (txnLatest(base, appId).exists(_ >= txnVersion)) {
-        val root = Paths.get(base)
-        try {
-          deleteRecursively(root.resolve(name))
-          Files.deleteIfExists(root.resolve(name + "._claim"))
-        } catch { case _: java.io.IOException => () }
+        discardStagedLocked(base, name)
         false
       } else {
         commitVersionLocked(base, name, keep, txn = Some(appId -> txnVersion))

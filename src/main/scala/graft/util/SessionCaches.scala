@@ -66,7 +66,12 @@ object SessionCaches {
         if (k.productElement(0).asInstanceOf[AnyRef] eq s)
           m.remove(k).foreach { v =>
             v match { case df: DataFrame => df.unpersist(); case _ => () }
-            buildLocks.remove(k)
+            // the build lock is deliberately NOT removed: a racer already
+            // inside lock.synchronized would otherwise be invisible to a
+            // post-evict caller minting a fresh lock, and the two would
+            // double-build (re-opening the dropped-persisted-DataFrame
+            // leak the lock exists to prevent). Locks are bare Objects —
+            // one per distinct key ever built, bounded and tiny.
             n += 1
           }
       }

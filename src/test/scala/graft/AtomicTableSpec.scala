@@ -294,6 +294,26 @@ class AtomicTableSpec extends AnyFunSuite {
       "append must carry prior files by hardlink (same inode)")
   }
 
+  test("publishAppend retries when a concurrent commit lands mid-stage (no lost batch)") {
+    val base = freshBase()
+    AtomicTable.overwrite(df(3), base, keep = 3)
+    // the competing writer fires from INSIDE the first staging attempt —
+    // deterministic stand-in for a concurrent committer racing the
+    // resolve-link-commit window
+    val competed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    AtomicTable.publishAppend(base, keep = 3) { dir =>
+      if (competed.compareAndSet(false, true))
+        AtomicTable.publishAppend(base, keep = 3)(d =>
+          df(5).coalesce(1).write.mode("append").parquet(d))
+      df(2).coalesce(1).write.mode("append").parquet(dir)
+    }
+    // first attempt linked the pre-compete version and must have been
+    // DISCARDED; the retry linked the competing commit's version, so the
+    // final table carries base + competing batch + our batch
+    assert(AtomicTable.read(spark, base).count() == 3 + 5 + 2,
+      "a commit landing mid-append must not be lost")
+  }
+
   test("idempotent publish: replays skip, watermarks commit atomically and survive ordinary publishes") {
     val base = freshBase()
     def pub(v: Long, rows: Int, app: String = "app") =

@@ -239,6 +239,40 @@ class MergeOnReadSpec extends AnyFunSuite {
       "a second merge must classify against the pre-merge live state")
   }
 
+  test("CDF with a TABLE-DERIVED batch: postimages carry the batch's values, not a re-read") {
+    // the reviewer scenario for the batch-side recache hazard: the batch
+    // itself derives from readMerged, so an unpinned batch would
+    // re-evaluate over the grown sidecars mid-merge (postimages doubling
+    // the delta, or rows vanishing into the DV)
+    val base = stage("cdf_tablebatch")
+    val o = Tables.orders(spark, sf)
+    MergeOnRead.mergeUpsert(spark, base, batch(), "o_orderkey") // grow sidecars
+    val preState = MergeOnRead.readMerged(spark, base).localCheckpoint()
+    val tableBatch = MergeOnRead.readMerged(spark, base)
+      .where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    MergeOnRead.mergeUpsert(spark, base, tableBatch, "o_orderkey",
+      cdfVersion = Some(1L))
+    val cols = o.columns.toSeq
+    val ch = spark.read.parquet(base + "/_changes")
+    def pick(t: String) = ch.filter(col("_change_type") === t)
+      .select(cols.map(col): _*)
+    // postimage prices must be pre-state + 5.0 exactly (a re-read after
+    // the merge's own appends would compute +10.0 or lose rows)
+    val wantPost = preState.where(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    val gotPost = pick("update_postimage")
+    assert(gotPost.count() == wantPost.count() && wantPost.count() > 0)
+    assert(gotPost.exceptAll(wantPost).isEmpty && wantPost.exceptAll(gotPost).isEmpty,
+      "postimages must be the batch's values as of the PRE-merge state")
+    // and the full replay law holds over the pre-state
+    val replay = preState
+      .exceptAll(pick("update_preimage")).exceptAll(pick("delete"))
+      .unionByName(pick("update_postimage")).unionByName(pick("insert"))
+    val got = MergeOnRead.readMerged(spark, base)
+    assert(replay.exceptAll(got).isEmpty && got.exceptAll(replay).isEmpty)
+  }
+
   test("full-matrix CDF: all four change types present and the feed replays the merge") {
     val base = stage("cdf_full")
     val pre = AtomicTable.read(spark, base)
@@ -287,6 +321,29 @@ class MergeOnReadSpec extends AnyFunSuite {
     val old = MergeOnRead.readMerged(spark, base)
     assert(old.columns.toSeq == o.columns.toSeq)
     assert(old.count() == o.count())
+  }
+
+  test("relocation verbs refuse on live path-keyed sidecars; after compaction they work and keep the merged state") {
+    val base = stage("relocate")
+    MergeOnRead.mergeUpsert(spark, base, batch(), "o_orderkey")
+    val merged = MergeOnRead.readMerged(spark, base).localCheckpoint()
+    // a hardlink relocation would give the data files NEW paths while the
+    // _dv/_mor sidecars still key the OLD ones — deletes would silently
+    // resurrect. The verbs must refuse loudly instead.
+    val cloneDst = base + "_clone"
+    AtomicTable.deleteRecursively(Paths.get(cloneDst)) // stale from prior runs
+    intercept[IllegalStateException] { AtomicTable.cloneTable(base, cloneDst) }
+    intercept[IllegalStateException] {
+      AtomicTable.publishAppend(base)(d =>
+        Tables.orders(spark, sf).limit(1).write.mode("append").parquet(d))
+    }
+    // compaction pays the debt; the relocation then carries the true state
+    MergeOnRead.compactMerged(spark, base)
+    AtomicTable.cloneTable(base, cloneDst)
+    val got = AtomicTable.read(spark, cloneDst)
+    assert(got.count() == merged.count())
+    assert(got.exceptAll(merged).isEmpty && merged.exceptAll(got).isEmpty,
+      "the post-compaction clone must equal the merged state")
   }
 
   test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {

@@ -217,6 +217,16 @@ class SnapshotCommitSpec extends AnyFunSuite {
       "restoreSnapshot must not create or delete version directories")
     // the LIVE snapshot is epoch 1 again; the bad epoch 2 stays in history
     assert(epochsVia(root) == Set(1))
+    // and the PER-TABLE pointers rolled back too: a plain AtomicTable.read
+    // of each member must serve the restored epoch, not the bad deploy —
+    // the forward-only compat refresh alone would leave a permanent
+    // split-brain between snapshot readers and per-table readers
+    members.foreach { rel =>
+      val got = AtomicTable.read(spark, s"$root/$rel")
+        .select("epoch").distinct().collect().map(_.getInt(0)).toSet
+      assert(got == Set(1),
+        s"per-table read of $rel must follow the restore, got epochs $got")
+    }
     val snaps = AtomicTable.snapshotHistory(root)
     assert(snaps.contains(sn3) && snaps.size >= 2)
     // further member maintenance must not break the restored read
