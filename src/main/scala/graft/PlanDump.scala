@@ -74,6 +74,7 @@ object PlanDump {
     "merge_full" -> "full MERGE matrix read path: same DV broadcast anti-join + data+_mor union as merge_upsert_mor; the merge WRITE classified matched/not-matched-by-source in one broadcast-source pass",
     "table_changes" -> "change-data-feed read: one FileScan over batch-sized _changes files with a hash-agg on top - the table itself is never scanned; the feed was an O(batch) by-product of the MERGE's own classification",
     "table_clone" -> "shallow clone read: plain FileScan of the clone's version dir - the clone is hardlinks, so plan and cost are identical to reading the source version; no copy ever happened",
+    "table_clone_merged" -> "merged-clone read: same DV broadcast anti-join + data+_mor union as the source table - filename-keyed positions survived the relocation, so the plan is byte-for-byte the merged read, just over linked inodes",
     "constrained_write" -> "CHECK-enforced write: violation counts ride the write job as observe metrics (CollectMetrics node over the scan) - zero extra passes; the refused commit never moves the pointer",
     "merge_schema_evolution" -> "evolved merge read: footer-level mergeSchema + union with NULL backfill for pre-evolution rows - the widened projection is the only plan change, no data was ever rewritten",
     "generated_columns" -> "generated-column read: plain scan of the stored table - generation ran once at write time (computed or observe-verified), queries pay nothing",

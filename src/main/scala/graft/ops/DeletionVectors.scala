@@ -29,7 +29,8 @@ import graft.util.{AtomicTable, PathKeys, SessionCaches}
   *    the positions compress into a per-file range-RLE BITMAP
   *    ([[graft.functions.RleBitmap]], one BinaryType value per file,
   *    16 bytes per run — a dropped partition is ONE run) attached to
-  *    the scan by a broadcast metadata join on file path and applied as
+  *    the scan by a broadcast metadata join on file NAME (the
+  *    relocation-stable identity every sidecar keys) and applied as
   *    a codegen'd FILTER on `_metadata.row_index`, never an anti-join.
   *    Bitmaps are (re)encoded at DELETE time into a `_dvbm` sidecar, so
   *    readers just apply them.
@@ -68,18 +69,24 @@ object DeletionVectors {
   /** Record (do not rewrite): append the physical positions of rows
     * matching `pred` to the current version's deletion vector, then
     * re-encode the bitmap sidecar for any file whose position count now
-    * exceeds [[BitmapThresholdPositions]]. */
+    * exceeds [[BitmapThresholdPositions]].
+    *
+    * Positions key the file NAME (`_metadata.file_name`), not the full
+    * path: names are task-UUID-unique within a version, and the name —
+    * unlike the absolute path — SURVIVES hardlink relocation, so a
+    * restore/clone/append of a merged table carries its delete/merge
+    * state intact instead of silently resurrecting rows. */
   def deleteWhere(s: SparkSession, base: String, pred: Column): Unit = {
     s.read.parquet(verDir(base))
       .where(pred)
-      .select(col("_metadata.file_path").as("path"),
+      .select(col("_metadata.file_name").as("fname"),
         col("_metadata.row_index").as("pos"))
       .coalesce(1)
       .write.mode("append").parquet(dvPath(base))
     refreshBitmaps(s, base)
   }
 
-  /** (Re)encode the `_dvbm` sidecar: one (path, bm) row per
+  /** (Re)encode the `_dvbm` sidecar: one (fname, bm) row per
     * above-threshold file, bm = the file's deleted positions coalesced
     * into range-RLE runs ([[graft.functions.RleBitmap]]). Run DETECTION
     * is distributed — a per-file window pass marks run breaks and one
@@ -95,31 +102,31 @@ object DeletionVectors {
   private def refreshBitmaps(s: SparkSession, base: String): Unit = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dv = s.read.parquet(dvPath(base)).select("path", "pos").distinct()
-    val hot = dv.groupBy("path").agg(count(lit(1)).as("n"))
+    val dv = s.read.parquet(dvPath(base)).select("fname", "pos").distinct()
+    val hot = dv.groupBy("fname").agg(count(lit(1)).as("n"))
       .where(col("n") > BitmapThresholdPositions)
-      .select("path")
+      .select("fname")
     // file-count-sized driver list (the same class of decision a Delta
     // log replay makes per file)
-    val hotPaths = hot.collect().map(_.getString(0)).toSeq
+    val hotNames = hot.collect().map(_.getString(0)).toSeq
     val bmDir = dvBmPath(base)
-    if (hotPaths.isEmpty) {
+    if (hotNames.isEmpty) {
       AtomicTable.deleteRecursively(java.nio.file.Paths.get(bmDir))
     } else {
-      val w = Window.partitionBy("path").orderBy("pos")
-      val runs = dv.where(col("path").isin(hotPaths: _*))
+      val w = Window.partitionBy("fname").orderBy("pos")
+      val runs = dv.where(col("fname").isin(hotNames: _*))
         .withColumn("prev", lag("pos", 1).over(w))
         .withColumn("brk",
           when(col("prev").isNull || col("pos") =!= col("prev") + 1, 1L).otherwise(0L))
         .withColumn("run_id", sum("brk").over(w))
-        .groupBy("path", "run_id")
+        .groupBy("fname", "run_id")
         .agg(min("pos").as("start"), count(lit(1)).as("len"))
-      val bms = runs.groupBy("path")
+      val bms = runs.groupBy("fname")
         .agg(sort_array(collect_list(struct(col("start").as("_1"),
           col("len").as("_2")))).as("runs"))
         .as[(String, Seq[(Long, Long)])]
         .map { case (p, rs) => (p, graft.functions.RleBitmap.encode(rs)) }
-        .toDF("path", "bm")
+        .toDF("fname", "bm")
       bms.coalesce(1).write.mode("overwrite").parquet(bmDir)
     }
   }
@@ -136,19 +143,19 @@ object DeletionVectors {
   def readWithDv(s: SparkSession, base: String): DataFrame = {
     val dataCols = AtomicTable.read(s, base).columns.map(col).toSeq
     val data = s.read.parquet(verDir(base))
-      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__file", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
     if (!hasDv(base)) data.select(dataCols: _*)
     else {
-      val bmPaths: Set[String] =
+      val bmNames: Set[String] =
         if (!hasBm(base)) Set.empty
         else s.read.parquet(dvBmPath(base))
-          .select("path").collect().map(_.getString(0)).toSet
+          .select("fname").collect().map(_.getString(0)).toSet
       var out = data
-      if (bmPaths.nonEmpty) {
+      if (bmNames.nonEmpty) {
         val bms = s.read.parquet(dvBmPath(base))
-          .select(col("path").as("__path"), col("bm").as("__bm"))
-        out = out.join(broadcast(bms), Seq("__path"), "left")
+          .select(col("fname").as("__file"), col("bm").as("__bm"))
+        out = out.join(broadcast(bms), Seq("__file"), "left")
           .where(col("__bm").isNull ||
             !graft.functions.GraftFunctions.rleContains(s, col("__bm"), col("__pos")))
           .drop("__bm")
@@ -157,14 +164,14 @@ object DeletionVectors {
       // deleted file crossed the bitmap threshold — then no anti-join
       // appears in the plan at all (DvBitmapSpec asserts this)
       val listDv = s.read.parquet(dvPath(base))
-        .where(if (bmPaths.isEmpty) lit(true)
-               else !col("path").isin(bmPaths.toSeq: _*))
-      val listPaths = listDv.select("path").distinct()
+        .where(if (bmNames.isEmpty) lit(true)
+               else !col("fname").isin(bmNames.toSeq: _*))
+      val listNames = listDv.select("fname").distinct()
         .collect().map(_.getString(0)).toSeq // file-count-sized
-      if (listPaths.nonEmpty)
+      if (listNames.nonEmpty)
         out = out.join(
-          broadcast(listDv.select(col("path").as("__path"), col("pos").as("__pos"))),
-          Seq("__path", "__pos"), "left_anti")
+          broadcast(listDv.select(col("fname").as("__file"), col("pos").as("__pos"))),
+          Seq("__file", "__pos"), "left_anti")
       out.select(dataCols: _*)
     }
   }
@@ -188,10 +195,13 @@ object DeletionVectors {
   def dvDeadFiles(s: SparkSession, base: String): Seq[String] = {
     if (!hasDv(base)) return Seq.empty
     val dead = s.read.parquet(dvPath(base))
-      .select("path", "pos").distinct() // delete idempotence: re-appended positions count once
-      .groupBy("path").agg(count(lit(1)).as("n_dead"))
+      .select("fname", "pos").distinct() // delete idempotence: re-appended positions count once
+      .groupBy("fname").agg(count(lit(1)).as("n_dead"))
+    // the zone-map sidecar keys absolute paths (it exists to feed scans);
+    // the DV keys names — join on the extracted name, return the path
     DataSkipping.stats(s, base)
-      .join(dead, "path")
+      .withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
+      .join(dead, "fname")
       .where(col("n_dead") === col("rows"))
       .select("path").collect().map(_.getString(0)).toSeq
   }
@@ -209,16 +219,18 @@ object DeletionVectors {
       .select("path").collect().map(_.getString(0)).toSeq
     val dead = dvDeadFiles(s, base).toSet
     val kept = all.filterNot(dead)
+    val deadNames = dead.map(p => p.substring(p.lastIndexOf('/') + 1))
     val data = DataSkipping.readFiles(s, base, kept)
-      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__file", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
     val out =
       if (!hasDv(base)) data.select(dataCols: _*)
       else {
         val dv = s.read.parquet(dvPath(base))
-          .where(if (dead.isEmpty) lit(true) else !col("path").isin(dead.toSeq: _*))
-          .select(col("path").as("__path"), col("pos").as("__pos"))
-        data.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
+          .where(if (deadNames.isEmpty) lit(true)
+                 else !col("fname").isin(deadNames.toSeq: _*))
+          .select(col("fname").as("__file"), col("pos").as("__pos"))
+        data.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
           .select(dataCols: _*)
       }
     (out, kept.size, all.size)
@@ -245,7 +257,7 @@ object DeletionVectors {
       // post-delete state (data version + _dv sidecar) is table metadata
       // a real deployment carries; a fresh session re-reads it
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", s"dv-v1-urgent-mod10-thr$BitmapThresholdPositions")
+        s"$d/orders.parquet", s"dv-v2-fname-urgent-mod10-thr$BitmapThresholdPositions")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         AtomicTable.publish(base) { dir =>
           Tables.orders(s, d).repartition(8).write.mode("overwrite").parquet(dir)
@@ -288,7 +300,7 @@ object DeletionVectors {
       val base = s"/tmp/graft_dvp/${PathKeys.safe(d)}/orders"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
         s"$d/orders.parquet",
-        s"dvp-v1-cut$pruneCutoff-thr$BitmapThresholdPositions")
+        s"dvp-v2-fname-cut$pruneCutoff-thr$BitmapThresholdPositions")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         DataSkipping.optimizedWrite(s,
           Tables.orders(s, d).withColumn("o_datekey",

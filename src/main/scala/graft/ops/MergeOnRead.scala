@@ -40,10 +40,10 @@ object MergeOnRead {
   /** A directory scanned with each row's physical position attached. */
   private def scanWithPos(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir)
-      .withColumn("__path", col("_metadata.file_path"))
+      .withColumn("__file", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
 
-  /** Live rows with positions: (data ∪ mor) ANTI dv, `__path`/`__pos`
+  /** Live rows with positions: (data ∪ mor) ANTI dv, `__file`/`__pos`
     * still attached (internal — callers project them away). The `_mor`
     * scan reconciles footers (`mergeSchema`) and the union tolerates
     * missing columns, so a schema-EVOLVED merge batch
@@ -54,15 +54,15 @@ object MergeOnRead {
     val all =
       if (hasMor(base)) {
         val mor = s.read.option("mergeSchema", "true").parquet(morPath(base))
-          .withColumn("__path", col("_metadata.file_path"))
+          .withColumn("__file", col("_metadata.file_name"))
           .withColumn("__pos", col("_metadata.row_index"))
         data.unionByName(mor, allowMissingColumns = true)
       } else data
     if (!DeletionVectors.hasDv(base)) all
     else {
       val dv = s.read.parquet(DeletionVectors.dvPath(base))
-        .select(col("path").as("__path"), col("pos").as("__pos"))
-      all.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
+        .select(col("fname").as("__file"), col("pos").as("__pos"))
+      all.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
     }
   }
 
@@ -99,7 +99,7 @@ object MergeOnRead {
     val keys = batch.select(keyCol).distinct()
     val matchedLive = liveWithPos(s, base).join(broadcast(keys), keyCol)
     def dvAppend(m: DataFrame): Unit =
-      m.select(col("__path").as("path"), col("__pos").as("pos"))
+      m.select(col("__file").as("fname"), col("__pos").as("pos"))
         .coalesce(1)
         .write.mode("append").parquet(DeletionVectors.dvPath(base))
     cdfVersion match {
@@ -156,7 +156,7 @@ object MergeOnRead {
   def readMergedEvolved(s: SparkSession, base: String): DataFrame = {
     def scanned(dir: String): DataFrame =
       s.read.option("mergeSchema", "true").parquet(dir)
-        .withColumn("__path", col("_metadata.file_path"))
+        .withColumn("__file", col("_metadata.file_name"))
         .withColumn("__pos", col("_metadata.row_index"))
     val data = scanned(DeletionVectors.verDir(base))
     val all =
@@ -167,8 +167,8 @@ object MergeOnRead {
       if (!DeletionVectors.hasDv(base)) all
       else {
         val dv = s.read.parquet(DeletionVectors.dvPath(base))
-          .select(col("path").as("__path"), col("pos").as("__pos"))
-        all.join(broadcast(dv), Seq("__path", "__pos"), "left_anti")
+          .select(col("fname").as("__file"), col("pos").as("__pos"))
+        all.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
       }
     val dataCols = live.columns.filterNot(_.startsWith("__")).map(col).toSeq
     live.select(dataCols: _*)
@@ -243,7 +243,7 @@ object MergeOnRead {
           (matched && !matchedUpdateCond && matchedDeleteCond) ||
             (!matched && notMatchedBySourceDeleteCond)
         val dv = joined.filter(updating || deleting)
-          .select(col("__path").as("path"), col("__pos").as("pos"))
+          .select(col("__file").as("fname"), col("__pos").as("pos"))
           .localCheckpoint()
 
         val tcols = AtomicTable.read(s, base).columns.toSeq
@@ -323,7 +323,7 @@ object MergeOnRead {
     morMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "mor-v3-cdf-pin")
+        s"$d/orders.parquet", "mor-v4-fname")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         // restage = reload from scratch: the root-level change feed
         // deliberately outlives version publishes, so a full rebuild
@@ -382,7 +382,7 @@ object MergeOnRead {
     fullMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_full"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "morfull-v3-cdf-pin")
+        s"$d/orders.parquet", "morfull-v4-fname")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         // restage = reload from scratch: the root-level change feed
         // deliberately outlives version publishes, so a full rebuild
@@ -429,7 +429,7 @@ object MergeOnRead {
     evoMemo.getOrElseUpdate((s, d), {
       val base = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_evo"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "morevo-v1")
+        s"$d/orders.parquet", "morevo-v2-fname")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         AtomicTable.deleteRecursively(
           java.nio.file.Paths.get(changesPath(base)))
@@ -474,14 +474,49 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("commit_version", "change_type")
 
+  /** Shallow clone of a LIVE merged table — the composition the
+    * filename-keyed sidecars exist for: `cloneTable` hardlinks the
+    * version directory INCLUDING its `_dv`/`_mor` sidecars, and because
+    * positions key the file NAME (relocation-stable) rather than the
+    * path, the clone's merged read serves exactly the source's
+    * merge-applied state. Shares `merge_upsert_mor`'s oracle — a single
+    * resurrected delete or lost merge batch breaks the hash. */
+  def tableCloneMerged(s: SparkSession, d: String): DataFrame = {
+    val src = morOrders(s, d)
+    val dst = s"/tmp/graft_mor/${PathKeys.safe(d)}/orders_clone"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(dst))
+    AtomicTable.cloneTable(src, dst)
+    readMerged(s, dst)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_mor" -> (mergeUpsertMor _),
     "merge_full"       -> (mergeFullMatrix _),
     "merge_schema_evolution" -> (mergeSchemaEvolution _),
-    "table_changes"    -> (tableChanges _)
+    "table_changes"    -> (tableChanges _),
+    "table_clone_merged" -> (tableCloneMerged _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the merged clone must serve the source's merge-applied state —
+    // same restatement as merge_upsert_mor
+    "table_clone_merged" -> """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT 'N' AS o_orderstatus, o_totalprice + 5.0 AS p
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+GROUP BY 1 ORDER BY 1""",
     "merge_upsert_mor" -> """
 SELECT o_orderstatus, count(*) AS n_orders,
        CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -696,23 +696,23 @@ object AtomicTable {
       }, keep)
   }
 
-  /** Sidecar directories keyed by ABSOLUTE file path — positional
-    * deletes/merges (`_dv`/`_dvbm`/`_mor`) and zone-map stats (`_skip`).
-    * Relocating a version by hardlink gives its files NEW paths, which
-    * silently invalidates every one of these (deletes resurrect, merged
-    * batches vanish, skipping joins go empty), so the relocating verbs
-    * refuse instead and point at compaction. */
-  private val PathKeyedSidecars = Seq("_dv", "_dvbm", "_mor", "_skip")
+  /** Sidecar directories keyed by ABSOLUTE file path. The positional
+    * delete/merge sidecars (`_dv`/`_dvbm`/`_mor`) key the relocation-
+    * stable file NAME and ride along safely; the zone-map stats sidecar
+    * (`_skip`) keys full paths because it exists to feed scan path
+    * lists — relocating it would leave skipping joins matching nothing,
+    * so the relocating verbs refuse on it and point at a stats rewrite
+    * or compaction. */
+  private val PathKeyedSidecars = Seq("_skip")
 
   private def requireRelocatable(verDir: Path, verb: String): Unit = {
     val live = PathKeyedSidecars.filter(n => Files.isDirectory(verDir.resolve(n)))
     if (live.nonEmpty) throw new IllegalStateException(
       s"$verb would relocate version $verDir, which carries path-keyed " +
         s"sidecars ${live.mkString(", ")}; their absolute-file-path keys do " +
-        "not survive relocation (deleted rows would silently resurrect, " +
-        "merged batches vanish, skipping stats go stale) — compact first " +
-        "(MergeOnRead.compactMerged / DeletionVectors.compactDeletes, or " +
-        "rewrite with fresh stats) and retry")
+        "not survive relocation (skipping joins would silently match " +
+        "nothing) — rewrite the table with fresh stats " +
+        "(DataSkipping.optimizedWrite) and retry")
   }
 
   /** O(batch) APPEND as a version publish: the staged directory first

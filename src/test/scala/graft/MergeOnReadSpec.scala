@@ -323,27 +323,47 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(old.count() == o.count())
   }
 
-  test("relocation verbs refuse on live path-keyed sidecars; after compaction they work and keep the merged state") {
+  test("cloning a LIVE merged table preserves its merge state (filename-keyed sidecars relocate)") {
     val base = stage("relocate")
     MergeOnRead.mergeUpsert(spark, base, batch(), "o_orderkey")
     val merged = MergeOnRead.readMerged(spark, base).localCheckpoint()
-    // a hardlink relocation would give the data files NEW paths while the
-    // _dv/_mor sidecars still key the OLD ones — deletes would silently
-    // resurrect. The verbs must refuse loudly instead.
+    // positions key the file NAME, so the hardlinked clone's _dv/_mor
+    // sidecars still match its (relinked) data files — the merged read
+    // must serve exactly the source's merge-applied state: a path-keyed
+    // DV would silently resurrect every deleted row here
     val cloneDst = base + "_clone"
     AtomicTable.deleteRecursively(Paths.get(cloneDst)) // stale from prior runs
+    AtomicTable.cloneTable(base, cloneDst)
+    val got = MergeOnRead.readMerged(spark, cloneDst)
+    assert(got.count() == merged.count())
+    assert(got.exceptAll(merged).isEmpty && merged.exceptAll(got).isEmpty,
+      "the clone's merged read must equal the source's")
+    // ... and an append to the clone carries the sidecars forward too
+    AtomicTable.publishAppend(cloneDst, keep = 2)(d =>
+      Tables.orders(spark, sf)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(7000000000L))
+        .limit(10).coalesce(1).write.mode("append").parquet(d))
+    assert(MergeOnRead.readMerged(spark, cloneDst).count() == merged.count() + 10,
+      "append on a merged clone must keep deletes applied and add the batch")
+  }
+
+  test("relocation verbs refuse on a table with path-keyed skipping stats") {
+    // the _skip zone-map sidecar keys ABSOLUTE paths (it feeds scan path
+    // lists), so relocation would leave skipping joins matching nothing —
+    // refuse loudly instead
+    val base = s"/tmp/graft_mor_spec/relocate_skip"
+    AtomicTable.deleteRecursively(Paths.get(base))
+    graft.ops.DataSkipping.optimizedWrite(spark,
+      Tables.orders(spark, sf), base,
+      clusterCols = Seq("o_orderkey"), statsCols = Seq("o_orderkey"),
+      bloomCol = None, nFiles = 4)
+    val cloneDst = base + "_clone"
+    AtomicTable.deleteRecursively(Paths.get(cloneDst))
     intercept[IllegalStateException] { AtomicTable.cloneTable(base, cloneDst) }
     intercept[IllegalStateException] {
       AtomicTable.publishAppend(base)(d =>
         Tables.orders(spark, sf).limit(1).write.mode("append").parquet(d))
     }
-    // compaction pays the debt; the relocation then carries the true state
-    MergeOnRead.compactMerged(spark, base)
-    AtomicTable.cloneTable(base, cloneDst)
-    val got = AtomicTable.read(spark, cloneDst)
-    assert(got.count() == merged.count())
-    assert(got.exceptAll(merged).isEmpty && merged.exceptAll(got).isEmpty,
-      "the post-compaction clone must equal the merged state")
   }
 
   test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {
