@@ -245,6 +245,65 @@ SELECT n_nationkey, n_name, r_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
 ORDER BY n_nationkey"""
 
+  /** SNAPSHOT-grain CHECK constraints — write-side DQ enforcement at the
+    * TRANSACTION level ([[graft.util.AtomicTable.stageChecked]]): every
+    * member of a two-table lake stages with violation counts riding its
+    * own write job; if ANY member violates, ALL staged members are
+    * discarded and nothing commits — the refusal is as atomic as the
+    * commit, so readers can never see the clean member of a dirty
+    * reload. Attempt 1 vandalizes nation (NULL names for key%5=0, which
+    * a NOT-NULL check must catch as exactly 5 rows) while region stays
+    * clean; the gate proves the refused attempt left NO snapshot and the
+    * clean attempt 2 is the only visible state — plus the refusal
+    * evidence (violation count, snapshot count 1) in the result. */
+  def snapshotCheckedCommit(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val root = s"/tmp/graft_snap_checked/${graft.util.PathKeys.safe(d)}"
+    AtomicTable.deleteRecursively(java.nio.file.Paths.get(root))
+    val nation = Tables.nation(s, d)
+    val region = Tables.region(s, d)
+    def stageAll(n: DataFrame): Seq[(String, String, Map[String, Long])] = Seq(
+      ("dim/nation",
+        AtomicTable.stageChecked(s"$root/dim/nation",
+          n.coalesce(1), Map("name_not_null" -> col("n_name").isNotNull))),
+      ("dim/region",
+        AtomicTable.stageChecked(s"$root/dim/region",
+          region.coalesce(1), Map("name_not_null" -> col("r_name").isNotNull)))
+    ).map { case (rel, (name, bad)) => (rel, name, bad) }
+    // attempt 1: one dirty member → refuse the WHOLE transaction
+    val dirty = stageAll(nation.withColumn("n_name",
+      when(col("n_nationkey") % 5 === 0, lit(null)).otherwise(col("n_name"))))
+    val refusedRows = dirty.map(_._3.values.sum).sum
+    if (refusedRows > 0)
+      dirty.foreach { case (rel, name, _) =>
+        AtomicTable.discardStaged(s"$root/$rel", name) }
+    else AtomicTable.commitSnapshot(root,
+      dirty.map { case (rel, name, _) => rel -> name })
+    // attempt 2: clean reload commits
+    val clean = stageAll(nation)
+    require(clean.forall(_._3.isEmpty), "clean attempt must not violate")
+    AtomicTable.commitSnapshot(root,
+      clean.map { case (rel, name, _) => rel -> name })
+    val t = AtomicTable.readSnapshotTables(s, root,
+      Seq("dim/nation", "dim/region"))
+    t("dim/nation")
+      .join(broadcast(t("dim/region").select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .withColumn("n_refused_rows", lit(refusedRows))
+      .withColumn("n_snapshots",
+        lit(AtomicTable.snapshotHistory(root).size.toLong))
+      .orderBy("n_nationkey")
+  }
+
+  val snapshotCheckedCommitOracle: String = """
+SELECT n_nationkey, n_name, r_name,
+       (SELECT count(*) FROM nation WHERE n_nationkey % 5 = 0)
+         AS n_refused_rows,
+       CAST(1 AS BIGINT) AS n_snapshots
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey"""
+
   case class LineRow(l_returnflag: String, l_linestatus: String,
     l_quantity: Double, l_extendedprice: Double)
   case class FlagAgg(flag_status: String, sum_qty: Double, n_rows: Long)
@@ -548,6 +607,7 @@ GROUP BY 1, 2 ORDER BY 1"""
     "snapshot_time_travel" -> (snapshotTimeTravel _),
     "snapshot_cdf" -> (snapshotCdf _),
     "snapshot_restore" -> (snapshotRestore _),
+    "snapshot_checked_commit" -> (snapshotCheckedCommit _),
     "typed_dataset_agg"        -> (typedDatasetAgg _),
     "typed_cogroup"            -> (typedCogroup _),
     "json_extract_props"       -> (jsonExtract _),
@@ -563,6 +623,7 @@ GROUP BY 1, 2 ORDER BY 1"""
     "snapshot_time_travel" -> snapshotTimeTravelOracle,
     "snapshot_cdf" -> snapshotCdfOracle,
     "snapshot_restore" -> snapshotRestoreOracle,
+    "snapshot_checked_commit" -> snapshotCheckedCommitOracle,
     "typed_dataset_agg"        -> typedDatasetAggOracle,
     "typed_cogroup"            -> typedCogroupOracle,
     "json_extract_props"       -> jsonExtractOracle,

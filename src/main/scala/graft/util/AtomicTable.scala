@@ -647,7 +647,32 @@ object AtomicTable {
   def publishChecked(df: DataFrame, base: String,
       constraints: Map[String, org.apache.spark.sql.Column],
       keep: Int = 1): Unit = {
-    require(constraints.nonEmpty, "publishChecked needs at least one constraint")
+    val (name, bad) = stageChecked(base, df, constraints)
+    if (bad.isEmpty) commitVersion(base, name, keep)
+    else {
+      // refuse: drop the staged dir eagerly (it would otherwise linger
+      // until the orphan TTL); the pointer was never touched
+      discardStaged(base, name)
+      throw new ConstraintViolationException(
+        bad.toSeq.sortBy(_._1).map { case (n, c) => s"$n: $c rows" }
+          .mkString(s"CHECK constraint(s) violated publishing to $base: ", ", ", ""),
+        bad)
+    }
+  }
+
+  /** The staging half of [[publishChecked]], exposed for MULTI-TABLE
+    * checked commits: stage the frame with per-constraint violation
+    * counts riding the write job (`Dataset.observe` — zero extra
+    * passes), and return the staged version name plus the counts of
+    * VIOLATED constraints only (empty = clean). The caller picks the
+    * commit grain: stage every snapshot member this way, and if ANY
+    * member violates, [[discardStaged]] them ALL and commit nothing —
+    * the whole transaction is refused atomically, so readers never see
+    * a clean member paired with a missing dirty one. */
+  def stageChecked(base: String, df: DataFrame,
+      constraints: Map[String, org.apache.spark.sql.Column])
+      : (String, Map[String, Long]) = {
+    require(constraints.nonEmpty, "stageChecked needs at least one constraint")
     import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
     val obs = new org.apache.spark.sql.Observation()
     val names = constraints.keys.toSeq
@@ -660,18 +685,15 @@ object AtomicTable {
     val name = stageVersion(base)(dir =>
       observed.write.mode("overwrite").parquet(dir))
     val row = obs.get
-    val bad = names.map(n => n -> row(n).asInstanceOf[Long]).filter(_._2 > 0L)
-    if (bad.isEmpty) commitVersion(base, name, keep)
-    else {
-      // refuse: drop the staged dir eagerly (it would otherwise linger
-      // until the orphan TTL); the pointer was never touched
-      discardStagedLocked(base, name)
-      throw new ConstraintViolationException(
-        bad.map { case (n, c) => s"$n: $c rows" }
-          .mkString(s"CHECK constraint(s) violated publishing to $base: ", ", ", ""),
-        bad.toMap)
-    }
+    (name, names.map(n => n -> row(n).asInstanceOf[Long])
+      .filter(_._2 > 0L).toMap)
   }
+
+  /** Drop a staged-but-unwanted version (under the commit lock) — the
+    * public face of the refusal path, for callers composing
+    * [[stageChecked]]/[[stageVersion]] into multi-table transactions. */
+  def discardStaged(base: String, name: String): Unit =
+    withCommitLock(Paths.get(base)) { discardStagedLocked(base, name) }
 
   /** GENERATED columns — Delta generated-column write semantics: each
     * entry of `gens` maps a column name to its generation expression over

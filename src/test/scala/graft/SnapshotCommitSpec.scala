@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.util.AtomicTable
@@ -236,5 +237,42 @@ class SnapshotCommitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AtomicTable.restoreSnapshot(root, 99999L)
     }
+  }
+
+  test("checked snapshot commit: one dirty member refuses the WHOLE transaction, discarding every staged dir") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap").toString
+    def versionDirs(rel: String): Int = {
+      val p = java.nio.file.Paths.get(s"$root/$rel")
+      if (!Files.isDirectory(p)) return 0
+      val l = Files.list(p)
+      try l.iterator().asScala.count(
+        _.getFileName.toString.matches("_v\\d+"))
+      finally l.close()
+    }
+    val clean = Seq(1, 2, 3).toDF("x")
+    val dirty = Seq(Some(1), None, Some(3)).toDF("x")
+      .withColumn("x", col("x") - lit(2)) // -1, null, 1: one FALSE row
+    // stage both members; a (clean) and b (violating x > 0)
+    val sa = AtomicTable.stageChecked(s"$root/a", clean,
+      Map("pos" -> (col("x") > 0)))
+    val sb = AtomicTable.stageChecked(s"$root/b", dirty,
+      Map("pos" -> (col("x") > 0)))
+    assert(sa._2.isEmpty && sb._2 == Map("pos" -> 1L),
+      "NULL passes; only the FALSE row counts")
+    // refuse atomically: discard BOTH, commit nothing — including the
+    // member that was clean
+    AtomicTable.discardStaged(s"$root/a", sa._1)
+    AtomicTable.discardStaged(s"$root/b", sb._1)
+    assert(AtomicTable.resolveSnapshot(root).isEmpty, "nothing committed")
+    assert(versionDirs("a") == 0 && versionDirs("b") == 0,
+      "refusal must discard every staged member, clean ones included")
+    // the clean retry commits normally
+    val ra = AtomicTable.stageChecked(s"$root/a", clean, Map("pos" -> (col("x") > 0)))
+    val rb = AtomicTable.stageChecked(s"$root/b", clean, Map("pos" -> (col("x") > 0)))
+    assert(ra._2.isEmpty && rb._2.isEmpty)
+    AtomicTable.commitSnapshot(root, Seq("a" -> ra._1, "b" -> rb._1))
+    val t = AtomicTable.readSnapshotTables(spark, root, Seq("a", "b"))
+    assert(t("a").count() == 3 && t("b").count() == 3)
   }
 }
