@@ -37,10 +37,9 @@ object MergeOnRead {
   private def hasMor(base: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(morPath(base)))
 
-  /** A directory scanned with each row's physical position attached. */
-  private def scanWithPos(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
-      .withColumn("__file", col("_metadata.file_name"))
+  /** Each row's relocation-stable physical position attached. */
+  private def withPos(df: DataFrame): DataFrame =
+    df.withColumn("__file", col("_metadata.file_name"))
       .withColumn("__pos", col("_metadata.row_index"))
 
   /** Live rows with positions: (data ∪ mor) ANTI dv, `__file`/`__pos`
@@ -48,16 +47,21 @@ object MergeOnRead {
     * scan reconciles footers (`mergeSchema`) and the union tolerates
     * missing columns, so a schema-EVOLVED merge batch
     * ([[readMergedEvolved]]) never breaks old readers: [[readMerged]]
-    * projects the original columns, which every file still carries. */
-  private def liveWithPos(s: SparkSession, base: String): DataFrame = {
-    val data = scanWithPos(s, DeletionVectors.verDir(base))
+    * projects the original columns, which every file still carries.
+    * `evolveSchema` additionally footer-merges the DATA scan, so the
+    * output carries the UNION schema with NULL backfill — the
+    * [[readMergedEvolved]] path; plans differ only in the projection. */
+  private def liveWithPos(s: SparkSession, base: String,
+      evolveSchema: Boolean = false): DataFrame = {
+    def scan(dir: String, mergeSchema: Boolean): DataFrame = withPos(
+      if (mergeSchema) s.read.option("mergeSchema", "true").parquet(dir)
+      else s.read.parquet(dir))
+    val data = scan(DeletionVectors.verDir(base), evolveSchema)
     val all =
-      if (hasMor(base)) {
-        val mor = s.read.option("mergeSchema", "true").parquet(morPath(base))
-          .withColumn("__file", col("_metadata.file_name"))
-          .withColumn("__pos", col("_metadata.row_index"))
-        data.unionByName(mor, allowMissingColumns = true)
-      } else data
+      if (hasMor(base))
+        data.unionByName(scan(morPath(base), mergeSchema = true),
+          allowMissingColumns = true)
+      else data
     if (!DeletionVectors.hasDv(base)) all
     else {
       val dv = s.read.parquet(DeletionVectors.dvPath(base))
@@ -154,22 +158,7 @@ object MergeOnRead {
     * task per file), never data — at 100 TB the read plan is unchanged
     * except for the widened projection. */
   def readMergedEvolved(s: SparkSession, base: String): DataFrame = {
-    def scanned(dir: String): DataFrame =
-      s.read.option("mergeSchema", "true").parquet(dir)
-        .withColumn("__file", col("_metadata.file_name"))
-        .withColumn("__pos", col("_metadata.row_index"))
-    val data = scanned(DeletionVectors.verDir(base))
-    val all =
-      if (hasMor(base))
-        data.unionByName(scanned(morPath(base)), allowMissingColumns = true)
-      else data
-    val live =
-      if (!DeletionVectors.hasDv(base)) all
-      else {
-        val dv = s.read.parquet(DeletionVectors.dvPath(base))
-          .select(col("fname").as("__file"), col("pos").as("__pos"))
-        all.join(broadcast(dv), Seq("__file", "__pos"), "left_anti")
-      }
+    val live = liveWithPos(s, base, evolveSchema = true)
     val dataCols = live.columns.filterNot(_.startsWith("__")).map(col).toSeq
     live.select(dataCols: _*)
   }
@@ -273,8 +262,8 @@ object MergeOnRead {
           val del = joined.filter(deleting).select(tcols.map(col): _*)
             .withColumn("_change_type", lit("delete"))
           val ins = inserted.map(_.withColumn("_change_type", lit("insert")))
-          ins.fold(pre.unionByName(post).unionByName(del))(
-              pre.unionByName(post).unionByName(del).unionByName(_))
+          val upd = pre.unionByName(post).unionByName(del)
+          ins.fold(upd)(upd.unionByName(_))
             .withColumn("_commit_version", lit(v))
             .localCheckpoint()
         }

@@ -756,25 +756,9 @@ object AtomicTable {
     * current. Exactly the transactional formats' optimistic-concurrency
     * loop for append-vs-append conflicts. */
   def publishAppend(base: String, keep: Int = 1)(write: String => Unit): Unit = {
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      attempts += 1
-      if (attempts > 10) throw new IllegalStateException(
-        s"publishAppend lost the optimistic append race 10 times at $base")
-      val cur = resolve(base)
-      cur.foreach(c => requireRelocatable(Paths.get(c), "publishAppend"))
-      val name = stageVersion(base) { dir =>
-        cur.foreach(c => linkFilesInto(Paths.get(c), dir))
-        write(dir)
-      }
-      withCommitLock(Paths.get(base)) {
-        if (resolve(base) == cur) {
-          commitVersionLocked(base, name, keep)
-          committed = true
-        } else discardStagedLocked(base, name)
-      }
-    }
+    require(keep >= 1, "must keep at least the current version")
+    appendLoop(base, keep, txn = None)(write)
+    ()
   }
 
   /** [[publishAppend]] under an idempotent-writer transaction
@@ -786,26 +770,39 @@ object AtomicTable {
     require(keep >= 1, "must keep at least the current version")
     require(appId.nonEmpty && !appId.exists(_.isWhitespace),
       "appId must be non-empty and whitespace-free (it lives in the pointer file)")
+    appendLoop(base, keep, txn = Some(appId -> txnVersion))(write)
+  }
+
+  /** The optimistic append loop both verbs share: stage (link current +
+    * write the batch), then commit under the lock only if the base
+    * version is unchanged — and, when `txn` is set, only if the
+    * transaction is not a replay. Returns true when the write committed,
+    * false when it was skipped as a replay; a lost race discards the
+    * stale candidate and retries. */
+  private def appendLoop(base: String, keep: Int,
+      txn: Option[(String, Long)])(write: String => Unit): Boolean = {
+    def replayed: Boolean =
+      txn.exists { case (app, v) => txnLatest(base, app).exists(_ >= v) }
     var attempts = 0
     var result: Option[Boolean] = None
     while (result.isEmpty) {
       attempts += 1
       if (attempts > 10) throw new IllegalStateException(
-        s"appendIdempotent lost the optimistic append race 10 times at $base")
-      if (txnLatest(base, appId).exists(_ >= txnVersion)) result = Some(false)
+        s"append lost the optimistic race 10 times at $base")
+      if (replayed) result = Some(false)
       else {
         val cur = resolve(base)
-        cur.foreach(c => requireRelocatable(Paths.get(c), "appendIdempotent"))
+        cur.foreach(c => requireRelocatable(Paths.get(c), "publishAppend"))
         val name = stageVersion(base) { dir =>
           cur.foreach(c => linkFilesInto(Paths.get(c), dir))
           write(dir)
         }
         withCommitLock(Paths.get(base)) {
-          if (txnLatest(base, appId).exists(_ >= txnVersion)) {
+          if (replayed) {
             discardStagedLocked(base, name)
             result = Some(false)
           } else if (resolve(base) == cur) {
-            commitVersionLocked(base, name, keep, txn = Some(appId -> txnVersion))
+            commitVersionLocked(base, name, keep, txn)
             result = Some(true)
           } else discardStagedLocked(base, name) // lost the race: retry
         }
