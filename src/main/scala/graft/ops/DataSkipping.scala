@@ -21,12 +21,14 @@ import graft.util.{AtomicTable, PathKeys, SessionCaches}
   *
   *  - **zone maps** — per-file min/max for chosen columns, collected in
   *    ONE distributed pass over the freshly written files (grouped by
-  *    `_metadata.file_path`) and stored as a parquet sidecar under
-  *    `<version>/_skip` (a `_`-prefixed dir is invisible to normal reads,
-  *    like `_SUCCESS`). Pruning is itself a Catalyst filter over the
-  *    sidecar table — only the KEPT path strings ever reach the driver,
-  *    so a 100 TB table with 10^6 files prunes via a distributed
-  *    metadata query, the same shape as a Delta log replay.
+  *    `_metadata.file_name` — the relocation-stable identity shared with
+  *    the `_dv`/`_mor` sidecars, so restore/clone/append carry the stats)
+  *    and stored as a parquet sidecar under `<version>/_skip` (a
+  *    `_`-prefixed dir is invisible to normal reads, like `_SUCCESS`).
+  *    Pruning is itself a Catalyst filter over the sidecar table — only
+  *    the KEPT path strings ever reach the driver, so a 100 TB table
+  *    with 10^6 files prunes via a distributed metadata query, the same
+  *    shape as a Delta log replay.
   *  - **Z-order clustering** — multi-column locality so zone maps prune
   *    on EVERY clustered column, not just the leading sort key: each
   *    column is bucketed into 256 quantile-free `width_bucket` cells and
@@ -152,9 +154,13 @@ object DataSkipping {
           agg(col(c).cast("long")).as("bloom")
         }
       val needed = (statsCols ++ bloomCol).distinct
+      // stats key the file NAME (relocation-stable — the same convention
+      // as the _dv/_mor sidecars), so hardlink relocation (restore /
+      // clone / append) carries the skipping metadata intact; [[stats]]
+      // reconstructs absolute paths against whatever version dir is live
       written
-        .select(col("_metadata.file_path").as("path") +: needed.map(col): _*)
-        .groupBy("path")
+        .select(col("_metadata.file_name").as("fname") +: needed.map(col): _*)
+        .groupBy("fname")
         .agg(statAggs.head, statAggs.tail: _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/$Sidecar")
@@ -162,11 +168,16 @@ object DataSkipping {
   }
 
   /** The sidecar as a DataFrame — pruning predicates run HERE, over file
-    * metadata, before any data file is opened. */
-  def stats(s: SparkSession, base: String): DataFrame =
-    s.read.parquet(AtomicTable.resolve(base).getOrElse(
-      throw new IllegalStateException(s"no published version at $base")) +
-      "/" + Sidecar)
+    * metadata, before any data file is opened. The stored key is the
+    * relocation-stable file NAME; `path` is reconstructed against the
+    * LIVE version directory, so consumers always get openable absolute
+    * paths even when the version was produced by restore/clone/append. */
+  def stats(s: SparkSession, base: String): DataFrame = {
+    val ver = AtomicTable.resolve(base).getOrElse(
+      throw new IllegalStateException(s"no published version at $base"))
+    s.read.parquet(ver + "/" + Sidecar)
+      .withColumn("path", concat(lit(ver + "/"), col("fname")))
+  }
 
   /** Files whose zone map can satisfy `keep` (a predicate over the
     * sidecar's `min_*`/`max_*` columns), plus the total file count. Only
@@ -226,7 +237,7 @@ object DataSkipping {
       // staged-once stamp (source part-file fingerprint) is the metadata
       // a table format would carry for its clustering state
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/lineitem.parquet", "zorder-v1-pk-sk-32f")
+        s"$d/lineitem.parquet", "zorder-v2-fname-pk-sk-32f")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         optimizedWrite(s, Tables.lineitem(s, d), base,
           clusterCols = Seq("l_partkey", "l_suppkey"),
@@ -242,7 +253,7 @@ object DataSkipping {
     stagedMemo.getOrElseUpdate((s, d, "orders_bydate"), {
       val base = s"/tmp/graft_skip/${PathKeys.safe(d)}/orders_bydate"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/orders.parquet", "bydate-v1-bloom-32f")
+        s"$d/orders.parquet", "bydate-v2-fname-bloom-32f")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         optimizedWrite(s, Tables.orders(s, d)
           .withColumn("o_datekey",

@@ -197,10 +197,9 @@ object DeletionVectors {
     val dead = s.read.parquet(dvPath(base))
       .select("fname", "pos").distinct() // delete idempotence: re-appended positions count once
       .groupBy("fname").agg(count(lit(1)).as("n_dead"))
-    // the zone-map sidecar keys absolute paths (it exists to feed scans);
-    // the DV keys names — join on the extracted name, return the path
+    // both sidecars key the relocation-stable file name; stats() also
+    // reconstructs the openable absolute path, which callers want back
     DataSkipping.stats(s, base)
-      .withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
       .join(dead, "fname")
       .where(col("n_dead") === col("rows"))
       .select("path").collect().map(_.getString(0)).toSeq
@@ -300,7 +299,7 @@ object DeletionVectors {
       val base = s"/tmp/graft_dvp/${PathKeys.safe(d)}/orders"
       val fp = graft.util.SilverArtifact.sourceFingerprint(
         s"$d/orders.parquet",
-        s"dvp-v2-fname-cut$pruneCutoff-thr$BitmapThresholdPositions")
+        s"dvp-v3-fname-cut$pruneCutoff-thr$BitmapThresholdPositions")
       graft.util.SilverArtifact.stagedOnce(base, fp) {
         DataSkipping.optimizedWrite(s,
           Tables.orders(s, d).withColumn("o_datekey",

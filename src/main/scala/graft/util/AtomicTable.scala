@@ -580,7 +580,6 @@ object AtomicTable {
   def restore(base: String, version: String, keep: Int = 2): Unit = {
     require(history(base).contains(version),
       s"version $version is not in the published, still-retained history of $base")
-    requireRelocatable(Paths.get(base, version), "restore")
     publish(base, keep)(linkFilesInto(Paths.get(base, version), _))
   }
 
@@ -623,7 +622,6 @@ object AtomicTable {
   def cloneTable(src: String, dst: String, keep: Int = 1): Unit = {
     val from = resolve(src).getOrElse(
       throw new IllegalStateException(s"no published version at $src to clone"))
-    requireRelocatable(Paths.get(from), "cloneTable")
     require(!exists(dst), s"clone target $dst already has a published version")
     publish(dst, keep)(linkFilesInto(Paths.get(from), _))
   }
@@ -718,25 +716,6 @@ object AtomicTable {
       }, keep)
   }
 
-  /** Sidecar directories keyed by ABSOLUTE file path. The positional
-    * delete/merge sidecars (`_dv`/`_dvbm`/`_mor`) key the relocation-
-    * stable file NAME and ride along safely; the zone-map stats sidecar
-    * (`_skip`) keys full paths because it exists to feed scan path
-    * lists — relocating it would leave skipping joins matching nothing,
-    * so the relocating verbs refuse on it and point at a stats rewrite
-    * or compaction. */
-  private val PathKeyedSidecars = Seq("_skip")
-
-  private def requireRelocatable(verDir: Path, verb: String): Unit = {
-    val live = PathKeyedSidecars.filter(n => Files.isDirectory(verDir.resolve(n)))
-    if (live.nonEmpty) throw new IllegalStateException(
-      s"$verb would relocate version $verDir, which carries path-keyed " +
-        s"sidecars ${live.mkString(", ")}; their absolute-file-path keys do " +
-        "not survive relocation (skipping joins would silently match " +
-        "nothing) — rewrite the table with fresh stats " +
-        "(DataSkipping.optimizedWrite) and retry")
-  }
-
   /** O(batch) APPEND as a version publish: the staged directory first
     * HARDLINKS every file of the current version (metadata-only, like a
     * Delta append commit re-listing prior files in the log), then `write`
@@ -792,7 +771,6 @@ object AtomicTable {
       if (replayed) result = Some(false)
       else {
         val cur = resolve(base)
-        cur.foreach(c => requireRelocatable(Paths.get(c), "publishAppend"))
         val name = stageVersion(base) { dir =>
           cur.foreach(c => linkFilesInto(Paths.get(c), dir))
           write(dir)

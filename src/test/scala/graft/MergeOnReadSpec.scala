@@ -347,23 +347,31 @@ class MergeOnReadSpec extends AnyFunSuite {
       "append on a merged clone must keep deletes applied and add the batch")
   }
 
-  test("relocation verbs refuse on a table with path-keyed skipping stats") {
-    // the _skip zone-map sidecar keys ABSOLUTE paths (it feeds scan path
-    // lists), so relocation would leave skipping joins matching nothing —
-    // refuse loudly instead
+  test("cloning a skipping table keeps zone-map pruning correct (stats relocate by file name)") {
+    import graft.ops.DataSkipping
     val base = s"/tmp/graft_mor_spec/relocate_skip"
     AtomicTable.deleteRecursively(Paths.get(base))
-    graft.ops.DataSkipping.optimizedWrite(spark,
+    DataSkipping.optimizedWrite(spark,
       Tables.orders(spark, sf), base,
       clusterCols = Seq("o_orderkey"), statsCols = Seq("o_orderkey"),
       bloomCol = None, nFiles = 4)
     val cloneDst = base + "_clone"
     AtomicTable.deleteRecursively(Paths.get(cloneDst))
-    intercept[IllegalStateException] { AtomicTable.cloneTable(base, cloneDst) }
-    intercept[IllegalStateException] {
-      AtomicTable.publishAppend(base)(d =>
-        Tables.orders(spark, sf).limit(1).write.mode("append").parquet(d))
-    }
+    AtomicTable.cloneTable(base, cloneDst)
+    // the clone's stats must point INTO the clone (stats() reconstructs
+    // paths against the live version dir) and prune exactly as the source
+    val probe = Tables.orders(spark, sf)
+      .agg(min("o_orderkey")).head().getLong(0)
+    val (kept, total) = DataSkipping.pruneFiles(spark, cloneDst,
+      DataSkipping.rangeKeep("o_orderkey", lit(probe), lit(probe)))
+    assert(total == 4 && kept.size < 4, "pruning must drop files on the clone")
+    assert(kept.forall(_.contains("_clone/")),
+      "clone stats must resolve to the CLONE's files, not the source's")
+    val got = DataSkipping.readFiles(spark, cloneDst, kept)
+      .where(col("o_orderkey") === probe).count()
+    assert(got == Tables.orders(spark, sf)
+      .where(col("o_orderkey") === probe).count(),
+      "the skipping read over the clone must be answer-identical")
   }
 
   test("full MERGE without inserts: matched-DELETEd keys must NOT resurrect") {
