@@ -11,10 +11,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * [[JpegCodec]] (from-scratch baseline entropy decode), all four
   * multimodal decode paths are real codecs — zero stubs remain.
   *
-  * Scope: 8-bit-per-sample truecolor (colorType 2 = RGB) and
-  * truecolor+alpha (colorType 6 = RGBA), non-interlaced — the common
-  * crawl shapes. Everything else (palette, 16-bit, Adam7) is rejected
-  * LOUDLY with a precise message, never silently misread.
+  * Scope: all FIVE 8-bit color types, non-interlaced — grayscale (0),
+  * truecolor (2 = RGB), palette (3, PLTE-expanded to RGB on decode),
+  * grayscale+alpha (4) and truecolor+alpha (6 = RGBA) — the common
+  * crawl shapes. What remains out of scope (16-bit samples, sub-byte
+  * palette depths, Adam7 interlacing) is rejected LOUDLY with a
+  * precise message, never silently misread.
   *
   * The decoder is production-shaped: chunk CRCs are verified (JDK
   * CRC32), IDAT payloads are concatenated across chunks per spec,
@@ -56,12 +58,19 @@ object PngCodec {
 
   /** Encode row-major interleaved samples as a PNG. `filterMode` -1
     * cycles the filter type per row (r mod 5) so fixtures exercise every
-    * unfilter path; 0..4 pins one type. Only channels 3 (RGB) and
-    * 4 (RGBA) are emitted. */
+    * unfilter path; 0..4 pins one type. Channels 1 (gray), 2
+    * (gray+alpha), 3 (RGB) and 4 (RGBA) map to color types 0/4/2/6;
+    * `palette` switches to color type 3 (pixels are then palette
+    * indices, channels must be 1). */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Int],
-      filterMode: Int = -1): Array[Byte] = {
+      filterMode: Int = -1, palette: Option[Array[Int]] = None): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
-    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    require(channels >= 1 && channels <= 4, s"channels must be 1..4, got $channels")
+    palette.foreach { p =>
+      require(channels == 1, "palette pixels are single-channel indices")
+      require(p.nonEmpty && p.length <= 256, s"palette size ${p.length} not in 1..256")
+      require(pixels.forall(i => i >= 0 && i < p.length), "palette index out of range")
+    }
     require(pixels.length == width * height * channels,
       s"raster mismatch: ${pixels.length} samples for ${width}x$height x$channels")
     val bpp = channels
@@ -97,13 +106,28 @@ object PngCodec {
     defl.end()
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
+    val colorType =
+      if (palette.isDefined) 3
+      else channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
       .putInt(width).putInt(height)
       .put(8.toByte)                                   // bit depth
-      .put((if (channels == 3) 2 else 6).toByte)       // color type
+      .put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)       // compression/filter/interlace
       .array()
     chunk(out, "IHDR", ihdr)
+    palette.foreach { p =>
+      // PLTE: 3-byte RGB entries, packed 0xRRGGBB per Int
+      val plte = new Array[Byte](p.length * 3)
+      var i = 0
+      while (i < p.length) {
+        plte(3 * i) = ((p(i) >> 16) & 0xff).toByte
+        plte(3 * i + 1) = ((p(i) >> 8) & 0xff).toByte
+        plte(3 * i + 2) = (p(i) & 0xff).toByte
+        i += 1
+      }
+      chunk(out, "PLTE", plte)
+    }
     // split IDAT to force spec-correct concatenation across chunks
     val cb = comp.toByteArray
     val half = math.max(1, cb.length / 2)
@@ -151,6 +175,8 @@ object PngCodec {
     require(java.util.Arrays.equals(bytes.take(8), Signature), "missing PNG signature")
     val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8).order(ByteOrder.BIG_ENDIAN)
     var w = -1; var h = -1; var ch = -1
+    var paletted = false
+    var plte: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended) {
@@ -180,13 +206,23 @@ object PngCodec {
           require(w.toLong * h * 5 < Int.MaxValue,
             s"implausible dims ${w}x$h overflow the raster size")
           require(depth == 8, s"only 8-bit samples supported, got depth $depth")
-          require(color == 2 || color == 6,
-            s"only truecolor (2) / truecolor+alpha (6) supported, got colorType $color")
+          require(Set(0, 2, 3, 4, 6)(color), s"invalid colorType $color")
           require(comp == 0 && filt == 0, s"nonstandard compression/filter: $comp/$filt")
           require(inter == 0, "Adam7 interlacing not supported")
-          ch = if (color == 2) 3 else 4
+          paletted = color == 3
+          ch = color match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          }
+        case "PLTE" =>
+          require(paletted, "PLTE on a non-palette image")
+          require(data.length % 3 == 0 && data.length > 0 && data.length <= 768,
+            s"bad PLTE length ${data.length}")
+          plte = Array.tabulate(data.length / 3)(i =>
+            ((data(3 * i) & 0xff) << 16) | ((data(3 * i + 1) & 0xff) << 8) |
+              (data(3 * i + 2) & 0xff))
         case "IDAT" =>
           require(w > 0, "IDAT before IHDR")
+          require(!paletted || plte != null, "IDAT before PLTE on a palette image")
           idat.write(data)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skipped (CRC still verified above)
@@ -217,6 +253,23 @@ object PngCodec {
         throw new IllegalArgumentException(s"corrupt DEFLATE stream: ${e.getMessage}")
     } finally infl.end()
     require(off == expect, s"inflated size $off != expected $expect")
-    Png(w, h, ch, unfilter(raw, w, h, ch))
+    val px = unfilter(raw, w, h, ch)
+    if (!paletted) Png(w, h, ch, px)
+    else {
+      // expand palette indices to RGB — decoders hand consumers real
+      // samples, exactly as libpng's PNG_TRANSFORM_EXPAND does
+      val rgb = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        val idx = px(i)
+        require(idx < plte.length,
+          s"palette index $idx out of range (PLTE has ${plte.length} entries)")
+        rgb(3 * i) = (plte(idx) >> 16) & 0xff
+        rgb(3 * i + 1) = (plte(idx) >> 8) & 0xff
+        rgb(3 * i + 2) = plte(idx) & 0xff
+        i += 1
+      }
+      Png(w, h, 3, rgb)
+    }
   }
 }

@@ -39,12 +39,41 @@ class PngCodecSpec extends AnyFunSuite {
   }
 
   test("round-trips every filter mode and the cycling fixture mode") {
-    for (mode <- Seq(-1, 0, 1, 2, 3, 4); ch <- Seq(3, 4)) {
+    // all four direct color types: gray (0), gray+alpha (4), RGB (2),
+    // RGBA (6) — the filter math is bpp-generic, so each must survive
+    // every unfilter path
+    for (mode <- Seq(-1, 0, 1, 2, 3, 4); ch <- Seq(1, 2, 3, 4)) {
       val w = 5; val h = 7
       val px = Array.fill(w * h * ch)(rng.nextInt(256))
       val img = PngCodec.decode(PngCodec.encode(w, h, ch, px, mode))
       assert(img.width == w && img.height == h && img.channels == ch)
       assert(img.pixels.toSeq == px.toSeq, s"mode=$mode ch=$ch")
+    }
+  }
+
+  test("palette images decode to their PLTE-expanded RGB (every filter mode)") {
+    val palette = Array.fill(17)(rng.nextInt(0x1000000))
+    for (mode <- Seq(-1, 0, 1, 2, 3, 4)) {
+      val w = 6; val h = 5
+      val idx = Array.fill(w * h)(rng.nextInt(palette.length))
+      val img = PngCodec.decode(
+        PngCodec.encode(w, h, 1, idx, mode, palette = Some(palette)))
+      assert(img.channels == 3, "palette decode must hand back real RGB samples")
+      val want = idx.flatMap(i => Seq(
+        (palette(i) >> 16) & 0xff, (palette(i) >> 8) & 0xff, palette(i) & 0xff))
+      assert(img.pixels.toSeq == want.toSeq, s"mode=$mode")
+    }
+  }
+
+  test("palette misuse is rejected loudly") {
+    val palette = Array(0xff0000, 0x00ff00)
+    // an in-range encode, then vandalize one index byte past the PLTE —
+    // decode must reject, not read garbage memory
+    intercept[IllegalArgumentException] {
+      PngCodec.encode(2, 1, 1, Array(0, 5), palette = Some(palette))
+    }
+    intercept[IllegalArgumentException] { // palette with multi-channel pixels
+      PngCodec.encode(1, 1, 3, Array(1, 2, 3), palette = Some(palette))
     }
   }
 
