@@ -11,9 +11,12 @@ import java.nio.ByteBuffer
   * with EOB and ZRL, 0xFF00 byte unstuffing, dequantization, inverse
   * zigzag, and a double-precision IDCT with level shift + clamp.
   *
-  * Scope: baseline sequential DCT, 8-bit precision, ONE component
-  * (grayscale), no subsampling, no restart intervals. Everything else —
-  * progressive, multi-component, 12-bit — is rejected LOUDLY.
+  * Scope: baseline sequential DCT, 8-bit precision, grayscale (one
+  * component) AND 4:4:4 YCbCr color (three components, no chroma
+  * subsampling — each MCU is one block per component, per-component
+  * quant/Huffman table selectors honored, JFIF YCbCr→RGB on output),
+  * no restart intervals. Everything else — progressive, subsampled
+  * chroma, 12-bit — is rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -27,7 +30,10 @@ import java.nio.ByteBuffer
   */
 object JpegCodec {
 
-  final case class Jpeg(width: Int, height: Int, pixels: Array[Int])
+  /** Decoded image: `channels` 1 (gray, pixels = luma) or 3 (color,
+    * pixels = row-major interleaved RGB after the JFIF conversion). */
+  final case class Jpeg(width: Int, height: Int, pixels: Array[Int],
+      channels: Int = 1)
 
   // zigzag index -> (row-major) coefficient index, per T.81 Figure 5
   private[graft] val Zigzag: Array[Int] = {
@@ -115,6 +121,50 @@ object JpegCodec {
     s
   }
 
+  /** Entropy-encode one quantized block (NATURAL order) and return the
+    * block's DC for the caller's per-component predictor chain. */
+  private def writeBlock(bits: BitWriter, blk: Array[Int], prevDc: Int,
+      dcC: Map[Int, (Int, Int)], acC: Map[Int, (Int, Int)]): Int = {
+    require(blk.length == 64)
+    val d = blk(0) - prevDc
+    val s = magnitude(d)
+    require(s <= 11, s"DC difference $d too large for the table")
+    val (c, l) = dcC(s); bits.put(c, l)
+    if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
+    // AC in zigzag order with run/size coding
+    var k = 1; var run = 0
+    while (k < 64) {
+      val v = blk(Zigzag(k))
+      if (v == 0) { run += 1 }
+      else {
+        while (run >= 16) { val (zc, zl) = acC(0xf0); bits.put(zc, zl); run -= 16 }
+        val sz = magnitude(v)
+        require(sz <= 10, s"AC magnitude $v too large for the table")
+        val (ac, al) = acC((run << 4) | sz); bits.put(ac, al)
+        bits.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acC(0x00); bits.put(ec, el) }
+    blk(0)
+  }
+
+  // marker/segment emission shared by both encoders
+  private def marker(out: java.io.ByteArrayOutputStream, m: Int): Unit = {
+    out.write(0xff); out.write(m)
+  }
+  private def seg(out: java.io.ByteArrayOutputStream, m: Int,
+      body: Array[Byte]): Unit = {
+    marker(out, m)
+    out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+    out.write(body)
+  }
+  private def dhtSeg(out: java.io.ByteArrayOutputStream, cls: Int, id: Int,
+      bitsA: Array[Int], valsA: Array[Int]): Unit =
+    seg(out, 0xc4, Array[Byte](((cls << 4) | id).toByte) ++
+      (1 to 16).map(l => bitsA(l).toByte).toArray ++ valsA.map(_.toByte))
+
   /** Encode quantized COEFFICIENT blocks directly (the fixture
     * generator's interface — DC-only constant blocks for the oracle,
     * arbitrary coefficients in specs). `blocks` are row-major per block,
@@ -128,51 +178,70 @@ object JpegCodec {
     val acC = canonicalCodes(AcBits, AcVals)
     val bits = new BitWriter
     var prevDc = 0
-    blocks.foreach { blk =>
-      require(blk.length == 64)
-      val d = blk(0) - prevDc; prevDc = blk(0)
-      val s = magnitude(d)
-      require(s <= 11, s"DC difference $d too large for the table")
-      val (c, l) = dcC(s); bits.put(c, l)
-      if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
-      // AC in zigzag order with run/size coding
-      var k = 1; var run = 0
-      while (k < 64) {
-        val v = blk(Zigzag(k))
-        if (v == 0) { run += 1 }
-        else {
-          while (run >= 16) { val (zc, zl) = acC(0xf0); bits.put(zc, zl); run -= 16 }
-          val sz = magnitude(v)
-          require(sz <= 10, s"AC magnitude $v too large for the table")
-          val (ac, al) = acC((run << 4) | sz); bits.put(ac, al)
-          bits.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { val (ec, el) = acC(0x00); bits.put(ec, el) }
+    blocks.foreach(blk => prevDc = writeBlock(bits, blk, prevDc, dcC, acC))
+    val entropy = bits.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8) // SOI
+    seg(out, 0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte)) // DQT, uniform
+    seg(out, 0xc0, ByteBuffer.allocate(9) // SOF0: precision, dims, 1 component
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    dhtSeg(out, 0, 0, DcBits, DcVals)
+    dhtSeg(out, 1, 0, AcBits, AcVals)
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    out.write(entropy)
+    marker(out, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:4:4 COLOR JPEG from per-component quantized coefficient
+    * blocks (NATURAL order): one MCU = one Y + one Cb + one Cr block,
+    * luma on quant/Huffman selector 0, both chromas on selector 1 —
+    * the standard JFIF table assignment, so the decoder's selector
+    * plumbing is genuinely exercised even though the table CONTENTS here
+    * are identical specs. */
+  def encodeCoefficientsColor(width: Int, height: Int, qY: Int, qC: Int,
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    val n = (width / 8) * (height / 8)
+    require(y.length == n && cb.length == n && cr.length == n,
+      s"need $n blocks per component, got ${y.length}/${cb.length}/${cr.length}")
+    val dcC = canonicalCodes(DcBits, DcVals)
+    val acC = canonicalCodes(AcBits, AcVals)
+    val bits = new BitWriter
+    val prevDc = new Array[Int](3)
+    var bi = 0
+    while (bi < n) { // interleaved MCUs: Y, Cb, Cr per MCU
+      prevDc(0) = writeBlock(bits, y(bi), prevDc(0), dcC, acC)
+      prevDc(1) = writeBlock(bits, cb(bi), prevDc(1), dcC, acC)
+      prevDc(2) = writeBlock(bits, cr(bi), prevDc(2), dcC, acC)
+      bi += 1
     }
     val entropy = bits.finish()
 
     val out = new java.io.ByteArrayOutputStream()
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, body: Array[Byte]): Unit = {
-      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
-      out.write(body)
-    }
-    marker(0xd8) // SOI
-    seg(0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte)) // DQT, uniform
-    seg(0xc0, ByteBuffer.allocate(9) // SOF0: precision, dims, 1 component
+    marker(out, 0xd8)
+    // one DQT segment carrying BOTH tables (tq 0 = luma, tq 1 = chroma)
+    seg(out, 0xdb,
+      (Array[Byte](0x00) ++ Array.fill(64)(qY.toByte)) ++
+        (Array[Byte](0x01) ++ Array.fill(64)(qC.toByte)))
+    seg(out, 0xc0, ByteBuffer.allocate(15) // SOF0: 3 components, all 1x1
       .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
-      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
-    def dht(cls: Int, bitsA: Array[Int], valsA: Array[Int]): Unit =
-      seg(0xc4, Array[Byte]((cls << 4).toByte) ++
-        (1 to 16).map(l => bitsA(l).toByte).toArray ++ valsA.map(_.toByte))
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+      .put(3.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)  // Y:  tq0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)  // Cb: tq1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)  // Cr: tq1
+      .array())
+    dhtSeg(out, 0, 0, DcBits, DcVals); dhtSeg(out, 1, 0, AcBits, AcVals)
+    dhtSeg(out, 0, 1, DcBits, DcVals); dhtSeg(out, 1, 1, AcBits, AcVals)
+    seg(out, 0xda, Array[Byte](3,
+      1, 0x00,  // Y  -> DC0/AC0
+      2, 0x11,  // Cb -> DC1/AC1
+      3, 0x11,  // Cr -> DC1/AC1
+      0, 63, 0))
     out.write(entropy)
-    marker(0xd9) // EOI
+    marker(out, 0xd9)
     out.toByteArray
   }
 
@@ -286,15 +355,48 @@ object JpegCodec {
     out
   }
 
-  /** Parse a baseline grayscale JPEG. Throws IllegalArgumentException
-    * with a precise message on malformed or out-of-scope input. */
+  /** Decode the next entropy-coded block: DC prediction + AC run/size,
+    * dequantize, inverse-zigzag, IDCT. Returns (spatial block, new DC
+    * predictor). */
+  private def decodeBlock(br: BitReader, dcT: HuffTable, acT: HuffTable,
+      quant: Array[Int], prevDc: Int): (Array[Int], Int) = {
+    val coefZ = new Array[Int](64)
+    val s = dcT.decode(br)
+    val dc = prevDc + extend(br.receive(s), s)
+    coefZ(0) = dc
+    var k = 1
+    while (k < 64) {
+      val rs = acT.decode(br)
+      if (rs == 0x00) k = 64            // EOB
+      else if (rs == 0xf0) k += 16      // ZRL
+      else {
+        k += (rs >> 4)
+        require(k < 64, s"AC run overflows block at k=$k")
+        coefZ(k) = extend(br.receive(rs & 0xf), rs & 0xf)
+        k += 1
+      }
+    }
+    val coef = new Array[Int](64)
+    var i = 0
+    while (i < 64) { coef(Zigzag(i)) = coefZ(i) * quant(i); i += 1 }
+    (idct(coef), dc)
+  }
+
+  /** Parse a baseline grayscale or 4:4:4-color JPEG. Throws
+    * IllegalArgumentException with a precise message on malformed or
+    * out-of-scope input. */
   def decode(bytes: Array[Byte]): Jpeg = {
     require(bytes.length >= 4, s"truncated: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
     var pos = 2
     var w = -1; var h = -1
-    var quant: Array[Int] = null
-    var dcT: HuffTable = null; var acT: HuffTable = null
+    val quantT = new Array[Array[Int]](4)
+    val dcT = new Array[HuffTable](4)
+    val acT = new Array[HuffTable](4)
+    var compIds: Array[Int] = null // SOF0 order
+    var compTq: Array[Int] = null
+    var scanTd: Array[Int] = null  // per SOF0 component, filled from SOS
+    var scanTa: Array[Int] = null
     var entropyStart = -1
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (entropyStart < 0) {
@@ -309,42 +411,92 @@ object JpegCodec {
         s"segment 0x${m.toHexString} length $len overruns the stream")
       m match {
         case 0xdb =>
-          require(len >= 2 + 65, s"DQT segment too short: $len")
-          val pq = (bytes(body) & 0xff) >> 4
-          require(pq == 0, "only 8-bit quant tables supported")
-          quant = Array.tabulate(64)(i => bytes(body + 1 + i) & 0xff)
+          // one DQT segment may carry several tables back-to-back
+          var o = body
+          val end = pos + 2 + len
+          while (o < end) {
+            require(end - o >= 65, s"DQT table truncated at offset $o")
+            val pq = (bytes(o) & 0xff) >> 4
+            val tq = bytes(o) & 0xf
+            require(pq == 0, "only 8-bit quant tables supported")
+            quantT(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+            o += 65
+          }
         case 0xc0 =>
           require(len >= 2 + 9, s"SOF0 segment too short: $len")
           require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
           h = u16(body + 1); w = u16(body + 3)
           val ncomp = bytes(body + 5) & 0xff
-          require(ncomp == 1, s"only grayscale supported, got $ncomp components")
-          require((bytes(body + 7) & 0xff) == 0x11, "subsampling not supported")
+          require(ncomp == 1 || ncomp == 3,
+            s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
+          require(len >= 2 + 6 + 3 * ncomp, s"SOF0 too short for $ncomp components")
+          compIds = new Array[Int](ncomp)
+          compTq = new Array[Int](ncomp)
+          var c = 0
+          while (c < ncomp) {
+            compIds(c) = bytes(body + 6 + 3 * c) & 0xff
+            val hv = bytes(body + 7 + 3 * c) & 0xff
+            require(hv == 0x11,
+              s"chroma subsampling not supported (component $c has sampling 0x${hv.toHexString}; only 4:4:4)")
+            compTq(c) = bytes(body + 8 + 3 * c) & 0xff
+            require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
+            c += 1
+          }
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
         case 0xc4 =>
-          require(len >= 2 + 17, s"DHT segment too short: $len")
-          val cls = (bytes(body) & 0xff) >> 4
-          val bitsA = new Array[Int](17)
-          var total = 0
-          (1 to 16).foreach { l => bitsA(l) = bytes(body + l) & 0xff; total += bitsA(l) }
-          require(len >= 2 + 17 + total, s"DHT declares $total values beyond its length $len")
-          val valsA = Array.tabulate(total)(i => bytes(body + 17 + i) & 0xff)
-          val t = new HuffTable(bitsA, valsA)
-          if (cls == 0) dcT = t else acT = t
+          // one DHT segment may carry several tables back-to-back
+          var o = body
+          val end = pos + 2 + len
+          while (o < end) {
+            require(end - o >= 17, s"DHT table truncated at offset $o")
+            val cls = (bytes(o) & 0xff) >> 4
+            val id = bytes(o) & 0xf
+            require(cls <= 1 && id < 4, s"bad DHT class/id $cls/$id")
+            val bitsA = new Array[Int](17)
+            var total = 0
+            (1 to 16).foreach { l => bitsA(l) = bytes(o + l) & 0xff; total += bitsA(l) }
+            require(end - o >= 17 + total,
+              s"DHT declares $total values beyond its segment")
+            val valsA = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+            val t = new HuffTable(bitsA, valsA)
+            if (cls == 0) dcT(id) = t else acT(id) = t
+            o += 17 + total
+          }
         case 0xda =>
-          require(len >= 2 + 6, s"SOS segment too short: $len")
-          entropyStart = body + (bytes(body) & 0xff) * 2 + 4
+          require(compIds != null, "SOS before SOF0")
+          val ns = bytes(body) & 0xff
+          require(ns == compIds.length,
+            s"scan has $ns components, frame has ${compIds.length} (partial scans unsupported)")
+          require(len >= 2 + 1 + 2 * ns + 3, s"SOS segment too short: $len")
+          scanTd = new Array[Int](ns); scanTa = new Array[Int](ns)
+          var c = 0
+          while (c < ns) {
+            val cs = bytes(body + 1 + 2 * c) & 0xff
+            val ci = compIds.indexOf(cs)
+            require(ci >= 0, s"scan component id $cs not in the frame")
+            scanTd(ci) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
+            scanTa(ci) = bytes(body + 2 + 2 * c) & 0xf
+            require(scanTd(ci) < 4 && scanTa(ci) < 4, "bad Huffman selector")
+            c += 1
+          }
+          entropyStart = body + 1 + 2 * ns + 3
         case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
         case _ => () // APPn/COM skipped
       }
       if (entropyStart < 0) pos = pos + 2 + len
     }
     require(w > 0 && h > 0, "no SOF0 before SOS")
-    require(w.toLong * h < Int.MaxValue / 4,
+    require(w.toLong * h < Int.MaxValue / 8,
       s"implausible dims ${w}x$h overflow the raster size")
     require(w % 8 == 0 && h % 8 == 0, s"only 8-aligned dims supported: ${w}x$h")
-    require(quant != null, "no DQT before SOS")
-    require(dcT != null && acT != null, "missing Huffman tables")
+    val ncomp = compIds.length
+    var c = 0
+    while (c < ncomp) {
+      require(quantT(compTq(c)) != null, s"component $c: no DQT table ${compTq(c)}")
+      require(dcT(scanTd(c)) != null && acT(scanTa(c)) != null,
+        s"component $c: missing Huffman tables ${scanTd(c)}/${scanTa(c)}")
+      c += 1
+    }
     // entropy data runs to the EOI marker
     val eoi = {
       var p = bytes.length - 2
@@ -355,42 +507,49 @@ object JpegCodec {
     }
     val br = new BitReader(bytes.slice(entropyStart, eoi))
     val bw = w / 8; val bh = h / 8
-    val px = new Array[Int](w * h)
-    var prevDc = 0
+    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    val prevDc = new Array[Int](ncomp)
     var bi = 0
     while (bi < bw * bh) {
-      val coefZ = new Array[Int](64)
-      val s = dcT.decode(br)
-      prevDc += extend(br.receive(s), s)
-      coefZ(0) = prevDc
-      var k = 1
-      while (k < 64) {
-        val rs = acT.decode(br)
-        if (rs == 0x00) k = 64            // EOB
-        else if (rs == 0xf0) k += 16      // ZRL
-        else {
-          k += (rs >> 4)
-          require(k < 64, s"AC run overflows block at k=$k")
-          coefZ(k) = extend(br.receive(rs & 0xf), rs & 0xf)
-          k += 1
+      // one interleaved MCU = one block per component (4:4:4 / grayscale)
+      var ci = 0
+      while (ci < ncomp) {
+        val (blk, dc) = decodeBlock(br, dcT(scanTd(ci)), acT(scanTa(ci)),
+          quantT(compTq(ci)), prevDc(ci))
+        prevDc(ci) = dc
+        val bx = bi % bw; val by = bi / bw
+        val plane = planes(ci)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            plane((by * 8 + y) * w + bx * 8 + x) = blk(y * 8 + x)
+            x += 1
+          }
+          y += 1
         }
-      }
-      val coef = new Array[Int](64)
-      var i = 0
-      while (i < 64) { coef(Zigzag(i)) = coefZ(i) * quant(i); i += 1 }
-      val blk = idct(coef)
-      val bx = bi % bw; val by = bi / bw
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          px((by * 8 + y) * w + bx * 8 + x) = blk(y * 8 + x)
-          x += 1
-        }
-        y += 1
+        ci += 1
       }
       bi += 1
     }
-    Jpeg(w, h, px)
+    if (ncomp == 1) Jpeg(w, h, planes(0), 1)
+    else {
+      // JFIF YCbCr -> RGB (ITU-R BT.601 constants), rounded and clamped
+      val rgb = new Array[Int](w * h * 3)
+      val (yp, cbp, crp) = (planes(0), planes(1), planes(2))
+      def clamp(d: Double): Int =
+        math.max(0, math.min(255, math.round(d).toInt))
+      var i = 0
+      while (i < w * h) {
+        val yv = yp(i).toDouble
+        val cb = cbp(i) - 128.0
+        val cr = crp(i) - 128.0
+        rgb(3 * i) = clamp(yv + 1.402 * cr)
+        rgb(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        rgb(3 * i + 2) = clamp(yv + 1.772 * cb)
+        i += 1
+      }
+      Jpeg(w, h, rgb, 3)
+    }
   }
 }

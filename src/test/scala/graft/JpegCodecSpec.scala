@@ -114,6 +114,54 @@ class JpegCodecSpec extends AnyFunSuite {
       .getMessage.contains("DC difference"))
   }
 
+  test("4:4:4 color: per-component planes reconstruct exactly and convert per BT.601") {
+    // two MCUs of DC-only constant blocks with EVEN values and q=16, so
+    // every plane reconstructs exactly (the grayscale determinism
+    // argument, per component); the expected RGB is then the BT.601
+    // conversion of those exact planes. Distinct per-MCU values exercise
+    // the PER-COMPONENT DC prediction chains; distinct quant/Huffman
+    // selectors (luma 0, chroma 1) exercise the table plumbing.
+    def blkOf(v: Int): Array[Int] = {
+      val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+    }
+    val w = 16; val h = 8
+    val yv = Array(120, 136); val cbv = Array(100, 128); val crv = Array(160, 128)
+    val img = JpegCodec.decode(JpegCodec.encodeCoefficientsColor(w, h, 16, 16,
+      yv.map(blkOf), cbv.map(blkOf), crv.map(blkOf)))
+    assert(img.channels == 3 && img.width == w && img.height == h)
+    def expect(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def c(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+      (c(y + 1.402 * (cr - 128)),
+        c(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        c(y + 1.772 * (cb - 128)))
+    }
+    for (bi <- 0 until 2; yy <- 0 until 8; xx <- 0 until 8) {
+      val p = (yy * w + bi * 8 + xx) * 3
+      val (r, g, b) = expect(yv(bi), cbv(bi), crv(bi))
+      assert(img.pixels(p) == r && img.pixels(p + 1) == g && img.pixels(p + 2) == b,
+        s"block $bi pixel ($xx,$yy)")
+    }
+    // neutral chroma (128) must decode to pure gray = the luma value
+    val gray = (0 * w + 8) * 3 // block 1's first pixel
+    assert(img.pixels(gray) == 136 && img.pixels(gray + 1) == 136 &&
+      img.pixels(gray + 2) == 136)
+  }
+
+  test("subsampled chroma is rejected loudly, not misread") {
+    def blk(v: Int): Array[Int] = {
+      val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+    }
+    val good = JpegCodec.encodeCoefficientsColor(8, 8, 16, 16,
+      Array(blk(128)), Array(blk(128)), Array(blk(128)))
+    // patch component 0's sampling byte in SOF0 to 2x2 (4:2:0)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val sub = good.clone()
+    sub(sofAt + 4 + 7) = 0x22.toByte // body starts at sofAt+4; comp0 hv at +7
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(sub)).getMessage.contains("subsampling"))
+  }
+
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
     import TestSpark._
     val rows = graft.ops.Multimodal.decodeJpeg(spark, sf).collect()

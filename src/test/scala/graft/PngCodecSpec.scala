@@ -65,7 +65,7 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("palette misuse is rejected loudly") {
+  test("palette misuse is rejected loudly (encode-side guards)") {
     val palette = Array(0xff0000, 0x00ff00)
     // an in-range encode, then vandalize one index byte past the PLTE —
     // decode must reject, not read garbage memory
