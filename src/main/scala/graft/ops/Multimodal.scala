@@ -616,7 +616,78 @@ SELECT doc_id, w AS width, h AS height,
        CAST(max(v) AS INT) AS peak
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  case class JpegColorFeatures(doc_id: Long, width: Int, height: Int,
+    channels: Int, sum_rgb: Long, peak: Int, n_nongray: Long)
+
+  /** COLOR JPEG through the gate: the same closed-form luma grid, now
+    * encoded as a 4:4:4 three-component JPEG with NEUTRAL chroma
+    * (Cb = Cr = 128) — neutral chroma makes the BT.601 conversion exact
+    * (every RGB sample equals the luma), so the lossy COLOR pipeline
+    * hash-gates with zero float hazard while the full multi-component
+    * machinery (two quant tables, four Huffman tables, interleaved MCUs,
+    * three DC prediction chains, the conversion itself) sits on the
+    * decode path. `n_nongray` counts pixels where the channels diverge —
+    * the oracle pins it to 0, so a conversion or plane-interleaving bug
+    * cannot hide in the sums. Non-neutral chroma is spec-covered
+    * (JpegCodecSpec) against BT.601 ground truth. */
+  def decodeJpegColor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val bw = w / 8; val bh = h / 8
+          def blkOf(v: Int): Array[Int] = {
+            val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+          }
+          val y = Array.tabulate(bw * bh) { bi =>
+            blkOf((2 * ((id * 7 + (bi % bw) * 3 + (bi / bw) * 5) % 128)).toInt)
+          }
+          val neutral = Array.fill(bw * bh)(blkOf(128))
+          val bytes = JpegCodec.encodeCoefficientsColor(w, h, 16, 16,
+            y, neutral, neutral)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var peak = 0; var nongray = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val r = img.pixels(i); val g = img.pixels(i + 1); val b = img.pixels(i + 2)
+            sum += r + g + b
+            if (r > peak) peak = r
+            if (g > peak) peak = g
+            if (b > peak) peak = b
+            if (r != g || g != b) nongray += 1
+            i += 3
+          }
+          JpegColorFeatures(id, img.width, img.height, img.channels,
+            sum, peak, nongray)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  val decodeJpegColorOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id * 7 + (bi % (w // 8)) * 3 + (bi // (w // 8)) * 5) % 128) AS v
+  FROM b)
+SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       CAST(sum(3 * 64 * v) AS BIGINT) AS sum_rgb,
+       CAST(max(v) AS INT) AS peak,
+       CAST(0 AS BIGINT) AS n_nongray
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
@@ -630,6 +701,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_decode_jpeg_color" -> decodeJpegColorOracle,
     "multimodal_meta"     -> metaOracle,
     "multimodal_features" -> featuresOracle,
     "multimodal_frames"   -> frameSampleOracle,
