@@ -7,6 +7,10 @@ object Bench {
     // builder-iteration aid: comma-separated exact names and/or prefixes
     // (trailing '*') restrict the run, e.g. SPARK_GRAFT_BENCH_ONLY='stream_*'
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // builder-iteration aid: steady-pass count (default 3 = the driver's
+    // median-of-3 contract; 1 for long self-measurement runs like sf1)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
     def selected(name: String): Boolean = only.forall(_.exists(p =>
       if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
     // a typo'd filter must fail loudly, not print a plausible 0.0s total
@@ -90,11 +94,11 @@ object Bench {
     // single anomalously fast pass.
     graft.util.SessionCaches.clear(spark)
     val coldPass = timeAll()
-    val passes = Seq(timeAll(), timeAll(), timeAll())
+    val passes = Seq.fill(nPasses)(timeAll())
     val ok = passes.head.keys.filterNot(failed.contains).toSeq
     val spread = ok.map { k =>
       val ts = passes.map(_(k)).sorted
-      k -> (ts.head, ts(1), ts.last)
+      k -> (ts.head, ts(ts.size / 2), ts.last)
     }.toMap
     val results = spread.map { case (k, (_, med, _)) => k -> med }
     val cold = ok.map(k => k -> coldPass(k)).toMap
@@ -112,7 +116,7 @@ object Bench {
       }.mkString("{", ",", "}")
     // "value" stays the STEADY total (comparable with prior rounds, whose
     // medians-of-3 were warm-dominated); the cold story rides alongside
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":3,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
@@ -129,7 +133,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":3,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
         }
         line
       }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,11 +81,198 @@ object MergeOnRead {
   /** Root-level change-data directory (Delta `_change_data` analog): it
     * is NOT a `_v<N>` name, so table retention never sweeps it, and it is
     * not under a version dir, so the feed survives compaction/publishes —
-    * the change LOG outlives the states it connects. */
+    * the change LOG outlives the states it connects.
+    *
+    * Layout v2 (flat — batch AND streaming readers just scan the
+    * directory): each commit's parquet files carry a `c<version>-`
+    * filename prefix, so per-commit retention ([[vacuumChanges]]) is a
+    * filename-metadata operation — no file is ever opened to decide its
+    * commit. Hidden sidecars (leading `_`, invisible to Spark's file
+    * index and to the file stream source): `_FLOOR` holds the lowest
+    * still-readable commit (reads below it refuse loudly — Delta's
+    * out-of-range `table_changes` error), and `_c<v>.base` records the
+    * table version the commit applied to, which is what makes the sweep
+    * snapshot-pin-aware ([[vacuumChanges]]). Layout v1 (unprefixed
+    * `part-*` files) migrates in place on first maintained access —
+    * O(feed) once, never a table rebuild ([[migrateChangesLayout]]). */
   private[graft] def changesPath(base: String): String = s"$base/_changes"
 
   private[graft] def hasChanges(base: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(changesPath(base)))
+
+  private val CommitFileRe = "c(\\d+)-.*".r
+
+  /** Write one commit's change rows into the feed under the v2 layout:
+    * stage to a temp dir, then MOVE the part files in with the
+    * `c<version>-` prefix (same-FS rename — atomic per file; a reader
+    * never sees a torn file). Also stamps the commit's base-version
+    * marker for the pin-aware sweep. */
+  private def writeChanges(df: DataFrame, base: String, v: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(changesPath(base))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempDirectory(dir, "_stage_")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val files = Files.list(tmp)
+      val parts = try files.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally files.close()
+      parts.foreach { p =>
+        Files.move(p, dir.resolve(s"c$v-${p.getFileName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      val basever = AtomicTable.resolve(base)
+        .map(p => Paths.get(p).getFileName.toString).getOrElse("_v0")
+      val marker = dir.resolve(s"_c$v.base")
+      if (!Files.exists(marker)) Files.writeString(marker, basever + "\n")
+    } finally AtomicTable.deleteRecursively(tmp)
+  }
+
+  /** Commit versions present in the feed (v2 filenames), sorted. */
+  private[graft] def changeCommits(base: String): Seq[Long] = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(changesPath(base))
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val files = Files.list(dir)
+    val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally files.close()
+    names.collect { case CommitFileRe(n) => n.toLong }.distinct.sorted
+  }
+
+  private def floorPath(base: String) =
+    java.nio.file.Paths.get(changesPath(base), "_FLOOR")
+
+  /** The lowest still-readable commit: the `_FLOOR` stamp if a vacuum ever
+    * ran, else the lowest commit physically present (1 on a virgin feed). */
+  private[graft] def changesFloor(base: String): Long = {
+    val p = floorPath(base)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else changeCommits(base).headOption.getOrElse(1L)
+  }
+
+  /** Migrate a v1 (flat unprefixed-file) feed to the v2 layout IN PLACE:
+    * read the old files once, rewrite one prefixed file per commit, drop
+    * the old files. Cost is O(feed) — kilobyte-to-megabyte sidecar data —
+    * never a re-merge or table rebuild: the upgrade path format evolution
+    * should take (vs the r12 fingerprint bump, which rebuilt every store).
+    * Idempotent and crash-safe: old files are deleted only after every
+    * commit's new file landed; a crash in between leaves both (the
+    * migration re-runs and `mode("overwrite")`-equivalent prefixed moves
+    * are per-commit fresh temp files, while readers before completion see
+    * duplicated rows only if they race the migration — which runs under
+    * the table's commit lock, as do vacuum and maintained reads). */
+  private[graft] def migrateChangesLayout(s: SparkSession, base: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(changesPath(base))
+    if (!Files.isDirectory(dir)) return false
+    AtomicTable.withCommitLock(Paths.get(base)) {
+      val files = Files.list(dir)
+      val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally files.close()
+      val legacy = names.filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+        !CommitFileRe.pattern.matcher(n).matches())
+      if (legacy.isEmpty) return false
+      System.err.println(s"[graft] migrating ${legacy.size} legacy change " +
+        s"file(s) at ${changesPath(base)} to the c<version>- layout (in place)")
+      val old = s.read.parquet(legacy.map(n => s"${changesPath(base)}/$n"): _*)
+      val commits = old.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted // O(#commits) driver metadata
+      commits.foreach { v =>
+        writeChanges(old.filter(col("_commit_version") === v), base, v)
+      }
+      legacy.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      true
+    }
+  }
+
+  /** `table_changes(startVersion, ...)`: the maintained read over the
+    * feed. Migrates a legacy layout in place, refuses a start below the
+    * vacuumed floor with a precise message (the Delta out-of-range CDF
+    * error), and scans ONLY the in-range commit files — an explicit file
+    * list, so a reader of the latest commits never pays for the history
+    * it skipped. */
+  def readChanges(s: SparkSession, base: String,
+      startVersion: Long = Long.MinValue): DataFrame = {
+    migrateChangesLayout(s, base)
+    val floor = changesFloor(base)
+    require(startVersion == Long.MinValue || startVersion >= floor,
+      s"change commits below $floor have been vacuumed from " +
+        s"${changesPath(base)}; requested startVersion=$startVersion " +
+        s"is no longer readable (retained commits: " +
+        s"${changeCommits(base).mkString(",")})")
+    val start = if (startVersion == Long.MinValue) floor else startVersion
+    val picked = changeCommits(base).filter(_ >= start)
+    require(picked.nonEmpty, s"no change commits >= $start at ${changesPath(base)}")
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(changesPath(base))
+    val files = Files.list(dir)
+    val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally files.close()
+    val wanted = picked.map(v => s"c$v-").toSet
+    val paths = names.filter(n => wanted.exists(n.startsWith))
+      .map(n => s"${changesPath(base)}/$n")
+    s.read.parquet(paths: _*)
+  }
+
+  /** CDF retention — the sweep the feed was missing (the feed otherwise
+    * grows one commit file per merge FOREVER; Delta bounds CDF by the
+    * version-retention window). Keeps the newest `keepCommits` commits,
+    * EXTENDED by the snapshot pins: a retained snapshot manifest that
+    * pins THIS table at version P means a snapshot reader may still sit
+    * at P and replay the feed forward, so every commit whose recorded
+    * base version is >= P survives regardless of age (the same
+    * mandatory-pin rule as AtomicTable's pruneLocked). Swept commits
+    * raise the `_FLOOR` stamp; [[readChanges]] below it refuses loudly.
+    * Returns the number of commits removed. O(#files) metadata — no file
+    * is opened. */
+  def vacuumChanges(base: String, keepCommits: Int): Int = {
+    require(keepCommits >= 1, "must keep at least the newest commit")
+    if (!hasChanges(base)) return 0
+    import java.nio.file.{Files, Paths}
+    AtomicTable.withCommitLock(Paths.get(base)) {
+      val commits = changeCommits(base)
+      if (commits.isEmpty) return 0
+      val keepFloor = commits.takeRight(keepCommits).head
+      val pins = AtomicTable.snapshotPinnedVersions(base)
+      val pinFloor =
+        if (pins.isEmpty) Long.MaxValue
+        else {
+          val minPin = pins.map(AtomicTable.versionNumOf).min
+          def baseverNum(v: Long): Long = {
+            val m = Paths.get(changesPath(base), s"_c$v.base")
+            if (!Files.exists(m)) Long.MaxValue // unknown base: never sweep
+            else AtomicTable.versionNumOf(Files.readString(m).trim)
+          }
+          commits.find(c => baseverNum(c) >= minPin).getOrElse(Long.MaxValue)
+        }
+      val floor = math.min(keepFloor, pinFloor)
+      val dir = Paths.get(changesPath(base))
+      val files = Files.list(dir)
+      val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally files.close()
+      val dead = commits.filter(_ < floor).toSet
+      names.foreach { n =>
+        val victim = n match {
+          case CommitFileRe(v) => dead(v.toLong)
+          case _ => n.startsWith("_c") && n.endsWith(".base") &&
+            n.stripPrefix("_c").stripSuffix(".base").toLongOption.exists(dead)
+        }
+        if (victim)
+          try Files.deleteIfExists(dir.resolve(n))
+          catch { case _: java.io.IOException => () } // strands disk, not wrongness
+      }
+      if (dead.nonEmpty) {
+        val tmp = dir.resolve("_FLOOR.tmp")
+        Files.writeString(tmp, floor.toString + "\n")
+        Files.move(tmp, floorPath(base),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      dead.size
+    }
+  }
 
   /** MERGE: rows of `batch` whose `keyCol` matches a live row REPLACE it
     * (positional delete + insert); unmatched rows INSERT. The matched
@@ -139,9 +328,10 @@ object MergeOnRead {
         val ins = bpin.join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
           .select(tcols.map(col): _*)
           .withColumn("_change_type", lit("insert"))
-        pre.unionByName(post).unionByName(ins)
-          .withColumn("_commit_version", lit(v))
-          .coalesce(1).write.mode("append").parquet(changesPath(base))
+        writeChanges(
+          pre.unionByName(post).unionByName(ins)
+            .withColumn("_commit_version", lit(v)),
+          base, v)
     }
   }
 
@@ -271,8 +461,7 @@ object MergeOnRead {
       } finally joined.unpersist()
     dvOut.coalesce(1).write.mode("append").parquet(DeletionVectors.dvPath(base))
     morOut.coalesce(1).write.mode("append").parquet(morPath(base))
-    cdfOut.foreach(
-      _.coalesce(1).write.mode("append").parquet(changesPath(base)))
+    cdfVersion.zip(cdfOut).foreach { case (v, cdf) => writeChanges(cdf, base, v) }
   }
 
   // --------------------------------------------------------------- queries
@@ -324,6 +513,10 @@ object MergeOnRead {
         }
         mergeUpsert(s, base, batch1(s, d), "o_orderkey", cdfVersion = Some(1L))
         mergeUpsert(s, base, batch2(s, d), "o_orderkey", cdfVersion = Some(2L))
+        // retention runs in the gated path every round (keep=2 retains
+        // both commits here — the stream oracles replay both); CdfRetention
+        // Spec proves the sweeping + refusing behavior with keep=1
+        vacuumChanges(base, keepCommits = 2)
       }
       base
     })
@@ -456,7 +649,7 @@ object MergeOnRead {
     * hash. Reading the feed costs one scan of `_changes` — batch-sized
     * files, never the table. */
   def tableChanges(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(changesPath(fullOrders(s, d)))
+    readChanges(s, fullOrders(s, d))
       .groupBy(col("_commit_version").as("commit_version"),
         col("_change_type").as("change_type"))
       .agg(count(lit(1)).as("n_rows"),

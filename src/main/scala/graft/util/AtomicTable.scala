@@ -60,7 +60,7 @@ object AtomicTable {
   private val jvmLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  private def withCommitLock[T](root: Path)(body: => T): T = {
+  private[graft] def withCommitLock[T](root: Path)(body: => T): T = {
     // normalize(): two spellings of one table ('/lake/t' vs
     // '/lake/../lake/t') must map to ONE jvm lock, or both threads reach
     // FileChannel.lock on the same _LOCK and the second throws
@@ -408,6 +408,19 @@ object AtomicTable {
       parseManifest(text).get(rel)
     }.toSet
   }
+
+  /** Member-table versions pinned by enclosing snapshot manifests — the
+    * [[snapshotPinned]] set, exposed for sidecar retention that must honor
+    * the same pins (e.g. [[graft.ops.MergeOnRead.vacuumChanges]]: a change
+    * commit whose base version a retained snapshot still names must
+    * survive the sweep, or a snapshot reader replaying the feed forward
+    * from its pinned state would find a hole). */
+  private[graft] def snapshotPinnedVersions(base: String): Set[String] =
+    snapshotPinned(Paths.get(base))
+
+  /** Parse `_v<N>` → N (MaxValue for non-version names) — exposed for
+    * sidecar retention comparing commit base versions against pins. */
+  private[graft] def versionNumOf(name: String): Long = versionNum(name)
 
   /** Commit a MULTI-TABLE transaction: one atomic pointer swap of the
     * snapshot manifest at `root/_SNAPSHOT` — a file naming every member
@@ -771,12 +784,27 @@ object AtomicTable {
       if (replayed) result = Some(false)
       else {
         val cur = resolve(base)
+        // The link+write stage runs OUTSIDE the commit lock (it may be a
+        // long Spark job), so a concurrent commit/vacuum with keep=1 can
+        // prune `cur` mid-hardlink. That IO failure is a LOST RACE, not a
+        // hard error: the stale-base check below would have discarded the
+        // candidate anyway had staging survived. Capture it, drop the
+        // partial staged dir, and retry; a persistent IO fault (disk
+        // full) still surfaces through the attempt cap.
+        var stageFailed: java.io.IOException = null
         val name = stageVersion(base) { dir =>
-          cur.foreach(c => linkFilesInto(Paths.get(c), dir))
-          write(dir)
+          try {
+            cur.foreach(c => linkFilesInto(Paths.get(c), dir))
+            write(dir)
+          } catch { case e: java.io.IOException => stageFailed = e }
         }
         withCommitLock(Paths.get(base)) {
-          if (replayed) {
+          if (stageFailed != null) {
+            discardStagedLocked(base, name) // partial stage: retry
+            if (attempts > 9) throw new IllegalStateException(
+              s"append staging kept failing at $base (last: ${stageFailed.getMessage})",
+              stageFailed)
+          } else if (replayed) {
             discardStagedLocked(base, name)
             result = Some(false)
           } else if (resolve(base) == cur) {
