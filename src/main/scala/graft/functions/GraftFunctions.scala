@@ -113,26 +113,33 @@ object GraftFunctions {
       exprs => RleContains(exprs.head, exprs(1))))
 
   /** Register the custom expressions with the session. Idempotent AND
-    * quiet: a name already present — from a previous register() call or
-    * from a session built with [[GraftExtensions]] — is left alone
-    * (createOrReplaceTempFunction on an existing name logs a "replaced a
-    * previously registered function" WARN per name per call, which turned
-    * every bench/verify log into noise; the builders are identical — the
-    * same [[defs]] table — so skipping is equivalent).
-    *
-    * ASSUMPTION the skip rests on: within this engine only [[defs]] ever
-    * registers these nine names, so "already present" implies "ours". An
-    * embedding application that registered a FOREIGN function under one
-    * of these names before graft initializes would be silently kept and
-    * graft queries would run its semantics — if that integration ever
-    * matters, replace the existence check with an ownership marker
-    * (register a sentinel function and test for it). */
+    * quiet: a name already present is left alone only after an OWNERSHIP
+    * check — the registered ExpressionInfo must name the graft
+    * implementing class (both registration paths attach it: here and
+    * [[GraftExtensions]]'s injectFunction). A name held by a FOREIGN
+    * implementation fails loudly instead of silently running foreign
+    * semantics under graft's queries (re-registering over it would be
+    * just as wrong in the other direction — the embedder's own queries
+    * would silently change meaning). Skipping our own prior registration
+    * keeps bench/verify logs free of per-call "replaced a previously
+    * registered function" WARNs. */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
-    defs.foreach { case (name, _, builder) =>
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    defs.foreach { case (name, cls, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      reg.lookupFunction(id) match {
+        case None =>
+          reg.registerFunction(id,
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              cls.getName, name), builder)
+        case Some(info) if info.getClassName == cls.getName => () // ours: keep
+        case Some(info) =>
+          throw new IllegalStateException(
+            s"function name '$name' is already registered by a foreign " +
+              s"implementation (${info.getClassName}); refusing to run graft " +
+              s"queries over foreign semantics — unregister it or rename the " +
+              s"collision before initializing graft")
+      }
     }
   }
 

@@ -14,9 +14,14 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Scope: all FIVE 8-bit color types, non-interlaced — grayscale (0),
   * truecolor (2 = RGB), palette (3, PLTE-expanded to RGB on decode),
   * grayscale+alpha (4) and truecolor+alpha (6 = RGBA) — the common
-  * crawl shapes. What remains out of scope (16-bit samples, sub-byte
-  * palette depths, Adam7 interlacing) is rejected LOUDLY with a
-  * precise message, never silently misread.
+  * crawl shapes. Transparency metadata is SEMANTIC, not ancillary:
+  * a palette tRNS expands into a real alpha channel (RGBA out) and a
+  * type-0/2 color key expands into an alpha plane, exactly libpng's
+  * PNG_TRANSFORM_EXPAND; a suggested-quantization PLTE on truecolor
+  * images is validated and ignored (the spec allows it there). What
+  * remains out of scope (16-bit samples, sub-byte palette depths,
+  * Adam7 interlacing) is rejected LOUDLY with a precise message,
+  * never silently misread.
   *
   * The decoder is production-shaped: chunk CRCs are verified (JDK
   * CRC32), IDAT payloads are concatenated across chunks per spec,
@@ -46,7 +51,7 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  private def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+  private[graft] def chunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
     val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length).array()
     out.write(len)
     val tb = typ.getBytes("US-ASCII")
@@ -63,7 +68,14 @@ object PngCodec {
     * `palette` switches to color type 3 (pixels are then palette
     * indices, channels must be 1). */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Int],
-      filterMode: Int = -1, palette: Option[Array[Int]] = None): Array[Byte] = {
+      filterMode: Int = -1, palette: Option[Array[Int]] = None,
+      paletteAlpha: Option[Array[Int]] = None): Array[Byte] = {
+    paletteAlpha.foreach { a =>
+      require(palette.isDefined, "paletteAlpha needs a palette")
+      require(a.nonEmpty && a.length <= palette.get.length,
+        s"paletteAlpha size ${a.length} not in 1..${palette.get.length}")
+      require(a.forall(v => v >= 0 && v <= 255), "alpha entries must be 0..255")
+    }
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(channels >= 1 && channels <= 4, s"channels must be 1..4, got $channels")
     palette.foreach { p =>
@@ -128,6 +140,7 @@ object PngCodec {
       }
       chunk(out, "PLTE", plte)
     }
+    paletteAlpha.foreach(a => chunk(out, "tRNS", a.map(_.toByte)))
     // split IDAT to force spec-correct concatenation across chunks
     val cb = comp.toByteArray
     val half = math.max(1, cb.length / 2)
@@ -174,9 +187,10 @@ object PngCodec {
     require(bytes.length >= 8, s"truncated: ${bytes.length} bytes")
     require(java.util.Arrays.equals(bytes.take(8), Signature), "missing PNG signature")
     val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8).order(ByteOrder.BIG_ENDIAN)
-    var w = -1; var h = -1; var ch = -1
+    var w = -1; var h = -1; var ch = -1; var color = -1
     var paletted = false
     var plte: Array[Int] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended) {
@@ -196,7 +210,7 @@ object PngCodec {
           val ib = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
           w = ib.getInt; h = ib.getInt
           val depth = ib.get() & 0xff
-          val color = ib.get() & 0xff
+          color = ib.get() & 0xff
           val comp = ib.get() & 0xff
           val filt = ib.get() & 0xff
           val inter = ib.get() & 0xff
@@ -214,12 +228,36 @@ object PngCodec {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
           }
         case "PLTE" =>
-          require(paletted, "PLTE on a non-palette image")
+          // the spec ALLOWS an optional suggested-quantization PLTE in
+          // truecolor images (types 2/6) — such files are common in the
+          // wild, so validate and IGNORE it there; only grayscale types
+          // (0/4) forbid the chunk outright
+          require(color == 2 || color == 3 || color == 6,
+            s"PLTE is forbidden for grayscale colorType $color")
           require(data.length % 3 == 0 && data.length > 0 && data.length <= 768,
             s"bad PLTE length ${data.length}")
-          plte = Array.tabulate(data.length / 3)(i =>
-            ((data(3 * i) & 0xff) << 16) | ((data(3 * i + 1) & 0xff) << 8) |
-              (data(3 * i + 2) & 0xff))
+          if (paletted)
+            plte = Array.tabulate(data.length / 3)(i =>
+              ((data(3 * i) & 0xff) << 16) | ((data(3 * i + 1) & 0xff) << 8) |
+                (data(3 * i + 2) & 0xff))
+        case "tRNS" =>
+          // transparency is SEMANTIC — skipping it as ancillary would
+          // decode transparent pixels as opaque, a silent misread. For
+          // palette images it is a per-entry alpha table; for types 0/2 a
+          // 16-bit-per-sample color key; types 4/6 already carry alpha and
+          // the spec forbids the chunk.
+          require(color >= 0, "tRNS before IHDR")
+          color match {
+            case 3 =>
+              require(plte != null, "tRNS before PLTE on a palette image")
+              require(data.nonEmpty && data.length <= plte.length,
+                s"tRNS has ${data.length} entries for a ${plte.length}-entry PLTE")
+            case 0 => require(data.length == 2, s"bad gray tRNS length ${data.length}")
+            case 2 => require(data.length == 6, s"bad RGB tRNS length ${data.length}")
+            case _ => throw new IllegalArgumentException(
+              s"tRNS is forbidden for alpha-bearing colorType $color")
+          }
+          trns = data
         case "IDAT" =>
           require(w > 0, "IDAT before IHDR")
           require(!paletted || plte != null, "IDAT before PLTE on a palette image")
@@ -254,22 +292,49 @@ object PngCodec {
     } finally infl.end()
     require(off == expect, s"inflated size $off != expected $expect")
     val px = unfilter(raw, w, h, ch)
-    if (!paletted) Png(w, h, ch, px)
-    else {
-      // expand palette indices to RGB — decoders hand consumers real
-      // samples, exactly as libpng's PNG_TRANSFORM_EXPAND does
-      val rgb = new Array[Int](w * h * 3)
+    if (paletted) {
+      // expand palette indices to RGB(A) — decoders hand consumers real
+      // samples, exactly as libpng's PNG_TRANSFORM_EXPAND does: with a
+      // tRNS table the expansion carries a REAL alpha channel (entries
+      // beyond the table are opaque per spec)
+      val outCh = if (trns != null) 4 else 3
+      val rgb = new Array[Int](w * h * outCh)
       var i = 0
       while (i < px.length) {
         val idx = px(i)
         require(idx < plte.length,
           s"palette index $idx out of range (PLTE has ${plte.length} entries)")
-        rgb(3 * i) = (plte(idx) >> 16) & 0xff
-        rgb(3 * i + 1) = (plte(idx) >> 8) & 0xff
-        rgb(3 * i + 2) = plte(idx) & 0xff
+        rgb(outCh * i) = (plte(idx) >> 16) & 0xff
+        rgb(outCh * i + 1) = (plte(idx) >> 8) & 0xff
+        rgb(outCh * i + 2) = plte(idx) & 0xff
+        if (outCh == 4)
+          rgb(outCh * i + 3) = if (idx < trns.length) trns(idx) & 0xff else 255
         i += 1
       }
-      Png(w, h, 3, rgb)
+      Png(w, h, outCh, rgb)
+    } else if (trns == null) Png(w, h, ch, px)
+    else {
+      // color-key transparency (types 0/2): expand the key into a real
+      // alpha plane — matching pixels go fully transparent. Key samples
+      // are stored 2 bytes each (big-endian); at depth 8 only the low
+      // byte is significant.
+      def key(j: Int): Int = ((trns(2 * j) & 0xff) << 8) | (trns(2 * j + 1) & 0xff)
+      val outCh = ch + 1
+      val out = new Array[Int](w * h * outCh)
+      var i = 0
+      while (i < w * h) {
+        var c = 0
+        var hit = true
+        while (c < ch) {
+          val v = px(ch * i + c)
+          out(outCh * i + c) = v
+          if (v != (key(c) & 0xff)) hit = false
+          c += 1
+        }
+        out(outCh * i + ch) = if (hit) 0 else 255
+        i += 1
+      }
+      Png(w, h, outCh, out)
     }
   }
 }

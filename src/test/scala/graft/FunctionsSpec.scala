@@ -148,4 +148,25 @@ class FunctionsSpec extends AnyFunSuite {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
   }
+
+  test("register fails loudly when a foreign implementation squats a graft name") {
+    // isolated session state: the foreign registration must not leak into
+    // the suite-shared session's registry
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(1), "built-in")
+    val err = intercept[IllegalStateException] { GraftFunctions.register(s2) }
+    assert(err.getMessage.contains("array_dot") &&
+      err.getMessage.contains("foreign"),
+      s"must name the colliding function and the refusal: ${err.getMessage}")
+  }
+
+  test("register is idempotent over its own prior registrations") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    GraftFunctions.register(s2) // ours already present: keep, don't throw
+    assert(s2.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+  }
 }

@@ -65,6 +65,80 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("palette tRNS expands into a real alpha channel (RGBA out)") {
+    val palette = Array(0xff0000, 0x00ff00, 0x0000ff, 0x102030)
+    val alpha = Array(0, 128, 255) // entry 3 beyond the table → opaque
+    val w = 4; val h = 3
+    val idx = Array.fill(w * h)(rng.nextInt(palette.length))
+    val img = PngCodec.decode(PngCodec.encode(w, h, 1, idx,
+      palette = Some(palette), paletteAlpha = Some(alpha)))
+    assert(img.channels == 4,
+      "a tRNS-bearing palette image must decode with alpha, not opaque RGB")
+    idx.zipWithIndex.foreach { case (i, p) =>
+      assert(img.pixels(4 * p) == ((palette(i) >> 16) & 0xff))
+      assert(img.pixels(4 * p + 1) == ((palette(i) >> 8) & 0xff))
+      assert(img.pixels(4 * p + 2) == (palette(i) & 0xff))
+      val wantA = if (i < alpha.length) alpha(i) else 255
+      assert(img.pixels(4 * p + 3) == wantA, s"alpha of palette entry $i")
+    }
+  }
+
+  /** Splice a chunk into an encoded PNG immediately before its first
+    * IDAT — the fixture builder for chunks `encode` doesn't emit. */
+  private def splice(png: Array[Byte], typ: String, data: Array[Byte]): Array[Byte] = {
+    val s = new String(png.map(b => (b & 0xff).toChar))
+    val at = s.indexOf("IDAT") - 4 // back over the length field
+    val extra = new java.io.ByteArrayOutputStream()
+    PngCodec.chunk(extra, typ, data)
+    png.take(at) ++ extra.toByteArray ++ png.drop(at)
+  }
+
+  test("a suggested-quantization PLTE on truecolor is validated and ignored") {
+    // the spec explicitly permits PLTE in types 2/6 — common in the wild,
+    // so it must not reject; the decode must equal the PLTE-free one
+    val px = Array.fill(3 * 2 * 3)(rng.nextInt(256))
+    val plain = PngCodec.encode(3, 2, 3, px)
+    val withPlte = splice(plain, "PLTE",
+      Array[Byte](10, 20, 30, 40, 50, 60))
+    val img = PngCodec.decode(withPlte)
+    assert(img.channels == 3 && img.pixels.toSeq == px.toSeq,
+      "truecolor decode must ignore the suggested palette")
+    // but a MALFORMED suggested palette still rejects
+    val badPlte = splice(plain, "PLTE", Array[Byte](1, 2)) // not %3
+    assert(intercept[IllegalArgumentException](PngCodec.decode(badPlte))
+      .getMessage.contains("PLTE"))
+    // and grayscale images still forbid the chunk outright (spec)
+    val gray = PngCodec.encode(2, 2, 1, Array(1, 2, 3, 4))
+    val grayPlte = splice(gray, "PLTE", Array[Byte](1, 2, 3))
+    assert(intercept[IllegalArgumentException](PngCodec.decode(grayPlte))
+      .getMessage.contains("grayscale"))
+  }
+
+  test("type-0/2 color-key tRNS expands into an alpha plane") {
+    // gray: key = 7 → those pixels go transparent, channels 1 → 2
+    val gpx = Array(7, 8, 7, 9)
+    val gray = splice(PngCodec.encode(2, 2, 1, gpx), "tRNS",
+      Array[Byte](0, 7))
+    val gimg = PngCodec.decode(gray)
+    assert(gimg.channels == 2)
+    assert(gimg.pixels.toSeq == Seq(7, 0, 8, 255, 7, 0, 9, 255))
+    // RGB: key = (1,2,3) → RGBA with alpha 0 only on exact triple match
+    val cpx = Array(1, 2, 3, /**/ 1, 2, 4, /**/ 1, 2, 3, /**/ 9, 9, 9)
+    val rgb = splice(PngCodec.encode(2, 2, 3, cpx), "tRNS",
+      Array[Byte](0, 1, 0, 2, 0, 3))
+    val cimg = PngCodec.decode(rgb)
+    assert(cimg.channels == 4)
+    assert(cimg.pixels.toSeq == Seq(
+      1, 2, 3, 0, 1, 2, 4, 255, 1, 2, 3, 0, 9, 9, 9, 255))
+  }
+
+  test("tRNS on an alpha-bearing colorType rejects loudly (spec-forbidden)") {
+    val rgba = PngCodec.encode(2, 1, 4, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val bad = splice(rgba, "tRNS", Array[Byte](0, 1))
+    assert(intercept[IllegalArgumentException](PngCodec.decode(bad))
+      .getMessage.contains("forbidden"))
+  }
+
   test("palette misuse is rejected loudly (encode-side guards)") {
     val palette = Array(0xff0000, 0x00ff00)
     // an in-range encode, then vandalize one index byte past the PLTE —
