@@ -711,16 +711,22 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     * the ANN oracle) and hash-checks the whole pipeline; the recall
     * contract on planted near-dup structure lives in SimilaritySpec. */
   def cosinePairsLsh(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    import Similarity.{Bits, NumTables}
+    import Similarity.NumTables
+    // adaptive resolution: bits grow with the corpus so expected bucket
+    // occupancy stays ~TargetBucket and pair work stays LINEAR in n (the
+    // sf1 self-measurement caught the fixed-bits quadratic — see
+    // Similarity's adaptive-resolution note). count() on the raw parquet
+    // is a metadata-only job; the oracle mirrors the integer thresholds.
+    val effBits = Similarity.effBitsFor(Tables.embeddings(s, d).count())
     val emb0 = Tables.fanout(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.arrayDot(s, col("v"), col("v"))))
     val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
-      df.withColumn(s"b$t", Similarity.bucketOf(s, col("v"), t))
+      df.withColumn(s"b$t", Similarity.bucketOfAdaptive(s, col("v"), t, effBits))
     }
     val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
     val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
     val probed = side.select(col("vec_id"), col("tbl"),
       explode(probes).as("flip"), col("bucket"))
       .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
@@ -741,26 +747,38 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       .orderBy("vec_a", "vec_b")
   }
 
-  def cosinePairsLshOracle(threshold: Double = 0.5): String = {
-    import Similarity.{Bits, NumTables}
+  /** Shared SQL prelude for the adaptive-LSH candidate set — the CTE
+    * chain `emb → params → b → side → probed → cand` mirroring
+    * [[cosinePairsLsh]] bit-for-bit: the full MaxBits bucket masked down
+    * to the count-derived resolution, probes limited to the live bits. */
+  private def lshCandidateCtes(): String = {
+    import Similarity.{MaxBits, NumTables}
     val bCols = (0 until NumTables)
-      .map(t => s"(${Similarity.bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+      .map(t => s"((${Similarity.bucketCasesSqlAdaptive(t)}) & ((1 << p.effbits) - 1)) AS b$t")
+      .mkString(",\n  ")
     val sideUnion = (0 until NumTables)
       .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
       .mkString("\nUNION ALL ")
-    s"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (SELECT ${Similarity.effBitsSql} AS effbits
+           FROM (SELECT count(*) AS c FROM embeddings)),
 b AS (SELECT vec_id, v,
   $bCols
-  FROM emb),
+  FROM emb, params p),
 side AS ($sideUnion),
 probed AS (
   SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
-  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+  FROM side CROSS JOIN (VALUES (0)${(0 until MaxBits).map(x => s", (${1 << x})").mkString}) AS f(flip), params p
+  WHERE f.flip < (1 << p.effbits)),
 cand AS (
   SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
   FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
-  WHERE p.vec_id < s.vec_id)
+  WHERE p.vec_id < s.vec_id)"""
+  }
+
+  def cosinePairsLshOracle(threshold: Double = 0.5): String = {
+    s"""
+WITH ${lshCandidateCtes()}
 SELECT c.vec_a, c.vec_b,
        round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
 FROM cand c JOIN emb a ON a.vec_id = c.vec_a JOIN emb bb ON bb.vec_id = c.vec_b
@@ -802,7 +820,8 @@ ORDER BY vec_a, vec_b"""
       val base = graft.util.SilverArtifact.pathFor(d, s"semantic_labels_$threshold")
       val fp = graft.util.SilverArtifact.sourceFingerprint(
         s"$d/embeddings.parquet",
-        s"semcc-v1-lsh-t${Similarity.NumTables}b${Similarity.Bits}-t$threshold")
+        s"semcc-v2-lsh-t${Similarity.NumTables}mb${Similarity.MaxBits}" +
+          s"tb${Similarity.TargetBucket}-t$threshold")
       graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         clustersFromPairs(cosinePairsLsh(s, d, threshold)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -829,26 +848,9 @@ ORDER BY vec_a, vec_b"""
   }
 
   def semanticDedupOracle(threshold: Double = 0.5): String = {
-    import Similarity.{Bits, NumTables}
-    val bCols = (0 until NumTables)
-      .map(t => s"(${Similarity.bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
-    val sideUnion = (0 until NumTables)
-      .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
-      .mkString("\nUNION ALL ")
     val stopList = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""
-WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v,
-  $bCols
-  FROM emb),
-side AS ($sideUnion),
-probed AS (
-  SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
-  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
-cand AS (
-  SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
-  FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
-  WHERE p.vec_id < s.vec_id),
+WITH RECURSIVE ${lshCandidateCtes()},
 dup AS (
   SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
   FROM cand c JOIN emb a ON a.vec_id = c.vec_a JOIN emb bb ON bb.vec_id = c.vec_b

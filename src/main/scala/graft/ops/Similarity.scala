@@ -105,6 +105,50 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
   private[graft] lazy val allPlanes: Array[Array[Array[Double]]] =
     planesFor(NumTables, Bits)
 
+  // ---- adaptive bucket resolution (the all-PAIRS LSH paths) ----
+  //
+  // A fixed bit count is the quadratic trap of pair-generating LSH: with
+  // 2^Bits buckets, bucket occupancy grows ∝ n and the within-bucket pair
+  // work grows ∝ n² — measured at sf1 (10× rows): dedup_cosine_lsh grew
+  // 16× while every other query stayed ≤ linear. The fix is the standard
+  // one: grow the bit count with the corpus so expected occupancy stays
+  // ~constant (TargetBucket), making candidate work O(n·tables·(bits+1)).
+  // Determinism survives because the resolution is a PURE INTEGER
+  // function of count(*) — no float log2 whose rounding could diverge
+  // between engines — and the oracle computes the same thresholds in SQL.
+  // MaxBits caps the pinned-plane set (and the oracle's literal text);
+  // 16 bits keeps occupancy ≤ TargetBucket up to ~2M vectors — beyond
+  // that a production deployment re-pins a larger plane set.
+  val MaxBits = 16
+  val TargetBucket = 32
+
+  /** Bits for an n-vector corpus: the smallest b in [Bits, MaxBits] with
+    * n ≤ TargetBucket·2^b — integer comparisons only. */
+  private[graft] def effBitsFor(n: Long): Int =
+    Bits + (Bits until MaxBits).count(b => n > (TargetBucket.toLong << b))
+
+  private[graft] lazy val adaptivePlanes: Array[Array[Array[Double]]] =
+    planesFor(NumTables, MaxBits)
+
+  /** Bucket of table `t` at an adaptive resolution: the low `effBits`
+    * planes of the pinned MaxBits set (≡ masking the full bucket with
+    * (1<<effBits)-1, which is how the SQL oracle states it). */
+  private[graft] def bucketOfAdaptive(s: SparkSession, v: Column, t: Int,
+      effBits: Int): Column =
+    bucketOfPlanes(s, v, adaptivePlanes(t).take(effBits))
+
+  /** SQL restatement of table `t`'s FULL MaxBits bucket (callers mask
+    * with the adaptive resolution). */
+  private[graft] def bucketCasesSqlAdaptive(t: Int): String = (0 until MaxBits).map { b =>
+    val lit = adaptivePlanes(t)(b).mkString("[", ", ", "]")
+    s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
+  }.mkString(" +\n    ")
+
+  /** SQL expression for [[effBitsFor]] over a column `c` = count(*). */
+  private[graft] val effBitsSql: String =
+    s"CAST($Bits${(Bits until MaxBits)
+      .map(b => s" + CAST(c > ${TargetBucket.toLong << b} AS INT)").mkString} AS INT)"
+
   /** SQL restatement of table `t`'s bucket computation with the planes as
     * literal arrays — shared by the ANN and dedup LSH oracles. */
   private[graft] def bucketCasesSql(t: Int): String = (0 until Bits).map { b =>
