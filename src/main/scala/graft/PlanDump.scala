@@ -63,6 +63,7 @@ object PlanDump {
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
     "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_420" -> "subsampled-jpeg decode: per-row 6-block-MCU entropy decode + replication upsample + BT.601 inside one mapPartitions, zero shuffle before the tiny feature rows",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",

@@ -12,11 +12,15 @@ import java.nio.ByteBuffer
   * zigzag, and a double-precision IDCT with level shift + clamp.
   *
   * Scope: baseline sequential DCT, 8-bit precision, grayscale (one
-  * component) AND 4:4:4 YCbCr color (three components, no chroma
-  * subsampling — each MCU is one block per component, per-component
-  * quant/Huffman table selectors honored, JFIF YCbCr→RGB on output),
-  * no restart intervals. Everything else — progressive, subsampled
-  * chroma, 12-bit — is rejected LOUDLY.
+  * component) AND YCbCr color with sampling factors 1 and 2 — 4:4:4,
+  * 4:2:0 (the dominant real-world encoding), 4:2:2 and 4:4:0.
+  * Interleaved MCUs carry hi×vi blocks per component; subsampled
+  * chroma upsamples by sample replication at the BT.601 conversion;
+  * arbitrary (non-8-aligned) dims decode via full edge MCUs clipped
+  * on output; per-component quant/Huffman table selectors honored.
+  * Everything else — progressive, 12-bit, 4:1:1, restart intervals,
+  * scan component order differing from the frame — is rejected
+  * LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -245,6 +249,72 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode a 4:2:0 COLOR JPEG from quantized coefficient blocks
+    * (NATURAL order): Y at full resolution ((w/8)·(h/8) blocks, raster
+    * order), Cb/Cr at QUARTER resolution ((w/16)·(h/16) blocks each).
+    * Each MCU covers 16×16 pixels and interleaves four raster-ordered Y
+    * blocks then one Cb and one Cr — the dominant encoding of real-world
+    * JPEGs, so the decoder's subsampled-MCU and upsampling paths are
+    * exercised by real bytes. Encoder fixtures stay 16-aligned; the
+    * DECODER accepts arbitrary dims (partial edge MCUs clip). */
+  def encodeCoefficients420(width: Int, height: Int, qY: Int, qC: Int,
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
+      sh: Int = 2, sv: Int = 2): Array[Byte] = {
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
+      s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    val cw = width / (8 * sh); val chh = height / (8 * sv)
+    require(y.length == bw * bh, s"need ${bw * bh} Y blocks, got ${y.length}")
+    require(cb.length == cw * chh && cr.length == cw * chh,
+      s"need ${cw * chh} chroma blocks, got ${cb.length}/${cr.length}")
+    val dcC = canonicalCodes(DcBits, DcVals)
+    val acC = canonicalCodes(AcBits, AcVals)
+    val bits = new BitWriter
+    val prevDc = new Array[Int](3)
+    var my = 0
+    while (my < chh) {
+      var mx = 0
+      while (mx < cw) {
+        var dy = 0
+        while (dy < sv) { // sh×sv Y blocks, raster order within the MCU
+          var dx = 0
+          while (dx < sh) {
+            prevDc(0) = writeBlock(bits, y((sv * my + dy) * bw + sh * mx + dx),
+              prevDc(0), dcC, acC)
+            dx += 1
+          }
+          dy += 1
+        }
+        prevDc(1) = writeBlock(bits, cb(my * cw + mx), prevDc(1), dcC, acC)
+        prevDc(2) = writeBlock(bits, cr(my * cw + mx), prevDc(2), dcC, acC)
+        mx += 1
+      }
+      my += 1
+    }
+    val entropy = bits.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    seg(out, 0xdb,
+      (Array[Byte](0x00) ++ Array.fill(64)(qY.toByte)) ++
+        (Array[Byte](0x01) ++ Array.fill(64)(qC.toByte)))
+    seg(out, 0xc0, ByteBuffer.allocate(15) // SOF0: Y sh×sv, chroma 1x1
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte)
+      .put(1.toByte).put(((sh << 4) | sv).toByte).put(0.toByte) // Y: tq0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)             // Cb: tq1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)             // Cr: tq1
+      .array())
+    dhtSeg(out, 0, 0, DcBits, DcVals); dhtSeg(out, 1, 0, AcBits, AcVals)
+    dhtSeg(out, 0, 1, DcBits, DcVals); dhtSeg(out, 1, 1, AcBits, AcVals)
+    seg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    out.write(entropy)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   /** Encode a grayscale raster as DC-only constant blocks — valid ONLY
     * when every 8×8 block is constant (the oracle fixtures); asserts it. */
   def encodeConstantBlocks(width: Int, height: Int, pixels: Array[Int],
@@ -395,6 +465,8 @@ object JpegCodec {
     val acT = new Array[HuffTable](4)
     var compIds: Array[Int] = null // SOF0 order
     var compTq: Array[Int] = null
+    var compH: Array[Int] = null   // sampling factors per component
+    var compV: Array[Int] = null
     var scanTd: Array[Int] = null  // per SOF0 component, filled from SOS
     var scanTa: Array[Int] = null
     var entropyStart = -1
@@ -432,15 +504,27 @@ object JpegCodec {
           require(len >= 2 + 6 + 3 * ncomp, s"SOF0 too short for $ncomp components")
           compIds = new Array[Int](ncomp)
           compTq = new Array[Int](ncomp)
+          compH = new Array[Int](ncomp)
+          compV = new Array[Int](ncomp)
           var c = 0
           while (c < ncomp) {
             compIds(c) = bytes(body + 6 + 3 * c) & 0xff
             val hv = bytes(body + 7 + 3 * c) & 0xff
-            require(hv == 0x11,
-              s"chroma subsampling not supported (component $c has sampling 0x${hv.toHexString}; only 4:4:4)")
+            compH(c) = hv >> 4; compV(c) = hv & 0xf
+            // factors 1 and 2 cover 4:4:4, 4:2:0, 4:2:2 and 4:4:0 — the
+            // shapes that make up essentially all baseline files in the
+            // wild; 3/4 (4:1:1 etc.) stay rejected loudly
+            require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+              s"sampling factors ${compH(c)}x${compV(c)} on component $c not " +
+                "supported (1 and 2 only — 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
             compTq(c) = bytes(body + 8 + 3 * c) & 0xff
             require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
             c += 1
+          }
+          if (ncomp == 1) {
+            // a single-component scan is NON-interleaved per T.81: its MCU
+            // is one data unit regardless of declared sampling factors
+            compH(0) = 1; compV(0) = 1
           }
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
         case 0xc4 =>
@@ -472,11 +556,18 @@ object JpegCodec {
           var c = 0
           while (c < ns) {
             val cs = bytes(body + 1 + 2 * c) & 0xff
-            val ci = compIds.indexOf(cs)
-            require(ci >= 0, s"scan component id $cs not in the frame")
-            scanTd(ci) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
-            scanTa(ci) = bytes(body + 2 + 2 * c) & 0xf
-            require(scanTd(ci) < 4 && scanTa(ci) < 4, "bad Huffman selector")
+            // the entropy stream interleaves MCUs in SCAN order (T.81
+            // B.2.3) while this decoder emits blocks in FRAME order — a
+            // scan that reorders components would decode with swapped
+            // planes and DC chains, a SILENT misread. Out-of-order scans
+            // are legal but essentially nonexistent in the wild; reject
+            // them loudly rather than misread them.
+            require(cs == compIds(c),
+              s"scan component order differs from the frame (scan[$c]=$cs, " +
+                s"frame[$c]=${compIds(c)}); only frame-ordered scans supported")
+            scanTd(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
+            scanTa(c) = bytes(body + 2 + 2 * c) & 0xf
+            require(scanTd(c) < 4 && scanTa(c) < 4, "bad Huffman selector")
             c += 1
           }
           entropyStart = body + 1 + 2 * ns + 3
@@ -488,7 +579,6 @@ object JpegCodec {
     require(w > 0 && h > 0, "no SOF0 before SOS")
     require(w.toLong * h < Int.MaxValue / 8,
       s"implausible dims ${w}x$h overflow the raster size")
-    require(w % 8 == 0 && h % 8 == 0, s"only 8-aligned dims supported: ${w}x$h")
     val ncomp = compIds.length
     var c = 0
     while (c < ncomp) {
@@ -506,48 +596,81 @@ object JpegCodec {
       p
     }
     val br = new BitReader(bytes.slice(entropyStart, eoi))
-    val bw = w / 8; val bh = h / 8
-    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    // Interleaved MCU geometry (T.81 A.2.3): the MCU covers 8·hmax ×
+    // 8·vmax pixels and carries hi×vi raster-ordered blocks per
+    // component; component planes live at REDUCED resolution (w·hi/hmax
+    // × h·vi/vmax) and are stored on the full MCU grid so partial edge
+    // MCUs (non-aligned dims) decode in full and simply clip on output.
+    val hmax = compH.max; val vmax = compV.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = Array.tabulate(ncomp)(ci => mcusX * 8 * compH(ci))
+    val planes = Array.tabulate(ncomp)(ci =>
+      new Array[Int](planeW(ci) * mcusY * 8 * compV(ci)))
     val prevDc = new Array[Int](ncomp)
-    var bi = 0
-    while (bi < bw * bh) {
-      // one interleaved MCU = one block per component (4:4:4 / grayscale)
+    var mi = 0
+    while (mi < mcusX * mcusY) {
+      val mx = mi % mcusX; val my = mi / mcusX
       var ci = 0
       while (ci < ncomp) {
-        val (blk, dc) = decodeBlock(br, dcT(scanTd(ci)), acT(scanTa(ci)),
-          quantT(compTq(ci)), prevDc(ci))
-        prevDc(ci) = dc
-        val bx = bi % bw; val by = bi / bw
-        val plane = planes(ci)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            plane((by * 8 + y) * w + bx * 8 + x) = blk(y * 8 + x)
-            x += 1
+        val pw = planeW(ci)
+        var b = 0
+        while (b < compH(ci) * compV(ci)) {
+          val (blk, dc) = decodeBlock(br, dcT(scanTd(ci)), acT(scanTa(ci)),
+            quantT(compTq(ci)), prevDc(ci))
+          prevDc(ci) = dc
+          val bx = mx * compH(ci) + b % compH(ci)
+          val by = my * compV(ci) + b / compH(ci)
+          val plane = planes(ci)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              plane((by * 8 + y) * pw + bx * 8 + x) = blk(y * 8 + x)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          b += 1
         }
         ci += 1
       }
-      bi += 1
+      mi += 1
     }
-    if (ncomp == 1) Jpeg(w, h, planes(0), 1)
-    else {
-      // JFIF YCbCr -> RGB (ITU-R BT.601 constants), rounded and clamped
+    if (ncomp == 1) {
+      val out = new Array[Int](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      Jpeg(w, h, out, 1)
+    } else {
+      // JFIF YCbCr -> RGB (ITU-R BT.601 constants), rounded and clamped.
+      // Subsampled chroma upsamples by sample replication (px·hi/hmax) —
+      // the spec-legal nearest-neighbor upsampler; on the per-MCU-constant
+      // oracle fixtures every legal upsampler agrees exactly.
       val rgb = new Array[Int](w * h * 3)
-      val (yp, cbp, crp) = (planes(0), planes(1), planes(2))
       def clamp(d: Double): Int =
         math.max(0, math.min(255, math.round(d).toInt))
-      var i = 0
-      while (i < w * h) {
-        val yv = yp(i).toDouble
-        val cb = cbp(i) - 128.0
-        val cr = crp(i) - 128.0
-        rgb(3 * i) = clamp(yv + 1.402 * cr)
-        rgb(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-        rgb(3 * i + 2) = clamp(yv + 1.772 * cb)
-        i += 1
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          val i = py * w + px
+          val yv = planes(0)(
+            (py * compV(0) / vmax) * planeW(0) + px * compH(0) / hmax).toDouble
+          val cb = planes(1)(
+            (py * compV(1) / vmax) * planeW(1) + px * compH(1) / hmax) - 128.0
+          val cr = planes(2)(
+            (py * compV(2) / vmax) * planeW(2) + px * compH(2) / hmax) - 128.0
+          rgb(3 * i) = clamp(yv + 1.402 * cr)
+          rgb(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(3 * i + 2) = clamp(yv + 1.772 * cb)
+          px += 1
+        }
+        py += 1
       }
       Jpeg(w, h, rgb, 3)
     }

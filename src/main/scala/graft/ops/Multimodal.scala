@@ -686,8 +686,100 @@ SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
        CAST(0 AS BIGINT) AS n_nongray
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  /** 4:2:0 COLOR JPEG through the gate — the dominant real-world JPEG
+    * encoding (r12 verdict "missing #3"). Fixtures: the closed-form luma
+    * grid at full resolution plus NON-NEUTRAL chroma that is CONSTANT PER
+    * MCU — a constant quarter-res chroma block upsamples to a constant
+    * 16×16 field under EVERY legal upsampler, so the decode is
+    * method-independent while the full subsampled machinery (2×2 Y
+    * sampling, 6-block interleaved MCUs, three DC chains through a
+    * 4-blocks-then-chroma cadence, replication upsampling, BT.601 with
+    * live chroma) sits on the gate path. Even values keep the 16-step
+    * quantization exact (the standing determinism argument); the BT.601
+    * doubles are bit-identical across engines because both state the same
+    * literal expression tree, and half-sample rounding agrees inside the
+    * clamp range (Math.round vs HALF-AWAY differ only below zero, where
+    * both clamp to 0). `n_nongray` is LIVE here (chroma ≠ 128), so a
+    * plane swap, a wrong MCU-to-block mapping, or a dead conversion
+    * cannot hide in the sums. */
+  def decodeJpeg420(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (16 * (1 + id % 2)).toInt
+          val h = (16 * (1 + id % 3)).toInt
+          val bw = w / 8; val bh = h / 8
+          val cw = w / 16; val chh = h / 16
+          def blkOf(v: Int): Array[Int] = {
+            val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+          }
+          def yVal(bx: Int, by: Int): Int =
+            (2 * ((id * 7 + bx * 3 + by * 5) % 128)).toInt
+          def cbVal(mx: Int, my: Int): Int =
+            (2 * ((id * 11 + mx * 5 + my * 3) % 128)).toInt
+          def crVal(mx: Int, my: Int): Int =
+            (2 * ((id * 13 + mx * 3 + my * 7) % 128)).toInt
+          val y = Array.tabulate(bw * bh)(bi => blkOf(yVal(bi % bw, bi / bw)))
+          val cb = Array.tabulate(cw * chh)(mi => blkOf(cbVal(mi % cw, mi / cw)))
+          val cr = Array.tabulate(cw * chh)(mi => blkOf(crVal(mi % cw, mi / cw)))
+          val bytes = JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var peak = 0; var nongray = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val r = img.pixels(i); val g = img.pixels(i + 1); val b = img.pixels(i + 2)
+            sum += r + g + b
+            if (r > peak) peak = r
+            if (g > peak) peak = g
+            if (b > peak) peak = b
+            if (r != g || g != b) nongray += 1
+            i += 3
+          }
+          JpegColorFeatures(id, img.width, img.height, img.channels,
+            sum, peak, nongray)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The 4:2:0 generator's closed form per 8×8 block, restated in SQL
+    * with the SAME BT.601 double expression tree the decoder evaluates —
+    * every pixel of a block shares one (Y, Cb, Cr) triple, so the whole
+    * decode chain (subsampled MCU parse → three DC chains → dequant →
+    * IDCT → replication upsample → conversion) must land exactly on the
+    * restated arithmetic. */
+  val decodeJpeg420Oracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+         CAST(16 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+  FROM p),
+yc AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id * 7 + (bi % (w // 8)) * 3 + (bi // (w // 8)) * 5) % 128) AS yv,
+         2 * ((doc_id * 11 + ((bi % (w // 8)) // 2) * 5 + ((bi // (w // 8)) // 2) * 3) % 128) AS cbv,
+         2 * ((doc_id * 13 + ((bi % (w // 8)) // 2) * 3 + ((bi // (w // 8)) // 2) * 7) % 128) AS crv
+  FROM b),
+rgb AS (
+  SELECT doc_id, w, h,
+         greatest(0, least(255, CAST(round(yv + 1.402 * (crv - 128)) AS INT))) AS r,
+         greatest(0, least(255, CAST(round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)) AS INT))) AS g,
+         greatest(0, least(255, CAST(round(yv + 1.772 * (cbv - 128)) AS INT))) AS bl
+  FROM yc)
+SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+       CAST(sum(CAST(64 AS BIGINT) * (r + g + bl)) AS BIGINT) AS sum_rgb,
+       CAST(max(greatest(r, g, bl)) AS INT) AS peak,
+       CAST(sum(CASE WHEN r <> g OR g <> bl THEN 64 ELSE 0 END) AS BIGINT) AS n_nongray
+FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
+    "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
@@ -702,6 +794,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_decode_jpeg_color" -> decodeJpegColorOracle,
+    "multimodal_decode_jpeg_420" -> decodeJpeg420Oracle,
     "multimodal_meta"     -> metaOracle,
     "multimodal_features" -> featuresOracle,
     "multimodal_frames"   -> frameSampleOracle,

@@ -147,19 +147,124 @@ class JpegCodecSpec extends AnyFunSuite {
       img.pixels(gray + 2) == 136)
   }
 
-  test("subsampled chroma is rejected loudly, not misread") {
-    def blk(v: Int): Array[Int] = {
-      val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+  private def blkOf(v: Int): Array[Int] = {
+    val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+  }
+
+  private def bt601(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def c(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+    (c(y + 1.402 * (cr - 128)),
+      c(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+      c(y + 1.772 * (cb - 128)))
+  }
+
+  test("4:2:0: reconstruction ground truth — MCU geometry, DC cadence, upsampling") {
+    // 32x16 = two 16x16 MCUs. Y varies PER BLOCK (distinct even values →
+    // the 4-Y-then-chroma DC cadence must be exactly right or wrong blocks
+    // land in wrong positions); chroma is constant PER MCU (every legal
+    // upsampler agrees on constants). All values even + q=16 → every plane
+    // reconstructs exactly; expected RGB is the BT.601 closed form.
+    val w = 32; val h = 16
+    val yv = Array(100, 102, 104, 106, 110, 112, 114, 116) // bw=4, bh=2
+    val cbv = Array(100, 150); val crv = Array(160, 90)    // one per MCU
+    val img = JpegCodec.decode(JpegCodec.encodeCoefficients420(w, h, 16, 16,
+      yv.map(blkOf), cbv.map(blkOf), crv.map(blkOf)))
+    assert(img.channels == 3 && img.width == w && img.height == h)
+    for (py <- 0 until h; px <- 0 until w) {
+      val bx = px / 8; val by = py / 8; val mcu = px / 16
+      val (r, g, b) = bt601(yv(by * 4 + bx), cbv(mcu), crv(mcu))
+      val p = (py * w + px) * 3
+      assert(img.pixels(p) == r && img.pixels(p + 1) == g && img.pixels(p + 2) == b,
+        s"pixel ($px,$py): got (${img.pixels(p)},${img.pixels(p + 1)},${img.pixels(p + 2)}) want ($r,$g,$b)")
     }
+  }
+
+  test("4:2:0 with general AC luma decodes to the independent IDCT reference") {
+    // neutral constant chroma makes RGB = the Y plane exactly, so random
+    // AC content in Y is checkable against refIdct through the full
+    // subsampled-MCU path (geometry already pinned by the test above)
+    val q = 16
+    (1 to 10).foreach { _ =>
+      val y = Array.fill(8) { // 32x16: bw=4, bh=2
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(201) - 100
+        (1 to 1 + rng.nextInt(10)).foreach(_ =>
+          blk(1 + rng.nextInt(63)) = rng.nextInt(61) - 30)
+        blk
+      }
+      val neutral = Array.fill(2)(blkOf(128))
+      val img = JpegCodec.decode(
+        JpegCodec.encodeCoefficients420(32, 16, q, q, y, neutral, neutral))
+      for (bi <- 0 until 8) {
+        val expect = refIdct(Array.tabulate(64)(i => y(bi)(i) * q))
+        val bx = bi % 4; val by = bi / 4
+        for (yy <- 0 until 8; xx <- 0 until 8) {
+          val got = img.pixels(((by * 8 + yy) * 32 + bx * 8 + xx) * 3)
+          assert(math.abs(got - expect(yy * 8 + xx)) <= 1,
+            s"block $bi ($xx,$yy): got $got want ${expect(yy * 8 + xx)}")
+        }
+      }
+    }
+  }
+
+  test("4:2:2: horizontal-only subsampling decodes exactly") {
+    val w = 32; val h = 8 // bw=4; chroma grid 2x1 (MCU = 16x8)
+    val yv = Array(100, 102, 104, 106)
+    val cbv = Array(100, 150); val crv = Array(160, 90)
+    val img = JpegCodec.decode(JpegCodec.encodeCoefficients420(w, h, 16, 16,
+      yv.map(blkOf), cbv.map(blkOf), crv.map(blkOf), sh = 2, sv = 1))
+    for (py <- 0 until h; px <- 0 until w) {
+      val (r, g, b) = bt601(yv(px / 8), cbv(px / 16), crv(px / 16))
+      val p = (py * w + px) * 3
+      assert(img.pixels(p) == r && img.pixels(p + 1) == g && img.pixels(p + 2) == b,
+        s"pixel ($px,$py)")
+    }
+  }
+
+  test("non-8-aligned dims decode via clipped edge MCUs") {
+    // encode a full 16x16 constant-block gray image, then patch SOF0's
+    // dims to 13x11 — the entropy stream still carries full MCUs; the
+    // decoder must clip, exactly what a real-world 13x11 baseline file
+    // contains
+    val px16 = Array.tabulate(16 * 16) { i =>
+      val bx = (i % 16) / 8; val by = (i / 16) / 8
+      100 + 2 * (by * 2 + bx)
+    }
+    val full = JpegCodec.encodeConstantBlocks(16, 16, px16)
+    val sofAt = full.indices.find(i =>
+      (full(i) & 0xff) == 0xff && (full(i + 1) & 0xff) == 0xc0).get
+    val body = sofAt + 4
+    val patched = full.clone()
+    patched(body + 1) = 0; patched(body + 2) = 11 // height
+    patched(body + 3) = 0; patched(body + 4) = 13 // width
+    val img = JpegCodec.decode(patched)
+    assert(img.width == 13 && img.height == 11 && img.pixels.length == 13 * 11)
+    for (py <- 0 until 11; px <- 0 until 13)
+      assert(img.pixels(py * 13 + px) == px16(py * 16 + px), s"pixel ($px,$py)")
+  }
+
+  test("out-of-scope sampling and scan order are rejected loudly, not misread") {
     val good = JpegCodec.encodeCoefficientsColor(8, 8, 16, 16,
-      Array(blk(128)), Array(blk(128)), Array(blk(128)))
-    // patch component 0's sampling byte in SOF0 to 2x2 (4:2:0)
+      Array(blkOf(128)), Array(blkOf(128)), Array(blkOf(128)))
+    // 4x1 sampling (4:1:1) stays out of scope
     val sofAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     val sub = good.clone()
-    sub(sofAt + 4 + 7) = 0x22.toByte // body starts at sofAt+4; comp0 hv at +7
+    sub(sofAt + 4 + 7) = 0x41.toByte // body at sofAt+4; comp0 hv at +7
     assert(intercept[IllegalArgumentException](
-      JpegCodec.decode(sub)).getMessage.contains("subsampling"))
+      JpegCodec.decode(sub)).getMessage.contains("sampling factors"))
+    // a scan that lists components out of frame order would decode with
+    // swapped planes/DC chains — must reject, not silently misread
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val swapped = good.clone()
+    val b0 = sosAt + 4 + 1 // first scan component id (after ns byte)
+    // swap (id, selectors) of scan components 0 and 1
+    val tmpId = swapped(b0); val tmpSel = swapped(b0 + 1)
+    swapped(b0) = swapped(b0 + 2); swapped(b0 + 1) = swapped(b0 + 3)
+    swapped(b0 + 2) = tmpId; swapped(b0 + 3) = tmpSel
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(swapped)).getMessage.contains("scan component order"))
   }
 
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
