@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Distributed, exactly-reproducible LINEAR CLASSIFIER training — the
   * trainable quality/language-filter stage of a corpus pipeline (the
@@ -85,7 +86,7 @@ object Classifier {
   private def features(s: SparkSession, d: String): DataFrame =
     featCache.getOrElseUpdate((s, d),
       featureFrame(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
 
   private def margin(w: Array[Long]): Column =
     col("y") * (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +

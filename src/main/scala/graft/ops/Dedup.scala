@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Document deduplication suite — the training-data-pipeline extension
   * surface (SURVEY.md §7.5) over the `documents` table.
@@ -96,7 +97,7 @@ object Dedup {
         val cap = math.max(MinShingleDfCap, math.floor(MaxShingleDfFrac * nDocs).toLong)
         ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
           .select(col("doc_id"), explode(col("sh")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         // sh is distinct per doc, so count == document frequency. The hot
         // list is tiny by construction (df > 1% of corpus) → broadcast anti.
         val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -114,7 +115,7 @@ object Dedup {
       // the dedup family depend on this
       read
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
 
   /** Shared oracle CTE: per-doc distinct shingles, hot-shingle-capped
@@ -258,7 +259,7 @@ ORDER BY doc_a, doc_b"""
         // index-vs-index and batch-vs-index joins reuse the exchange
         .repartition(s.sparkContext.defaultParallelism,
           col("band_idx"), col("band_val"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
@@ -447,7 +448,7 @@ ORDER BY doc_a, doc_b"""
         clustersFromPairs(minhashLsh(s, d, threshold).select("doc_a", "doc_b"))
       }
         .orderBy("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
 
   /** Large-star: for every node u, hang each strictly-larger neighbor off
@@ -640,7 +641,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       .as[(Long, Array[Double])]
       // count + the pair flatMap are two actions over the same narrow
       // projection; cache it once instead of rescanning the source
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val n = emb.count()
     val numBlocks = cosineNumBlocks(n, blockRows, s.sparkContext.defaultParallelism)
     def sortedNormed(m: Array[(Long, Array[Double])]): (Array[(Long, Array[Double])], Array[Double]) = {
@@ -696,7 +697,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       // deterministic sort: orderBy's range-partitioner runs a sampling
       // job over its child, which would otherwise re-execute the whole
       // O(n²) pair computation a second time
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
       .orderBy("vec_a", "vec_b")
   }
 
@@ -826,7 +827,7 @@ ORDER BY vec_a, vec_b"""
         clustersFromPairs(cosinePairsLsh(s, d, threshold)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
     val allIds = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
     val labeled = allIds.join(labels, Seq("doc_id"), "left")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Iterative graph analytics over the LSH-derived k-NN graph
   * ([[Similarity.knnGraph]]) — the shape of graph-based corpus curation
@@ -45,7 +46,7 @@ object GraphOps {
         .select(least(col("vec_a"), col("vec_b")).as("u"),
           greatest(col("vec_a"), col("vec_b")).as("v"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
 
   /** 3-round integer PageRank (d = 0.85) over the directed 3-NN graph.
     * Nodes with no bucket collisions contribute no mass (standard dangling

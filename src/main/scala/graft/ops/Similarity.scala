@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §7.5 extension surface).
@@ -48,7 +49,7 @@ object Similarity {
       Tables.fanout(s, Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(dot(s, col("v"), col("v"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
 
   /** Query set: every 100th vector — small by construction, broadcast. */
   private def querySet(emb: DataFrame): DataFrame =
@@ -102,9 +103,6 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       Array.fill(tables, bits, Dim)(rng.nextGaussian())
     })
 
-  private[graft] lazy val allPlanes: Array[Array[Array[Double]]] =
-    planesFor(NumTables, Bits)
-
   // ---- adaptive bucket resolution (the all-PAIRS LSH paths) ----
   //
   // A fixed bit count is the quadratic trap of pair-generating LSH: with
@@ -149,16 +147,6 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     s"CAST($Bits${(Bits until MaxBits)
       .map(b => s" + CAST(c > ${TargetBucket.toLong << b} AS INT)").mkString} AS INT)"
 
-  /** SQL restatement of table `t`'s bucket computation with the planes as
-    * literal arrays — shared by the ANN and dedup LSH oracles. */
-  private[graft] def bucketCasesSql(t: Int): String = (0 until Bits).map { b =>
-    val lit = allPlanes(t)(b).mkString("[", ", ", "]")
-    s"CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1 << b} ELSE 0 END"
-  }.mkString("\n   + ")
-
-  private[graft] def bucketOf(s: SparkSession, v: Column, t: Int): Column =
-    bucketOfPlanes(s, v, allPlanes(t))
-
   private def bucketOfPlanes(s: SparkSession, v: Column, planes: Array[Array[Double]]): Column =
     planes.indices.map { b =>
       when(dot(s, v, typedlit(planes(b).toSeq)) >= 0, lit(1 << b)).otherwise(lit(0))
@@ -169,15 +157,27 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * candidates across tables, then exact-rank. Oracle-checked (planes
     * pinned as SQL literals); SimilaritySpec asserts recall@K ≥ 0.9
     * against [[annTopK]] on planted-cluster data. */
-  def annLshTopK(s: SparkSession, d: String): DataFrame =
-    annLshTopK(s, d, Bits, NumTables)
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    // adaptive bucket resolution (see the adaptive-resolution note below):
+    // per-query candidate work is ∝ n·tables·(bits+1)/2^bits, so a FIXED
+    // bit count makes every query's cost grow with the corpus; the
+    // count-derived bit count keeps expected bucket occupancy — and so
+    // per-query serving cost — ~constant at any n. The oracle mirrors the
+    // integer thresholds and masks the same pinned MaxBits planes.
+    val effBits = effBitsFor(Tables.embeddings(s, d).count())
+    annLshWithPlanes(s, d, adaptivePlanes.map(_.take(effBits)))
+  }
 
   /** Parameterized variant: the (bits, tables) knobs trade scanned
     * fraction (~tables·(bits+1)/2^bits) against recall — swept on planted
-    * data in SimilaritySpec; the sweep numbers live in NOTES.md. The
-    * default configuration backs the pinned-literal oracle. */
-  def annLshTopK(s: SparkSession, d: String, bits: Int, tables: Int): DataFrame = {
-    val planes = planesFor(tables, bits)
+    * data in SimilaritySpec; the sweep numbers live in NOTES.md. */
+  def annLshTopK(s: SparkSession, d: String, bits: Int, tables: Int): DataFrame =
+    annLshWithPlanes(s, d, planesFor(tables, bits))
+
+  private def annLshWithPlanes(s: SparkSession, d: String,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    val tables = planes.length
+    val bits = planes(0).length
     val emb0 = withNorm(s, d)
     val emb = (0 until tables).foldLeft(emb0) { (df, t) =>
       df.withColumn(s"b$t", bucketOfPlanes(s, col("v"), planes(t)))
@@ -213,7 +213,9 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * DuckDB parses the identical doubles; the sign of the identical dot
     * product then yields the identical bucket in every table). */
   lazy val annLshOracle: String = {
-    val bCols = (0 until NumTables).map(t => s"(${bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+    val bCols = (0 until NumTables)
+      .map(t => s"((${bucketCasesSqlAdaptive(t)}) & ((1 << p.effbits) - 1)) AS b$t")
+      .mkString(",\n  ")
     val corpusUnion = (0 until NumTables)
       .map(t => s"SELECT vec_id, v, $t AS tbl, b$t AS bucket FROM b")
       .mkString("\nUNION ALL ")
@@ -222,14 +224,17 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       .mkString("\nUNION ALL ")
     s"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (SELECT $effBitsSql AS effbits
+           FROM (SELECT count(*) AS c FROM embeddings)),
 b AS (SELECT vec_id, v,
   $bCols
-  FROM emb),
+  FROM emb, params p),
 corpus AS ($corpusUnion),
 q AS ($qUnion),
 probes AS (
   SELECT query_id, tbl, xor(qb, f.flip) AS probe_bucket
-  FROM q CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+  FROM q CROSS JOIN (VALUES (0)${(0 until MaxBits).map(x => s", (${1 << x})").mkString}) AS f(flip), params p
+  WHERE f.flip < (1 << p.effbits)),
 cand0 AS (
   SELECT DISTINCT query_id, vec_id
   FROM corpus c JOIN probes p
@@ -441,25 +446,32 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       // part files + the LSH/banding parameters.
       val base = graft.util.SilverArtifact.pathFor(d, s"knn_k$k")
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/embeddings.parquet", s"knn-v1-t${NumTables}b${Bits}k$k")
+        s"$d/embeddings.parquet",
+        s"knn-v2-t${NumTables}mb${MaxBits}tb${TargetBucket}k$k")
       graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         knnGraphUncached(s, d, k)
       }
         // restore the (vec_a, rnk) presentation order the parquet read
         // drops — the knn_graph gate hashes this frame directly
         .orderBy("vec_a", "rnk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
 
   private def knnGraphUncached(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // adaptive resolution, same reasoning as annLshTopK: the k-NN build is
+    // ALL-pairs-shaped (every vector probes), so fixed bits would make the
+    // edge-set build quadratic in n — the artifact build must stay linear
+    // for the once-per-corpus-version story to hold at 100 TB
+    val effBits = effBitsFor(Tables.embeddings(s, d).count())
+    val planes = adaptivePlanes.map(_.take(effBits))
     val emb0 = withNorm(s, d)
     val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
-      df.withColumn(s"b$t", bucketOf(s, col("v"), t))
+      df.withColumn(s"b$t", bucketOfPlanes(s, col("v"), planes(t)))
     }
     val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
     val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    val probes = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
+    val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
     val probed = side.select(col("vec_id"), col("tbl"),
       explode(probes).as("flip"), col("bucket"))
       .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
@@ -482,19 +494,23 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
 
   def knnGraphOracle(k: Int = 3): String = {
     val bCols = (0 until NumTables)
-      .map(t => s"(${bucketCasesSql(t)}) AS b$t").mkString(",\n  ")
+      .map(t => s"((${bucketCasesSqlAdaptive(t)}) & ((1 << p.effbits) - 1)) AS b$t")
+      .mkString(",\n  ")
     val sideUnion = (0 until NumTables)
       .map(t => s"SELECT vec_id, $t AS tbl, b$t AS bucket FROM b")
       .mkString("\nUNION ALL ")
     s"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+params AS (SELECT $effBitsSql AS effbits
+           FROM (SELECT count(*) AS c FROM embeddings)),
 b AS (SELECT vec_id, v,
   $bCols
-  FROM emb),
+  FROM emb, params p),
 side AS ($sideUnion),
 probed AS (
   SELECT vec_id, tbl, xor(bucket, f.flip) AS bucket
-  FROM side CROSS JOIN (VALUES (0)${(0 until Bits).map(x => s", (${1 << x})").mkString}) AS f(flip)),
+  FROM side CROSS JOIN (VALUES (0)${(0 until MaxBits).map(x => s", (${1 << x})").mkString}) AS f(flip), params p
+  WHERE f.flip < (1 << p.effbits)),
 cand AS (
   SELECT DISTINCT p.vec_id AS vec_a, s.vec_id AS vec_b
   FROM probed p JOIN side s ON p.tbl = s.tbl AND p.bucket = s.bucket
@@ -644,7 +660,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       pqQuantized(s, d).select(col("vec_id"),
         call_function("pq_encode", col("q"), pqCbLit(s, d),
           lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
   }
 
   def annPqTopK(s: SparkSession, d: String): DataFrame = {
@@ -753,7 +769,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
         .select(col("vec_id"), col("cell"),
           call_function("pq_encode", col("q"), cbLit,
             lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
     val qs = emb.filter(col("vec_id") % 100 === 0)
       .withColumn("q", quant)
       .select(col("vec_id").as("query_id"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Exact substring-level duplicate detection — the "documents sharing a
   * long verbatim passage" operator from the public deduplicating-training-
@@ -64,7 +65,7 @@ object SubstringDedup {
       val raw = rawGrams(Tables.fanout(s, Tables.documents(s, d)), L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val capped = capGrams(raw, MaxGramDf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       capped.count()
       raw.unpersist()
       capped

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Text-analysis suite over the `documents` table (SURVEY.md §7.5):
   * language-ID heuristic, quality scoring, token counting, and positional
@@ -378,7 +379,7 @@ FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
           .select(col("doc_id"), col("tok"),
             expr("tf * (n + 1) * 1000 DIV (df + 1)").as("wt"))
       }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
     })
 
   def sparseRetrieval(s: SparkSession, d: String, k: Int = 5): DataFrame = {

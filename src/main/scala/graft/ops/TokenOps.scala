@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Token-level corpus operators — the frequency-table family a pre-training
   * data pipeline runs between raw text and the tokenizer (absent from the
@@ -263,7 +264,7 @@ GROUP BY content_hash ORDER BY doc_id"""
         .filter(length(col("w")) >= 2)
         .select(col("doc_id"),
           rtrim(regexp_replace(col("w"), "(.)", "$1" + SEP), SEP).as("r"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persistOnce())
 
   private def pairs(df: DataFrame): DataFrame = df
     .select(split(col("r"), SEP).as("ts"))

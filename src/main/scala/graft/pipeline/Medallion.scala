@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{DateDim, SurrogateKeys}
+import graft.util.SessionCaches.PersistOnce
 
 /** Bronze → Silver → Gold medallion pipeline (SURVEY.md §3.1; reference:
   * etl_script_dlh/etl_lakehouse.py), re-expressed over the driver testdata
@@ -84,7 +85,7 @@ object Medallion {
       // fan the FACT back out so its cached partitions use the full
       // cluster — dims stay as-read (they broadcast into joins anyway)
       val df = if (name == "fact_sales") Tables.fanout(s, stored) else stored
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.persistOnce()
     })
 
   // ---- Silver (cleaned/conformed wide tables; etl_lakehouse.py:47-74) ----
@@ -227,8 +228,26 @@ object Medallion {
     // after EVERY member staged successfully.
     val stages: Seq[(String, String => Unit)] =
       Tables.sourceNames.map { n =>
-        s"bronze/$n" -> ((dir: String) =>
-          Tables.table(s, srcDir, n).write.mode("overwrite").parquet(dir))
+        // Bronze is a 1:1 copy of ALREADY-PARQUET source data
+        // (etl_lakehouse.py:40-44) — staging HARDLINKS the source file
+        // into the version dir instead of running a Spark rewrite job:
+        // a metadata-only publish (the Delta CONVERT TO DELTA shape,
+        // which logs existing files rather than rewriting them). At
+        // 100 TB this is the difference between re-writing the raw
+        // corpus once per reload and an O(files) link pass; readers see
+        // an ordinary parquet directory either way. Copy is the fallback
+        // where the filesystem refuses links (e.g. cross-device).
+        s"bronze/$n" -> ((dir: String) => {
+          val src = java.nio.file.Paths.get(srcDir, s"$n.parquet")
+          val to = java.nio.file.Paths.get(dir, s"$n.parquet")
+          try java.nio.file.Files.createLink(to, src)
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(src, to)
+          }
+          ()
+        })
       } ++ Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "silver/silver_customer" -> (() => silverCustomer(s, srcDir)),
         "silver/silver_part"     -> (() => silverPart(s, srcDir)),

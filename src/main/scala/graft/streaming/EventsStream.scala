@@ -234,6 +234,56 @@ FROM d ORDER BY window_start"""
       ss
     })
 
+  /** One-time JVM warm-up for the stateful streaming machinery — called
+    * from the bench's ETL-phase warmup so the COLD pass measures what a
+    * cold SESSION pays, not one-per-JVM costs no production query repays:
+    * the RocksDB state store's JNI library extraction + provider class
+    * init (the dominant share of the first transformWithState call's
+    * 9 s-vs-2.7 s cold multiple, r12 "wrong #2") and the watermarked
+    * stream-stream join's state-store format/codegen init. Both run over
+    * 2-row MemoryStreams — milliseconds of data, the class-loading is the
+    * point. Idempotent and best-effort: a prewarm failure must never fail
+    * the bench (the real queries would just pay the cold cost). */
+  def prewarm(s: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    try {
+      locally { // RocksDB provider + transformWithState
+        val rs = rocksSession(s)
+        import rs.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
+        val mem = MemoryStream[Ev]
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+        mem.addData(Ev(1L, t0, 1L, "w", 1.0, "{}"), Ev(2L, t0, 2L, "w", 2.0, "{}"))
+        val out = mem.toDS().groupByKey(_.user_id)
+          .transformWithState(new TotalsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        val q = out.toDF().writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("graft_prewarm_tws").start()
+        try q.processAllAvailable() finally q.stop()
+        rs.catalog.dropTempView("graft_prewarm_tws")
+      }
+      locally { // watermarked stream-stream outer join on the shared clone
+        val ss = streamSession(s)
+        import ss.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+        val a = MemoryStream[(Long, Timestamp)]
+        val b = MemoryStream[(Long, Timestamp)]
+        val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+        a.addData((1L, t0)); b.addData((1L, t0))
+        val joined = a.toDF().toDF("au", "ats").withWatermark("ats", "0 seconds")
+          .join(b.toDF().toDF("bu", "bts").withWatermark("bts", "0 seconds"),
+            expr("au = bu AND bts >= ats AND bts <= ats + INTERVAL 1 HOUR"),
+            "fullOuter")
+        val q = joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName("graft_prewarm_ssj").start()
+        try q.processAllAvailable() finally q.stop()
+        ss.catalog.dropTempView("graft_prewarm_ssj")
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] streaming prewarm failed (non-fatal): ${e.getMessage}")
+    }
+  }
+
   def transformState(s: SparkSession, d: String): DataFrame = {
     val rs = rocksSession(s)
     val stageDir = java.nio.file.Paths.get(

@@ -96,4 +96,21 @@ object SessionCaches {
     * DataFrames); returns the number of entries dropped. */
   def clear(s: SparkSession): Int =
     registry.values.foldLeft(0)(_ + _._1.evict(s))
+
+  /** `persist(MEMORY_AND_DISK)` only when this plan is not ALREADY in the
+    * CacheManager. The CacheManager is SHARED across `newSession()` clones
+    * while the memos here key by session instance — so a memo on a clone
+    * rebuilding a plan the parent session already cached would re-persist
+    * it, pinning nothing new and logging a "Asked to cache already cached
+    * data" WARN per occurrence. `Dataset.storageLevel` consults the shared
+    * CacheManager by canonicalized plan, so the guard is exact. Use at
+    * memo-lifetime persist sites; transient persist/unpersist pairs must
+    * NOT use it (skipping their persist would make the paired unpersist
+    * drop someone else's cache entry). */
+  implicit final class PersistOnce[T](private val ds: org.apache.spark.sql.Dataset[T]) extends AnyVal {
+    def persistOnce(): org.apache.spark.sql.Dataset[T] =
+      if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ds
+  }
 }

@@ -65,12 +65,15 @@ class MedallionSpec extends AnyFunSuite {
   }
 
   test("fact has no null SKs and joins back to every dim (D5)") {
-    val f = Medallion.factSales(spark, sf).cache()
+    // factSales returns the gold memo's frame, which is ALREADY persisted
+    // (and shared with every other query) — a spec-side cache() here both
+    // warned "already cached" and, via the paired unpersist, dropped the
+    // shared entry out from under later suites
+    val f = Medallion.factSales(spark, sf)
     assert(f.count() > 0)
     assert(f.na.drop().count() == f.count())
     val viaDim = f.join(Medallion.dimCustomer(spark, sf), Seq("customer_sk"), "left_anti").count()
     assert(viaDim == 0)
-    f.unpersist()
   }
 
   test("author-string-agg analog is sorted and deterministic (D2/A4)") {
