@@ -17,10 +17,13 @@ import java.nio.ByteBuffer
   * Interleaved MCUs carry hi×vi blocks per component; subsampled
   * chroma upsamples by sample replication at the BT.601 conversion;
   * arbitrary (non-8-aligned) dims decode via full edge MCUs clipped
-  * on output; per-component quant/Huffman table selectors honored.
-  * Everything else — progressive, 12-bit, 4:1:1, restart intervals,
-  * scan component order differing from the frame — is rejected
-  * LOUDLY.
+  * on output; per-component quant/Huffman table selectors honored;
+  * restart intervals (DRI/RSTn — ubiquitous in camera output) decode
+  * with byte realignment, modulo-8 marker verification and DC-chain
+  * resets, and a lost or reordered restart marker rejects loudly
+  * instead of desynchronizing every later MCU. Everything else —
+  * progressive, 12-bit, 4:1:1, scan component order differing from
+  * the frame — is rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -110,12 +113,20 @@ object JpegCodec {
       }
     }
     def finish(): Array[Byte] = {
+      flushByte()
+      out.toByteArray
+    }
+    private def flushByte(): Unit =
       if (n > 0) { // pad with 1-bits per spec
         acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
         out.write(acc)
         if (acc == 0xff) out.write(0x00)
+        acc = 0; n = 0
       }
-      out.toByteArray
+    /** Byte-align (1-bit padding) and emit RSTm — T.81 restart marker. */
+    def restart(m: Int): Unit = {
+      flushByte()
+      out.write(0xff); out.write(0xd0 + (m & 7))
     }
   }
 
@@ -174,7 +185,7 @@ object JpegCodec {
     * arbitrary coefficients in specs). `blocks` are row-major per block,
     * NATURAL (not zigzag) order, already quantized. */
   def encodeCoefficients(width: Int, height: Int, q: Int,
-      blocks: Array[Array[Int]]): Array[Byte] = {
+      blocks: Array[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
     val bw = width / 8; val bh = height / 8
     require(blocks.length == bw * bh, s"${blocks.length} blocks for ${bw}x$bh grid")
@@ -182,12 +193,22 @@ object JpegCodec {
     val acC = canonicalCodes(AcBits, AcVals)
     val bits = new BitWriter
     var prevDc = 0
-    blocks.foreach(blk => prevDc = writeBlock(bits, blk, prevDc, dcC, acC))
+    var rst = 0
+    blocks.zipWithIndex.foreach { case (blk, bi) =>
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bits.restart(rst); rst = (rst + 1) % 8
+        prevDc = 0 // restart resets the DC prediction chain
+      }
+      prevDc = writeBlock(bits, blk, prevDc, dcC, acC)
+    }
     val entropy = bits.finish()
 
     val out = new java.io.ByteArrayOutputStream()
     marker(out, 0xd8) // SOI
     seg(out, 0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte)) // DQT, uniform
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
     seg(out, 0xc0, ByteBuffer.allocate(9) // SOF0: precision, dims, 1 component
       .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
       .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
@@ -259,7 +280,7 @@ object JpegCodec {
     * DECODER accepts arbitrary dims (partial edge MCUs clip). */
   def encodeCoefficients420(width: Int, height: Int, qY: Int, qC: Int,
       y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
-      sh: Int = 2, sv: Int = 2): Array[Byte] = {
+      sh: Int = 2, sv: Int = 2, restartInterval: Int = 0): Array[Byte] = {
     require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
       s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
     require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
@@ -273,10 +294,16 @@ object JpegCodec {
     val acC = canonicalCodes(AcBits, AcVals)
     val bits = new BitWriter
     val prevDc = new Array[Int](3)
+    var rst = 0; var mcu = 0
     var my = 0
     while (my < chh) {
       var mx = 0
       while (mx < cw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bits.restart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        mcu += 1
         var dy = 0
         while (dy < sv) { // sh×sv Y blocks, raster order within the MCU
           var dx = 0
@@ -300,6 +327,9 @@ object JpegCodec {
     seg(out, 0xdb,
       (Array[Byte](0x00) ++ Array.fill(64)(qY.toByte)) ++
         (Array[Byte](0x01) ++ Array.fill(64)(qC.toByte)))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
     seg(out, 0xc0, ByteBuffer.allocate(15) // SOF0: Y sh×sv, chroma 1x1
       .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
       .put(3.toByte)
@@ -356,6 +386,20 @@ object JpegCodec {
       var v = 0; var i = 0
       while (i < len) { v = (v << 1) | bit(); i += 1 }
       v
+    }
+    /** Discard pad bits to the byte boundary and consume the expected
+      * RSTm marker — loud on anything else (a lost/reordered restart
+      * would silently desynchronize every later MCU). A 0xFF pad byte's
+      * stuffed 0x00 was already skipped when that byte loaded, so `pos`
+      * sits exactly on the marker here. */
+    def expectRestart(m: Int): Unit = {
+      n = 0
+      require(pos + 1 < data.length,
+        s"entropy stream ended before expected restart marker RST$m")
+      val a = data(pos) & 0xff; val b = data(pos + 1) & 0xff
+      require(a == 0xff && b == 0xd0 + m,
+        f"expected restart marker RST$m%d, found 0x$a%02x 0x$b%02x")
+      pos += 2
     }
   }
 
@@ -469,6 +513,7 @@ object JpegCodec {
     var compV: Array[Int] = null
     var scanTd: Array[Int] = null  // per SOF0 component, filled from SOS
     var scanTa: Array[Int] = null
+    var restartInterval = 0        // DRI: MCUs between RSTn markers (0 = none)
     var entropyStart = -1
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (entropyStart < 0) {
@@ -572,6 +617,9 @@ object JpegCodec {
           }
           entropyStart = body + 1 + 2 * ns + 3
         case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case 0xdd =>
+          require(len == 4, s"bad DRI length $len")
+          restartInterval = u16(body)
         case _ => () // APPn/COM skipped
       }
       if (entropyStart < 0) pos = pos + 2 + len
@@ -608,8 +656,17 @@ object JpegCodec {
     val planes = Array.tabulate(ncomp)(ci =>
       new Array[Int](planeW(ci) * mcusY * 8 * compV(ci)))
     val prevDc = new Array[Int](ncomp)
+    val totalMcus = mcusX * mcusY
+    var rstIdx = 0
     var mi = 0
-    while (mi < mcusX * mcusY) {
+    while (mi < totalMcus) {
+      // restart-interval boundary (T.81 F.2.1.3.1): byte-align, consume
+      // the modulo-8 RSTn marker, reset every DC prediction chain
+      if (restartInterval > 0 && mi > 0 && mi % restartInterval == 0) {
+        br.expectRestart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(prevDc, 0)
+      }
       val mx = mi % mcusX; val my = mi / mcusX
       var ci = 0
       while (ci < ncomp) {

@@ -656,6 +656,22 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("commit_version", "change_type")
 
+  /** `table_changes(startVersion)` as a RANGE read — the Delta
+    * `table_changes('t', 2)` shape: open the feed FROM commit 2 only.
+    * [[readChanges]] resolves the in-range commit files by NAME and scans
+    * only them (the plan never lists commit 1's files), so a consumer of
+    * recent changes never pays for the history it skipped — at a realistic
+    * merge cadence on a 100 TB table, that is the difference between
+    * scanning one batch and scanning the table's whole change history.
+    * The oracle restates commit 2 alone (batch2's pre/post images). */
+  def tableChangesRange(s: SparkSession, d: String): DataFrame =
+    readChanges(s, morOrders(s, d), startVersion = 2L)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("commit_version", "change_type")
+
   /** Shallow clone of a LIVE merged table — the composition the
     * filename-keyed sidecars exist for: `cloneTable` hardlinks the
     * version directory INCLUDING its `_dv`/`_mor` sidecars, and because
@@ -680,6 +696,7 @@ object MergeOnRead {
     "merge_full"       -> (mergeFullMatrix _),
     "merge_schema_evolution" -> (mergeSchemaEvolution _),
     "table_changes"    -> (tableChanges _),
+    "table_changes_range" -> (tableChangesRange _),
     "table_clone_merged" -> (tableCloneMerged _)
   )
 
@@ -747,6 +764,21 @@ FROM (
   UNION ALL
   SELECT o_orderstatus, 'none', o_totalprice
   FROM orders WHERE o_orderkey % 4 <> 0
+)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    // commit 2 of the upsert feed alone (the range read's floor): batch2
+    // re-priced the rows batch1 inserted — preimages at their inserted
+    // (original-price, status N) state, postimages +5
+    "table_changes_range" -> """
+SELECT CAST(2 AS BIGINT) AS commit_version, ct AS change_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT 'update_preimage' AS ct, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 'update_postimage', o_totalprice + 5.0
+  FROM orders WHERE o_orderkey % 13 = 0
 )
 GROUP BY 1, 2 ORDER BY 1, 2""",
     // the full-matrix CDF restated from source: updates are matched 'F'

@@ -723,7 +723,12 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
           val y = Array.tabulate(bw * bh)(bi => blkOf(yVal(bi % bw, bi / bw)))
           val cb = Array.tabulate(cw * chh)(mi => blkOf(cbVal(mi % cw, mi / cw)))
           val cr = Array.tabulate(cw * chh)(mi => blkOf(crVal(mi % cw, mi / cw)))
-          val bytes = JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr)
+          // half the fixtures carry a DRI=1 restart cadence — restarts
+          // change entropy FRAMING, never values, so the oracle is
+          // untouched while byte realignment, the modulo-8 RSTn sequence
+          // and the triple DC-chain resets all sit on the gated path
+          val bytes = JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr,
+            restartInterval = if (id % 2 == 0) 1 else 0)
           // From here on, ONLY the decoded image is consulted.
           val img = JpegCodec.decode(bytes)
           var sum = 0L; var peak = 0; var nongray = 0L; var i = 0

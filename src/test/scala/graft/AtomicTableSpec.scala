@@ -314,6 +314,35 @@ class AtomicTableSpec extends AnyFunSuite {
       "a commit landing mid-append must not be lost")
   }
 
+  test("publishAppend treats an IO failure mid-stage as a lost race: retry, not hard fail") {
+    // the r12 ADVICE race: a concurrent keep=1 prune deletes the base
+    // version while the append is hardlinking it — the resulting
+    // IOException must discard the partial stage and RETRY (the stale-base
+    // check would have discarded it anyway), not fail the whole append
+    val base = freshBase()
+    AtomicTable.overwrite(df(3), base, keep = 1)
+    var calls = 0
+    AtomicTable.publishAppend(base, keep = 2) { dir =>
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("simulated prune race mid-link")
+      df(2).coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(calls == 2, "the failed stage must retry exactly once")
+    assert(AtomicTable.read(spark, base).count() == 5,
+      "the retried append must land the batch on the current version")
+    // the failed attempt's partial staged dir was discarded eagerly
+    val vDirs = Files.list(Paths.get(base)).iterator().asScala
+      .count(_.getFileName.toString.matches("_v\\d+"))
+    assert(vDirs == 2, s"only base + committed append may remain, got $vDirs")
+    // a PERSISTENT IO fault still surfaces through the attempt cap
+    val e = intercept[IllegalStateException] {
+      AtomicTable.publishAppend(base, keep = 2)(_ =>
+        throw new java.io.IOException("disk on fire"))
+    }
+    assert(e.getMessage.contains("staging kept failing") &&
+      e.getCause.isInstanceOf[java.io.IOException])
+  }
+
   test("idempotent publish: replays skip, watermarks commit atomically and survive ordinary publishes") {
     val base = freshBase()
     def pub(v: Long, rows: Int, app: String = "app") =

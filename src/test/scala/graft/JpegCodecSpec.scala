@@ -243,6 +243,53 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(img.pixels(py * 13 + px) == px16(py * 16 + px), s"pixel ($px,$py)")
   }
 
+  test("restart intervals: byte realignment, RSTn cadence, DC-chain resets") {
+    // random-AC grayscale with DRI=2: every second block a restart —
+    // byte alignment + the modulo-8 marker sequence + the DC reset all
+    // sit on the path; the decode must equal the restart-free decode
+    // of the SAME coefficients (restarts change framing, never values)
+    val q = 16
+    (1 to 10).foreach { _ =>
+      val blocks = Array.fill(12) { // 4x3 blocks = 32x24
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(201) - 100
+        (1 to 1 + rng.nextInt(10)).foreach(_ =>
+          blk(1 + rng.nextInt(63)) = rng.nextInt(61) - 30)
+        blk
+      }
+      val plain = JpegCodec.decode(JpegCodec.encodeCoefficients(32, 24, q, blocks))
+      val restarted = JpegCodec.decode(
+        JpegCodec.encodeCoefficients(32, 24, q, blocks, restartInterval = 2))
+      assert(restarted.pixels.toSeq == plain.pixels.toSeq,
+        "restart framing must not change decoded values")
+    }
+    // more than 8 restarts → the modulo-8 RSTn cycle wraps
+    val many = Array.tabulate(24)(i => blkOf(100 + 2 * (i % 20)))
+    val wrapped = JpegCodec.decode(
+      JpegCodec.encodeCoefficients(48, 32, q, many, restartInterval = 1))
+    assert(wrapped.pixels.length == 48 * 32)
+    // 4:2:0 + restarts compose
+    val yv = Array(100, 102, 104, 106, 110, 112, 114, 116)
+    val cbv = Array(100, 150); val crv = Array(160, 90)
+    val img420 = JpegCodec.decode(JpegCodec.encodeCoefficients420(32, 16, q, q,
+      yv.map(blkOf), cbv.map(blkOf), crv.map(blkOf), restartInterval = 1))
+    val img420plain = JpegCodec.decode(JpegCodec.encodeCoefficients420(32, 16, q, q,
+      yv.map(blkOf), cbv.map(blkOf), crv.map(blkOf)))
+    assert(img420.pixels.toSeq == img420plain.pixels.toSeq)
+    // a MISSING restart marker (DRI says 2, stream has none) rejects
+    // loudly instead of silently desynchronizing
+    val noRst = JpegCodec.encodeCoefficients(32, 24, q,
+      Array.fill(12)(blkOf(100)))
+    val sofless = noRst.clone()
+    // splice a DRI=2 segment right after SOI (before DQT)
+    val dri = Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 2)
+    val withDri = sofless.take(2) ++ dri ++ sofless.drop(2)
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(withDri))
+    assert(e.getMessage.contains("restart marker") ||
+      e.getMessage.contains("marker inside entropy"),
+      s"missing restarts must reject loudly: ${e.getMessage}")
+  }
+
   test("out-of-scope sampling and scan order are rejected loudly, not misread") {
     val good = JpegCodec.encodeCoefficientsColor(8, 8, 16, 16,
       Array(blkOf(128)), Array(blkOf(128)), Array(blkOf(128)))
