@@ -821,7 +821,7 @@ ORDER BY vec_a, vec_b"""
       val base = graft.util.SilverArtifact.pathFor(d, s"semantic_labels_$threshold")
       val fp = graft.util.SilverArtifact.sourceFingerprint(
         s"$d/embeddings.parquet",
-        s"semcc-v2-lsh-t${Similarity.NumTables}mb${Similarity.MaxBits}" +
+        s"semcc-v3-pfxlsh-t${Similarity.NumTables}mb${Similarity.MaxBits}" +
           s"tb${Similarity.TargetBucket}-t$threshold")
       graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         clustersFromPairs(cosinePairsLsh(s, d, threshold)
@@ -894,7 +894,7 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_root"""
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)),
     "dedup_cosine"        -> ((s: SparkSession, d: String) => cosinePairs(s, d)),
-    "dedup_cosine_lsh"    -> ((s: SparkSession, d: String) => cosinePairsLsh(s, d)),
+    "dedup_cosine_lsh"    -> ((s: SparkSession, d: String) => cosinePairsLsh(s, d, threshold = 0.4)),
     "dedup_clusters"      -> ((s: SparkSession, d: String) => clusters(s, d)),
     "dedup_semantic"      -> ((s: SparkSession, d: String) => semanticDedup(s, d))
   )
@@ -907,7 +907,7 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_root"""
     "dedup_simhash"       -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle(),
     "dedup_cosine"        -> cosinePairsOracle(),
-    "dedup_cosine_lsh"    -> cosinePairsLshOracle(),
+    "dedup_cosine_lsh"    -> cosinePairsLshOracle(threshold = 0.4),
     "dedup_clusters"      -> clustersOracle(),
     "dedup_semantic"      -> semanticDedupOracle()
   )

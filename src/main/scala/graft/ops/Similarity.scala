@@ -99,8 +99,29 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
 
   private[graft] def planesFor(tables: Int, bits: Int): Array[Array[Array[Double]]] =
     planeCache.getOrElseUpdate((tables, bits), {
-      val rng = new scala.util.Random(Seed)
-      Array.fill(tables, bits, Dim)(rng.nextGaussian())
+      // each (table, bit) plane draws from its OWN seeded stream, so the
+      // plane sets are PREFIX-STABLE across bit counts: planesFor(t, b1)
+      // is a prefix of planesFor(t, b2) for b1 < b2. That is what makes
+      // the adaptive resolution an incremental REFINEMENT — when a
+      // growing corpus crosses an effBits threshold, every existing
+      // bucket splits in two (one new plane's sign) instead of the whole
+      // corpus rehashing into unrelated buckets; an incrementally
+      // maintained bucket index survives the resolution step with a
+      // per-bucket split, never a rebuild.
+      // splitmix64 the (seed, table, bit) triple: java.util.Random's own
+      // seed scrambler leaves nearby seeds correlated in their first
+      // draws, which measurably correlated adjacent planes (bucket bits
+      // stopped being independent and recall dropped)
+      def mix64(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      Array.tabulate(tables, bits) { (t, b) =>
+        val rng = new scala.util.Random(mix64(Seed ^ mix64(t.toLong << 32 | b)))
+        Array.fill(Dim)(rng.nextGaussian())
+      }
     })
 
   // ---- adaptive bucket resolution (the all-PAIRS LSH paths) ----
@@ -447,7 +468,7 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       val base = graft.util.SilverArtifact.pathFor(d, s"knn_k$k")
       val fp = graft.util.SilverArtifact.sourceFingerprint(
         s"$d/embeddings.parquet",
-        s"knn-v2-t${NumTables}mb${MaxBits}tb${TargetBucket}k$k")
+        s"knn-v3-pfx-t${NumTables}mb${MaxBits}tb${TargetBucket}k$k")
       graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         knnGraphUncached(s, d, k)
       }
