@@ -110,7 +110,9 @@ object GraftFunctions {
     ("rolling_hash_windows", classOf[RollingHashWindows],
       exprs => RollingHashWindows(exprs.head, exprs(1))),
     ("rle_contains", classOf[RleContains],
-      exprs => RleContains(exprs.head, exprs(1))))
+      exprs => RleContains(exprs.head, exprs(1))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs.head)))
 
   /** Register the custom expressions with the session. Idempotent AND
     * quiet: a name already present is left alone only after an OWNERSHIP

@@ -325,7 +325,18 @@ ORDER BY doc_a, doc_b"""
 
   // ---- SimHash ----
 
-  val SimhashBits = 32
+  // 60-bit fingerprint (r13; was 32): banding exactness for Hamming ≤ h
+  // forces bands = h+1, so the BAND WIDTH — and with it the bucket count
+  // 2^width that divides the quadratic candidate term n²·bands/2^width —
+  // scales only with the fingerprint size. 32 bits gave 8-bit bands (256
+  // buckets): measured 11.9 s at sf1 and headed for n²/128 at sf10.
+  // 60 bits gives 4 × 15-bit bands (32768 buckets per band) — the
+  // Manku-et-al production shape (64-bit, 4 tables, h ≤ 3) — while
+  // staying clear of the sign bit so the fingerprint sum can never
+  // overflow a BIGINT in either engine (DuckDB raises on overflow).
+  // The fingerprint stays md5-derived and engine-reproducible: bits 0-31
+  // sign-sum the FIRST 8 md5 hex chars per word, bits 32-59 the NEXT 8.
+  val SimhashBits = 60
 
   /** 32-bit SimHash per document from md5-derived word hashes (first 8 hex
     * chars → int). md5 is available and byte-identical in both engines, so
@@ -335,9 +346,11 @@ ORDER BY doc_a, doc_b"""
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("hv", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hv1", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hv2", conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long"))
     val bitAggs = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      val src = if (b < 32) shiftright(col("hv1"), b) else shiftright(col("hv2"), b - 32)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val fp = (0 until SimhashBits)
@@ -347,25 +360,34 @@ ORDER BY doc_a, doc_b"""
   }
 
   val simhashOracle: String = {
-    val hex2int = "list_sum(list_transform(generate_series(1, 8), " +
-      "i -> CAST((strpos('0123456789abcdef', substr(md5(word), i, 1)) - 1) AS BIGINT) " +
+    def hex2int(from: Int) = "list_sum(list_transform(generate_series(1, 8), " +
+      s"i -> CAST((strpos('0123456789abcdef', substr(md5(word), i + ${from - 1}, 1)) - 1) AS BIGINT) " +
       "* CAST(power(16, 8 - i) AS BIGINT)))"
     val bitSums = (0 until SimhashBits)
-      .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .map { b =>
+        val src = if (b < 32) s"(hv1 >> $b)" else s"(hv2 >> ${b - 32})"
+        s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }
       .mkString(",\n         ")
     val assemble = (0 until SimhashBits)
       .map(b => s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-h AS (SELECT doc_id, $hex2int AS hv FROM w),
+h AS (SELECT doc_id, ${hex2int(1)} AS hv1, ${hex2int(9)} AS hv2 FROM w),
 b AS (SELECT doc_id,
          $bitSums
       FROM h GROUP BY doc_id)
 SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
   }
 
-  val SimhashBands = 4 // 8 bits each over the 32-bit fingerprint
+  val SimhashBands = 4 // pigeonhole-exact for Hamming ≤ SimhashBands - 1
+  /** Width of each of the [[SimhashBands]] disjoint bands (15): the
+    * 2^15 buckets per band are what keep the candidate join's quadratic
+    * term small — see the [[SimhashBits]] note. */
+  val SimhashBandWidth: Int = SimhashBits / SimhashBands
+  private val SimhashBandMask: Long = (1L << SimhashBandWidth) - 1
+
   val SimhashMaxHamming = 3
 
   /** SimHash near-dup PAIRS at Hamming distance ≤ `maxHamming`, found by
@@ -381,7 +403,7 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
     val fp = simhash(s, d) // (doc_id, simhash), 32-bit in a long
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map { b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)
+        shiftright(col("simhash"), b * SimhashBandWidth).bitwiseAND(SimhashBandMask)
       }: _*)).as(Seq("band_idx", "band_val")))
     val l = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
       col("band_idx"), col("band_val"))
@@ -726,25 +748,30 @@ FROM reach GROUP BY n ORDER BY doc_id"""
       df.withColumn(s"b$t", Similarity.bucketOfAdaptive(s, col("v"), t, effBits))
     }
     val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
-    val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    // Score INSIDE the bucket join and project the vectors away in the
+    // same operator — the r13 sf10 probe caught the old shape (distinct
+    // the candidate ids first, re-join both 512-byte vectors after)
+    // materializing ~1 KB per CANDIDATE row: at 200k vectors that was a
+    // >70 GB spill before any filtering. Here every post-join row is 24
+    // bytes (ids + cosine), the threshold filter runs before the
+    // distinct, and a multi-table duplicate collision merely recomputes
+    // one 64-mult dot — the right trade at any scale.
+    val side = emb.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
-    val probed = side.select(col("vec_id"), col("tbl"),
+    val probed = side.select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
       explode(probes).as("flip"), col("bucket"))
       .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
-    val cands = probed.select(col("vec_id").as("vec_a"), col("tbl"),
-        col("probe_bucket").as("bucket"))
-      .join(side.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
+    probed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"), col("tbl"), col("probe_bucket").as("bucket"))
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val e1 = emb0.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val e2 = emb0.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cands.join(e1, "vec_a").join(e2, "vec_b")
-      .withColumn("cosine",
+      .select(col("vec_a"), col("vec_b"),
         round(graft.functions.GraftFunctions.arrayDot(s, col("va"), col("vb")) /
-          (col("na") * col("nb")), 6))
+          (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
+      .dropDuplicates("vec_a", "vec_b") // collisions carry identical cosines
       .orderBy("vec_a", "vec_b")
   }
 

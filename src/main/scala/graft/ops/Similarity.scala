@@ -220,9 +220,14 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     corpus.join(broadcast(q),
         corpus("tbl") === q("tbl") && col("bucket") === col("probe_bucket") &&
           col("vec_id") =!= col("query_id"))
-      // a vector colliding in several tables is still ONE candidate
+      // score IN the join and project both vectors away immediately: the
+      // dedup below then shuffles 24-byte rows, not vector pairs (the
+      // r13 sf10 probe's finding — see cosinePairsLsh). A vector
+      // colliding in several tables is still ONE candidate, with an
+      // identical cosine on every collision.
+      .select(col("query_id"), col("vec_id"),
+        round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn("cosine", round(dot(s, col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("query_id", "vec_id", "cosine", "rnk")
@@ -491,22 +496,26 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
       df.withColumn(s"b$t", bucketOfPlanes(s, col("v"), planes(t)))
     }
     val bucketArr = array((0 until NumTables).map(t => col(s"b$t")): _*)
-    val side = emb.select(col("vec_id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    // score inside the bucket join, vectors projected away in the same
+    // operator — see cosinePairsLsh's in-body note: the old
+    // distinct-ids-then-rejoin-vectors shape materialized ~1 KB per
+    // candidate row and killed the sf10 build (the r13 probe's finding);
+    // post-join rows here are 24 bytes
+    val side = emb.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
-    val probed = side.select(col("vec_id"), col("tbl"),
+    val probed = side.select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
       explode(probes).as("flip"), col("bucket"))
       .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
-    val cands = probed.select(col("vec_id").as("vec_a"), col("tbl"),
-        col("probe_bucket").as("bucket"))
-      .join(side.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val e1 = emb0.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val e2 = emb0.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy("vec_a").orderBy(desc("cosine"), asc("vec_b"))
-    cands.join(e1, "vec_a").join(e2, "vec_b")
-      .withColumn("cosine", round(dot(s, col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    probed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"), col("tbl"), col("probe_bucket").as("bucket"))
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(s, col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .dropDuplicates("vec_a", "vec_b") // collisions carry identical cosines
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_a"), col("vec_b"), col("cosine"), col("rnk").cast("int").as("rnk"))

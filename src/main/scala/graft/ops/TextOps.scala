@@ -459,7 +459,48 @@ SELECT source, n_tokens, vocab,
        CAST(rep_pairs * 1000000 // (n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
 FROM g ORDER BY source"""
 
+  /** Unicode NFC canonicalization over the corpus — the normalization
+    * pass that runs BEFORE any hashing-based dedup or contamination scan
+    * (NFD/NFC variants of one text hash differently and silently defeat
+    * both). The fixture suffixes each doc with a DECOMPOSED sequence
+    * derived from its id (e+U+0301, n+U+0303, a+U+030A), so the
+    * normalizer genuinely composes on every row; `raw_chars` vs
+    * `nfc_chars` pins the composition (one combining pair collapses) and
+    * `nfc_md5` hash-checks the normalized BYTES across two independent
+    * Unicode implementations (JDK Normalizer vs DuckDB's utf8proc).
+    * Per-row codegen'd expression ([[graft.functions.NfcNormalize]]),
+    * zero shuffle — linear at any scale. */
+  def nfcNormalizeCorpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dec = concat(col("text"), lit(" nfd:"),
+      when(col("doc_id") % 3 === 0, lit("e\u0301"))
+        .when(col("doc_id") % 3 === 1, lit("n\u0303"))
+        .otherwise(lit("a\u030a")))
+    Tables.fanout(s, Tables.documents(s, d))
+      .select(col("doc_id"), dec.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("raw_chars"),
+        length(call_function("nfc_normalize", col("raw"))).as("nfc_chars"),
+        md5(call_function("nfc_normalize", col("raw"))).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val nfcNormalizeCorpusOracle: String = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' nfd:' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769)
+                WHEN doc_id % 3 = 1 THEN 'n' || chr(771)
+                ELSE 'a' || chr(778) END AS raw
+  FROM documents)
+SELECT doc_id,
+       CAST(length(raw) AS INT) AS raw_chars,
+       CAST(length(nfc_normalize(raw)) AS INT) AS nfc_chars,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM raw ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nfc_normalize"   -> (nfcNormalizeCorpus _),
     "tfidf_top_terms"      -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "bm25_rank"            -> (bm25Rank _),
     "sparse_retrieval"     -> ((s: SparkSession, d: String) => sparseRetrieval(s, d)),
@@ -473,6 +514,7 @@ FROM g ORDER BY source"""
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_nfc_normalize"   -> nfcNormalizeCorpusOracle,
     "tfidf_top_terms"      -> tfidfOracle,
     "bm25_rank"            -> bm25RankOracle,
     "sparse_retrieval"     -> sparseRetrievalOracle,

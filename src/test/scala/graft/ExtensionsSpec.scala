@@ -27,13 +27,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val dups = Dedup.ngramJaccard(spark, sf, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.nonEmpty)
     val dupHam = dups.map { case (a, b) => ham(fp(a), fp(b)) }
-    // near-identical word multisets → nearly identical simhash
-    assert(dupHam.forall(_ <= 6), s"dup hamming distances: ${dupHam.toSeq}")
+    // near-identical word multisets → nearly identical simhash. The bound
+    // scales with the fingerprint width (expected Hamming of a fixed
+    // similarity level is ∝ bits): 6 of 32 bits in the r3 fingerprint,
+    // 12 of 60 in the r13 one — random pairs sit near bits/2 = 30, so the
+    // separation the test certifies is unchanged.
+    val bound = Dedup.SimhashBits / 5
+    assert(dupHam.forall(_ <= bound), s"dup hamming distances: ${dupHam.toSeq}")
     val ids = fp.keys.toArray.sorted
     val randHam = ids.take(50).sliding(2, 2).collect { case Array(a, b) if !dups.contains((a, b)) =>
       ham(fp(a), fp(b))
     }.toSeq
-    assert(randHam.count(_ > 6) > randHam.length / 2, s"random hamming: $randHam")
+    assert(randHam.count(_ > bound) > randHam.length / 2, s"random hamming: $randHam")
   }
 
   test("LSH and IVF ANN achieve usable recall vs brute force") {

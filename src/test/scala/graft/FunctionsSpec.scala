@@ -149,6 +149,30 @@ class FunctionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(e)
   }
 
+  test("nfc_normalize composes decomposed sequences (codegen path, via SQL)") {
+    GraftFunctions.register(spark)
+    // decomposed e-acute built from explicit UTF-8 bytes (editor-proof):
+    // 'e' + COMBINING ACUTE U+0301 = bytes CC 81; composed form = C3 A9
+    val nfd = "'e' || decode(unhex('CC81'), 'UTF-8')"
+    val nfc = "decode(unhex('C3A9'), 'UTF-8')"
+    val r = spark.sql(
+      s"SELECT nfc_normalize($nfd) = $nfc AS composed, length($nfd) AS raw, " +
+        s"length(nfc_normalize($nfd)) AS n").head()
+    assert(r.getBoolean(0) && r.getInt(1) == 2 && r.getInt(2) == 1)
+    // idempotent; ASCII is a no-op; NULL propagates
+    assert(spark.sql(
+      s"SELECT nfc_normalize(nfc_normalize($nfd)) = nfc_normalize($nfd)").head().getBoolean(0))
+    assert(spark.sql("SELECT nfc_normalize('plain ascii')").head().getString(0) == "plain ascii")
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))").head().isNullAt(0))
+    // the normalized twin of a decomposed text hash-collides with the
+    // precomposed original -- the dedup failure mode the op exists for
+    assert(spark.sql(
+      s"SELECT md5(nfc_normalize('caf' || $nfd)) = md5('caf' || $nfc)").head().getBoolean(0))
+    // a non-string argument is an analysis error, not a runtime surprise
+    val err = intercept[Exception](spark.sql("SELECT nfc_normalize(42)").collect())
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
   test("register fails loudly when a foreign implementation squats a graft name") {
     // isolated session state: the foreign registration must not leak into
     // the suite-shared session's registry

@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-COPIES = 10
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 100 -> sf10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
