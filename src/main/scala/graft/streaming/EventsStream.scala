@@ -534,6 +534,153 @@ FROM s
 GROUP BY user_id, sid
 ORDER BY user_id, session_start"""
 
+  /** The TIMER-based sessionizer — Spark 4's event-time timers in
+    * `transformWithState` (the arbitrary-state API surface
+    * [[TotalsProcessor]] doesn't touch): input rows fold into the open
+    * session exactly like [[sessionize]]'s state machine, gap-closed
+    * sessions emit inline, and the TRAILING open session is closed by an
+    * inactivity TIMER — `registerTimer(end + gap)` re-armed per batch
+    * (stale timers deleted), `handleExpiredTimer` emitting the session
+    * when the WATERMARK passes the expiry. This is the production shape
+    * of session timeout: nobody gets to flush trailing state "because
+    * the batch ended" — expiry is an event-time fact the watermark
+    * certifies. The +1 ms on the expiry keeps the ms-truncated timer
+    * from firing ahead of a µs-precision continuing event at exactly the
+    * gap boundary. */
+  class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[UserState]("sess",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      // same µs-precision ordering + gap fold as [[sessionize]]
+      val sorted = rows.toSeq.sortBy(e =>
+        (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano, e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer[Session]()
+      var cur: Option[UserState] = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(st) if java.time.Duration.between(st.end.toInstant, e.ts.toInstant)
+            .compareTo(java.time.Duration.ofMillis(GapMs)) <= 0 =>
+            cur = Some(UserState(st.start, e.ts, st.n + 1, st.total + e.value))
+          case Some(st) =>
+            closed += Session(user, st.start, st.end, st.n, st.total)
+            cur = Some(UserState(e.ts, e.ts, 1, e.value))
+          case None =>
+            cur = Some(UserState(e.ts, e.ts, 1, e.value))
+        }
+      }
+      cur.foreach(sess.update)
+      // re-arm the inactivity timer for the (single) open session
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur.foreach(st => getHandle.registerTimer(st.end.getTime + GapMs + 1))
+      closed.iterator
+    }
+    override def handleExpiredTimer(user: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      // the watermark certified end + gap elapsed with no new event: the
+      // open session is CLOSED, exactly once (state cleared with it)
+      if (!sess.exists()) Iterator.empty
+      else {
+        val st = sess.get(); sess.clear()
+        Iterator.single(Session(user, st.start, st.end, st.n, st.total))
+      }
+    }
+  }
+
+  /** Sessionization where trailing sessions close by EVENT-TIME TIMER
+    * instead of an end-of-input flush — shares [[sessionizeOracle]], so
+    * timer-closed ≡ batch-computed is the gated claim. The staged source
+    * delivers the corpus in two TIME-SPLIT halves (sessions genuinely
+    * span micro-batches; a 0-second watermark plus the time split keeps
+    * a µs-boundary continuing event from ever racing its own timer) and
+    * then two far-future sentinel batches: the first advances the
+    * watermark past every expiry, the second gives the engine a batch in
+    * which those (watermark-from-previous-batch) timers actually fire —
+    * the no-data-batch path is disabled suite-wide, so flushing must
+    * ride real triggers, exactly like a production topic that keeps
+    * receiving unrelated traffic. */
+  def timerSessions(s0: SparkSession, d: String): DataFrame = {
+    val s = rocksSession(s0) // transformWithState needs the RocksDB provider
+    import s.implicits._
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src_timer/${graft.util.PathKeys.safe(d)}")
+    stageTimerFiles(s, d, stageDir)
+    val schema = Tables.eventsRaw(s, d).schema
+    // The sentinels must flow INTO the stateful operator, not be filtered
+    // before it: a sentinel filter on a non-watermark column gets pushed
+    // BELOW the EventTimeWatermark node (PushPredicateThroughNonJoin), so
+    // a pre-operator filter would silently keep the watermark from ever
+    // advancing and the trailing timers from ever firing (measured: the
+    // last-gap sessions went missing; TimerSemanticsSpec pins the
+    // behavior). Sentinels therefore ride through under a reserved key
+    // (-1) and their own sessions are dropped from the OUTPUT.
+    val ev = Tables.normalizeTs(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stageDir.toString))
+      .withWatermark("ts", "0 seconds")
+      .withColumn("user_id",
+        when(col("event_type") === "sentinel", lit(-1L)).otherwise(col("user_id")))
+    val out = ev.as[Ev].groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+    runToTable(s, out.toDF(), OutputMode.Append, "graft_stream_timer_sessions")
+      .filter(col("user_id") >= 0) // the sentinel key's sessions are not data
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Stage the timer-session source: events split at the median ts into
+    * two files (mtime-ordered), then two sentinel rows far past the last
+    * event — see [[timerSessions]] for why two. Re-staged only when the
+    * source changes (same freshness rule as [[stageInto]]). */
+  private def stageTimerFiles(s: SparkSession, d: String,
+      stageDir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val stamp = stageDir.resolve("_STAMP")
+    val want = Files.size(src) + ":" + Files.getLastModifiedTime(src).toMillis
+    if (Files.exists(stamp) && Files.readString(stamp).trim == want) return
+    graft.util.AtomicTable.deleteRecursively(stageDir)
+    Files.createDirectories(stageDir)
+    val ev = Tables.eventsRaw(s, d)
+    // the raw column is TIMESTAMP(NANOS)/NTZ — carry the split point as a
+    // string cast back to the column's own type (getTimestamp would choke
+    // on the java-8 LocalDateTime representation)
+    val median = lit(ev.selectExpr("CAST(percentile_approx(ts, 0.5) AS STRING)")
+      .head().getString(0)).cast(ev.schema("ts").dataType)
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = stageDir.resolve("_tmp")
+      graft.util.AtomicTable.deleteRecursively(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      Files.move(part, stageDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      graft.util.AtomicTable.deleteRecursively(tmp)
+      Files.setLastModifiedTime(stageDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts") <= median), "00_events.parquet", base)
+    writeOne(ev.filter(col("ts") > median), "01_events.parquet", base + 60000)
+    def sentinel(offsetMs: Long) = ev.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr(s"INTERVAL ${offsetMs / 1000} SECOND"))
+      .withColumn("event_type", lit("sentinel"))
+    writeOne(sentinel(20L * GapMs), "02_sentinel.parquet", base + 120000)
+    writeOne(sentinel(40L * GapMs), "03_sentinel.parquet", base + 180000)
+    Files.writeString(stamp, want + "\n")
+  }
+
   /** foreachBatch upsert sink: each micro-batch's per-user aggregates are
     * MERGED into a parquet state table (read-modify-overwrite — the
     * plain-parquet stand-in for a Delta MERGE sink). foreachBatch is the
@@ -1159,6 +1306,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "stream_approx_distinct" -> (approxDistinctStream _),
     "stream_sliding_counts"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionize _),
+    "stream_timer_sessions"  -> (timerSessions _),
     "stream_session_window"  -> (sessionWindow _),
     "stream_dedup"           -> (streamDedup _),
     "stream_upsert_sink"     -> (upsertSink _),
@@ -1186,6 +1334,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
+    "stream_timer_sessions"  -> sessionizeOracle, // timer-closed ≡ batch
     "stream_dedup"           -> streamDedupOracle,
     "stream_upsert_sink"     -> upsertSinkOracle,
     "stream_skip_ingest"     -> skipIngestOracle
