@@ -672,6 +672,46 @@ object MergeOnRead {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("commit_version", "change_type")
 
+  /** JOIN materialized view maintained from the change feed — the
+    * delta-join rule (ΔMV = ΔFact ⋈ Dim, signed) that makes a join MV
+    * refresh cost ∝ |changes|, never ∝ |fact|: the per-segment revenue
+    * MV is SEEDED from the pre-merge fact joined to the customer dim,
+    * then every CDF row joins the BROADCAST dim once and folds in as an
+    * algebraic delta (`update_preimage`/`delete` retract, `postimage`/
+    * `insert` add). The dim side is static here — the overwhelmingly
+    * common case (fact churns, dimensions trickle); a dim-side delta
+    * adds the symmetric A⋈ΔB ∪ ΔA⋈ΔB terms with the same machinery.
+    * The gate: the maintained MV must land EXACTLY on the twice-merged
+    * fact joined to the dim, restated from source by the oracle —
+    * feed-maintained ≡ recomputed, now THROUGH a join. */
+  def mvJoinFromChanges(s: SparkSession, d: String): DataFrame = {
+    val base = morOrders(s, d)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    def cents = sum(round(col("o_totalprice") * 100).cast("long"))
+    // seed: the PRE-merge state — v1's data files (both merges changed
+    // only sidecars, so the base read IS the state the feed picks up from)
+    val seed = AtomicTable.read(s, base)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), cents.as("total_cents"))
+    val deltas = readChanges(s, base)
+      .withColumn("sign",
+        when(col("_change_type").isin("update_preimage", "delete"), -1L)
+          .otherwise(1L))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * round(col("o_totalprice") * 100).cast("long")).as("dc"))
+    seed.join(deltas, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("total_cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("total_cents"))
+      .filter(col("n_orders") > 0L)
+      .orderBy("c_mktsegment")
+  }
+
   /** Shallow clone of a LIVE merged table — the composition the
     * filename-keyed sidecars exist for: `cloneTable` hardlinks the
     * version directory INCLUDING its `_dv`/`_mor` sidecars, and because
@@ -697,6 +737,7 @@ object MergeOnRead {
     "merge_schema_evolution" -> (mergeSchemaEvolution _),
     "table_changes"    -> (tableChanges _),
     "table_changes_range" -> (tableChangesRange _),
+    "mv_join_from_changes" -> (mvJoinFromChanges _),
     "table_clone_merged" -> (tableCloneMerged _)
   )
 
@@ -766,6 +807,21 @@ FROM (
   FROM orders WHERE o_orderkey % 4 <> 0
 )
 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the join-MV restated from source: the twice-merged fact (same
+    // simulation as merge_upsert_mor) joined to customer, per segment
+    "mv_join_from_changes" -> """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, o_totalprice + 5.0 AS p
+  FROM orders WHERE o_orderkey % 13 = 0
+) f JOIN customer c ON f.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1""",
     // commit 2 of the upsert feed alone (the range read's floor): batch2
     // re-priced the rows batch1 inserted — preimages at their inserted
     // (original-price, status N) state, postimages +5
