@@ -382,6 +382,55 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     * cannot break it (v1's directory is gone; the clone's links keep the
     * shared inodes alive — stronger than Delta, where a source VACUUM
     * orphans shallow clones). */
+  /** `ALTER TABLE ... RENAME COLUMN` / `DROP COLUMN` as METADATA — the
+    * Delta column-mapping feature ([[graft.util.AtomicTable.renameColumn]]):
+    * logical names live in `_COLMAP`, physical names in the immutable
+    * files, so the rename+drop here run no Spark job and touch no data
+    * file (ColumnMappingSpec proves files byte-identical). The gate then
+    * APPENDS through the logical schema ([[graft.util.AtomicTable
+    * .toPhysical]] translates back to physical names, so old and new
+    * files stay footer-compatible) and aggregates through the mapped
+    * read. The oracle restates source ∪ appended rows under the renamed
+    * column — a lost mapping, a mis-translated append, or a resurrected
+    * dropped column all break the hash. */
+  def tableRenameColumn(s: SparkSession, d: String): DataFrame = {
+    import graft.util.AtomicTable
+    val base = s"/tmp/graft_colmap/${graft.util.PathKeys.safe(d)}/orders"
+    val fp = graft.util.SilverArtifact.sourceFingerprint(
+      s"$d/orders.parquet", "colmap-v1")
+    graft.util.SilverArtifact.stagedOnce(base, fp) {
+      AtomicTable.deleteRecursively(
+        java.nio.file.Paths.get(base).resolveSibling("orders"))
+      AtomicTable.publish(base)(dir =>
+        Tables.orders(s, d).repartition(4).write.mode("overwrite").parquet(dir))
+      AtomicTable.renameColumn(s, base, "o_totalprice", "price_usd")
+      AtomicTable.dropColumn(s, base, "o_orderpriority")
+      // append THROUGH the logical schema: re-enter key%17 orders at +2.00
+      val batch = AtomicTable.readMapped(s, base)
+        .where(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(300000000L))
+        .withColumn("price_usd", col("price_usd") + lit(2.0))
+      AtomicTable.publishAppend(base, keep = 2)(dir =>
+        AtomicTable.toPhysical(batch, base)
+          .coalesce(2).write.mode("append").parquet(dir))
+    }
+    AtomicTable.readMapped(s, base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("price_usd") * 100).cast("long")).as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val tableRenameColumnOracle: String = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderstatus, o_totalprice AS p FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 2.0 FROM orders WHERE o_orderkey % 17 = 0
+)
+GROUP BY 1 ORDER BY 1"""
+
   def tableClone(s: SparkSession, d: String): DataFrame = {
     import graft.util.AtomicTable
     val root = s"/tmp/graft_clone/${graft.util.PathKeys.safe(d)}"
@@ -906,6 +955,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "time_travel_read"  -> (timeTravelRead _),
     "table_restore"     -> (tableRestore _),
     "table_clone"       -> (tableClone _),
+    "table_rename_column" -> (tableRenameColumn _),
     "constrained_write" -> (constrainedWrite _),
     "generated_columns" -> (generatedColumns _),
     "version_diff"      -> (versionDiff _),
@@ -934,6 +984,7 @@ ORDER BY n_name, c_acctbal DESC, c_name"""
     "time_travel_read"  -> timeTravelReadOracle,
     "table_restore"     -> tableRestoreOracle,
     "table_clone"       -> tableCloneOracle,
+    "table_rename_column" -> tableRenameColumnOracle,
     "constrained_write" -> constrainedWriteOracle,
     "generated_columns" -> generatedColumnsOracle,
     "version_diff"      -> versionDiffOracle,

@@ -637,6 +637,10 @@ object AtomicTable {
       throw new IllegalStateException(s"no published version at $src to clone"))
     require(!exists(dst), s"clone target $dst already has a published version")
     publish(dst, keep)(linkFilesInto(Paths.get(from), _))
+    // the LOGICAL schema is table metadata and must clone with the data —
+    // a clone that reverted to physical names would be a silent rename
+    columnMapping(src).foreach(m =>
+      withCommitLock(Paths.get(dst))(writeColMapLocked(dst, m)))
   }
 
   /** A constraint-refused publish: carries per-constraint violating-row
@@ -857,6 +861,111 @@ object AtomicTable {
       }
     }
   }
+
+  // ------------------------------------------------ column mapping
+
+  private val ColMapFile = "_COLMAP"
+
+  /** The COLUMN-MAPPING layer — Delta's `columnMapping.mode = name`
+    * feature: logical column names live in table METADATA, physical
+    * names live in the immutable parquet files, and `RENAME COLUMN` /
+    * `DROP COLUMN` are O(1) metadata swaps — never a table rewrite. At
+    * 100 TB a rename that rewrites the corpus is an outage; this is the
+    * difference. The map is lines `<physical> <logical>` in `_COLMAP`
+    * (atomic-rename swapped under the commit lock, like every pointer
+    * here); a DROPPED column keeps its line with the reserved logical
+    * name `-` (a TOMBSTONE — appends must still fill the physical slot,
+    * or old and new files would stop sharing a footer schema and the
+    * un-merged version read would silently lose columns). Absent file =
+    * identity.
+    * Mapped reads go through [[readMapped]]; appends translate logical →
+    * physical via [[toPhysical]] so new files keep the PHYSICAL schema
+    * and old and new files stay interchangeable. */
+  def columnMapping(base: String): Option[Seq[(String, String)]] = {
+    val p = Paths.get(base, ColMapFile)
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(' ')
+      require(i > 0 && i < l.length - 1, s"torn _COLMAP line: '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    }.toSeq)
+  }
+
+  private def writeColMapLocked(base: String, entries: Seq[(String, String)]): Unit = {
+    val root = Paths.get(base)
+    val tmp = root.resolve(ColMapFile + ".tmp")
+    Files.writeString(tmp,
+      entries.map { case (p, l) => s"$p $l" }.mkString("", "\n", "\n"))
+    Files.move(tmp, root.resolve(ColMapFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current mapping, materialized from the live version's physical
+    * schema on first use (identity). Caller holds the commit lock. */
+  private def colMapOrInit(s: SparkSession, base: String): Seq[(String, String)] =
+    columnMapping(base).getOrElse(read(s, base).columns.toSeq.map(c => (c, c)))
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — metadata-only: no
+    * version publish, no Spark job, no file touched. `from` is the
+    * current LOGICAL name. */
+  def renameColumn(s: SparkSession, base: String, from: String, to: String): Unit =
+    withCommitLock(Paths.get(base)) {
+      require(to != "-" && !to.exists(_.isWhitespace),
+        s"'$to' is not a legal logical column name")
+      val m = colMapOrInit(s, base)
+      require(m.exists(_._2 == from), s"no column '$from' at $base " +
+        s"(logical columns: ${m.map(_._2).filter(_ != "-").mkString(",")})")
+      require(!m.exists(_._2 == to), s"column '$to' already exists at $base")
+      writeColMapLocked(base, m.map { case (p, l) =>
+        (p, if (l == from) to else l)
+      })
+    }
+
+  /** `ALTER TABLE ... DROP COLUMN` — metadata-only: the physical column
+    * stays in every immutable file (and in history reads); mapped reads
+    * stop projecting it. */
+  def dropColumn(s: SparkSession, base: String, name: String): Unit =
+    withCommitLock(Paths.get(base)) {
+      val m = colMapOrInit(s, base)
+      require(m.exists(_._2 == name), s"no column '$name' at $base")
+      require(m.count(_._2 != "-") > 1, s"cannot drop the last column of $base")
+      writeColMapLocked(base, m.map { case (p, l) =>
+        (p, if (l == name) "-" else l) // tombstone, not removal
+      })
+    }
+
+  /** The mapped read: live version, logical schema. Identity when no
+    * mapping was ever created. */
+  def readMapped(s: SparkSession, base: String): DataFrame = {
+    val df = read(s, base)
+    columnMapping(base) match {
+      case None => df
+      case Some(m) =>
+        df.select(m.filter(_._2 != "-").map { case (p, l) =>
+          org.apache.spark.sql.functions.col(p).as(l)
+        }: _*)
+    }
+  }
+
+  /** Translate a LOGICAL-schema frame to the table's PHYSICAL schema for
+    * an append — new files then carry the same physical names as the old
+    * ones, so the mapping keeps applying uniformly. Dropped columns are
+    * absent from the logical schema and are written as NULLs (the
+    * physical slot must exist for old readers of raw files). */
+  def toPhysical(df: DataFrame, base: String): DataFrame =
+    columnMapping(base) match {
+      case None => df
+      case Some(m) =>
+        val logical = df.columns.toSet
+        // dropped slots need their PHYSICAL type (parquet refuses
+        // NullType); take it from the live version's schema
+        val phys = read(df.sparkSession, base).schema
+          .map(f => f.name -> f.dataType).toMap
+        df.select(m.map { case (p, l) =>
+          if (l != "-" && logical(l)) org.apache.spark.sql.functions.col(l).as(p)
+          else org.apache.spark.sql.functions.lit(null).cast(phys(p)).as(p)
+        }: _*)
+    }
 
   /** Standalone retention maintenance — the `VACUUM` verb: prune
     * published versions beyond the `keep` newest plus crashed-orphan
