@@ -880,7 +880,11 @@ object AtomicTable {
     * identity.
     * Mapped reads go through [[readMapped]]; appends translate logical →
     * physical via [[toPhysical]] so new files keep the PHYSICAL schema
-    * and old and new files stay interchangeable. */
+    * and old and new files stay interchangeable. Scope note: once a
+    * mapping exists it is the closed column universe — a later
+    * schema-EVOLVING write must extend the map (add `<p> <l>` lines) in
+    * the same maintenance step, or the new physical column stays
+    * invisible to mapped reads. */
   def columnMapping(base: String): Option[Seq[(String, String)]] = {
     val p = Paths.get(base, ColMapFile)
     if (!Files.exists(p)) None
