@@ -74,6 +74,10 @@ object PlanDump {
     "analyze_table_stats" -> "ANALYZE stats: ONE aggregate pass - multi-distinct planned via Expand, no join, min/max/null counts ride the same shuffle",
     "merge_full" -> "full MERGE matrix read path: same DV broadcast anti-join + data+_mor union as merge_upsert_mor; the merge WRITE classified matched/not-matched-by-source in one broadcast-source pass",
     "table_changes" -> "change-data-feed read: one FileScan over batch-sized _changes files with a hash-agg on top - the table itself is never scanned; the feed was an O(batch) by-product of the MERGE's own classification",
+    "table_changes_range" -> "CDF range read: the FileScan lists ONLY the in-range commit files (c2-*) - a consumer of recent changes never pays for the history it skipped",
+    "mv_join_from_changes" -> "join-MV maintenance: the delta side is one scan of batch-sized _changes files joined to the BROADCAST dim, folded into the seed by a full-outer on the MV key - refresh cost is |changes| + |MV|, never |fact|",
+    "table_rename_column" -> "column-mapped read: plain FileScan of the live version with an alias-only Project on top - the rename/drop were _COLMAP metadata; no file was rewritten and the scan schema is unchanged",
+    "text_nfc_normalize" -> "NFC canonicalization: one codegen'd projection over the corpus scan (native Expression, no UDF) - zero shuffle before the presentation sort",
     "table_clone" -> "shallow clone read: plain FileScan of the clone's version dir - the clone is hardlinks, so plan and cost are identical to reading the source version; no copy ever happened",
     "table_clone_merged" -> "merged-clone read: same DV broadcast anti-join + data+_mor union as the source table - filename-keyed positions survived the relocation, so the plan is byte-for-byte the merged read, just over linked inodes",
     "constrained_write" -> "CHECK-enforced write: violation counts ride the write job as observe metrics (CollectMetrics node over the scan) - zero extra passes; the refused commit never moves the pointer",
