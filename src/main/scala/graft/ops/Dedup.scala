@@ -29,7 +29,7 @@ import graft.util.SessionCaches.PersistOnce
   *                      probability at j=0.9 is (1-0.9^4)^16 ≈ 2e-3 and at
   *                      the planted j≈0.98 it's ~1e-18, so the verified
   *                      output equals the brute-force oracle.
-  *  - [[simhash]]     — 32-bit SimHash fingerprints from md5-derived word
+  *  - [[simhash]]     — 60-bit SimHash fingerprints from md5-derived word
   *                      hashes (engine-neutral, so the oracle can recompute
   *                      them in SQL). Hamming-adjacent fingerprints =
   *                      near-dups; fingerprinting is one narrow pass.
@@ -95,9 +95,14 @@ object Dedup {
       val read = graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         val nDocs = Tables.documents(s, d).count()
         val cap = math.max(MinShingleDfCap, math.floor(MaxShingleDfFrac * nDocs).toLong)
+        // plain persist (NOT persistOnce): this is a transient
+        // persist/unpersist pair scoped to the one-time artifact build —
+        // persistOnce is reserved for memo-lifetime caches with no paired
+        // unpersist, because its skip-if-cached semantics would let the
+        // unpersist below drop another session's live entry.
         ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
           .select(col("doc_id"), explode(col("sh")).as("h"))
-          .persistOnce()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // sh is distinct per doc, so count == document frequency. The hot
         // list is tiny by construction (df > 1% of corpus) → broadcast anti.
         val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -338,11 +343,12 @@ ORDER BY doc_a, doc_b"""
   // sign-sum the FIRST 8 md5 hex chars per word, bits 32-59 the NEXT 8.
   val SimhashBits = 60
 
-  /** 32-bit SimHash per document from md5-derived word hashes (first 8 hex
-    * chars → int). md5 is available and byte-identical in both engines, so
-    * the fingerprints are oracle-reproducible — unlike murmur/xxhash which
-    * are engine-specific. One narrow pass: explode words → 32 signed bit
-    * sums per doc → reassemble. */
+  /** 60-bit ([[SimhashBits]]) SimHash per document from md5-derived word
+    * hashes (bits 0-31 from the first 8 hex chars, bits 32-59 from the
+    * next 8). md5 is available and byte-identical in both engines, so the
+    * fingerprints are oracle-reproducible — unlike murmur/xxhash which
+    * are engine-specific. One narrow pass: explode words → SimhashBits
+    * signed bit sums per doc → reassemble. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -392,15 +398,16 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
 
   /** SimHash near-dup PAIRS at Hamming distance ≤ `maxHamming`, found by
     * banding — the simhash analog of MinHash-LSH banding, and EXACT by
-    * pigeonhole: two 32-bit fingerprints within Hamming 3 differ in at
-    * most 3 of the 4 disjoint 8-bit bands, so at least one band matches
+    * pigeonhole: two [[SimhashBits]]-bit fingerprints within Hamming 3
+    * differ in at most 3 of the 4 disjoint [[SimhashBandWidth]]-bit bands
+    * (15-bit at the current 60/4 split), so at least one band matches
     * and the pair surfaces in that band's bucket. Candidates come from
     * equi-joins on (band index, band value) — never all pairs — then the
     * true Hamming distance filters them. Output therefore EQUALS the
     * brute-force all-pairs scan, which is exactly what the oracle
     * computes. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val fp = simhash(s, d) // (doc_id, simhash), 32-bit in a long
+    val fp = simhash(s, d) // (doc_id, simhash), SimhashBits bits in a long
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map { b =>
         shiftright(col("simhash"), b * SimhashBandWidth).bitwiseAND(SimhashBandMask)

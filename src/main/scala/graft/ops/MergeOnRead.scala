@@ -158,11 +158,13 @@ object MergeOnRead {
     * never a re-merge or table rebuild: the upgrade path format evolution
     * should take (vs the r12 fingerprint bump, which rebuilt every store).
     * Idempotent and crash-safe: old files are deleted only after every
-    * commit's new file landed; a crash in between leaves both (the
-    * migration re-runs and `mode("overwrite")`-equivalent prefixed moves
-    * are per-commit fresh temp files, while readers before completion see
-    * duplicated rows only if they race the migration — which runs under
-    * the table's commit lock, as do vacuum and maintained reads). */
+    * commit's new file landed, and a re-run after a mid-migration crash
+    * first DELETES any `c<v>-*` files a previous attempt already landed
+    * for the commit it is about to rewrite (under the same commit lock),
+    * so a half-migrated feed converges to exactly one copy per commit —
+    * never duplicated rows. Readers cannot race the half-state: the
+    * migration runs under the table's commit lock, as do vacuum and
+    * maintained reads. */
   private[graft] def migrateChangesLayout(s: SparkSession, base: String): Boolean = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(changesPath(base))
@@ -180,6 +182,11 @@ object MergeOnRead {
       val commits = old.select("_commit_version").distinct()
         .collect().map(_.getLong(0)).sorted // O(#commits) driver metadata
       commits.foreach { v =>
+        // A prior crashed attempt may have landed this commit's prefixed
+        // files already; remove them so the rewrite is the only copy.
+        val prefix = s"c$v-"
+        names.filter(_.startsWith(prefix))
+          .foreach(n => Files.deleteIfExists(dir.resolve(n)))
         writeChanges(old.filter(col("_commit_version") === v), base, v)
       }
       legacy.foreach(n => Files.deleteIfExists(dir.resolve(n)))

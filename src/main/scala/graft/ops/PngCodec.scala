@@ -316,9 +316,18 @@ object PngCodec {
     else {
       // color-key transparency (types 0/2): expand the key into a real
       // alpha plane — matching pixels go fully transparent. Key samples
-      // are stored 2 bytes each (big-endian); at depth 8 only the low
-      // byte is significant.
+      // are stored 2 bytes each (big-endian); at depth 8 the high byte
+      // MUST be zero — a key sample >= 256 can match no 8-bit pixel, and
+      // silently matching its low byte instead would turn the wrong
+      // pixels transparent, so reject loudly (codec policy).
       def key(j: Int): Int = ((trns(2 * j) & 0xff) << 8) | (trns(2 * j + 1) & 0xff)
+      var kc = 0
+      while (kc < ch) {
+        require(key(kc) <= 0xff,
+          s"tRNS color key sample $kc = ${key(kc)} exceeds the 8-bit sample " +
+            "range (high byte must be zero at bit depth 8)")
+        kc += 1
+      }
       val outCh = ch + 1
       val out = new Array[Int](w * h * outCh)
       var i = 0
@@ -328,7 +337,7 @@ object PngCodec {
         while (c < ch) {
           val v = px(ch * i + c)
           out(outCh * i + c) = v
-          if (v != (key(c) & 0xff)) hit = false
+          if (v != key(c)) hit = false
           c += 1
         }
         out(outCh * i + ch) = if (hit) 0 else 255

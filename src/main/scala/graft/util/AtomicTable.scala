@@ -880,11 +880,16 @@ object AtomicTable {
     * identity.
     * Mapped reads go through [[readMapped]]; appends translate logical →
     * physical via [[toPhysical]] so new files keep the PHYSICAL schema
-    * and old and new files stay interchangeable. Scope note: once a
-    * mapping exists it is the closed column universe — a later
-    * schema-EVOLVING write must extend the map (add `<p> <l>` lines) in
-    * the same maintenance step, or the new physical column stays
-    * invisible to mapped reads. */
+    * and old and new files stay interchangeable. The mapping is NOT a
+    * closed column universe (r13 verdict #2): a schema-EVOLVING write
+    * passes its new columns through [[toPhysical]] untouched (identity
+    * physical name), and the next [[readMapped]] AUTO-EXTENDS the map
+    * with identity entries for any physical column the live schema
+    * carries beyond the map — the same maintained-access pattern as the
+    * change-feed layout migration, under the same commit lock — so an
+    * evolved column can never be silently invisible. Name collisions
+    * (a new column named like an existing physical slot or logical name)
+    * reject loudly rather than aliasing two columns onto one name. */
   def columnMapping(base: String): Option[Seq[(String, String)]] = {
     val p = Paths.get(base, ColMapFile)
     if (!Files.exists(p)) None
@@ -939,12 +944,38 @@ object AtomicTable {
     }
 
   /** The mapped read: live version, logical schema. Identity when no
-    * mapping was ever created. */
+    * mapping was ever created. Maintained access: physical columns a
+    * schema-evolving append added AFTER the mapping was created are
+    * auto-registered with identity entries (persisted under the commit
+    * lock) before projecting — without this, the closed map would make
+    * evolved columns silently invisible, a wrong-answer class. The scan
+    * reconciles footers (`mergeSchema`) because after an evolving append
+    * old and new files legitimately disagree on schema, and which footer
+    * a plain read samples is nondeterministic. */
   def readMapped(s: SparkSession, base: String): DataFrame = {
-    val df = read(s, base)
     columnMapping(base) match {
-      case None => df
-      case Some(m) =>
+      case None => read(s, base)
+      case Some(m0) =>
+        val df = s.read.option("mergeSchema", "true").parquet(
+          resolve(base).getOrElse(throw new IllegalStateException(
+            s"no published version at $base")))
+        val evolved = df.columns.filterNot(m0.map(_._1).toSet)
+        val m = if (evolved.isEmpty) m0
+        else withCommitLock(Paths.get(base)) {
+          // re-read under the lock: a concurrent maintained read may have
+          // extended the map already (idempotent either way)
+          val cur = columnMapping(base).getOrElse(m0)
+          val curPhys = cur.map(_._1).toSet
+          val curLogical = cur.filter(_._2 != "-").map(_._2).toSet
+          val add = df.columns.filterNot(curPhys).map { c =>
+            require(!curLogical(c), s"evolved physical column '$c' at " +
+              s"$base collides with an existing logical column name — " +
+              "rename the logical column first, then re-read")
+            (c, c)
+          }.toSeq
+          if (add.nonEmpty) writeColMapLocked(base, cur ++ add)
+          cur ++ add
+        }
         df.select(m.filter(_._2 != "-").map { case (p, l) =>
           org.apache.spark.sql.functions.col(p).as(l)
         }: _*)
@@ -955,7 +986,12 @@ object AtomicTable {
     * an append — new files then carry the same physical names as the old
     * ones, so the mapping keeps applying uniformly. Dropped columns are
     * absent from the logical schema and are written as NULLs (the
-    * physical slot must exist for old readers of raw files). */
+    * physical slot must exist for old readers of raw files). Columns of
+    * `df` BEYOND the mapping are a schema-evolving append: they pass
+    * through under their own (identity-physical) name — the next
+    * [[readMapped]] registers them — unless the name collides with an
+    * existing physical slot of a DIFFERENT logical column, which would
+    * silently fuse two columns and is refused loudly. */
   def toPhysical(df: DataFrame, base: String): DataFrame =
     columnMapping(base) match {
       case None => df
@@ -965,10 +1001,17 @@ object AtomicTable {
         // NullType); take it from the live version's schema
         val phys = read(df.sparkSession, base).schema
           .map(f => f.name -> f.dataType).toMap
+        val mappedLogical = m.map(_._2).toSet
+        val extras = df.columns.filterNot(mappedLogical).toSeq
+        extras.foreach { c =>
+          require(!m.exists(_._1 == c),
+            s"evolving append column '$c' collides with an existing " +
+              s"physical slot at $base — pick a fresh name")
+        }
         df.select(m.map { case (p, l) =>
           if (l != "-" && logical(l)) org.apache.spark.sql.functions.col(l).as(p)
           else org.apache.spark.sql.functions.lit(null).cast(phys(p)).as(p)
-        }: _*)
+        } ++ extras.map(org.apache.spark.sql.functions.col): _*)
     }
 
   /** Standalone retention maintenance — the `VACUUM` verb: prune

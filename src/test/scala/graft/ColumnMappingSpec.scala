@@ -88,6 +88,50 @@ class ColumnMappingSpec extends AnyFunSuite {
       .filter(col("o_orderpriority").isNotNull).count() == 0)
   }
 
+  test("schema-evolving append auto-extends the mapping: rename, evolve, read BOTH") {
+    // r13 verdict #2: the mapping must not be a closed column universe.
+    val base = stage("evolve")
+    AtomicTable.renameColumn(spark, base, "o_totalprice", "price_usd")
+    // mergeSchema-style evolving append: the batch carries a column the
+    // table has never seen
+    val batch = AtomicTable.readMapped(spark, base).limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+      .withColumn("o_channel", lit("web"))
+    AtomicTable.publishAppend(base, keep = 2)(dir =>
+      AtomicTable.toPhysical(batch, base)
+        .coalesce(1).write.mode("append").parquet(dir))
+    val mapped = AtomicTable.readMapped(spark, base)
+    // sees BOTH the renamed column and the evolved one
+    assert(mapped.columns.contains("price_usd"), "rename must survive evolution")
+    assert(mapped.columns.contains("o_channel"),
+      "the evolved column must be visible to the mapped read — silently " +
+        "invisible is the wrong-answer class this closes")
+    assert(mapped.filter(col("o_channel") === "web").count() == 10)
+    assert(mapped.filter(col("o_channel").isNull).count() == 1000)
+    // the map itself was persisted with an identity entry (maintained
+    // access), so a FRESH reader needs no re-derivation
+    val m = AtomicTable.columnMapping(base).get
+    assert(m.contains(("o_channel", "o_channel")))
+    // and the extension is idempotent across repeated reads
+    assert(AtomicTable.readMapped(spark, base).columns.count(_ == "o_channel") == 1)
+    // a second rename of the EVOLVED column still works (it is a first-
+    // class mapped column now)
+    AtomicTable.renameColumn(spark, base, "o_channel", "channel")
+    assert(AtomicTable.readMapped(spark, base).columns.contains("channel"))
+  }
+
+  test("evolving append refuses a column name colliding with a physical slot") {
+    val base = stage("evolve_collide")
+    AtomicTable.renameColumn(spark, base, "o_totalprice", "price_usd")
+    // 'o_totalprice' is now a PHYSICAL slot of logical 'price_usd' — a new
+    // column reusing that name would fuse two columns at the file level
+    val bad = AtomicTable.readMapped(spark, base).limit(5)
+      .withColumn("o_totalprice", lit(1.0))
+    intercept[IllegalArgumentException] {
+      AtomicTable.toPhysical(bad, base)
+    }
+  }
+
   test("a shallow clone carries the logical schema with it") {
     val base = stage("clone_src")
     AtomicTable.renameColumn(spark, base, "o_totalprice", "price_usd")

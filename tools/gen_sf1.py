@@ -100,7 +100,7 @@ for i in range(COPIES):
         signs = np.where(rs.rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
         v = vec * signs[None, :]
     rng_tables.append(pa.table({
-        "vec_id": pa.array(vid + i * 2000, type=pa.int64()),
+        "vec_id": pa.array(vid + i * N, type=pa.int64()),
         "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
         "label": pa.array(lab, type=pa.int32()),
     }))
