@@ -2,28 +2,38 @@ package graft.ops
 
 import java.nio.ByteBuffer
 
-/** A REAL baseline-JPEG (ITU-T T.81) codec for 8-bit GRAYSCALE in plain
-  * Scala — the last multimodal format to get a genuine decode path. No
-  * library exists in this container for entropy decoding, so it is
-  * implemented here: marker segments (SOI/DQT/SOF0/DHT/SOS/EOI),
-  * canonical Huffman table construction from DHT, the spec's
-  * EXTEND/RECEIVE magnitude coding, DC prediction, run/size AC coding
-  * with EOB and ZRL, 0xFF00 byte unstuffing, dequantization, inverse
-  * zigzag, and a double-precision IDCT with level shift + clamp.
+/** A REAL JPEG (ITU-T T.81) codec in plain Scala — no library exists
+  * in this container for entropy decoding, so it is implemented here:
+  * marker segments (SOI/DQT/SOF/DHT/SOS/DRI/EOI), canonical Huffman
+  * table construction from DHT, the spec's EXTEND/RECEIVE magnitude
+  * coding, DC prediction, run/size AC coding with EOB and ZRL, 0xFF00
+  * byte unstuffing, dequantization, inverse zigzag, and a
+  * double-precision IDCT with level shift + clamp.
   *
-  * Scope: baseline sequential DCT, 8-bit precision, grayscale (one
-  * component) AND YCbCr color with sampling factors 1 and 2 — 4:4:4,
-  * 4:2:0 (the dominant real-world encoding), 4:2:2 and 4:4:0.
-  * Interleaved MCUs carry hi×vi blocks per component; subsampled
-  * chroma upsamples by sample replication at the BT.601 conversion;
-  * arbitrary (non-8-aligned) dims decode via full edge MCUs clipped
-  * on output; per-component quant/Huffman table selectors honored;
-  * restart intervals (DRI/RSTn — ubiquitous in camera output) decode
-  * with byte realignment, modulo-8 marker verification and DC-chain
-  * resets, and a lost or reordered restart marker rejects loudly
-  * instead of desynchronizing every later MCU. Everything else —
-  * progressive, 12-bit, 4:1:1, scan component order differing from
-  * the frame — is rejected LOUDLY.
+  * Scope: baseline sequential (SOF0) AND progressive (SOF2) Huffman
+  * DCT, 8-bit precision, grayscale (one component) AND YCbCr color
+  * with sampling factors 1 and 2 — 4:4:4, 4:2:0 (the dominant
+  * real-world encoding), 4:2:2 and 4:4:0. Progressive decoding covers
+  * the full T.81 G.1.2 surface a real scan script uses: interleaved
+  * and single-component DC scans, spectral selection (AC bands per
+  * component, non-interleaved as the spec requires), successive
+  * approximation (one-bit DC and AC refinement scans with EOB-run
+  * coding and correction bits), tables redefined between scans, and
+  * restart intervals inside any scan. The decoder is multi-scan: every
+  * scan accumulates into per-component coefficient buffers; dequant +
+  * IDCT happen once at assembly, so baseline and progressive share one
+  * reconstruction path and a progressive file decodes EXACTLY the
+  * raster its sequential re-encoding does (JpegCodecSpec pins this bit
+  * for bit). Interleaved MCUs carry hi×vi blocks per component;
+  * subsampled chroma upsamples by sample replication at the BT.601
+  * conversion; arbitrary (non-8-aligned) dims decode via full edge
+  * MCUs clipped on output; per-component quant/Huffman table selectors
+  * honored; restart intervals (DRI/RSTn — ubiquitous in camera output)
+  * decode with byte realignment, modulo-8 marker verification, DC-chain
+  * and EOB-run resets, and a lost or reordered restart marker rejects
+  * loudly instead of desynchronizing every later MCU. Everything else —
+  * 12-bit, arithmetic coding, lossless/hierarchical, 4:1:1, scan
+  * component order differing from the frame — is rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -345,6 +355,291 @@ object JpegCodec {
     out.toByteArray
   }
 
+  // ---- progressive encoder ----
+
+  /** AC Huffman spec for PROGRESSIVE scans: the baseline 162 symbols
+    * plus the EOBn symbols (r<<4, r = 1..14) that successive-
+    * approximation scans emit for EOB runs longer than one block.
+    * 176 nine-bit codes (Kraft: 176 ≤ 511, all-ones unused). */
+  private[graft] val ProgAcBits: Array[Int] = { val b = new Array[Int](17); b(9) = 176; b }
+  private[graft] val ProgAcVals: Array[Int] = {
+    val vs = collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
+    for (r <- 1 to 14) vs += (r << 4)
+    for (run <- 0 to 15; size <- 1 to 10) vs += ((run << 4) | size)
+    require(vs.size == 176, s"prog ac symbol count ${vs.size}")
+    vs.toArray
+  }
+
+  /** One progressive AC SCAN's encoder state (the encoder mirror of the
+    * T.81 G.1.2.2/G.1.2.3 decoding flowcharts): EOB runs aggregate
+    * across blocks, and refinement correction bits buffer until the
+    * symbol that covers them is emitted (first the in-block symbol's
+    * own bits, then the buffered corrections — exactly the order the
+    * decoder's band walk consumes them in). */
+  private class ProgAcWriter(bits: BitWriter, acC: Map[Int, (Int, Int)]) {
+    private var eobRun = 0
+    private val eobBits = new collection.mutable.ArrayBuffer[Int] // corrections riding the EOB run
+
+    private def emitAc(sym: Int): Unit = { val (c, l) = acC(sym); bits.put(c, l) }
+
+    /** Flush the pending EOB run (EOBn symbol + extra bits) followed by
+      * the correction bits buffered under it. */
+    def flushEob(): Unit = {
+      if (eobRun > 0) {
+        var nb = 0
+        while ((eobRun >> (nb + 1)) > 0) nb += 1 // floor(log2(eobRun))
+        emitAc(nb << 4)
+        if (nb > 0) bits.put(eobRun - (1 << nb), nb)
+        eobRun = 0
+      }
+      eobBits.foreach(b => bits.put(b, 1))
+      eobBits.clear()
+    }
+
+    /** First AC scan (Ah=0) for one block: run/size coding of the
+      * point-transformed band, EOB runs aggregated across blocks. */
+    def firstBlock(zig: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val v = zig(k)
+        val t = if (v >= 0) v >> al else -((-v) >> al) // AC point transform
+        if (t == 0) r += 1
+        else {
+          flushEob()
+          while (r > 15) { emitAc(0xf0); r -= 16 }
+          val sz = magnitude(t)
+          require(sz <= 10, s"AC magnitude $t too large for the table")
+          emitAc((r << 4) | sz)
+          bits.put(if (t >= 0) t else t + (1 << sz) - 1, sz)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) {
+        eobRun += 1
+        if (eobRun == 0x7fff) flushEob()
+      }
+    }
+
+    /** Refinement AC scan (Ah=Al+1) for one block: newly-significant
+      * coefficients emit (run,1)+sign, already-nonzero ones queue one
+      * correction bit each; runs count only zero-history positions and
+      * trailing content folds into the EOB run. */
+    def refineBlock(zig: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+      // last newly-significant position: zeros beyond it fold into EOB
+      var eobPos = ss - 1
+      var k = ss
+      while (k <= se) {
+        val a = math.abs(zig(k)) >> al
+        if (a == 1) eobPos = k
+        k += 1
+      }
+      var r = 0
+      val pending = new collection.mutable.ArrayBuffer[Int]
+      k = ss
+      while (k <= se) {
+        val a = math.abs(zig(k)) >> al
+        if (a == 0) r += 1
+        else {
+          // ZRLs only when a later newly-significant coef needs the run
+          while (r > 15 && k <= eobPos) {
+            flushEob()
+            emitAc(0xf0); r -= 16
+            pending.foreach(b => bits.put(b, 1)); pending.clear()
+          }
+          if (a > 1) pending += (a & 1) // correction bit; run unaffected
+          else {
+            flushEob()
+            emitAc((r << 4) | 1); r = 0
+            bits.put(if (zig(k) >= 0) 1 else 0, 1) // sign of the new coef
+            pending.foreach(b => bits.put(b, 1)); pending.clear()
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || pending.nonEmpty) {
+        eobRun += 1
+        eobBits ++= pending
+        if (eobRun == 0x7fff) flushEob()
+      }
+    }
+  }
+
+  /** Progressive frame-and-scan assembly shared by the gray and color
+    * encoders. `comps`: per component (zigzag-ordered quantized blocks,
+    * block-grid width/height, sampling h, sampling v, table selector).
+    * `script`: (component indices, Ss, Se, Ah, Al) per scan — DC scans
+    * may interleave all components; AC scans carry one component. */
+  private def writeProgressiveScans(out: java.io.ByteArrayOutputStream,
+      comps: Array[(Array[Array[Int]], Int, Int, Int, Int, Int)],
+      script: Seq[(Seq[Int], Int, Int, Int, Int)],
+      mcusX: Int, mcusY: Int, restartInterval: Int): Unit = {
+    val dcC = canonicalCodes(DcBits, DcVals)
+    val acC = canonicalCodes(ProgAcBits, ProgAcVals)
+    script.foreach { case (compIdx, ss, se, ah, al) =>
+      // SOS header
+      val hdr = new collection.mutable.ArrayBuffer[Byte]
+      hdr += compIdx.size.toByte
+      compIdx.foreach { ci =>
+        val sel = comps(ci)._6
+        hdr += (ci + 1).toByte // component ids are 1-based
+        hdr += ((sel << 4) | sel).toByte
+      }
+      hdr += ss.toByte; hdr += se.toByte; hdr += ((ah << 4) | al).toByte
+      seg(out, 0xda, hdr.toArray)
+      // entropy data
+      val bits = new BitWriter
+      val prog = new ProgAcWriter(bits, acC)
+      val prevDc = new Array[Int](compIdx.size)
+      var rst = 0; var units = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && units == restartInterval) {
+          prog.flushEob()
+          bits.restart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+          units = 0
+        }
+      def unit(si: Int, blk: Array[Int]): Unit =
+        if (ss == 0) {
+          if (ah == 0) {
+            val v = blk(0) >> al // DC point transform: arithmetic shift
+            val d = v - prevDc(si); prevDc(si) = v
+            val sz = magnitude(d)
+            require(sz <= 11, s"DC difference $d too large for the table")
+            val (c, l) = dcC(sz); bits.put(c, l)
+            if (sz > 0) bits.put(if (d >= 0) d else d + (1 << sz) - 1, sz)
+          } else bits.put((blk(0) >> al) & 1, 1)
+        } else {
+          if (ah == 0) prog.firstBlock(blk, ss, se, al)
+          else prog.refineBlock(blk, ss, se, al)
+        }
+      if (compIdx.size == 1) {
+        val (blocks, bw, bh, _, _, _) = comps(compIdx.head)
+        var bi = 0
+        while (bi < bw * bh) {
+          maybeRestart()
+          unit(0, blocks(bi))
+          units += 1
+          bi += 1
+        }
+      } else {
+        var mi = 0
+        while (mi < mcusX * mcusY) {
+          maybeRestart()
+          val mx = mi % mcusX; val my = mi / mcusX
+          var si = 0
+          while (si < compIdx.size) {
+            val (blocks, bw, _, ch, cv, _) = comps(compIdx(si))
+            var b = 0
+            while (b < ch * cv) {
+              unit(si, blocks((cv * my + b / ch) * bw + ch * mx + b % ch))
+              b += 1
+            }
+            si += 1
+          }
+          units += 1
+          mi += 1
+        }
+      }
+      prog.flushEob()
+      out.write(bits.finish())
+    }
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) color JPEG from the same quantized
+    * coefficient blocks as [[encodeCoefficients420]] — spectral
+    * selection (a low and a high luma AC band) AND successive
+    * approximation (every scan at Al=1 with a one-bit refinement pass),
+    * the canonical real-world scan script shape. A spec-correct
+    * progressive decoder reconstructs EXACTLY the raster the sequential
+    * encoding of the same blocks produces — the coefficients land
+    * bit-identically once all scans apply. */
+  def encodeCoefficientsProgressive(width: Int, height: Int, qY: Int, qC: Int,
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
+      sh: Int = 2, sv: Int = 2, restartInterval: Int = 0): Array[Byte] = {
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
+      s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    val cw = width / (8 * sh); val chh = height / (8 * sv)
+    require(y.length == bw * bh, s"need ${bw * bh} Y blocks, got ${y.length}")
+    require(cb.length == cw * chh && cr.length == cw * chh,
+      s"need ${cw * chh} chroma blocks, got ${cb.length}/${cr.length}")
+    def zigOf(blk: Array[Int]): Array[Int] = Array.tabulate(64)(i => blk(Zigzag(i)))
+    val comps = Array(
+      (y.map(zigOf), bw, bh, sh, sv, 0),
+      (cb.map(zigOf), cw, chh, 1, 1, 1),
+      (cr.map(zigOf), cw, chh, 1, 1, 1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    seg(out, 0xdb,
+      (Array[Byte](0x00) ++ Array.fill(64)(qY.toByte)) ++
+        (Array[Byte](0x01) ++ Array.fill(64)(qC.toByte)))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc2, ByteBuffer.allocate(15) // SOF2: Y sh×sv, chroma 1x1
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte)
+      .put(1.toByte).put(((sh << 4) | sv).toByte).put(0.toByte) // Y: tq0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)             // Cb: tq1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)             // Cr: tq1
+      .array())
+    dhtSeg(out, 0, 0, DcBits, DcVals); dhtSeg(out, 1, 0, ProgAcBits, ProgAcVals)
+    dhtSeg(out, 0, 1, DcBits, DcVals); dhtSeg(out, 1, 1, ProgAcBits, ProgAcVals)
+    // the canonical 9-scan script: interleaved DC first at Al=1; luma AC
+    // split into two spectral bands; chroma AC whole-band; then one-bit
+    // refinements of everything (DC interleaved, AC per component)
+    writeProgressiveScans(out, comps, Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1),
+      (Seq(0), 1, 5, 0, 1),
+      (Seq(1), 1, 63, 0, 1),
+      (Seq(2), 1, 63, 0, 1),
+      (Seq(0), 6, 63, 0, 1),
+      (Seq(0, 1, 2), 0, 0, 1, 0),
+      (Seq(0), 1, 63, 1, 0),
+      (Seq(1), 1, 63, 1, 0),
+      (Seq(2), 1, 63, 1, 0)),
+      (width + 8 * sh - 1) / (8 * sh), (height + 8 * sv - 1) / (8 * sv),
+      restartInterval)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Grayscale progressive encoder (one component, non-interleaved DC
+    * scan included on the gate path). */
+  def encodeCoefficientsProgressiveGray(width: Int, height: Int, q: Int,
+      blocks: Array[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh, s"${blocks.length} blocks for ${bw}x$bh grid")
+    def zigOf(blk: Array[Int]): Array[Int] = Array.tabulate(64)(i => blk(Zigzag(i)))
+    val comps = Array((blocks.map(zigOf), bw, bh, 1, 1, 0))
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    seg(out, 0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc2, ByteBuffer.allocate(9)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    dhtSeg(out, 0, 0, DcBits, DcVals)
+    dhtSeg(out, 1, 0, ProgAcBits, ProgAcVals)
+    writeProgressiveScans(out, comps, Seq(
+      (Seq(0), 0, 0, 0, 1),
+      (Seq(0), 1, 5, 0, 1),
+      (Seq(0), 6, 63, 0, 1),
+      (Seq(0), 0, 0, 1, 0),
+      (Seq(0), 1, 63, 1, 0)),
+      bw, bh, restartInterval)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   /** Encode a grayscale raster as DC-only constant blocks — valid ONLY
     * when every 8×8 block is constant (the oracle fixtures); asserts it. */
   def encodeConstantBlocks(width: Int, height: Int, pixels: Array[Int],
@@ -469,216 +764,264 @@ object JpegCodec {
     out
   }
 
-  /** Decode the next entropy-coded block: DC prediction + AC run/size,
-    * dequantize, inverse-zigzag, IDCT. Returns (spatial block, new DC
-    * predictor). */
-  private def decodeBlock(br: BitReader, dcT: HuffTable, acT: HuffTable,
-      quant: Array[Int], prevDc: Int): (Array[Int], Int) = {
-    val coefZ = new Array[Int](64)
-    val s = dcT.decode(br)
-    val dc = prevDc + extend(br.receive(s), s)
-    coefZ(0) = dc
-    var k = 1
-    while (k < 64) {
-      val rs = acT.decode(br)
-      if (rs == 0x00) k = 64            // EOB
-      else if (rs == 0xf0) k += 16      // ZRL
-      else {
-        k += (rs >> 4)
-        require(k < 64, s"AC run overflows block at k=$k")
-        coefZ(k) = extend(br.receive(rs & 0xf), rs & 0xf)
-        k += 1
-      }
-    }
-    val coef = new Array[Int](64)
-    var i = 0
-    while (i < 64) { coef(Zigzag(i)) = coefZ(i) * quant(i); i += 1 }
-    (idct(coef), dc)
-  }
-
-  /** Parse a baseline grayscale or 4:4:4-color JPEG. Throws
-    * IllegalArgumentException with a precise message on malformed or
-    * out-of-scope input. */
+  /** Parse a baseline-sequential (SOF0) or progressive (SOF2) grayscale
+    * or YCbCr JPEG. Throws IllegalArgumentException with a precise
+    * message on malformed or out-of-scope input. */
   def decode(bytes: Array[Byte]): Jpeg = {
     require(bytes.length >= 4, s"truncated: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
     var pos = 2
     var w = -1; var h = -1
+    var progressive = false
     val quantT = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
-    var compIds: Array[Int] = null // SOF0 order
+    var compIds: Array[Int] = null // SOF order
     var compTq: Array[Int] = null
     var compH: Array[Int] = null   // sampling factors per component
     var compV: Array[Int] = null
-    var scanTd: Array[Int] = null  // per SOF0 component, filled from SOS
-    var scanTa: Array[Int] = null
     var restartInterval = 0        // DRI: MCUs between RSTn markers (0 = none)
-    var entropyStart = -1
+    // frame geometry (computed at SOF)
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    var padW: Array[Int] = null    // block columns on the padded MCU grid
+    var padH: Array[Int] = null
+    var trueW: Array[Int] = null   // the component's OWN block grid — what a
+    var trueH: Array[Int] = null   // non-interleaved scan walks (T.81 A.2.2)
+    // per component: all blocks' coefficients, ZIGZAG order, 64 per block
+    // on the padded grid — progressive scans accumulate into this across
+    // scans; the sequential scan fills it in one pass. Dequant + IDCT
+    // happen once, at assembly.
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
+    var done = false
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
-    while (entropyStart < 0) {
-      require(pos + 4 <= bytes.length, "truncated marker stream")
+
+    while (!done) {
+      require(pos + 2 <= bytes.length, "truncated marker stream")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
       val m = bytes(pos + 1) & 0xff
-      val len = u16(pos + 2)
-      val body = pos + 4
-      // a corrupt length must fail HERE, not as an index error deep in a
-      // segment parser — the whole declared segment must be in range
-      require(len >= 2 && pos + 2 + len <= bytes.length,
-        s"segment 0x${m.toHexString} length $len overruns the stream")
-      m match {
-        case 0xdb =>
-          // one DQT segment may carry several tables back-to-back
-          var o = body
-          val end = pos + 2 + len
-          while (o < end) {
-            require(end - o >= 65, s"DQT table truncated at offset $o")
-            val pq = (bytes(o) & 0xff) >> 4
-            val tq = bytes(o) & 0xf
-            require(pq == 0, "only 8-bit quant tables supported")
-            quantT(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
-            o += 65
-          }
-        case 0xc0 =>
-          require(len >= 2 + 9, s"SOF0 segment too short: $len")
-          require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
-          h = u16(body + 1); w = u16(body + 3)
-          val ncomp = bytes(body + 5) & 0xff
-          require(ncomp == 1 || ncomp == 3,
-            s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
-          require(len >= 2 + 6 + 3 * ncomp, s"SOF0 too short for $ncomp components")
-          compIds = new Array[Int](ncomp)
-          compTq = new Array[Int](ncomp)
-          compH = new Array[Int](ncomp)
-          compV = new Array[Int](ncomp)
-          var c = 0
-          while (c < ncomp) {
-            compIds(c) = bytes(body + 6 + 3 * c) & 0xff
-            val hv = bytes(body + 7 + 3 * c) & 0xff
-            compH(c) = hv >> 4; compV(c) = hv & 0xf
-            // factors 1 and 2 cover 4:4:4, 4:2:0, 4:2:2 and 4:4:0 — the
-            // shapes that make up essentially all baseline files in the
-            // wild; 3/4 (4:1:1 etc.) stay rejected loudly
-            require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
-              s"sampling factors ${compH(c)}x${compV(c)} on component $c not " +
-                "supported (1 and 2 only — 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
-            compTq(c) = bytes(body + 8 + 3 * c) & 0xff
-            require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
-            c += 1
-          }
-          if (ncomp == 1) {
-            // a single-component scan is NON-interleaved per T.81: its MCU
-            // is one data unit regardless of declared sampling factors
-            compH(0) = 1; compV(0) = 1
-          }
-        case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
-        case 0xc4 =>
-          // one DHT segment may carry several tables back-to-back
-          var o = body
-          val end = pos + 2 + len
-          while (o < end) {
-            require(end - o >= 17, s"DHT table truncated at offset $o")
-            val cls = (bytes(o) & 0xff) >> 4
-            val id = bytes(o) & 0xf
-            require(cls <= 1 && id < 4, s"bad DHT class/id $cls/$id")
-            val bitsA = new Array[Int](17)
-            var total = 0
-            (1 to 16).foreach { l => bitsA(l) = bytes(o + l) & 0xff; total += bitsA(l) }
-            require(end - o >= 17 + total,
-              s"DHT declares $total values beyond its segment")
-            val valsA = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
-            val t = new HuffTable(bitsA, valsA)
-            if (cls == 0) dcT(id) = t else acT(id) = t
-            o += 17 + total
-          }
-        case 0xda =>
-          require(compIds != null, "SOS before SOF0")
-          val ns = bytes(body) & 0xff
-          require(ns == compIds.length,
-            s"scan has $ns components, frame has ${compIds.length} (partial scans unsupported)")
-          require(len >= 2 + 1 + 2 * ns + 3, s"SOS segment too short: $len")
-          scanTd = new Array[Int](ns); scanTa = new Array[Int](ns)
-          var c = 0
-          while (c < ns) {
-            val cs = bytes(body + 1 + 2 * c) & 0xff
-            // the entropy stream interleaves MCUs in SCAN order (T.81
-            // B.2.3) while this decoder emits blocks in FRAME order — a
-            // scan that reorders components would decode with swapped
-            // planes and DC chains, a SILENT misread. Out-of-order scans
-            // are legal but essentially nonexistent in the wild; reject
-            // them loudly rather than misread them.
-            require(cs == compIds(c),
-              s"scan component order differs from the frame (scan[$c]=$cs, " +
-                s"frame[$c]=${compIds(c)}); only frame-ordered scans supported")
-            scanTd(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
-            scanTa(c) = bytes(body + 2 + 2 * c) & 0xf
-            require(scanTd(c) < 4 && scanTa(c) < 4, "bad Huffman selector")
-            c += 1
-          }
-          entropyStart = body + 1 + 2 * ns + 3
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case 0xdd =>
-          require(len == 4, s"bad DRI length $len")
-          restartInterval = u16(body)
-        case _ => () // APPn/COM skipped
+      if (m == 0xd9) { // EOI
+        require(sawScan, "EOI before SOS")
+        done = true
+      } else {
+        require(pos + 4 <= bytes.length, "truncated marker stream")
+        val len = u16(pos + 2)
+        val body = pos + 4
+        // a corrupt length must fail HERE, not as an index error deep in a
+        // segment parser — the whole declared segment must be in range
+        require(len >= 2 && pos + 2 + len <= bytes.length,
+          s"segment 0x${m.toHexString} length $len overruns the stream")
+        m match {
+          case 0xdb =>
+            // one DQT segment may carry several tables back-to-back
+            var o = body
+            val end = pos + 2 + len
+            while (o < end) {
+              require(end - o >= 65, s"DQT table truncated at offset $o")
+              val pq = (bytes(o) & 0xff) >> 4
+              val tq = bytes(o) & 0xf
+              require(pq == 0, "only 8-bit quant tables supported")
+              quantT(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+              o += 65
+            }
+          case 0xc0 | 0xc2 =>
+            require(compIds == null, "multiple frames not supported")
+            progressive = m == 0xc2
+            require(len >= 2 + 9, s"SOF segment too short: $len")
+            require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
+            h = u16(body + 1); w = u16(body + 3)
+            require(w > 0 && h > 0, s"bad frame dims ${w}x$h")
+            require(w.toLong * h < Int.MaxValue / 8,
+              s"implausible dims ${w}x$h overflow the raster size")
+            val ncomp = bytes(body + 5) & 0xff
+            require(ncomp == 1 || ncomp == 3,
+              s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
+            require(len >= 2 + 6 + 3 * ncomp, s"SOF too short for $ncomp components")
+            compIds = new Array[Int](ncomp)
+            compTq = new Array[Int](ncomp)
+            compH = new Array[Int](ncomp)
+            compV = new Array[Int](ncomp)
+            var c = 0
+            while (c < ncomp) {
+              compIds(c) = bytes(body + 6 + 3 * c) & 0xff
+              val hv = bytes(body + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0xf
+              // factors 1 and 2 cover 4:4:4, 4:2:0, 4:2:2 and 4:4:0 — the
+              // shapes that make up essentially all baseline files in the
+              // wild; 3/4 (4:1:1 etc.) stay rejected loudly
+              require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+                s"sampling factors ${compH(c)}x${compV(c)} on component $c not " +
+                  "supported (1 and 2 only — 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
+              compTq(c) = bytes(body + 8 + 3 * c) & 0xff
+              require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
+              c += 1
+            }
+            if (ncomp == 1) {
+              // a single-component scan is NON-interleaved per T.81: its MCU
+              // is one data unit regardless of declared sampling factors
+              compH(0) = 1; compV(0) = 1
+            }
+            // Interleaved MCU geometry (T.81 A.2.3): the MCU covers 8·hmax ×
+            // 8·vmax pixels and carries hi×vi raster-ordered blocks per
+            // component; component planes live at REDUCED resolution
+            // (ceil(w·hi/hmax) × ceil(h·vi/vmax)) and are stored on the full
+            // MCU grid so partial edge MCUs decode in full and clip on
+            // output. Non-interleaved scans walk the component's OWN block
+            // grid (ceil(compW/8) × ceil(compH/8)) — NOT the padded grid.
+            hmax = compH.max; vmax = compV.max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            padW = Array.tabulate(ncomp)(ci => mcusX * compH(ci))
+            padH = Array.tabulate(ncomp)(ci => mcusY * compV(ci))
+            trueW = Array.tabulate(ncomp) { ci =>
+              val cw = (w * compH(ci) + hmax - 1) / hmax
+              (cw + 7) / 8
+            }
+            trueH = Array.tabulate(ncomp) { ci =>
+              val ch = (h * compV(ci) + vmax - 1) / vmax
+              (ch + 7) / 8
+            }
+            coefs = Array.tabulate(ncomp)(ci => new Array[Int](padW(ci) * padH(ci) * 64))
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"unsupported SOF marker 0xff$m%02x — only baseline-sequential " +
+                "(SOF0) and progressive (SOF2) Huffman DCT are supported " +
+                "(extended/lossless/arithmetic/hierarchical reject loudly)")
+          case 0xcc =>
+            throw new IllegalArgumentException(
+              "arithmetic-coding conditioning (DAC) not supported")
+          case 0xc4 =>
+            // one DHT segment may carry several tables back-to-back
+            var o = body
+            val end = pos + 2 + len
+            while (o < end) {
+              require(end - o >= 17, s"DHT table truncated at offset $o")
+              val cls = (bytes(o) & 0xff) >> 4
+              val id = bytes(o) & 0xf
+              require(cls <= 1 && id < 4, s"bad DHT class/id $cls/$id")
+              val bitsA = new Array[Int](17)
+              var total = 0
+              (1 to 16).foreach { l => bitsA(l) = bytes(o + l) & 0xff; total += bitsA(l) }
+              require(end - o >= 17 + total,
+                s"DHT declares $total values beyond its segment")
+              val valsA = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+              val t = new HuffTable(bitsA, valsA)
+              if (cls == 0) dcT(id) = t else acT(id) = t
+              o += 17 + total
+            }
+          case 0xdd =>
+            require(len == 4, s"bad DRI length $len")
+            restartInterval = u16(body)
+          case 0xda =>
+            require(compIds != null, "SOS before SOF")
+            val ns = bytes(body) & 0xff
+            require(ns >= 1 && ns <= compIds.length, s"bad scan component count $ns")
+            require(len >= 2 + 1 + 2 * ns + 3, s"SOS segment too short: $len")
+            val scanComp = new Array[Int](ns)
+            val scanTd = new Array[Int](ns); val scanTa = new Array[Int](ns)
+            var prevFi = -1
+            var c = 0
+            while (c < ns) {
+              val cs = bytes(body + 1 + 2 * c) & 0xff
+              val fi = compIds.indexOf(cs)
+              require(fi >= 0, s"scan names unknown component $cs")
+              // the entropy stream interleaves MCUs in SCAN order (T.81
+              // B.2.3) while this decoder emits blocks in FRAME order — a
+              // scan that reorders components would decode with swapped
+              // planes and DC chains, a SILENT misread. Out-of-order scans
+              // are legal but essentially nonexistent in the wild; reject
+              // them loudly rather than misread them.
+              require(fi > prevFi, s"scan component order differs from the " +
+                s"frame (scan[$c]=$cs); only frame-ordered scans supported")
+              prevFi = fi
+              scanComp(c) = fi
+              scanTd(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
+              scanTa(c) = bytes(body + 2 + 2 * c) & 0xf
+              require(scanTd(c) < 4 && scanTa(c) < 4, "bad Huffman selector")
+              c += 1
+            }
+            val ss = bytes(body + 1 + 2 * ns) & 0xff
+            val se = bytes(body + 2 + 2 * ns) & 0xff
+            val ahal = bytes(body + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0xf
+            if (!progressive) {
+              require(ns == compIds.length,
+                s"scan has $ns components, frame has ${compIds.length} (partial scans unsupported)")
+              require(ss == 0 && se == 63 && ah == 0 && al == 0,
+                s"baseline scan must be Ss=0 Se=63 Ah=Al=0, got $ss/$se/$ah/$al")
+            } else {
+              // progressive scan legality (T.81 G.1.1.1): a DC scan covers
+              // only coefficient 0 (and may be interleaved); an AC scan is
+              // one band of ONE component; refinements move Al down one bit
+              if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+              else {
+                require(ns == 1, "progressive AC scans must be non-interleaved")
+                require(se >= ss && se <= 63, s"bad spectral band $ss..$se")
+              }
+              require(al <= 13, s"bad point transform Al=$al")
+              if (ah != 0) require(ah == al + 1,
+                s"successive approximation must refine one bit (Ah=$ah, Al=$al)")
+            }
+            // table presence for THIS scan (tables may arrive between scans)
+            c = 0
+            while (c < ns) {
+              if (ss == 0 && ah == 0)
+                require(dcT(scanTd(c)) != null, s"scan component $c: missing DC table ${scanTd(c)}")
+              if (!progressive || ss > 0)
+                require(acT(scanTa(c)) != null, s"scan component $c: missing AC table ${scanTa(c)}")
+              c += 1
+            }
+            val entropyStart = body + 1 + 2 * ns + 3
+            // the scan's entropy data runs to the next true marker (0xFF00
+            // stuffing and RSTn belong to the data)
+            var p = entropyStart
+            var scanEnd = -1
+            while (scanEnd < 0) {
+              require(p + 1 < bytes.length,
+                "entropy stream ran past EOF — no terminating marker/EOI")
+              if ((bytes(p) & 0xff) == 0xff) {
+                val nb = bytes(p + 1) & 0xff
+                if (nb == 0x00 || (nb >= 0xd0 && nb <= 0xd7)) p += 2
+                else scanEnd = p
+              } else p += 1
+            }
+            val br = new BitReader(bytes.slice(entropyStart, scanEnd))
+            runScan(br, coefs, padW, trueW, trueH, compH, compV, mcusX, mcusY,
+              scanComp, scanTd.map(dcT(_)), scanTa.map(acT(_)),
+              ss, se, ah, al, restartInterval, sequential = !progressive)
+            sawScan = true
+            pos = scanEnd - 2 - len // cancel the uniform advance below
+          case _ => () // APPn/COM skipped
+        }
+        pos = pos + 2 + len
       }
-      if (entropyStart < 0) pos = pos + 2 + len
     }
-    require(w > 0 && h > 0, "no SOF0 before SOS")
-    require(w.toLong * h < Int.MaxValue / 8,
-      s"implausible dims ${w}x$h overflow the raster size")
+    require(w > 0 && h > 0, "no SOF before EOI")
+
+    // ---- assembly: dequantize + inverse zigzag + IDCT every block ----
     val ncomp = compIds.length
     var c = 0
     while (c < ncomp) {
       require(quantT(compTq(c)) != null, s"component $c: no DQT table ${compTq(c)}")
-      require(dcT(scanTd(c)) != null && acT(scanTa(c)) != null,
-        s"component $c: missing Huffman tables ${scanTd(c)}/${scanTa(c)}")
       c += 1
     }
-    // entropy data runs to the EOI marker
-    val eoi = {
-      var p = bytes.length - 2
-      while (p > entropyStart &&
-        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9)) p -= 1
-      require(p > entropyStart, "no EOI marker")
-      p
-    }
-    val br = new BitReader(bytes.slice(entropyStart, eoi))
-    // Interleaved MCU geometry (T.81 A.2.3): the MCU covers 8·hmax ×
-    // 8·vmax pixels and carries hi×vi raster-ordered blocks per
-    // component; component planes live at REDUCED resolution (w·hi/hmax
-    // × h·vi/vmax) and are stored on the full MCU grid so partial edge
-    // MCUs (non-aligned dims) decode in full and simply clip on output.
-    val hmax = compH.max; val vmax = compV.max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val planeW = Array.tabulate(ncomp)(ci => mcusX * 8 * compH(ci))
-    val planes = Array.tabulate(ncomp)(ci =>
-      new Array[Int](planeW(ci) * mcusY * 8 * compV(ci)))
-    val prevDc = new Array[Int](ncomp)
-    val totalMcus = mcusX * mcusY
-    var rstIdx = 0
-    var mi = 0
-    while (mi < totalMcus) {
-      // restart-interval boundary (T.81 F.2.1.3.1): byte-align, consume
-      // the modulo-8 RSTn marker, reset every DC prediction chain
-      if (restartInterval > 0 && mi > 0 && mi % restartInterval == 0) {
-        br.expectRestart(rstIdx)
-        rstIdx = (rstIdx + 1) % 8
-        java.util.Arrays.fill(prevDc, 0)
-      }
-      val mx = mi % mcusX; val my = mi / mcusX
-      var ci = 0
-      while (ci < ncomp) {
-        val pw = planeW(ci)
-        var b = 0
-        while (b < compH(ci) * compV(ci)) {
-          val (blk, dc) = decodeBlock(br, dcT(scanTd(ci)), acT(scanTa(ci)),
-            quantT(compTq(ci)), prevDc(ci))
-          prevDc(ci) = dc
-          val bx = mx * compH(ci) + b % compH(ci)
-          val by = my * compV(ci) + b / compH(ci)
-          val plane = planes(ci)
+    val planeW = Array.tabulate(ncomp)(ci => padW(ci) * 8)
+    val planes = Array.tabulate(ncomp)(ci => new Array[Int](planeW(ci) * padH(ci) * 8))
+    var ci = 0
+    while (ci < ncomp) {
+      val quant = quantT(compTq(ci))
+      val cz = coefs(ci)
+      val pw = planeW(ci)
+      val plane = planes(ci)
+      var by = 0
+      while (by < padH(ci)) {
+        var bx = 0
+        while (bx < padW(ci)) {
+          val off = (by * padW(ci) + bx) * 64
+          val coefN = new Array[Int](64)
+          var i = 0
+          while (i < 64) { coefN(Zigzag(i)) = cz(off + i) * quant(i); i += 1 }
+          val blk = idct(coefN)
           var y = 0
           while (y < 8) {
             var x = 0
@@ -688,11 +1031,11 @@ object JpegCodec {
             }
             y += 1
           }
-          b += 1
+          bx += 1
         }
-        ci += 1
+        by += 1
       }
-      mi += 1
+      ci += 1
     }
     if (ncomp == 1) {
       val out = new Array[Int](w * h)
@@ -730,6 +1073,180 @@ object JpegCodec {
         py += 1
       }
       Jpeg(w, h, rgb, 3)
+    }
+  }
+
+  /** Decode ONE scan's entropy data into the coefficient buffers.
+    *
+    * Sequential: the full 0..63 band, DC prediction + AC run/size per
+    * block (T.81 F.2). Progressive (T.81 G.1.2): a DC scan carries
+    * coefficient 0 only — first pass (Ah=0) decodes predictions shifted
+    * left by Al, refinements (Ah>0) append one raw bit per block; an AC
+    * scan carries one band of one component — first pass decodes
+    * run/size values at magnitude Al with EOB-RUN coding across blocks,
+    * refinements walk the band appending one correction bit per
+    * already-nonzero coefficient and placing newly-significant ±1<<Al
+    * values (the G.1.2.3 flowchart). Restart markers byte-align, verify
+    * the modulo-8 cadence, and reset DC predictions AND the EOB run. */
+  private def runScan(br: BitReader, coefs: Array[Array[Int]],
+      padW: Array[Int], trueW: Array[Int], trueH: Array[Int],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      scanComp: Array[Int], dcTs: Array[HuffTable], acTs: Array[HuffTable],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      sequential: Boolean): Unit = {
+    val ns = scanComp.length
+    val prevDc = new Array[Int](ns)
+    var eobrun = 0
+    var rstIdx = 0
+    var units = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && units == restartInterval) {
+        br.expectRestart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(prevDc, 0)
+        eobrun = 0
+        units = 0
+      }
+
+    def seqBlock(si: Int, off: Int): Unit = {
+      val coef = coefs(scanComp(si))
+      val s = dcTs(si).decode(br)
+      prevDc(si) += extend(br.receive(s), s)
+      coef(off) = prevDc(si)
+      var k = 1
+      while (k < 64) {
+        val rs = acTs(si).decode(br)
+        if (rs == 0x00) k = 64            // EOB
+        else if (rs == 0xf0) k += 16      // ZRL
+        else {
+          k += (rs >> 4)
+          require(k < 64, s"AC run overflows block at k=$k")
+          coef(off + k) = extend(br.receive(rs & 0xf), rs & 0xf)
+          k += 1
+        }
+      }
+    }
+
+    def dcFirst(si: Int, off: Int): Unit = {
+      val s = dcTs(si).decode(br)
+      prevDc(si) += extend(br.receive(s), s)
+      coefs(scanComp(si))(off) = prevDc(si) << al
+    }
+
+    def dcRefine(si: Int, off: Int): Unit =
+      coefs(scanComp(si))(off) |= br.bit() << al
+
+    def acFirst(off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val coef = coefs(scanComp(0))
+      var k = ss
+      while (k <= se) {
+        val rs = acTs(0).decode(br)
+        val r = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            // EOBn: run of 2^r + receive(r) blocks ending here — the
+            // current block is one of them
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            k = 64
+          }
+        } else {
+          k += r
+          require(k <= se, s"AC run overflows band at k=$k")
+          coef(off + k) = extend(br.receive(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(off: Int): Unit = {
+      val coef = coefs(scanComp(0))
+      val p1 = 1 << al
+      def correct(idx: Int): Unit =
+        if (br.bit() == 1 && (coef(idx) & p1) == 0)
+          coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+      if (eobrun > 0) {
+        // block fully covered by a pending EOB run: correction bits only
+        var k = ss
+        while (k <= se) { if (coef(off + k) != 0) correct(off + k); k += 1 }
+        eobrun -= 1
+      } else {
+        var k = ss
+        while (k <= se) {
+          val rs = acTs(0).decode(br)
+          var r = rs >> 4; val sz = rs & 15
+          var newval = 0
+          if (sz == 0) {
+            if (r < 15) {
+              // EOBn: current block's tail still gets correction bits —
+              // force the walk to the band end; the run count below
+              // already EXCLUDES this block
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.receive(r)
+              r = 64
+            }
+            // r == 15 (ZRL): the walk consumes r+1 = 16 zero-history slots
+          } else {
+            require(sz == 1, s"AC refinement size must be 1, got $sz")
+            newval = if (br.bit() == 1) p1 else -p1
+          }
+          var placed = false
+          while (k <= se && !placed) {
+            val idx = off + k
+            k += 1
+            if (coef(idx) != 0) correct(idx)
+            else if (r == 0) {
+              if (newval != 0) coef(idx) = newval
+              placed = true
+            } else r -= 1
+          }
+        }
+      }
+    }
+
+    def unit(si: Int, blockOff: Int): Unit = {
+      val off = blockOff * 64
+      if (sequential) seqBlock(si, off)
+      else if (ss == 0) { if (ah == 0) dcFirst(si, off) else dcRefine(si, off) }
+      else { if (ah == 0) acFirst(off) else acRefine(off) }
+    }
+
+    if (ns == 1) {
+      // non-interleaved: the component's OWN block grid (T.81 A.2.2);
+      // each block is one restart unit
+      val ci = scanComp(0)
+      val bw = trueW(ci); val total = bw * trueH(ci)
+      var bi = 0
+      while (bi < total) {
+        maybeRestart()
+        unit(0, (bi / bw) * padW(ci) + bi % bw)
+        units += 1
+        bi += 1
+      }
+    } else {
+      val total = mcusX * mcusY
+      var mi = 0
+      while (mi < total) {
+        maybeRestart()
+        val mx = mi % mcusX; val my = mi / mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = scanComp(si)
+          var b = 0
+          while (b < compH(ci) * compV(ci)) {
+            val bx = mx * compH(ci) + b % compH(ci)
+            val by = my * compV(ci) + b / compH(ci)
+            unit(si, by * padW(ci) + bx)
+            b += 1
+          }
+          si += 1
+        }
+        units += 1
+        mi += 1
+      }
     }
   }
 }

@@ -782,9 +782,72 @@ SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
        CAST(sum(CASE WHEN r <> g OR g <> bl THEN 64 ELSE 0 END) AS BIGINT) AS n_nongray
 FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  /** PROGRESSIVE (SOF2) 4:2:0 color JPEG through the gate — the largest
+    * real-world JPEG share after baseline (r13 verdict "missing #3").
+    * The SAME closed-form fixtures as [[decodeJpeg420]], re-encoded as a
+    * nine-scan progressive script: interleaved DC first at Al=1, luma AC
+    * split into two spectral bands, whole-band chroma AC, then one-bit
+    * refinement scans for everything — so spectral selection, successive
+    * approximation, EOB-run coding across blocks, AND the subsampled MCU
+    * machinery all sit on the gated path. The determinism argument is
+    * UNCHANGED: the progressive scans reassemble exactly the same
+    * quantized coefficients the sequential encoding carries
+    * (JpegCodecSpec pins progressive ≡ sequential bit for bit), and
+    * those coefficients reconstruct exactly by the standing even-value/
+    * q=16 argument. Half the fixtures carry DRI=1 restarts — in
+    * progressive files the restart cadence ALSO resets the EOB run, so
+    * that reset is gate-covered too. */
+  def decodeJpegProgressive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (16 * (1 + id % 2)).toInt
+          val h = (16 * (1 + id % 3)).toInt
+          val bw = w / 8; val bh = h / 8
+          val cw = w / 16; val chh = h / 16
+          def blkOf(v: Int): Array[Int] = {
+            val b = new Array[Int](64); b(0) = 8 * (v - 128) / 16; b
+          }
+          def yVal(bx: Int, by: Int): Int =
+            (2 * ((id * 7 + bx * 3 + by * 5) % 128)).toInt
+          def cbVal(mx: Int, my: Int): Int =
+            (2 * ((id * 11 + mx * 5 + my * 3) % 128)).toInt
+          def crVal(mx: Int, my: Int): Int =
+            (2 * ((id * 13 + mx * 3 + my * 7) % 128)).toInt
+          val y = Array.tabulate(bw * bh)(bi => blkOf(yVal(bi % bw, bi / bw)))
+          val cb = Array.tabulate(cw * chh)(mi => blkOf(cbVal(mi % cw, mi / cw)))
+          val cr = Array.tabulate(cw * chh)(mi => blkOf(crVal(mi % cw, mi / cw)))
+          val bytes = JpegCodec.encodeCoefficientsProgressive(w, h, 16, 16,
+            y, cb, cr, restartInterval = if (id % 2 == 0) 1 else 0)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var peak = 0; var nongray = 0L; var i = 0
+          while (i < img.pixels.length) {
+            val r = img.pixels(i); val g = img.pixels(i + 1); val b = img.pixels(i + 2)
+            sum += r + g + b
+            if (r > peak) peak = r
+            if (g > peak) peak = g
+            if (b > peak) peak = b
+            if (r != g || g != b) nongray += 1
+            i += 3
+          }
+          JpegColorFeatures(id, img.width, img.height, img.channels,
+            sum, peak, nongray)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Same closed form as [[decodeJpeg420Oracle]] — the progressive
+    * re-encoding changes entropy FRAMING only, never reconstructed
+    * values, so the oracle restates the identical arithmetic. */
+  val decodeJpegProgressiveOracle: String = decodeJpeg420Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
+    "multimodal_decode_jpeg_progressive" -> (decodeJpegProgressive _),
     "multimodal_meta"     -> (meta _),
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> ((s: SparkSession, d: String) => frameSample(s, d)),
@@ -800,6 +863,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
   val oracleSql: Map[String, String] = Map(
     "multimodal_decode_jpeg_color" -> decodeJpegColorOracle,
     "multimodal_decode_jpeg_420" -> decodeJpeg420Oracle,
+    "multimodal_decode_jpeg_progressive" -> decodeJpegProgressiveOracle,
     "multimodal_meta"     -> metaOracle,
     "multimodal_features" -> featuresOracle,
     "multimodal_frames"   -> frameSampleOracle,

@@ -314,6 +314,87 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(swapped)).getMessage.contains("scan component order"))
   }
 
+  test("progressive grayscale: all scans applied == sequential decode, bit for bit") {
+    // progressive (SOF2) re-encodes the SAME quantized coefficients as a
+    // DC-first + two spectral AC bands + one-bit refinements script; once
+    // every scan lands, the coefficient array is IDENTICAL to what the
+    // sequential scan decodes, so the rasters must match exactly —
+    // including negative values through the point transform and EOB runs
+    // spanning blocks.
+    (1 to 20).foreach { trial =>
+      val bw = 1 + rng.nextInt(4); val bh = 1 + rng.nextInt(3)
+      val blocks = Array.fill(bw * bh) {
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(201) - 100
+        (0 until rng.nextInt(14)).foreach { _ =>
+          blk(1 + rng.nextInt(63)) = rng.nextInt(61) - 30
+        }
+        blk
+      }
+      val ri = trial % 3 // 0 = none, 1/2 = restart cadences
+      val seqImg = JpegCodec.decode(
+        JpegCodec.encodeCoefficients(bw * 8, bh * 8, 16, blocks, restartInterval = ri))
+      val progImg = JpegCodec.decode(
+        JpegCodec.encodeCoefficientsProgressiveGray(bw * 8, bh * 8, 16, blocks,
+          restartInterval = ri))
+      assert(progImg.width == seqImg.width && progImg.height == seqImg.height)
+      assert(progImg.pixels.toSeq == seqImg.pixels.toSeq,
+        s"trial $trial (${bw}x$bh, ri=$ri): progressive != sequential")
+    }
+  }
+
+  test("progressive 4:2:0 color: all scans applied == sequential decode") {
+    (1 to 12).foreach { trial =>
+      val mw = 1 + rng.nextInt(2); val mh = 1 + rng.nextInt(2) // MCUs
+      val w = mw * 16; val h = mh * 16
+      val bw = w / 8; val bh = h / 8
+      def rblk(): Array[Int] = {
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(161) - 80
+        (0 until rng.nextInt(10)).foreach { _ =>
+          blk(1 + rng.nextInt(63)) = rng.nextInt(41) - 20
+        }
+        blk
+      }
+      val y = Array.fill(bw * bh)(rblk())
+      val cb = Array.fill(mw * mh)(rblk())
+      val cr = Array.fill(mw * mh)(rblk())
+      val ri = trial % 3
+      val seqImg = JpegCodec.decode(
+        JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr, restartInterval = ri))
+      val progImg = JpegCodec.decode(
+        JpegCodec.encodeCoefficientsProgressive(w, h, 16, 16, y, cb, cr,
+          restartInterval = ri))
+      assert(progImg.pixels.toSeq == seqImg.pixels.toSeq,
+        s"trial $trial (${w}x$h, ri=$ri): progressive != sequential")
+    }
+  }
+
+  test("progressive out-of-scope shapes reject loudly") {
+    val blocks = Array(blkOf(100))
+    val good = JpegCodec.encodeCoefficientsProgressiveGray(8, 8, 16, blocks)
+    // 12-bit precision stays rejected (patch SOF2 precision byte)
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc2).get
+    val deep = good.clone()
+    deep(sofAt + 4) = 12.toByte
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(deep)).getMessage.contains("8-bit precision"))
+    // arithmetic-coded progressive (SOF10) rejects by marker
+    val arith = good.clone()
+    arith(sofAt + 1) = 0xca.toByte
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(arith)).getMessage.contains("unsupported SOF"))
+    // a baseline-shaped scan header (Se=63) under a DC-first progressive
+    // scan is malformed — the decoder must not misread it
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val bad = good.clone()
+    bad(sosAt + 4 + 3 + 1) = 63.toByte // Se of the first (DC) scan
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(bad)).getMessage.contains("Se=0"))
+  }
+
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
     import TestSpark._
     val rows = graft.ops.Multimodal.decodeJpeg(spark, sf).collect()
