@@ -203,23 +203,33 @@ object MergeOnRead {
   def readChanges(s: SparkSession, base: String,
       startVersion: Long = Long.MinValue): DataFrame = {
     migrateChangesLayout(s, base)
-    val floor = changesFloor(base)
-    require(startVersion == Long.MinValue || startVersion >= floor,
-      s"change commits below $floor have been vacuumed from " +
-        s"${changesPath(base)}; requested startVersion=$startVersion " +
-        s"is no longer readable (retained commits: " +
-        s"${changeCommits(base).mkString(",")})")
-    val start = if (startVersion == Long.MinValue) floor else startVersion
-    val picked = changeCommits(base).filter(_ >= start)
-    require(picked.nonEmpty, s"no change commits >= $start at ${changesPath(base)}")
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(changesPath(base))
-    val files = Files.list(dir)
-    val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
-    finally files.close()
-    val wanted = picked.map(v => s"c$v-").toSet
-    val paths = names.filter(n => wanted.exists(n.startsWith))
-      .map(n => s"${changesPath(base)}/$n")
+    // Floor check + file listing run under the COMMIT LOCK — the same
+    // lock vacuumChanges sweeps under — so the refuse-or-read decision
+    // is atomic against a concurrent sweep: a reader can never pass the
+    // floor check and then list a half-swept feed. (Not nested inside
+    // the migrate call's lock: withCommitLock is not reentrant.) After
+    // the locked listing, the usual retention contract governs — a
+    // reader racing future sweeps needs its range within keepCommits,
+    // exactly like AtomicTable.read needs keep >= 2 across publishes.
+    val paths = AtomicTable.withCommitLock(java.nio.file.Paths.get(base)) {
+      val floor = changesFloor(base)
+      require(startVersion == Long.MinValue || startVersion >= floor,
+        s"change commits below $floor have been vacuumed from " +
+          s"${changesPath(base)}; requested startVersion=$startVersion " +
+          s"is no longer readable (retained commits: " +
+          s"${changeCommits(base).mkString(",")})")
+      val start = if (startVersion == Long.MinValue) floor else startVersion
+      val picked = changeCommits(base).filter(_ >= start)
+      require(picked.nonEmpty, s"no change commits >= $start at ${changesPath(base)}")
+      import java.nio.file.{Files, Paths}
+      val dir = Paths.get(changesPath(base))
+      val files = Files.list(dir)
+      val names = try files.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally files.close()
+      val wanted = picked.map(v => s"c$v-").toSet
+      names.filter(n => wanted.exists(n.startsWith))
+        .map(n => s"${changesPath(base)}/$n")
+    }
     s.read.parquet(paths: _*)
   }
 

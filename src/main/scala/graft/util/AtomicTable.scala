@@ -779,6 +779,17 @@ object AtomicTable {
       txn: Option[(String, Long)])(write: String => Unit): Boolean = {
     def replayed: Boolean =
       txn.exists { case (app, v) => txnLatest(base, app).exists(_ >= v) }
+    // Append-vs-APPEND is serialized by a dedicated per-table append
+    // lock: two appends to one table ALWAYS conflict here (staging
+    // hardlinks the base version), so letting N appenders race the
+    // optimistic loop just burns N-1 full re-stages per commit — and
+    // under sustained contention a writer can lose every round until
+    // the attempt cap (a livelock ConcurrentStressSpec reproduced at 4
+    // writers). Serializing the stage+commit of appends costs nothing
+    // (their commits serialize anyway) and makes append throughput
+    // additive. The optimistic RETRY below stays: it handles
+    // append-vs-PUBLISH races, which remain genuinely concurrent.
+    withAppendLock(Paths.get(base)) {
     var attempts = 0
     var result: Option[Boolean] = None
     while (result.isEmpty) {
@@ -819,6 +830,37 @@ object AtomicTable {
       }
     }
     result.get
+    }
+  }
+
+  /** Serializes append-vs-append per table (see [[appendLoop]]). A
+    * SEPARATE lock file from `_LOCK`: the commit lock is taken INSIDE
+    * an append (stage → commit), so reusing it would self-deadlock, and
+    * publishes/vacuums must stay free to interleave with an append's
+    * staging phase. */
+  private def withAppendLock[T](root: Path)(body: => T): T = {
+    val key = root.toAbsolutePath.normalize.toString
+    val held = appendLockHeld.get()
+    if (held.contains(key)) body // reentrant: the outer append serializes
+    else {
+      val jvmLock = appendJvmLocks.getOrElseUpdate(key, new Object)
+      jvmLock.synchronized {
+        Files.createDirectories(root)
+        val ch = java.nio.channels.FileChannel.open(root.resolve("_APPEND_LOCK"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock(); held.add(key)
+          try body finally { held.remove(key); l.release() }
+        } finally ch.close()
+      }
+    }
+  }
+  private val appendJvmLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
+  private val appendLockHeld = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
   }
 
   /** Drop a staged-but-unwanted version directory eagerly (it would

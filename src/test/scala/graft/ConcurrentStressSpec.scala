@@ -1,0 +1,253 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MergeOnRead
+import graft.util.AtomicTable
+
+/** The optimistic tier under CONCURRENT fire (r13 verdict #5/#7): the
+  * append retry loop, vacuum retention, snapshot pins and the CDF sweep
+  * are each spec'd in isolation elsewhere — this spec proves them
+  * TOGETHER. Contract under churn: no lost commits, no duplicated
+  * commits, no orphaned staged dirs, and refusals happen ONLY where the
+  * contract says refuse (a precise below-floor message — never a
+  * missing-file crash from a half-swept listing). */
+class ConcurrentStressSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshBase(name: String): String = {
+    val base = s"/tmp/graft_stress_spec/$name"
+    AtomicTable.deleteRecursively(Paths.get(base))
+    base
+  }
+
+  private def ls(base: String): Seq[String] = {
+    val p = Paths.get(base)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val st = Files.list(p)
+    try st.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally st.close()
+  }
+
+  test("N idempotent appenders race a vacuum churner: exactly-once, no orphans") {
+    import spark.implicits._
+    val base = freshBase("append_vs_vacuum")
+    AtomicTable.overwrite((0 until 10).map(i => ("seed", i)).toDF("tag", "x"),
+      base, keep = 3)
+
+    val nThreads = 4; val nBatches = 5; val rowsPer = 10
+    val pool = Executors.newFixedThreadPool(nThreads + 1)
+    val gate = new CountDownLatch(1)
+    val stop = new AtomicBoolean(false)
+    val appenders = (0 until nThreads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          (0 until nBatches).foreach { b =>
+            val batch = (0 until rowsPer)
+              .map(i => (s"t$t-b$b", t * 100000 + b * 1000 + i)).toDF("tag", "x")
+            val ran = AtomicTable.appendIdempotent(base, s"app$t", b + 1, keep = 3)(
+              dir => batch.write.mode("append").parquet(dir))
+            assert(ran, s"first commit of t$t/b$b must run")
+            // REPLAY the same transaction immediately: the exactly-once
+            // contract must skip it even while other writers are racing
+            val replay = AtomicTable.appendIdempotent(base, s"app$t", b + 1, keep = 3)(
+              dir => batch.write.mode("append").parquet(dir))
+            assert(!replay, s"replay of t$t/b$b must skip")
+          }
+        }
+      })
+    }
+    val churner = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        while (!stop.get()) {
+          AtomicTable.vacuum(base, keep = 3)
+          Thread.sleep(20L)
+        }
+      }
+    })
+    gate.countDown()
+    appenders.foreach(_.get(300, TimeUnit.SECONDS))
+    stop.set(true)
+    churner.get(60, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    // no lost commits, no duplicated commits: every tag exactly rowsPer
+    val counts = AtomicTable.read(spark, base)
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == nThreads * nBatches + 1,
+      s"expected every batch tag present, got ${counts.size}")
+    counts.foreach { case (tag, n) =>
+      assert(n == rowsPer, s"tag $tag has $n rows (lost or duplicated commit)")
+    }
+    // every writer's watermark sits at its last transaction
+    (0 until nThreads).foreach { t =>
+      assert(AtomicTable.txnLatest(base, s"app$t").contains(nBatches.toLong))
+    }
+    // no orphaned staged state: claims are gone, retention bound holds
+    AtomicTable.vacuum(base, keep = 3)
+    val left = ls(base)
+    assert(!left.exists(_.endsWith("._claim")), s"orphaned claim files: $left")
+    val vdirs = left.filter(_.matches("_v\\d+.*"))
+    assert(vdirs.size <= 3, s"retention bound violated: $vdirs")
+    val hist = AtomicTable.history(base)
+    assert(vdirs.toSet == hist.toSet,
+      s"on-disk versions $vdirs must equal the logged lineage $hist")
+  }
+
+  test("CDF sweeps race readers and a merger: in-window reads survive, refusals stay precise") {
+    val base = freshBase("cdf_churn")
+    AtomicTable.publish(base) { dir =>
+      Tables.orders(spark, sf).limit(1000)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+    }
+    val nCommits = 10
+    val keep = 3
+    val pool = Executors.newFixedThreadPool(3)
+    val gate = new CountDownLatch(1)
+    val mergerDone = new AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    val merger = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        (1 to nCommits).foreach { v =>
+          val b = Tables.orders(spark, sf).limit(1000)
+            .where(col("o_orderkey") % (v + 2) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          MergeOnRead.mergeUpsert(spark, base, b, "o_orderkey",
+            cdfVersion = Some(v.toLong))
+        }
+        mergerDone.set(true)
+      }
+    })
+    val sweeper = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        while (!mergerDone.get()) {
+          if (MergeOnRead.hasChanges(base))
+            MergeOnRead.vacuumChanges(base, keepCommits = keep)
+          Thread.sleep(15L)
+        }
+        MergeOnRead.vacuumChanges(base, keepCommits = keep)
+      }
+    })
+    val reader = pool.submit(new Runnable {
+      def run(): Unit = {
+        gate.await()
+        var reads = 0
+        while (!mergerDone.get() || reads == 0) {
+          if (MergeOnRead.hasChanges(base) &&
+              MergeOnRead.changeCommits(base).nonEmpty) {
+            // a mid-feed reader WITHIN the retention window (the newest
+            // commit stays retained through keep-1 further commits — the
+            // same reader contract as AtomicTable.read with keep >= 2).
+            // Every sweep during this read KEEPS the reader's range, so
+            // the read must succeed — any failure here (a missing file
+            // from a half-swept listing, an imprecise error) is a
+            // contract violation.
+            try {
+              val newest = MergeOnRead.changeCommits(base).lastOption
+              newest.foreach { v =>
+                val n = MergeOnRead.readChanges(spark, base, startVersion = v)
+                  .count()
+                if (n <= 0) failures.add(s"empty in-window read at commit=$v")
+                reads += 1
+              }
+            } catch {
+              case e: Throwable =>
+                failures.add(s"in-window reader failed: ${e.getClass.getName}: ${e.getMessage}")
+            }
+            // and a reader BELOW the floor (its range was swept) must get
+            // the precise refusal, never a crash from a half-swept listing
+            try {
+              val floor = MergeOnRead.changesFloor(base)
+              if (floor > 1L) {
+                MergeOnRead.readChanges(spark, base, startVersion = floor - 1)
+                  .count()
+                failures.add(s"below-floor read at ${floor - 1} did not refuse")
+              }
+            } catch {
+              case e: IllegalArgumentException
+                if e.getMessage.contains("have been vacuumed") => () // precise
+              case e: IllegalArgumentException
+                if e.getMessage.contains("no change commits") => () // raced to empty
+              case e: Throwable =>
+                failures.add(s"below-floor refusal imprecise: ${e.getClass.getName}: ${e.getMessage}")
+            }
+          }
+          Thread.sleep(10L)
+        }
+      }
+    })
+    gate.countDown()
+    merger.get(600, TimeUnit.SECONDS)
+    sweeper.get(60, TimeUnit.SECONDS)
+    reader.get(60, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(failures.isEmpty, s"contract violations under churn: ${failures.asScala.toSeq}")
+
+    // steady state: the newest `keep` commits survived, floor is exact
+    val commits = MergeOnRead.changeCommits(base)
+    assert(commits == ((nCommits - keep + 1) to nCommits).map(_.toLong),
+      s"retained commits after churn: $commits")
+    assert(MergeOnRead.changesFloor(base) == (nCommits - keep + 1).toLong)
+    // in-window read is complete and keyed by commit
+    val perCommit = MergeOnRead.readChanges(spark, base)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(perCommit == commits)
+    // below-floor read refuses with the precise message, even now
+    val e = intercept[IllegalArgumentException] {
+      MergeOnRead.readChanges(spark, base, startVersion = 1L)
+    }
+    assert(e.getMessage.contains("have been vacuumed"))
+  }
+
+  test("a snapshot pin held during churn blocks the sweep; releasing it unblocks") {
+    val root = freshBase("pinned_churn")
+    val base = s"$root/orders"
+    val ver = AtomicTable.stageVersion(base) { dir =>
+      Tables.orders(spark, sf).limit(1000)
+        .repartition(2).write.mode("overwrite").parquet(dir)
+    }
+    // the manifest pins the table's ORIGINAL version for the whole run
+    AtomicTable.commitSnapshot(root, Seq("orders" -> ver))
+    def merge(v: Long): Unit = {
+      val b = Tables.orders(spark, sf).limit(1000)
+        .where(col("o_orderkey") % (v + 2) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      MergeOnRead.mergeUpsert(spark, base, b, "o_orderkey", cdfVersion = Some(v))
+    }
+    (1L to 4L).foreach { v =>
+      merge(v)
+      // sweep after every commit — the pin must win every time
+      assert(MergeOnRead.vacuumChanges(base, keepCommits = 1) == 0,
+        s"pinned-base commits must never sweep (after commit $v)")
+    }
+    assert(MergeOnRead.changeCommits(base) == Seq(1L, 2L, 3L, 4L))
+    // release the pin: compact the merges into a NEW published version
+    // (merges only write sidecars — the version the old manifest pins is
+    // still current until a publish), then age the old manifest out by
+    // committing snapshots of the new version with keep=1
+    val compacted = MergeOnRead.readMerged(spark, base).cache()
+    compacted.count()
+    AtomicTable.publish(base, keep = 2)(dir =>
+      compacted.write.mode("overwrite").parquet(dir))
+    compacted.unpersist()
+    val cur = AtomicTable.resolve(base).map(p =>
+      Paths.get(p).getFileName.toString).get
+    (1 to 3).foreach(_ => AtomicTable.commitSnapshot(root, Seq("orders" -> cur),
+      keep = 1))
+    val removed = MergeOnRead.vacuumChanges(base, keepCommits = 1)
+    assert(removed == 3, s"released pin must unblock the sweep, removed=$removed")
+    assert(MergeOnRead.changeCommits(base) == Seq(4L))
+  }
+}
