@@ -233,6 +233,28 @@ object MergeOnRead {
     s.read.parquet(paths: _*)
   }
 
+  /** Continuity guard for STREAM readers of the feed: a file-stream
+    * source lists the directory per micro-batch, so a file swept BEFORE
+    * the source listed it simply never appears — silent data loss, the
+    * one failure mode worse than a crash. A streaming reader calls this
+    * at the START of each micro-batch (foreachBatch, BEFORE absorbing
+    * the batch — guarding after would hide the gap the batch jumped
+    * over) with the highest commit it has fully processed; if the floor
+    * has advanced past the next unread commit,
+    * the gap is unrecoverable and the stream refuses LOUDLY with the
+    * retention remedy, exactly like the batch reader's below-floor
+    * refusal. A sweep that keeps the reader's unread range (floor ≤
+    * lastProcessed + 1) passes — already-processed commits may vacuum
+    * freely underneath a live stream. */
+  def requireStreamContinuity(base: String, lastProcessed: Long): Unit = {
+    val floor = changesFloor(base)
+    require(floor <= lastProcessed + 1,
+      s"change feed at ${changesPath(base)} was vacuumed past the stream " +
+        s"reader: floor=$floor but the reader has only processed commits " +
+        s"<= $lastProcessed; commits ${lastProcessed + 1}..${floor - 1} are " +
+        "gone (increase keepCommits or checkpoint the reader faster)")
+  }
+
   /** CDF retention — the sweep the feed was missing (the feed otherwise
     * grows one commit file per merge FOREVER; Delta bounds CDF by the
     * version-retention window). Keeps the newest `keepCommits` commits,
