@@ -841,7 +841,21 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
     * even at 10^9 customers) of a hash join keyed on the parent — level
     * sizes partition n, so total work is one extra pass over the table
     * per level, never quadratic. */
+  /** The recursion row limit is a RUNAWAY-QUERY safety valve, not a
+    * result cap — but its default (1M rows) is sized for toy tables: the
+    * closure legitimately materializes ~n·log10(n) rows, so at sf10
+    * (1.5M customers) a correct query trips it (r14 sf10 probe). These
+    * recursions are PROVABLY depth-bounded (parent = key DIV 10 strictly
+    * shrinks the key, ≤ log10(maxkey) levels), so the valve scales with
+    * the input: 16 levels of headroom per row, floored at the default. */
+  private def withRecursionBudget(s: SparkSession, d: String): Unit = {
+    val n = Tables.customer(s, d).count()
+    val lim = math.min(Int.MaxValue.toLong, math.max(1000000L, 16L * n))
+    s.conf.set("spark.sql.cteRecursionRowLimit", lim.toString)
+  }
+
   def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    withRecursionBudget(s, d)
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql("""
 WITH RECURSIVE chain AS (
@@ -878,6 +892,7 @@ SELECT c_custkey, root_key, depth, path FROM chain ORDER BY c_custkey"""
     * the table, well inside shuffle budget. Integer cents keep the rollup
     * sum exact cross-engine. */
   def recursiveSubtreeRollup(s: SparkSession, d: String): DataFrame = {
+    withRecursionBudget(s, d)
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql("""
 WITH RECURSIVE closure AS (

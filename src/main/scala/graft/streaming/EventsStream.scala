@@ -98,16 +98,26 @@ object EventsStream {
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode, name: String): DataFrame = {
-    val unique = s"${name}_${sinkSeq.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(unique).start()
+    // NOT the memory sink: format("memory") holds the ENTIRE streaming
+    // result in driver memory — corpus-scale state in one JVM, the exact
+    // scale-killer class. The r14 sf10 probe at a 16 GB heap measured it:
+    // stream_session_window's Complete-mode result alone blew
+    // spark.driver.maxResultSize (>1 GiB of task results) and the heap
+    // pressure OOM'd the context. A foreachBatch PARQUET spill reproduces
+    // MemorySink's semantics exactly — Complete truncates-and-rewrites
+    // per batch, Append/Update append the batch's emitted rows — while
+    // the result lives on disk and the returned frame is a plain
+    // distributed scan, as it would be against a real table sink.
+    val dir = graft.util.TempDirs.scratch(s"graft_stream_sink_$name").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val fn: (DataFrame, Long) => Unit =
+      (batch, _) => batch.write.mode(saveMode).parquet(dir)
+    val q = df.writeStream.outputMode(mode).foreachBatch(fn).start()
     try q.processAllAvailable() finally q.stop()
-    // the memory sink registers on the session that STARTED the query —
-    // the streaming clone, not the caller's batch session. table() analyzes
-    // eagerly (the plan captures the sink relation), so the temp view can
-    // drop immediately and the catalog doesn't accumulate one entry per run.
-    val out = df.sparkSession.table(unique)
-    df.sparkSession.catalog.dropTempView(unique)
-    out
+    // explicit schema: a query whose watermark held every row back leaves
+    // no part file, and the scan must still return an EMPTY frame of the
+    // right shape (as the memory sink did), not fail schema inference
+    df.sparkSession.read.schema(df.schema).parquet(dir)
   }
 
   /** Tumbling 1h window counts per event type, with a 10-minute watermark.
