@@ -64,6 +64,8 @@ object PlanDump {
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
     "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_420" -> "subsampled-jpeg decode: per-row 6-block-MCU entropy decode + replication upsample + BT.601 inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_progressive" -> "progressive-jpeg decode: per-row 9-scan coefficient accumulation (spectral bands + bit refinements) + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "ann_recall_eval" -> "sampled recall gate: seeded 64-query sample broadcast-semi-joins both rankings - O(corpus x budget), the exact interior never goes all-queries",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",

@@ -725,11 +725,23 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     // The TypedImperativeAggregate evaluates (adist, vec_id) straight
     // off the InternalRow into a K-entry buffer, so only ≤ K rows per
     // query per partition reach the shuffle.
+    // Score INSIDE the join projection, not inside the aggregate: with
+    // >128 groups ObjectHashAggregate falls back to SORT-based
+    // aggregation, which sorts its CHILD's rows — and a child row that
+    // still carries the 2 KB qtab lookup table (plus codes) turns the
+    // n·q candidate set into a terabyte-scale spill at sf10 (the r14
+    // 16 GB probe OOM'd exactly here, in the spill read-ahead). Scored
+    // first, the aggregation input is a 24-byte (query_id, dist,
+    // vec_id) row — the same ship-scalars-not-payloads rule as the r13
+    // LSH candidate fix (Dedup.scala).
     codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        call_function("pq_adc", col("qtab"), col("codes"),
+          lit(PqM), lit(PqC)).as("adist"),
+        col("vec_id"))
       .groupBy("query_id")
       .agg(call_function("topk_min",
-        call_function("pq_adc", col("qtab"), col("codes"), lit(PqM), lit(PqC)),
-        col("vec_id"), lit(K)).as("top"))
+        col("adist"), col("vec_id"), lit(K)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
@@ -822,12 +834,16 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
           lit(PqM), lit(PqC), lit(PqSub)).as("qtab"),
         explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, nprobe)
           .getField("cid")).as("probe_cell"))
+    // score in the join projection — see annPqTopK's fallback-sort note
     indexed.join(broadcast(qs),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        call_function("pq_adc", col("qtab"), col("codes"),
+          lit(PqM), lit(PqC)).as("adist"),
+        col("vec_id"))
       .groupBy("query_id")
       .agg(call_function("topk_min",
-        call_function("pq_adc", col("qtab"), col("codes"), lit(PqM), lit(PqC)),
-        col("vec_id"), lit(K)).as("top"))
+        col("adist"), col("vec_id"), lit(K)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))

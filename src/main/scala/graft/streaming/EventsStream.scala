@@ -1077,11 +1077,16 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
         call_function("pq_table", col("q"), cbLit,
           lit(Similarity.PqM), lit(Similarity.PqC), lit(Similarity.PqSub)).as("qtab"))
     val agg = qstream.join(codes, col("vec_id") =!= col("query_id"))
+      // score in the join projection — the qtab lookup table must never
+      // ride into the aggregation's (sort-fallback-prone) input rows;
+      // see Similarity.annPqTopK's note (the r14 sf10 OOM site)
+      .select(col("query_id"),
+        call_function("pq_adc", col("qtab"), col("codes"),
+          lit(Similarity.PqM), lit(Similarity.PqC)).as("adist"),
+        col("vec_id"))
       .groupBy("query_id")
       .agg(call_function("topk_min",
-        call_function("pq_adc", col("qtab"), col("codes"),
-          lit(Similarity.PqM), lit(Similarity.PqC)),
-        col("vec_id"), lit(Similarity.K)).as("top"))
+        col("adist"), col("vec_id"), lit(Similarity.K)).as("top"))
     runToTable(s, agg, OutputMode.Complete, "graft_stream_ann")
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("vec_id"),

@@ -370,6 +370,58 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive 4:2:2 decodes identically to its sequential encoding") {
+    val w = 32; val h = 16 // 2x1 sampling: MCU is 16x8
+    val bw = w / 8; val bh = h / 8
+    val cw = w / 16; val chh = h / 8
+    def rblk(): Array[Int] = {
+      val blk = new Array[Int](64)
+      blk(0) = rng.nextInt(121) - 60
+      (0 until 6).foreach(_ => blk(1 + rng.nextInt(63)) = rng.nextInt(31) - 15)
+      blk
+    }
+    val y = Array.fill(bw * bh)(rblk())
+    val cb = Array.fill(cw * chh)(rblk())
+    val cr = Array.fill(cw * chh)(rblk())
+    val seqImg = JpegCodec.decode(
+      JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr, sh = 2, sv = 1))
+    val progImg = JpegCodec.decode(
+      JpegCodec.encodeCoefficientsProgressive(w, h, 16, 16, y, cb, cr, sh = 2, sv = 1))
+    assert(progImg.pixels.toSeq == seqImg.pixels.toSeq)
+  }
+
+  test("Huffman tables redefined BETWEEN scans apply to the following scan") {
+    // real progressive files commonly re-emit DHT before each scan; the
+    // multi-scan parser must honor arrival order. Splice a redundant DHT
+    // (identical spec — the entropy bytes stay valid) before the SECOND
+    // SOS and require an unchanged decode.
+    val blocks = Array.fill(4)(blkOf(100 + 2 * rng.nextInt(20)))
+    val good = JpegCodec.encodeCoefficientsProgressiveGray(16, 16, 16, blocks)
+    val want = JpegCodec.decode(good).pixels.toSeq
+    // locate the second SOS marker
+    var sosSeen = 0; var at = -1
+    var i2 = 2
+    while (at < 0 && i2 + 1 < good.length) {
+      if ((good(i2) & 0xff) == 0xff && (good(i2 + 1) & 0xff) == 0xda) {
+        sosSeen += 1
+        if (sosSeen == 2) at = i2
+      }
+      i2 += 1
+    }
+    assert(at > 0, "fixture must have a second scan")
+    // a DC DHT segment identical to the canonical one (class 0, id 0)
+    val dht = {
+      val body = Array[Byte](0x00) ++
+        (1 to 16).map(l => JpegCodec.DcBits(l).toByte).toArray ++
+        JpegCodec.DcVals.map(_.toByte)
+      Array[Byte](0xff.toByte, 0xc4.toByte,
+        ((body.length + 2) >> 8).toByte, ((body.length + 2) & 0xff).toByte) ++ body
+    }
+    val spliced = good.take(at) ++ dht ++ good.drop(at)
+    assert(JpegCodec.decode(spliced).pixels.toSeq == want,
+      "a redundant mid-stream DHT must be honored, not break the parse")
+  }
+
   test("progressive out-of-scope shapes reject loudly") {
     val blocks = Array(blkOf(100))
     val good = JpegCodec.encodeCoefficientsProgressiveGray(8, 8, 16, blocks)
