@@ -587,15 +587,20 @@ ORDER BY vec_a, rnk"""
       .withColumn("sc", lit(127.0) / greatest(
         array_max(transform(col("v"), abs(_))), lit(1e-12)))
       .withColumn("q", transform(col("v"), x => floor(x * col("sc")).cast("long")))
-      .withColumn("qn", sqrt(aggregate(
-        transform(col("q"), x => x * x), lit(0L), _ + _).cast("double")))
-      .select("vec_id", "q", "qn")
+      // codegen dot (ArrayDot) over the codes AS DOUBLES: every product
+      // and partial sum is an exactly-representable integer (≤ 127²·64 ≪
+      // 2⁵³), so the double dot EQUALS the integer dot bit for bit — and
+      // the interpreted aggregate(zip_with(...)) lambda this replaces
+      // cost 3× the double-bruteforce query per candidate pair at sf10
+      // (181.8 s vs 59.5 s, r14 16 GB probe)
+      .withColumn("qd", col("q").cast("array<double>"))
+      .withColumn("qn", sqrt(dot(s, col("qd"), col("qd"))))
+      .select("vec_id", "qd", "qn")
     val qs = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qn").as("qqn"))
-    val qdot = aggregate(zip_with(col("q"), col("qq"), _ * _), lit(0L), _ + _)
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"), col("qn").as("qqn"))
     val w = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("vec_id"))
     emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .withColumn("qcos", round(qdot.cast("double") / (col("qn") * col("qqn")), 6))
+      .withColumn("qcos", round(dot(s, col("qd"), col("qqd")) / (col("qn") * col("qqn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("query_id", "vec_id", "qcos", "rnk")
