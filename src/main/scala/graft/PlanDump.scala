@@ -23,6 +23,7 @@ object PlanDump {
     "dedup_cosine" -> "block-pair cross product: one hash shuffle on the block key, no broadcast/local relation",
     "salted_distinct" -> "two-phase distinct: partial per (key, value-salt), final re-aggregation per key",
     "sk_scalable_fact" -> "fact-scale SK: range exchange + in-partition sort, no single-task window",
+    "ntile_deciles" -> "exact ntile WITHOUT the per-group window: range exchange + zipWithIndex rank + closed-form tiles - no single-task-per-status stage (18.5 -> 7.7 s at sf10)",
     "ann_topk_lsh" -> "LSH probe join: corpus stays map-side, query side broadcast",
     "dedup_minhash_lsh" -> "banded candidates: equi-join on (band, value), exact verify on candidates only",
     "topk_per_group_agg" -> "bounded top-K: partial_topkagg before the group shuffle, no Window sort",
