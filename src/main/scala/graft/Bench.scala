@@ -66,7 +66,7 @@ object Bench {
       // one-per-JVM stateful-streaming init (RocksDB JNI + state-store
       // classes) is warmup, not query cost — the cold pass should measure
       // a cold SESSION, not a cold JVM (r12 "wrong #2")
-      graft.streaming.EventsStream.prewarm(spark)
+      graft.streaming.EventsStream.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
     val failed = scala.collection.mutable.LinkedHashSet[String]()

@@ -42,12 +42,37 @@ object EventsStream {
     * batches for append-mode windowed sinks; the clone is memoized so
     * both sides of a stream-stream join share one session. */
   private val streamSessions =
-    scala.collection.concurrent.TrieMap[SparkSession, SparkSession]()
+    scala.collection.concurrent.TrieMap[(SparkSession, Int), SparkSession]()
 
+  /** State-store partitions sized to the DATASET, with the events file
+    * size as the scale proxy: 4 at toy SF (the per-micro-batch
+    * state-store fixed cost dominates there — the measured r8 win:
+    * stream_stream_join 6.0 → 2.3 s at sf0.1), growing one partition
+    * per 8 MB toward the core count as the data does (sf10's 211 MB →
+    * 27). The count is a DETERMINISTIC function of the dataset, so a
+    * reused checkpoint can never see a partition-count change (Spark
+    * pins state partitions at first checkpoint); different datasets in
+    * one JVM get separate clones via the (session, count) memo key,
+    * and both sides of a stream-stream join still share one clone. */
+  private def statePartitionsFor(d: String): Int = {
+    val p = java.nio.file.Paths.get(s"$d/events.parquet")
+    val bytes =
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    val chunk = 8L << 20
+    math.max(4, math.min(32, ((bytes + chunk - 1) / chunk).toInt))
+  }
+
+  private def streamSession(s: SparkSession, d: String): SparkSession =
+    streamSessionN(s, statePartitionsFor(d))
+
+  /** Dataset-independent variant (the JVM prewarm): the toy floor. */
   private def streamSession(s: SparkSession): SparkSession =
-    streamSessions.getOrElseUpdate(s, {
+    streamSessionN(s, 4)
+
+  private def streamSessionN(s: SparkSession, n: Int): SparkSession =
+    streamSessions.getOrElseUpdate((s, n), {
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      ss.conf.set("spark.sql.shuffle.partitions", n)
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       ss
     })
@@ -80,7 +105,7 @@ object EventsStream {
   }
 
   private def eventsStream(batchSession: SparkSession, d: String): DataFrame = {
-    val s = streamSession(batchSession)
+    val s = streamSession(batchSession, d)
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
     stageInto(s"$d/events.parquet", stageDir, "events.parquet")
@@ -254,7 +279,7 @@ FROM d ORDER BY window_start"""
     * 2-row MemoryStreams — milliseconds of data, the class-loading is the
     * point. Idempotent and best-effort: a prewarm failure must never fail
     * the bench (the real queries would just pay the cold cost). */
-  def prewarm(s: SparkSession): Unit = {
+  def prewarm(s: SparkSession, d: String = ""): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     try {
       locally { // RocksDB provider + transformWithState
@@ -273,7 +298,11 @@ FROM d ORDER BY window_start"""
         rs.catalog.dropTempView("graft_prewarm_tws")
       }
       locally { // watermarked stream-stream outer join on the shared clone
-        val ss = streamSession(s)
+        // share the DATASET's clone when the caller names one — a second
+        // (session, partitions) clone would duplicate every session-
+        // scoped persisted artifact at exactly the scale that hurts
+        val ss: SparkSession =
+          if (d.nonEmpty) streamSession(s, d) else streamSession(s)
         import ss.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
         val a = MemoryStream[(Long, Timestamp)]
@@ -328,7 +357,7 @@ FROM events GROUP BY 1 ORDER BY 1"""
     * checkpoint is rebuilt per run (fresh dir) so the state version is
     * deterministic. */
   def stateInspect(s: SparkSession, d: String): DataFrame = {
-    val ss = streamSession(s)
+    val ss = streamSession(s, d)
     val ckpt = s"/tmp/graft_stream_ckpt/${graft.util.PathKeys.safe(d)}_state_inspect"
     val root = java.nio.file.Paths.get(ckpt)
     if (java.nio.file.Files.exists(root)) {
@@ -899,7 +928,7 @@ ORDER BY a.user_id, view_id, purchase_id"""
     * under the same cutoff. */
   def streamStreamOuter(s0: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val s = streamSession(s0)
+    val s = streamSession(s0, d)
     // own staging dir: the sentinel row must never pollute the shared
     // events stage other stream queries aggregate over
     val stageDir = Paths.get(
@@ -1003,7 +1032,7 @@ ORDER BY user_id, view_id NULLS FIRST, purchase_id NULLS FIRST"""
     * the batch equivalent. */
   def corpusFilterStream(s: SparkSession, d: String): DataFrame = {
     import graft.ops.TextOps
-    val ss = streamSession(s)
+    val ss = streamSession(s, d)
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_docs")
     stageInto(s"$d/documents.parquet", stageDir, "documents.parquet")
@@ -1057,7 +1086,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     * partitioned and cached (8 bytes + id per vector); each micro-batch
     * broadcasts only the arriving queries' 8×16 lookup tables. */
   def annServeStream(s0: SparkSession, d: String): DataFrame = {
-    val s = streamSession(s0)
+    val s = streamSession(s0, d)
     graft.functions.GraftFunctions.register(s)
     import graft.ops.Similarity
     val stageDir = java.nio.file.Paths.get(
@@ -1111,7 +1140,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     * side stays cached/partitioned, only new docs flow. */
   def minhashDedupStream(s0: SparkSession, d: String): DataFrame = {
     import graft.ops.Dedup
-    val s = streamSession(s0)
+    val s = streamSession(s0, d)
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_docs")
     stageInto(s"$d/documents.parquet", stageDir, "documents.parquet")
@@ -1161,7 +1190,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     import graft.util.AtomicTable
     val base = graft.ops.MergeOnRead.morOrders(s0, d)
     val dir = graft.ops.MergeOnRead.changesPath(base)
-    val s = streamSession(s0)
+    val s = streamSession(s0, d)
     val mvDir =
       s"/tmp/graft_stream_state/${graft.util.PathKeys.safe(d)}/mv_from_cdf"
     AtomicTable.deleteRecursively(java.nio.file.Paths.get(mvDir))
@@ -1246,7 +1275,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     }
     runOnce() // first run ingests batch 0
     runOnce() // checkpoint lost → full replay as batch 0 again: must skip
-    AtomicTable.read(streamSession(s0), tableDir)
+    AtomicTable.read(streamSession(s0, d), tableDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type")
@@ -1271,7 +1300,7 @@ GROUP BY 1 ORDER BY 1"""
   def tableChangesStream(s0: SparkSession, d: String): DataFrame = {
     val base = graft.ops.MergeOnRead.morOrders(s0, d)
     val dir = graft.ops.MergeOnRead.changesPath(base)
-    val s = streamSession(s0)
+    val s = streamSession(s0, d)
     val schema = s.read.parquet(dir).schema
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
