@@ -104,18 +104,21 @@ object Bench {
       val ts = passes.map(_(k)).sorted
       k -> (ts.head, ts(ts.size / 2), ts.last)
     }.toMap
-    // r13 verdict #6: MIN-of-passes is the primary statistic — the host's
-    // ±15% noise band cost two rounds of regression-chasing, and min is
-    // the standard noise-robust statistic for a deterministic workload
-    // (noise only ever ADDS time). Median rides alongside for continuity
-    // with r13-and-earlier numbers.
-    val results = spread.map { case (k, (mn, _, _)) => k -> mn }
-    val medians = spread.map { case (k, (_, md, _)) => k -> md }
+    // r13 verdict #6 asked for MIN-of-passes (noise only ever ADDS time on
+    // a deterministic workload); r14 ADVICE then flagged that swapping the
+    // meaning of "value" under the same "metric":"total" key makes
+    // cross-round tooling silently compare min against median. Resolution:
+    // "value" stays the MEDIAN (continuous with every BENCH_r*.json since
+    // r01), and min-of-passes rides alongside as "min_total_sec" +
+    // per-query "queries_min" — both statistics always present, neither
+    // renamed mid-series.
+    val results = spread.map { case (k, (_, md, _)) => k -> md }
+    val minsPer = spread.map { case (k, (mn, _, _)) => k -> mn }
     val cold = ok.map(k => k -> coldPass(k)).toMap
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val medianTotal = if (medians.nonEmpty) medians.values.sum else 0.0
+    val minTotal = if (minsPer.nonEmpty) minsPer.values.sum else 0.0
     def r3(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     def entries(m: Seq[(String, Double)]): String =
@@ -125,10 +128,11 @@ object Bench {
         val (mn, md, mx) = spread(k)
         "\"" + k + "\":[" + r3(mn) + "," + r3(md) + "," + r3(mx) + "]"
       }.mkString("{", ",", "}")
-    // "value" is the steady MIN-of-passes total (headline, r13 verdict #6);
-    // "median_total_sec" keeps the old median statistic for cross-round
-    // comparison, and the per-query "spread" carries [min,median,max]
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"min_of_passes","median_total_sec":${r3(medianTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
+    // "value" is the steady MEDIAN-of-passes total (continuous with every
+    // prior round's "value"); "min_total_sec" is the noise-robust
+    // min-of-passes statistic, and the per-query "spread" carries
+    // [min,median,max]
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
@@ -145,7 +149,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"min_of_passes","median_total_sec":${r3(medianTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
         }
         line
       }

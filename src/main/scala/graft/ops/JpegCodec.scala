@@ -799,6 +799,12 @@ object JpegCodec {
     while (!done) {
       require(pos + 2 <= bytes.length, "truncated marker stream")
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+      // marker — the marker code is the first non-0xFF byte after the run
+      // (r14 ADVICE: without this, a conforming file with fill bytes
+      // misparses the fill byte as marker 0xFF and reads a bogus length)
+      while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 2 <= bytes.length, "truncated marker stream")
       val m = bytes(pos + 1) & 0xff
       if (m == 0xd9) { // EOI
         require(sawScan, "EOI before SOS")

@@ -848,14 +848,28 @@ FROM seg GROUP BY n_name ORDER BY n_name"""
     * recursions are PROVABLY depth-bounded (parent = key DIV 10 strictly
     * shrinks the key, ≤ log10(maxkey) levels), so the valve scales with
     * the input: 16 levels of headroom per row, floored at the default. */
-  private def withRecursionBudget(s: SparkSession, d: String): Unit = {
-    val n = Tables.customer(s, d).count()
-    val lim = math.min(Int.MaxValue.toLong, math.max(1000000L, 16L * n))
-    s.conf.set("spark.sql.cteRecursionRowLimit", lim.toString)
-  }
+  /** The raised valve lives on a DEDICATED session clone, never on the
+    * caller's conf (r14 ADVICE: a `conf.set` on the shared batch session
+    * leaked the raised limit to every later recursive query — and a
+    * save/restore around the sql() call would be wrong the other way,
+    * because the limit is consumed lazily at EXECUTION, after any eager
+    * restore had already reverted it). One clone per (session, dataset),
+    * memoized like the streaming clones; the clone inherits the builder
+    * confs (shuffle partitions, timezone) from the shared SparkConf. */
+  private val recMemo =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("extraops.recursion.session")
 
-  def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
-    withRecursionBudget(s, d)
+  private def recursionSession(s: SparkSession, d: String): SparkSession =
+    recMemo.getOrElseUpdate((s, d), {
+      val n = Tables.customer(s, d).count()
+      val lim = math.min(Int.MaxValue.toLong, math.max(1000000L, 16L * n))
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.cteRecursionRowLimit", lim.toString)
+      ss
+    })
+
+  def recursiveHierarchy(s0: SparkSession, d: String): DataFrame = {
+    val s = recursionSession(s0, d)
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql("""
 WITH RECURSIVE chain AS (
@@ -891,8 +905,8 @@ SELECT c_custkey, root_key, depth, path FROM chain ORDER BY c_custkey"""
     * aggregated as it unwinds) — at 10-ary branching the closure is ~5×
     * the table, well inside shuffle budget. Integer cents keep the rollup
     * sum exact cross-engine. */
-  def recursiveSubtreeRollup(s: SparkSession, d: String): DataFrame = {
-    withRecursionBudget(s, d)
+  def recursiveSubtreeRollup(s0: SparkSession, d: String): DataFrame = {
+    val s = recursionSession(s0, d)
     Tables.customer(s, d).createOrReplaceTempView("customer")
     s.sql("""
 WITH RECURSIVE closure AS (

@@ -134,15 +134,27 @@ object EventsStream {
     // the result lives on disk and the returned frame is a plain
     // distributed scan, as it would be against a real table sink.
     val dir = graft.util.TempDirs.scratch(s"graft_stream_sink_$name").toString
-    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    // foreachBatch is AT-LEAST-ONCE (unlike MemorySink, which dedupes via
+    // latestBatchId): a re-executed micro-batch must REPLACE its previous
+    // attempt's rows, never re-append them (r14 ADVICE). Complete mode is
+    // idempotent already (each batch truncates-and-rewrites the dir);
+    // Append/Update get a batchId-named subdir written with overwrite, so
+    // a replayed batch overwrites exactly its own output and the union of
+    // subdirs holds one copy of every emitted row.
     val fn: (DataFrame, Long) => Unit =
-      (batch, _) => batch.write.mode(saveMode).parquet(dir)
+      if (mode == OutputMode.Complete())
+        (batch, _) => batch.write.mode("overwrite").parquet(dir)
+      else
+        (batch, id) => batch.write.mode("overwrite").parquet(s"$dir/b$id")
     val q = df.writeStream.outputMode(mode).foreachBatch(fn).start()
     try q.processAllAvailable() finally q.stop()
     // explicit schema: a query whose watermark held every row back leaves
     // no part file, and the scan must still return an EMPTY frame of the
-    // right shape (as the memory sink did), not fail schema inference
-    df.sparkSession.read.schema(df.schema).parquet(dir)
+    // right shape (as the memory sink did), not fail schema inference.
+    // recursiveFileLookup reads the per-batch subdirs without treating
+    // them as partition columns.
+    df.sparkSession.read.schema(df.schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
   }
 
   /** Tumbling 1h window counts per event type, with a 10-minute watermark.

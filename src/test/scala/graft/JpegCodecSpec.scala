@@ -89,6 +89,57 @@ class JpegCodecSpec extends AnyFunSuite {
       "the all-ones fixture must exercise 0xFF byte stuffing")
   }
 
+  test("0xFF fill bytes before markers decode identically (T.81 B.1.1.2)") {
+    // legal padding: any run of 0xFF may precede a marker; conforming
+    // encoders emit it for alignment. Insert fill runs before EVERY
+    // marker segment boundary (after SOI, between segments, and before
+    // EOI — the scan-end search and the marker loop both see one) and
+    // require a bit-identical decode (r14 ADVICE: the fill byte was
+    // misparsed as marker 0xFF with a bogus segment length).
+    val px = new Array[Int](16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      px(y * 16 + x) = (if (x < 8) 100 else 200)
+    val clean = JpegCodec.encodeConstantBlocks(16, 16, px)
+    val ref = JpegCodec.decode(clean)
+    // walk the marker structure of the clean file and re-emit it with a
+    // 1-3 byte 0xFF run before each marker (except SOI, which must open
+    // the stream)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    out += clean(0) += clean(1) // SOI
+    var pos = 2
+    var fills = 0
+    var inScan = false
+    while (pos < clean.length) {
+      if (!inScan) {
+        val m = clean(pos + 1) & 0xff
+        val run = 1 + (fills % 3); fills += 1
+        (0 until run).foreach(_ => out += 0xff.toByte)
+        if (m == 0xd9) { out += clean(pos) += clean(pos + 1); pos = clean.length }
+        else {
+          val len = ((clean(pos + 2) & 0xff) << 8) | (clean(pos + 3) & 0xff)
+          (pos until pos + 2 + len).foreach(i => out += clean(i))
+          pos += 2 + len
+          if (m == 0xda) inScan = true
+        }
+      } else {
+        // entropy data: copy verbatim up to (not including) the next true
+        // marker (0xFF00 stuffing and RSTn stay inside the data)
+        val b = clean(pos) & 0xff
+        if (b == 0xff) {
+          val nb = clean(pos + 1) & 0xff
+          if (nb == 0x00 || (nb >= 0xd0 && nb <= 0xd7)) {
+            out += clean(pos) += clean(pos + 1); pos += 2
+          } else inScan = false
+        } else { out += clean(pos); pos += 1 }
+      }
+    }
+    assert(fills >= 3, "fixture must pad several marker boundaries")
+    val img = JpegCodec.decode(out.toArray)
+    assert(img.width == ref.width && img.height == ref.height)
+    assert(img.pixels.toSeq == ref.pixels.toSeq,
+      "fill-padded stream must decode bit-identically to the clean one")
+  }
+
   test("rejects malformed and out-of-scope input loudly") {
     val good = JpegCodec.encodeConstantBlocks(8, 8, Array.fill(64)(100))
     assert(intercept[IllegalArgumentException](
