@@ -95,6 +95,34 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
 
+  /** The GATE variant of [[annTopK]]: exact ground truth restricted to
+    * the seeded [[recallQuerySample]] (r14 verdict #3 — the full anchor
+    * is O(n·q) = O(n²/100) by construction, quadratic at scale; the
+    * sampled anchor is exact PER SAMPLED QUERY and O(corpus × budget)
+    * total). Per-query results are independent, so restricting the query
+    * set commutes with the top-K: every emitted row is identical to the
+    * full run's row. `sample_q` rides in the schema so the anchor can't
+    * silently detach from its support; [[annTopK]] itself stays full for
+    * the planted-corpus recall contracts in SimilaritySpec. */
+  def annTopKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = recallQuerySample(withNorm(s, d))
+    annTopKFor(s, d, Some(qs))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("sample_q"))))
+      .select("query_id", "vec_id", "cosine", "rnk", "sample_q")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Oracle: the full exact ranking (DuckDB at oracle scale is fine with
+    * O(n·q)) filtered to the same seeded sample — sample-then-rank ≡
+    * rank-then-sample per query independence. */
+  lazy val annTopKSampledOracle: String = s"""
+WITH qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueryBudget)
+SELECT query_id, vec_id, cosine, rnk, (SELECT count(*) FROM qs) AS sample_q
+FROM ($annTopKOracle) t WHERE query_id IN (SELECT query_id FROM qs)
+ORDER BY query_id, rnk"""
+
   /** Seeded random hyperplanes for `NumTables` independent hash tables
     * (NumTables × Bits × Dim doubles, generated on the driver — trivially
     * broadcastable at any scale). Multiple tables are the standard LSH
@@ -582,7 +610,13 @@ ORDER BY vec_a, rnk"""
     * cross-engine, unlike a float-sum rerank. Same broadcast-query /
     * corpus-never-shuffles shape as [[annTopK]]; recall vs the exact
     * ranking is asserted in SimilaritySpec. */
-  def annInt8TopK(s: SparkSession, d: String): DataFrame = {
+  def annInt8TopK(s: SparkSession, d: String): DataFrame =
+    annInt8TopKFor(s, d, querySample = None)
+
+  /** [[annInt8TopK]] restricted to an optional broadcast query-id sample
+    * (same commutes-with-top-K argument as [[annTopKFor]]). */
+  private def annInt8TopKFor(s: SparkSession, d: String,
+      querySample: Option[DataFrame]): DataFrame = {
     val emb = withNorm(s, d)
       .withColumn("sc", lit(127.0) / greatest(
         array_max(transform(col("v"), abs(_))), lit(1e-12)))
@@ -596,8 +630,10 @@ ORDER BY vec_a, rnk"""
       .withColumn("qd", col("q").cast("array<double>"))
       .withColumn("qn", sqrt(dot(s, col("qd"), col("qd"))))
       .select("vec_id", "qd", "qn")
-    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val qs0 = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("qd").as("qqd"), col("qn").as("qqn"))
+    val qs = querySample.fold(qs0)(sample =>
+      qs0.join(broadcast(sample), Seq("query_id"), "left_semi"))
     val w = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("vec_id"))
     emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("qcos", round(dot(s, col("qd"), col("qqd")) / (col("qn") * col("qqn")), 6))
@@ -630,6 +666,24 @@ ranked AS (
   FROM scored)
 SELECT query_id, vec_id, qcos, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
+
+  /** The GATE variant of [[annInt8TopK]] — seeded query budget, same
+    * shape as [[annTopKSampled]] (r14 verdict #3). */
+  def annInt8TopKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = recallQuerySample(withNorm(s, d))
+    annInt8TopKFor(s, d, Some(qs))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("sample_q"))))
+      .select("query_id", "vec_id", "qcos", "rnk", "sample_q")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val annInt8SampledOracle: String = s"""
+WITH qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueryBudget)
+SELECT query_id, vec_id, qcos, rnk, (SELECT count(*) FROM qs) AS sample_q
+FROM ($annInt8Oracle) t WHERE query_id IN (SELECT query_id FROM qs)
+ORDER BY query_id, rnk"""
 
   // ---- Product quantization (PQ) ---------------------------------------
 
@@ -1100,8 +1154,8 @@ ORDER BY k.query_id"""
     "rrf_fusion"          -> (rrfFusion _),
     "ann_recall_eval"     -> (annRecallEval _),
     "hard_negatives"      -> (hardNegatives _),
-    "ann_topk_bruteforce" -> (annTopK _),
-    "ann_topk_int8"       -> (annInt8TopK _),
+    "ann_topk_bruteforce" -> (annTopKSampled _),
+    "ann_topk_int8"       -> (annInt8TopKSampled _),
     "ann_topk_lsh"        -> (annLshTopK _),
     "ann_topk_ivf"        -> (annIvfTopK _),
     "ann_topk_pq"         -> (annPqTopK _),
@@ -1113,8 +1167,8 @@ ORDER BY k.query_id"""
     "rrf_fusion"          -> rrfFusionOracle,
     "ann_recall_eval"     -> annRecallEvalOracle,
     "hard_negatives"      -> hardNegativesOracle,
-    "ann_topk_bruteforce" -> annTopKOracle,
-    "ann_topk_int8"       -> annInt8Oracle,
+    "ann_topk_bruteforce" -> annTopKSampledOracle,
+    "ann_topk_int8"       -> annInt8SampledOracle,
     "ann_topk_lsh"        -> annLshOracle,
     "ann_topk_ivf"        -> annIvfOracle,
     "ann_topk_pq"         -> annPqOracle,

@@ -60,6 +60,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(eval.forall(_.getAs[Long]("query_id") % 100 == 0))
   }
 
+  test("sampled exact anchors emit exactly the full run's rows for sampled queries") {
+    // r14 verdict #3: the GATE anchors run a seeded query budget. Per-query
+    // independence means each sampled row must be IDENTICAL to the full
+    // run's row (sample-then-rank ≡ rank-then-sample), with sample_q
+    // stating the support.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fullB = rows(Similarity.annTopK(spark, plantedDir))
+    val sampB = Similarity.annTopKSampled(spark, plantedDir)
+    val sampBRows = rows(sampB.drop("sample_q"))
+    assert(sampBRows.subsetOf(fullB), "sampled bruteforce rows must come from the full run")
+    val qids = sampBRows.map(_._1)
+    assert(fullB.filter(r => qids.contains(r._1)) == sampBRows,
+      "every sampled query must carry its COMPLETE top-k from the full run")
+    assert(sampB.select("sample_q").distinct().collect().map(_.getLong(0)).toSeq == Seq(qids.size.toLong))
+    val fullI = rows(Similarity.annInt8TopK(spark, plantedDir))
+    val sampI = rows(Similarity.annInt8TopKSampled(spark, plantedDir).drop("sample_q"))
+    assert(sampI.subsetOf(fullI) &&
+      fullI.filter(r => sampI.map(_._1).contains(r._1)) == sampI)
+  }
+
   test("int8-quantized ANN reaches recall@5 >= 0.9 against the exact float ranking") {
     // quantization noise is the only approximation — no bucketing — so the
     // top-k should survive nearly unchanged on BOTH planted and real data
