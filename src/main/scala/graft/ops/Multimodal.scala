@@ -537,6 +537,82 @@ SELECT doc_id, w AS width, h AS height, ch AS channels,
        CAST(max(v) AS INT) AS peak
 FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
 
+  case class Png16Features(doc_id: Long, width: Int, height: Int,
+    channels: Int, interlaced: Boolean, n_pixels: Int,
+    sum_c0: Long, sum_c1: Long, sum_c2: Long, sum_c3: Long, peak: Int)
+
+  /** 16-bit + Adam7 PNG decode as a first-class gate (r14 verdict #5 —
+    * the largest remaining codec share of a real crawl corpus after
+    * progressive JPEG). Per row: synthesize a full-range 16-bit raster
+    * (values up to 65535 — any sample-level filter shortcut or
+    * high/low-byte swap corrupts them), encode it as a real PNG at
+    * depth 16 — even doc_ids additionally Adam7-INTERLACED, so both
+    * layouts hash into one gate — then decode the bytes and emit
+    * per-channel sums and the peak computed ONLY from the decoded
+    * raster. PNG is lossless, so the oracle re-derives every feature
+    * from the generator's closed form; agreement certifies the 2-byte
+    * sample path, byte-level filtering at bpp = 2·channels, and the
+    * 7-pass de-interlace scatter end to end. Scale shape: per-row CPU
+    * inside one mapPartitions, zero shuffle before the tiny feature
+    * rows (same as every codec gate). */
+  def decodePng16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (3 + id % 7).toInt
+          val h = (2 + id % 6).toInt
+          val ch = (1 + id % 4).toInt
+          val inter = id % 2 == 0
+          val px = Array.tabulate(w * h * ch)(i => ((id * 31 + i * 257) % 65536).toInt)
+          val bytes = PngCodec.encode(w, h, ch, px, depth = 16, interlace = inter)
+          // From here on, ONLY the decoded image is consulted.
+          val img = PngCodec.decode(bytes)
+          require(img.depth == 16, s"doc $id: expected a 16-bit decode")
+          val sums = new Array[Long](4)
+          var peak = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sums(i % img.channels) += v
+            if (v > peak) peak = v
+            i += 1
+          }
+          Png16Features(id, img.width, img.height, img.channels, inter,
+            img.width * img.height, sums(0), sums(1), sums(2), sums(3), peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Generator closed form in SQL (PNG is lossless, so decoded samples ≡
+    * generated samples); channel sums beyond the image's channel count
+    * coalesce to 0. */
+  val decodePng16Oracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 7 AS INT) AS w,
+         CAST(2 + doc_id % 6 AS INT) AS h,
+         CAST(1 + doc_id % 4 AS INT) AS ch,
+         doc_id % 2 = 0 AS interlaced
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, ch, interlaced,
+         unnest(generate_series(0, w * h * ch - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, ch, interlaced, i,
+         (doc_id * 31 + i * 257) % 65536 AS v
+  FROM i)
+SELECT doc_id, w AS width, h AS height, ch AS channels, interlaced,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(COALESCE(sum(CASE WHEN i % ch = 0 THEN v END), 0) AS BIGINT) AS sum_c0,
+       CAST(COALESCE(sum(CASE WHEN i % ch = 1 THEN v END), 0) AS BIGINT) AS sum_c1,
+       CAST(COALESCE(sum(CASE WHEN i % ch = 2 THEN v END), 0) AS BIGINT) AS sum_c2,
+       CAST(COALESCE(sum(CASE WHEN i % ch = 3 THEN v END), 0) AS BIGINT) AS sum_c3,
+       CAST(max(v) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, ch, interlaced ORDER BY doc_id"""
+
   case class JpegFeatures(doc_id: Long, width: Int, height: Int,
     n_blocks: Int, sum_px: Long, peak: Int)
 
@@ -857,6 +933,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_downsample_wav" -> (downsampleWav _),
     "multimodal_decode_ppm" -> (decodePpm _),
     "multimodal_decode_png" -> (decodePng _),
+    "multimodal_decode_png16" -> (decodePng16 _),
     "multimodal_decode_jpeg" -> (decodeJpeg _)
   )
 
@@ -873,6 +950,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_downsample_wav" -> downsampleWavOracle,
     "multimodal_decode_ppm" -> decodePpmOracle,
     "multimodal_decode_png" -> decodePngOracle,
+    "multimodal_decode_png16" -> decodePng16Oracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle
   )
 }

@@ -11,17 +11,23 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * [[JpegCodec]] (from-scratch baseline entropy decode), all four
   * multimodal decode paths are real codecs — zero stubs remain.
   *
-  * Scope: all FIVE 8-bit color types, non-interlaced — grayscale (0),
-  * truecolor (2 = RGB), palette (3, PLTE-expanded to RGB on decode),
-  * grayscale+alpha (4) and truecolor+alpha (6 = RGBA) — the common
-  * crawl shapes. Transparency metadata is SEMANTIC, not ancillary:
-  * a palette tRNS expands into a real alpha channel (RGBA out) and a
-  * type-0/2 color key expands into an alpha plane, exactly libpng's
-  * PNG_TRANSFORM_EXPAND; a suggested-quantization PLTE on truecolor
-  * images is validated and ignored (the spec allows it there). What
-  * remains out of scope (16-bit samples, sub-byte palette depths,
-  * Adam7 interlacing) is rejected LOUDLY with a precise message,
-  * never silently misread.
+  * Scope: all five color types at 8-bit depth PLUS 16-bit samples for
+  * the non-palette types (0/2/4/6) and Adam7 interlacing at both
+  * depths (r14 verdict #5 — after progressive JPEG, these were the
+  * largest remaining codec share of a real crawl corpus) — grayscale
+  * (0), truecolor (2 = RGB), palette (3, PLTE-expanded to RGB on
+  * decode), grayscale+alpha (4) and truecolor+alpha (6 = RGBA).
+  * Decoded 16-bit samples keep full 0..65535 precision (`Png.depth`
+  * says which scale `pixels` is on — stripping to 8 bits silently
+  * would be a misread for feature extraction). Transparency metadata
+  * is SEMANTIC, not ancillary: a palette tRNS expands into a real
+  * alpha channel (RGBA out) and a type-0/2 color key expands into an
+  * alpha plane, exactly libpng's PNG_TRANSFORM_EXPAND (at depth 16
+  * the key compares against the full 16-bit sample); a
+  * suggested-quantization PLTE on truecolor images is validated and
+  * ignored (the spec allows it there). What remains out of scope
+  * (sub-byte palette depths 1/2/4) is rejected LOUDLY with a precise
+  * message, never silently misread.
   *
   * The decoder is production-shaped: chunk CRCs are verified (JDK
   * CRC32), IDAT payloads are concatenated across chunks per spec,
@@ -40,9 +46,26 @@ object PngCodec {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Decoded image: dims + channel count from IHDR, row-major
-    * interleaved samples 0..255; `pixels.length` = width·height·channels. */
+    * interleaved samples 0..2^depth−1 (depth 8 or 16);
+    * `pixels.length` = width·height·channels. */
   final case class Png(width: Int, height: Int, channels: Int,
-      pixels: Array[Int])
+      pixels: Array[Int], depth: Int = 8)
+
+  // Adam7 pass geometry (PNG spec §8.2): per pass, the x/y origin and
+  // step of the sub-lattice it carries. A pass whose sub-image is empty
+  // for the frame dims contributes NOTHING to the stream (not even
+  // filter bytes).
+  private val A7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** (passWidth, passHeight) of Adam7 pass `p` for frame dims (w, h). */
+  private def a7Dims(p: Int, w: Int, h: Int): (Int, Int) = {
+    val wp = if (w > A7X0(p)) (w - A7X0(p) + A7DX(p) - 1) / A7DX(p) else 0
+    val hp = if (h > A7Y0(p)) (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p) else 0
+    (wp, hp)
+  }
 
   /** PNG spec §9.4 Paeth predictor (a=left, b=above, c=upper-left). */
   private[graft] def paeth(a: Int, b: Int, c: Int): Int = {
@@ -62,14 +85,20 @@ object PngCodec {
   }
 
   /** Encode row-major interleaved samples as a PNG. `filterMode` -1
-    * cycles the filter type per row (r mod 5) so fixtures exercise every
-    * unfilter path; 0..4 pins one type. Channels 1 (gray), 2
-    * (gray+alpha), 3 (RGB) and 4 (RGBA) map to color types 0/4/2/6;
-    * `palette` switches to color type 3 (pixels are then palette
-    * indices, channels must be 1). */
+    * cycles the filter type per row (r mod 5, continuing across Adam7
+    * passes) so fixtures exercise every unfilter path; 0..4 pins one
+    * type. Channels 1 (gray), 2 (gray+alpha), 3 (RGB) and 4 (RGBA) map
+    * to color types 0/4/2/6; `palette` switches to color type 3 (pixels
+    * are then palette indices, channels must be 1, depth must be 8).
+    * `depth` 16 writes big-endian 2-byte samples (filters operate on
+    * BYTES with bpp = channels·2, per spec §9); `interlace` emits the
+    * seven Adam7 sub-images in pass order, each filtered independently. */
   def encode(width: Int, height: Int, channels: Int, pixels: Array[Int],
       filterMode: Int = -1, palette: Option[Array[Int]] = None,
-      paletteAlpha: Option[Array[Int]] = None): Array[Byte] = {
+      paletteAlpha: Option[Array[Int]] = None, depth: Int = 8,
+      interlace: Boolean = false): Array[Byte] = {
+    require(depth == 8 || depth == 16, s"depth must be 8 or 16, got $depth")
+    require(depth == 8 || palette.isEmpty, "palette images must be 8-bit")
     paletteAlpha.foreach { a =>
       require(palette.isDefined, "paletteAlpha needs a palette")
       require(a.nonEmpty && a.length <= palette.get.length,
@@ -85,31 +114,85 @@ object PngCodec {
     }
     require(pixels.length == width * height * channels,
       s"raster mismatch: ${pixels.length} samples for ${width}x$height x$channels")
-    val bpp = channels
-    val stride = width * bpp
-    val raw = new Array[Byte](height * (1 + stride))
-    var r = 0
-    while (r < height) {
-      val f = if (filterMode < 0) r % 5 else filterMode
-      raw(r * (1 + stride)) = f.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = pixels(r * stride + x)
-        val left = if (x >= bpp) pixels(r * stride + x - bpp) else 0
-        val above = if (r > 0) pixels((r - 1) * stride + x) else 0
-        val upLeft = if (r > 0 && x >= bpp) pixels((r - 1) * stride + x - bpp) else 0
-        val filtered = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - above
-          case 3 => cur - (left + above) / 2
-          case 4 => cur - paeth(left, above, upLeft)
+    val maxSample = (1 << depth) - 1
+    require(pixels.forall(v => v >= 0 && v <= maxSample),
+      s"sample out of range for depth $depth")
+    val sb = depth / 8          // bytes per sample
+    val bpp = channels * sb     // the filters' byte distance (spec §9)
+    // filter one (sub-)image's samples into its (filterByte + row bytes)*
+    // stream; `fOff` continues the per-row filter-type cycle across
+    // Adam7 passes so every pass still exercises all five filters
+    def filterPass(subPx: Array[Int], wp: Int, hp: Int, fOff: Int): Array[Byte] = {
+      val stride = wp * bpp
+      val b = new Array[Byte](hp * stride)
+      var i = 0
+      while (i < wp * hp * channels) {
+        val v = subPx(i)
+        if (sb == 1) b(i) = (v & 0xff).toByte
+        else {
+          b(2 * i) = ((v >> 8) & 0xff).toByte
+          b(2 * i + 1) = (v & 0xff).toByte
         }
-        raw(r * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
-        x += 1
+        i += 1
       }
-      r += 1
+      val out = new Array[Byte](hp * (1 + stride))
+      var r = 0
+      while (r < hp) {
+        val f = if (filterMode < 0) (r + fOff) % 5 else filterMode
+        out(r * (1 + stride)) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = b(r * stride + x) & 0xff
+          val left = if (x >= bpp) b(r * stride + x - bpp) & 0xff else 0
+          val above = if (r > 0) b((r - 1) * stride + x) & 0xff else 0
+          val upLeft = if (r > 0 && x >= bpp) b((r - 1) * stride + x - bpp) & 0xff else 0
+          val filtered = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - above
+            case 3 => cur - (left + above) / 2
+            case 4 => cur - paeth(left, above, upLeft)
+          }
+          out(r * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      out
     }
+    val raw: Array[Byte] =
+      if (!interlace) filterPass(pixels, width, height, 0)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        var fOff = 0
+        var p = 0
+        while (p < 7) {
+          val (wp, hp) = a7Dims(p, width, height)
+          if (wp > 0 && hp > 0) {
+            val sub = new Array[Int](wp * hp * channels)
+            var j = 0
+            while (j < hp) {
+              val sy = A7Y0(p) + j * A7DY(p)
+              var i = 0
+              while (i < wp) {
+                val sx = A7X0(p) + i * A7DX(p)
+                var c = 0
+                while (c < channels) {
+                  sub((j * wp + i) * channels + c) =
+                    pixels((sy * width + sx) * channels + c)
+                  c += 1
+                }
+                i += 1
+              }
+              j += 1
+            }
+            bos.write(filterPass(sub, wp, hp, fOff))
+            fOff += hp
+          }
+          p += 1
+        }
+        bos.toByteArray
+      }
     val defl = new Deflater()
     defl.setInput(raw); defl.finish()
     val comp = new java.io.ByteArrayOutputStream()
@@ -123,9 +206,10 @@ object PngCodec {
       else channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
       .putInt(width).putInt(height)
-      .put(8.toByte)                                   // bit depth
+      .put(depth.toByte)
       .put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)       // compression/filter/interlace
+      .put(0.toByte).put(0.toByte)                     // compression/filter
+      .put((if (interlace) 1 else 0).toByte)
       .array()
     chunk(out, "IHDR", ihdr)
     palette.foreach { p =>
@@ -188,6 +272,7 @@ object PngCodec {
     require(java.util.Arrays.equals(bytes.take(8), Signature), "missing PNG signature")
     val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8).order(ByteOrder.BIG_ENDIAN)
     var w = -1; var h = -1; var ch = -1; var color = -1
+    var depth = -1; var interlaced = false
     var paletted = false
     var plte: Array[Int] = null
     var trns: Array[Byte] = null
@@ -209,20 +294,28 @@ object PngCodec {
           require(data.length >= 13, s"IHDR too short: ${data.length}")
           val ib = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
           w = ib.getInt; h = ib.getInt
-          val depth = ib.get() & 0xff
+          depth = ib.get() & 0xff
           color = ib.get() & 0xff
           val comp = ib.get() & 0xff
           val filt = ib.get() & 0xff
           val inter = ib.get() & 0xff
           require(w > 0 && h > 0, s"bad dims: ${w}x$h")
           // guard the raster allocation: a corrupt IHDR could claim dims
-          // whose product overflows Int and flips negative
-          require(w.toLong * h * 5 < Int.MaxValue,
+          // whose product overflows Int and flips negative (10 ≥ the
+          // worst per-pixel footprint: RGBA16 = 8 bytes + filter slack)
+          require(w.toLong * h * 10 < Int.MaxValue,
             s"implausible dims ${w}x$h overflow the raster size")
-          require(depth == 8, s"only 8-bit samples supported, got depth $depth")
           require(Set(0, 2, 3, 4, 6)(color), s"invalid colorType $color")
+          if (color == 3)
+            require(depth == 8, s"only 8-bit palette images supported, got " +
+              s"depth $depth (sub-byte palette depths are out of scope; " +
+              "16-bit palettes are illegal per spec)")
+          else
+            require(depth == 8 || depth == 16,
+              s"only 8/16-bit samples supported for colorType $color, got depth $depth")
           require(comp == 0 && filt == 0, s"nonstandard compression/filter: $comp/$filt")
-          require(inter == 0, "Adam7 interlacing not supported")
+          require(inter == 0 || inter == 1, s"invalid interlace method $inter")
+          interlaced = inter == 1
           paletted = color == 3
           ch = color match {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
@@ -267,8 +360,15 @@ object PngCodec {
       }
     }
     require(w > 0 && ch > 0, "no IHDR chunk")
-    val stride = w * ch
-    val expect = h * (1 + stride)
+    val sb = depth / 8          // bytes per sample
+    val bpp = ch * sb           // the filters' byte distance
+    // non-empty Adam7 passes for the frame dims (the whole frame is the
+    // single "pass" of a non-interlaced image — one shared path below)
+    val passes: Seq[(Int, Int, Int)] =
+      if (!interlaced) Seq((-1, w, h))
+      else (0 until 7).map(p => { val (wp, hp) = a7Dims(p, w, h); (p, wp, hp) })
+        .filter { case (_, wp, hp) => wp > 0 && hp > 0 }
+    val expect = passes.map { case (_, wp, hp) => hp * (1 + wp * bpp) }.sum
     val raw = new Array[Byte](expect)
     val infl = new Inflater()
     infl.setInput(idat.toByteArray)
@@ -291,7 +391,35 @@ object PngCodec {
         throw new IllegalArgumentException(s"corrupt DEFLATE stream: ${e.getMessage}")
     } finally infl.end()
     require(off == expect, s"inflated size $off != expected $expect")
-    val px = unfilter(raw, w, h, ch)
+    // unfilter each pass independently (filters never reach across a pass
+    // boundary), reassemble 16-bit samples from byte pairs, and scatter
+    // interlaced passes onto the frame lattice
+    val px = new Array[Int](w * h * ch)
+    var rawAt = 0
+    passes.foreach { case (p, wp, hp) =>
+      val passLen = hp * (1 + wp * bpp)
+      val passBytes = unfilter(
+        java.util.Arrays.copyOfRange(raw, rawAt, rawAt + passLen), wp, hp, bpp)
+      rawAt += passLen
+      var j = 0
+      while (j < hp) {
+        var i = 0
+        while (i < wp) {
+          val x = if (p < 0) i else A7X0(p) + i * A7DX(p)
+          val y = if (p < 0) j else A7Y0(p) + j * A7DY(p)
+          var c = 0
+          while (c < ch) {
+            val at = ((j * wp + i) * ch + c) * sb
+            px((y * w + x) * ch + c) =
+              if (sb == 1) passBytes(at)
+              else (passBytes(at) << 8) | passBytes(at + 1)
+            c += 1
+          }
+          i += 1
+        }
+        j += 1
+      }
+    }
     if (paletted) {
       // expand palette indices to RGB(A) — decoders hand consumers real
       // samples, exactly as libpng's PNG_TRANSFORM_EXPAND does: with a
@@ -312,22 +440,27 @@ object PngCodec {
         i += 1
       }
       Png(w, h, outCh, rgb)
-    } else if (trns == null) Png(w, h, ch, px)
+    } else if (trns == null) Png(w, h, ch, px, depth)
     else {
       // color-key transparency (types 0/2): expand the key into a real
       // alpha plane — matching pixels go fully transparent. Key samples
-      // are stored 2 bytes each (big-endian); at depth 8 the high byte
-      // MUST be zero — a key sample >= 256 can match no 8-bit pixel, and
-      // silently matching its low byte instead would turn the wrong
-      // pixels transparent, so reject loudly (codec policy).
+      // are stored 2 bytes each (big-endian) at EVERY depth; at depth 8
+      // the high byte MUST be zero — a key sample >= 256 can match no
+      // 8-bit pixel, and silently matching its low byte instead would
+      // turn the wrong pixels transparent, so reject loudly (codec
+      // policy). At depth 16 the full two-byte key compares against the
+      // full 16-bit sample.
       def key(j: Int): Int = ((trns(2 * j) & 0xff) << 8) | (trns(2 * j + 1) & 0xff)
-      var kc = 0
-      while (kc < ch) {
-        require(key(kc) <= 0xff,
-          s"tRNS color key sample $kc = ${key(kc)} exceeds the 8-bit sample " +
-            "range (high byte must be zero at bit depth 8)")
-        kc += 1
+      if (depth == 8) {
+        var kc = 0
+        while (kc < ch) {
+          require(key(kc) <= 0xff,
+            s"tRNS color key sample $kc = ${key(kc)} exceeds the 8-bit sample " +
+              "range (high byte must be zero at bit depth 8)")
+          kc += 1
+        }
       }
+      val opaque = (1 << depth) - 1
       val outCh = ch + 1
       val out = new Array[Int](w * h * outCh)
       var i = 0
@@ -340,10 +473,10 @@ object PngCodec {
           if (v != key(c)) hit = false
           c += 1
         }
-        out(outCh * i + ch) = if (hit) 0 else 255
+        out(outCh * i + ch) = if (hit) 0 else opaque
         i += 1
       }
-      Png(w, h, outCh, out)
+      Png(w, h, outCh, out, depth)
     }
   }
 }

@@ -68,6 +68,23 @@ class CodecFuzzSpec extends AnyFunSuite {
     truncations("png", base)(PngCodec.decode)
   }
 
+  test("16-bit + Adam7 PNG decode stays in contract under mutation and truncation") {
+    // the new surfaces bring their own parse paths (2-byte samples, the
+    // 7-pass size accounting, per-pass unfilter bounds) — fuzz both
+    val b16 = PngCodec.encode(9, 7, 3,
+      Array.tabulate(9 * 7 * 3)(i => i * 977 % 65536), depth = 16)
+    fuzz("png16", b16, 400)(PngCodec.decode)
+    truncations("png16", b16)(PngCodec.decode)
+    val a7 = PngCodec.encode(11, 9, 2,
+      Array.tabulate(11 * 9 * 2)(i => i * 37 % 256), interlace = true)
+    fuzz("png_adam7", a7, 400)(PngCodec.decode)
+    truncations("png_adam7", a7)(PngCodec.decode)
+    val a716 = PngCodec.encode(10, 6, 1,
+      Array.tabulate(10 * 6)(i => i * 1103 % 65536), depth = 16, interlace = true)
+    fuzz("png16_adam7", a716, 400)(PngCodec.decode)
+    truncations("png16_adam7", a716)(PngCodec.decode)
+  }
+
   test("JPEG decode stays in contract under mutation and truncation") {
     val px = new Array[Int](16 * 16)
     for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8)

@@ -161,6 +161,70 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit samples round-trip with full precision (all non-palette types)") {
+    // byte-level filtering with bpp = channels*2 (spec §9) — values above
+    // 255 would corrupt under any sample-level shortcut, so draw from the
+    // full 16-bit range
+    Seq(1, 2, 3, 4).foreach { ch =>
+      (1 to 5).foreach { _ =>
+        val w = 1 + rng.nextInt(10); val h = 1 + rng.nextInt(7)
+        val px = Array.fill(w * h * ch)(rng.nextInt(65536))
+        val img = PngCodec.decode(PngCodec.encode(w, h, ch, px, depth = 16))
+        assert(img.depth == 16 && img.channels == ch)
+        assert(img.pixels.toSeq == px.toSeq, s"16-bit ch=$ch round-trip")
+      }
+    }
+  }
+
+  test("Adam7 interlaced images round-trip at depth 8 and 16") {
+    // dims swept across the 8x8 Adam7 tile boundary so empty passes,
+    // single-pixel passes, and full passes all occur; the encoder's
+    // filter cycle continues across passes, so every pass mixes filters
+    for (w <- Seq(1, 2, 3, 7, 8, 9, 13); h <- Seq(1, 2, 5, 8, 11); d <- Seq(8, 16)) {
+      val ch = 1 + rng.nextInt(4)
+      val px = Array.fill(w * h * ch)(rng.nextInt(1 << d))
+      val img = PngCodec.decode(
+        PngCodec.encode(w, h, ch, px, depth = d, interlace = true))
+      assert(img.width == w && img.height == h && img.channels == ch && img.depth == d)
+      assert(img.pixels.toSeq == px.toSeq, s"Adam7 ${w}x$h ch=$ch d=$d")
+    }
+    // interlaced ≡ sequential: the same raster through both layouts
+    val px = Array.fill(9 * 9 * 3)(rng.nextInt(256))
+    val a = PngCodec.decode(PngCodec.encode(9, 9, 3, px, interlace = true))
+    val b = PngCodec.decode(PngCodec.encode(9, 9, 3, px))
+    assert(a.pixels.toSeq == b.pixels.toSeq)
+  }
+
+  test("16-bit color-key tRNS compares the full two-byte key") {
+    // gray16: key = 0x0107 must match ONLY the 16-bit value 263, not its
+    // low byte 7 — the misread the 8-bit high-byte reject guards against
+    val gpx = Array(263, 7, 263, 500)
+    val gray = splice(PngCodec.encode(2, 2, 1, gpx, depth = 16), "tRNS",
+      Array[Byte](1, 7))
+    val gimg = PngCodec.decode(gray)
+    assert(gimg.channels == 2 && gimg.depth == 16)
+    assert(gimg.pixels.toSeq == Seq(263, 0, 7, 65535, 263, 0, 500, 65535))
+  }
+
+  test("16-bit palette rejects loudly (spec-illegal)") {
+    val good = PngCodec.encode(2, 1, 1, Array(0, 1),
+      palette = Some(Array(0xff0000, 0x00ff00)))
+    // patch IHDR depth 8 -> 16 and fix the CRC
+    val bad = good.clone()
+    bad(24) = 16
+    val crc = new java.util.zip.CRC32(); crc.update(bad, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    bad(29) = (cv >> 24).toByte; bad(30) = (cv >> 16).toByte
+    bad(31) = (cv >> 8).toByte; bad(32) = cv.toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decode(bad))
+      .getMessage.contains("palette"))
+    // encoder refuses the combination outright
+    assert(intercept[IllegalArgumentException](
+      PngCodec.encode(2, 1, 1, Array(0, 1), depth = 16,
+        palette = Some(Array(0xff0000, 0x00ff00))))
+      .getMessage.contains("8-bit"))
+  }
+
   test("rejects malformed input loudly") {
     val px = Array.tabulate(2 * 2 * 3)(i => i * 17 % 256)
     val good = PngCodec.encode(2, 2, 3, px)
@@ -176,8 +240,11 @@ class PngCodecSpec extends AnyFunSuite {
     tampered(idatPos) = (tampered(idatPos) ^ 0x55).toByte
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(tampered)).getMessage.contains("CRC"))
-    // interlaced: patch IHDR's interlace byte AND fix the CRC — the
-    // decoder must reject on the field, not the checksum
+    // LYING interlace flag: patch IHDR's interlace byte AND fix the CRC
+    // on a non-interlaced stream — Adam7 is now SUPPORTED, so the decoder
+    // must catch the mismatch via the pass-structure size check (the
+    // sequential 2x2 stream is 14 bytes; the Adam7 passes need 15), never
+    // scatter garbage
     val inter = good.clone()
     inter(28) = 1
     val crc = new java.util.zip.CRC32(); crc.update(inter, 12, 4 + 13)
@@ -185,7 +252,16 @@ class PngCodecSpec extends AnyFunSuite {
     inter(29) = (cv >> 24).toByte; inter(30) = (cv >> 16).toByte
     inter(31) = (cv >> 8).toByte; inter(32) = cv.toByte
     assert(intercept[IllegalArgumentException](
-      PngCodec.decode(inter)).getMessage.contains("Adam7"))
+      PngCodec.decode(inter)).getMessage.contains("inflated size"))
+    // an invalid interlace METHOD still rejects on the field
+    val badInter = good.clone()
+    badInter(28) = 2
+    val crc2 = new java.util.zip.CRC32(); crc2.update(badInter, 12, 4 + 13)
+    val cv2 = crc2.getValue.toInt
+    badInter(29) = (cv2 >> 24).toByte; badInter(30) = (cv2 >> 16).toByte
+    badInter(31) = (cv2 >> 8).toByte; badInter(32) = cv2.toByte
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(badInter)).getMessage.contains("interlace"))
     // truncation (IEND gone) fails as a truncated chunk header
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(good.dropRight(12))).getMessage.contains("truncated"))
