@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -64,6 +66,49 @@ object EventsStream {
 
   private def streamSession(s: SparkSession, d: String): SparkSession =
     streamSessionN(s, statePartitionsFor(d))
+
+  /** Loud PRE-START guard for a REUSED checkpoint against the
+    * dataset-sized state partitioning (r14 verdict #7). The partition
+    * count is a deterministic function of the dataset's events file
+    * size — correct for immutable fixtures, but a dataset grown or
+    * shrunk IN PLACE changes the computed count while the checkpoint's
+    * state layout stays pinned at whatever the first run recorded, and
+    * Spark then fails opaquely deep inside the state store (or, worse
+    * on old versions, silently misroutes keys). Call this before
+    * `.start()` on any query that reuses a checkpoint with a
+    * dataset-sized session; a fresh checkpoint passes vacuously. */
+  def assertCheckpointPartitions(ckpt: String, d: String): Unit =
+    assertCheckpointPartitionsN(ckpt, statePartitionsFor(d))
+
+  private[graft] def assertCheckpointPartitionsN(ckpt: String, computed: Int): Unit = {
+    val dir = java.nio.file.Paths.get(ckpt, "offsets")
+    if (!java.nio.file.Files.isDirectory(dir)) return // fresh: nothing pinned
+    val st = java.nio.file.Files.list(dir)
+    val latest =
+      try st.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.nonEmpty && n.forall(_.isDigit)) Some((n.toLong, p)) else None
+      }.toSeq.sortBy(_._1).lastOption
+      finally st.close()
+    latest.foreach { case (batch, p) =>
+      // the offset log's metadata line records the run's conf, including
+      // spark.sql.shuffle.partitions — THE value stateful operators
+      // pinned their state layout to at the first checkpoint
+      val re = """"spark\.sql\.shuffle\.partitions"\s*:\s*"?(\d+)"?""".r
+      re.findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toInt).foreach { recorded =>
+          if (recorded != computed) throw new IllegalStateException(
+            s"checkpoint $ckpt (offsets batch $batch) pinned $recorded " +
+              s"shuffle/state partitions but the dataset now sizes to $computed " +
+              "— the events file grew or shrank in place under a reused " +
+              "checkpoint. Streaming state partitioning is FIXED at the first " +
+              "checkpoint; restarting with a different count fails opaquely in " +
+              "the state store. Either keep the original dataset size, start a " +
+              "fresh checkpoint (state rebuilds by replay), or migrate the " +
+              "state offline via the statestore reader.")
+        }
+    }
+  }
 
   /** Dataset-independent variant (the JVM prewarm): the toy floor. */
   private def streamSession(s: SparkSession): SparkSession =
