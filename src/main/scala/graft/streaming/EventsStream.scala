@@ -193,6 +193,17 @@ object EventsStream {
         (batch, id) => batch.write.mode("overwrite").parquet(s"$dir/b$id")
     val q = df.writeStream.outputMode(mode).foreachBatch(fn).start()
     try q.processAllAvailable() finally q.stop()
+    // opt-in perf attribution (builder tooling): per-micro-batch engine
+    // timing + state-store metrics, the data behind the NOTES.md
+    // streaming floors — durationMs names the phase (addBatch vs
+    // planning vs WAL), stateOperators names the store costs
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-profile] $name batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+          p.stateOperators.map(o => s"state(updated=${o.numRowsUpdated} " +
+            s"commitMs=${o.commitTimeMs} custom=${o.customMetrics})").mkString(" "))
+      }
     // explicit schema: a query whose watermark held every row back leaves
     // no part file, and the scan must still return an EMPTY frame of the
     // right shape (as the memory sink did), not fail schema inference.
@@ -312,14 +323,28 @@ FROM d ORDER BY window_start"""
   /** Second memoized clone with the RocksDB state store provider —
     * `transformWithState` requires it, and flipping the provider on the
     * SHARED clone would silently re-provider every other stream query's
-    * checkpoints. */
+    * checkpoints. Partitions are DATASET-SIZED like [[streamSessionN]]
+    * (r15: the r14 "~6 s/micro-batch fixed cost" on
+    * `stream_timer_sessions` was not fixed at all — the profile showed
+    * the two 5M-row data batches paying 12-15 s each to shuffle, sort
+    * and state-walk 150k users inside FOUR tasks, plus 144k timer
+    * expiries in the same four; sizing to the dataset is exactly the
+    * stream_stream_join fix from r14). Toy SFs still compute 4, so
+    * every driver-scale gate is byte-identical. */
   private val rocksSessions =
-    scala.collection.concurrent.TrieMap[SparkSession, SparkSession]()
+    scala.collection.concurrent.TrieMap[(SparkSession, Int), SparkSession]()
 
+  private def rocksSession(s: SparkSession, d: String): SparkSession =
+    rocksSessionN(s, statePartitionsFor(d))
+
+  /** Dataset-independent variant (the JVM prewarm): the toy floor. */
   private def rocksSession(s: SparkSession): SparkSession =
-    rocksSessions.getOrElseUpdate(s, {
+    rocksSessionN(s, 4)
+
+  private def rocksSessionN(s: SparkSession, n: Int): SparkSession =
+    rocksSessions.getOrElseUpdate((s, n), {
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", 4)
+      ss.conf.set("spark.sql.shuffle.partitions", n)
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -381,7 +406,7 @@ FROM d ORDER BY window_start"""
   }
 
   def transformState(s: SparkSession, d: String): DataFrame = {
-    val rs = rocksSession(s)
+    val rs = rocksSession(s, d)
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
     stageInto(s"$d/events.parquet", stageDir, "events.parquet")
@@ -559,6 +584,12 @@ FROM events GROUP BY event_type ORDER BY event_type"""
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
     value: Double, props: String)
+  /** The sessionizer's SHUFFLE row: only the fields the state machine
+    * reads. The full [[Ev]] carries `props` (a JSON string, the widest
+    * column) and `event_type` through the groupByKey exchange for
+    * nothing — at sf10 that was a measurable share of the two 5M-row
+    * data batches (r15 timer-sessions profile). */
+  case class EvT(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
     n_events: Long, total_value: Double)
   case class UserState(start: Timestamp, end: Timestamp, n: Long, total: Double)
@@ -643,14 +674,14 @@ ORDER BY user_id, session_start"""
     * certifies. The +1 ms on the expiry keeps the ms-truncated timer
     * from firing ahead of a µs-precision continuing event at exactly the
     * gap boundary. */
-  class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Session] {
+  class TimerSessionProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, Session] {
     @transient private var sess: org.apache.spark.sql.streaming.ValueState[UserState] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       sess = getHandle.getValueState[UserState]("sess",
         org.apache.spark.sql.Encoders.product[UserState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    override def handleInputRows(user: Long, rows: Iterator[EvT],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
       // same µs-precision ordering + gap fold as [[sessionize]]
       val sorted = rows.toSeq.sortBy(e =>
@@ -701,7 +732,7 @@ ORDER BY user_id, session_start"""
     * ride real triggers, exactly like a production topic that keeps
     * receiving unrelated traffic. */
   def timerSessions(s0: SparkSession, d: String): DataFrame = {
-    val s = rocksSession(s0) // transformWithState needs the RocksDB provider
+    val s = rocksSession(s0, d) // transformWithState needs the RocksDB provider
     import s.implicits._
     val stageDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream_src_timer/${graft.util.PathKeys.safe(d)}")
@@ -721,7 +752,11 @@ ORDER BY user_id, session_start"""
       .withWatermark("ts", "0 seconds")
       .withColumn("user_id",
         when(col("event_type") === "sentinel", lit(-1L)).otherwise(col("user_id")))
-    val out = ev.as[Ev].groupByKey(_.user_id)
+      // shuffle only what the state machine reads (EvT): props and
+      // event_type would otherwise ride the exchange for nothing; the
+      // projection keeps ts, so the watermark tag survives it
+      .select("user_id", "ts", "event_id", "value")
+    val out = ev.as[EvT].groupByKey(_.user_id)
       .transformWithState(new TimerSessionProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
     runToTable(s, out.toDF(), OutputMode.Append, "graft_stream_timer_sessions")
