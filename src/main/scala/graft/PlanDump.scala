@@ -59,7 +59,7 @@ object PlanDump {
     "corr_matrix" -> "single-scan moment profile: 15 partial aggregates off ONE lineitem FileScan, stack() fans the 1-row moments out",
     "pit_join" -> "point-in-time join: interval predicate rides the equi-key hash join (no nested loop), dim side broadcast",
     "aqe_skew_join" -> "AQE skew split: planted 80%-hot key, SMJ regime; AqeSkewSpec asserts isSkewJoin in the FINAL adaptive plan (explain here shows the pre-execution shape)",
-    "ann_topk_pq" -> "PQ ADC: pq_encode/pq_table/pq_adc codegen kernels, codes cached, query tables broadcast, topk_min partial aggregation instead of a window sort",
+    "ann_topk_pq" -> "PQ ADC: pq_encode/pq_table/pq_adc codegen kernels, codes cached, seeded 64-query budget broadcast, topk_min partial aggregation instead of a window sort",
     "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
@@ -67,6 +67,9 @@ object PlanDump {
     "multimodal_decode_jpeg_420" -> "subsampled-jpeg decode: per-row 6-block-MCU entropy decode + replication upsample + BT.601 inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_progressive" -> "progressive-jpeg decode: per-row 9-scan coefficient accumulation (spectral bands + bit refinements) + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
     "ann_recall_eval" -> "sampled recall gate: seeded 64-query sample broadcast-semi-joins both rankings - O(corpus x budget), the exact interior never goes all-queries",
+    "ann_topk_bruteforce" -> "sampled exact anchor: seeded 64-query budget broadcast-semi-joined into the query set, corpus never shuffles - O(corpus x budget), never O(n x q)",
+    "ann_topk_int8" -> "sampled int8 anchor: same seeded budget, codegen ArrayDot over the integer codes, query side broadcast",
+    "multimodal_decode_png16" -> "16-bit + Adam7 png decode: per-row byte-level unfilter + 7-pass scatter inside one mapPartitions, zero shuffle before the tiny feature rows",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",

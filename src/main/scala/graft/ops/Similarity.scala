@@ -767,15 +767,28 @@ ORDER BY query_id, rnk"""
         .persistOnce())
   }
 
-  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+  def annPqTopK(s: SparkSession, d: String): DataFrame =
+    annPqTopKFor(s, d, querySample = None)
+
+  /** [[annPqTopK]] restricted to an optional broadcast query-id sample
+    * (per-query independence — same argument as [[annTopKFor]]). PQ ADC
+    * scans ALL corpus codes per query, so with the query set at n/100 of
+    * the corpus the full run is O(n²/100) BY CONSTRUCTION — the r15 sf10
+    * curve flagged it at 15× for a 10× data step, the exact class the
+    * anchors were in. The gate therefore runs the seeded budget; the
+    * full variant remains the batch twin of the streaming serve path. */
+  private def annPqTopKFor(s: SparkSession, d: String,
+      querySample: Option[DataFrame]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = pqQuantized(s, d)
     val cbLit = pqCbLit(s, d)
     val codes = pqCodesIndex(s, d)
-    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val qs0 = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"),
         call_function("pq_table", col("q"), cbLit,
           lit(PqM), lit(PqC), lit(PqSub)).as("qtab"))
+    val qs = querySample.fold(qs0)(sample =>
+      qs0.join(broadcast(sample), Seq("query_id"), "left_semi"))
     // Rank with the native bounded top-K aggregate (functions/TopKMin),
     // not a window: the window formulation shuffles and sorts EVERY
     // (query, candidate) pair — measured 2-3 s of the query's 3.5 s at
@@ -848,6 +861,24 @@ ranked AS (
   FROM adist)
 SELECT query_id, vec_id, adist, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
+
+  /** The GATE variant of [[annPqTopK]] — seeded query budget, same shape
+    * as [[annTopKSampled]]. */
+  def annPqTopKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = recallQuerySample(withNorm(s, d))
+    annPqTopKFor(s, d, Some(qs))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("sample_q"))))
+      .select("query_id", "vec_id", "adist", "rnk", "sample_q")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val annPqSampledOracle: String = s"""
+WITH qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueryBudget)
+SELECT query_id, vec_id, adist, rnk, (SELECT count(*) FROM qs) AS sample_q
+FROM ($annPqOracle) t WHERE query_id IN (SELECT query_id FROM qs)
+ORDER BY query_id, rnk"""
 
   // ---- IVF-PQ: the composed industrial index --------------------------
 
@@ -1158,7 +1189,7 @@ ORDER BY k.query_id"""
     "ann_topk_int8"       -> (annInt8TopKSampled _),
     "ann_topk_lsh"        -> (annLshTopK _),
     "ann_topk_ivf"        -> (annIvfTopK _),
-    "ann_topk_pq"         -> (annPqTopK _),
+    "ann_topk_pq"         -> (annPqTopKSampled _),
     "ann_topk_ivfpq"      -> ((s: SparkSession, d: String) => annIvfPqTopK(s, d)),
     "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
@@ -1171,7 +1202,7 @@ ORDER BY k.query_id"""
     "ann_topk_int8"       -> annInt8SampledOracle,
     "ann_topk_lsh"        -> annLshOracle,
     "ann_topk_ivf"        -> annIvfOracle,
-    "ann_topk_pq"         -> annPqOracle,
+    "ann_topk_pq"         -> annPqSampledOracle,
     "ann_topk_ivfpq"      -> annIvfPqOracle,
     "knn_graph"           -> knnGraphOracle()
   )

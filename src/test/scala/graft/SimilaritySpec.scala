@@ -79,6 +79,14 @@ class SimilaritySpec extends AnyFunSuite {
     val sampI = rows(Similarity.annInt8TopKSampled(spark, plantedDir).drop("sample_q"))
     assert(sampI.subsetOf(fullI) &&
       fullI.filter(r => sampI.map(_._1).contains(r._1)) == sampI)
+    // PQ got the budget in r15 (its ADC is a full-corpus scan per query,
+    // the same O(n·q) class): adist is a Long, so a dedicated extractor
+    def prows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val fullP = prows(Similarity.annPqTopK(spark, plantedDir))
+    val sampP = prows(Similarity.annPqTopKSampled(spark, plantedDir).drop("sample_q"))
+    assert(sampP.subsetOf(fullP) &&
+      fullP.filter(r => sampP.map(_._1).contains(r._1)) == sampP)
   }
 
   test("int8-quantized ANN reaches recall@5 >= 0.9 against the exact float ranking") {
