@@ -1119,6 +1119,11 @@ WHERE rnk <= 5 ORDER BY query_id, rnk"""
     * smallest md5 of their decimal rendering — a deterministic,
     * engine-neutral shuffle (both engines md5 the identical bytes), so
     * the oracle states the identical sample in SQL. */
+  /** The seeded sample against a dataset dir — for gates OUTSIDE this
+    * object (the streaming serve path). */
+  private[graft] def seededQuerySample(s: SparkSession, d: String): DataFrame =
+    recallQuerySample(withNorm(s, d))
+
   private def recallQuerySample(emb: DataFrame): DataFrame =
     querySet(emb)
       .select(col("query_id"), md5(col("query_id").cast("string")).as("__ord"))

@@ -1176,7 +1176,13 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     *
     * Scale shape: at 100 TB the index side is the big one — it stays
     * partitioned and cached (8 bytes + id per vector); each micro-batch
-    * broadcasts only the arriving queries' 8×16 lookup tables. */
+    * broadcasts only the arriving queries' 8×16 lookup tables. The
+    * GATE's arrival stream is the seeded 64-query budget (r15: the
+    * %100 fixture made the arrival RATE scale with the corpus, so the
+    * gate was O(n²/100) inside one micro-batch — it OOM'd the 16 GB
+    * heap at sf30; a production arrival rate is queries/sec, not a
+    * corpus fraction). Output carries `sample_q`, sharing the sampled
+    * batch-PQ oracle — streaming ≡ batch stays the gated claim. */
   def annServeStream(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0, d)
     graft.functions.GraftFunctions.register(s)
@@ -1187,8 +1193,11 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
     val schema = Tables.embeddings(s, d).schema
     val codes = Similarity.pqCodesIndex(s, d)
     val cbLit = Similarity.pqCbLit(s, d)
+    val sample = Similarity.seededQuerySample(s, d)
+      .withColumnRenamed("query_id", "vec_id")
     val qstream = s.readStream.schema(schema).parquet(stageDir.toString)
       .filter(col("vec_id") % 100 === 0)
+      .join(broadcast(sample), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("v"), col("v"))))
@@ -1212,6 +1221,7 @@ WHERE is_en AND q >= 0.5 GROUP BY lang ORDER BY lang"""
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("vec_id"),
         col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("sample_q"))))
       .orderBy("query_id", "rnk")
   }
 
@@ -1451,7 +1461,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val oracleSql: Map[String, String] = Map(
     // streaming serving must equal the batch PQ result — shared oracle
-    "stream_ann_serve"       -> graft.ops.Similarity.annPqOracle,
+    "stream_ann_serve"       -> graft.ops.Similarity.annPqSampledOracle,
     "stream_table_changes"   -> tableChangesStreamOracle,
     // feed-maintained MV ≡ the merged table's aggregate: shares the
     // merge_upsert_mor restatement verbatim

@@ -102,11 +102,12 @@ class StreamRestartSpec extends AnyFunSuite {
     // ranking must also equal the batch annPqTopK result, whose oracle
     // this query shares.
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
-      df.collect().map(r =>
+      df.select("query_id", "vec_id", "adist", "rnk").collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
     val first = rows(streaming.EventsStream.annServeStream(spark, sf))
     assert(first.nonEmpty)
-    val batch = rows(graft.ops.Similarity.annPqTopK(spark, sf))
+    // both the serve gate and the batch gate run the seeded query budget
+    val batch = rows(graft.ops.Similarity.annPqTopKSampled(spark, sf))
     assert(first == batch, "streaming serve diverged from the batch PQ ranking")
     // restart: a brand-new session (and clear the old one's memos so a
     // cross-session cache hit cannot mask a rebuild failure)
