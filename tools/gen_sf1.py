@@ -1,20 +1,22 @@
 #!/usr/bin/env python3
-"""Builder tooling only (like verify_local.py): synthesize an sf1 dataset
-(10x sf0.1) for the LOCAL scaling self-measurement the round-12 verdict
-asked for ("run the bench once at sf1 ... chase any query whose time grows
-faster than ~10x"). The driver provides no sf1 testdata, so this scales
-up /root/testdata/sf0.1 by replication with key remapping. NOT used by any
+"""Builder tooling only (like verify_local.py): synthesize scaled-up
+datasets (sf1/sf10/sf30/sf100 = 10/100/300/1000x sf0.1) for the LOCAL
+scaling self-measurements the round-12..15 verdicts asked for ("run the
+bench once at sf1 ... chase any query whose time grows faster than ~10x";
+r14 #4: "extend to sf30-sf100 for the tables the dedup/ANN/streaming
+families read"). The driver provides no big testdata, so this scales up
+/root/testdata/sf0.1 by replication with key remapping. NOT used by any
 gated query or spec — correctness gates stay on driver testdata.
 
 Design (kept deliberately structure-preserving so per-query cost should
 scale ~linearly if the PLAN is linear):
 - region/nation stay fixed (TPC-H semantics: constant dims).
-- every other table gets 10 copies; copy i offsets each key by i*count,
-  so FK joins stay consistent within a copy and fan-outs per key are
-  UNCHANGED (a join that produced k rows/key still produces k rows/key).
+- every other table gets COPIES copies; copy i offsets each key by
+  i*count, so FK joins stay consistent within a copy and fan-outs per key
+  are UNCHANGED (a join that produced k rows/key still produces k rows/key).
 - documents: copy i>0 suffixes every word with 'x<i>' so cross-copy
   shingle Jaccard is ~0 — replicating text verbatim would hand every doc
-  9 artificial near-duplicates and blow up all dedup candidate sets
+  COPIES-1 artificial near-duplicates and blow up all dedup candidate sets
   quadratically for a reason that has nothing to do with plan quality.
   Within-copy near-dup structure is preserved exactly (the same rewrite
   is applied to every doc in the copy).
@@ -22,8 +24,18 @@ scale ~linearly if the PLAN is linear):
   dimensions. Within-copy dot products are EXACTLY preserved (s_j^2 = 1),
   cross-copy similarities become incoherent — same rationale as documents.
 
-Output: /tmp/graft_sf1/<table>.parquet (single file each, same layout as
-driver testdata).
+Writes stream one copy at a time through a ParquetWriter (one row group
+per copy), so COPIES=1000 needs copy-sized memory, not corpus-sized, and
+never builds a 1000-branch UNION ALL.
+
+Usage: gen_sf1.py [OUT [COPIES [TABLES]]]
+  TABLES: comma-separated subset (default: all). The r15 decade push uses
+  'documents,embeddings,events' — the three tables the dedup/ANN/streaming
+  families read (lineitem at sf100 would not fit the sandbox). region and
+  nation are always emitted (constant dims, a few KB).
+
+Output: OUT/<table>.parquet (single file each, same layout as driver
+testdata).
 """
 import duckdb, numpy as np, os, sys
 import pyarrow as pa
@@ -32,21 +44,35 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10  # 100 -> sf10
+TABLES = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
+
+def want(t):
+    return TABLES is None or t in TABLES
 
 def copy_fixed(t):
     con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
 
 def replicate(t, sql_for_copy):
-    """sql_for_copy(i) -> a SELECT producing copy i; UNION ALL over copies."""
-    union = " UNION ALL ".join(sql_for_copy(i) for i in range(COPIES))
-    con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
-    n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
-    print(f"{t}: {n} rows")
+    """sql_for_copy(i) -> a SELECT producing copy i; streamed one row group
+    per copy (memory stays copy-sized at COPIES=1000)."""
+    if not want(t):
+        return
+    writer = None
+    n = 0
+    for i in range(COPIES):
+        arr = con.execute(sql_for_copy(i)).arrow()
+        batch = pa.table(arr) if not isinstance(arr, pa.Table) else arr
+        if writer is None:
+            writer = pq.ParquetWriter(f"{OUT}/{t}.parquet", batch.schema)
+        writer.write_table(batch)
+        n += batch.num_rows
+    writer.close()
+    print(f"{t}: {n} rows", flush=True)
 
 copy_fixed("region"); copy_fixed("nation")
-print("region/nation: fixed")
+print("region/nation: fixed", flush=True)
 
 C, S, P, O, E, U, D = 15000, 1000, 20000, 150000, 100000, 1500, 5000
 
@@ -85,25 +111,30 @@ def doc_copy(i):
       FROM '{SRC}/documents.parquet'"""
 replicate("documents", doc_copy)
 
-# embeddings: numpy sign-flip per copy (duckdb lambdas lack an index arg)
-tbl = pq.read_table(f"{SRC}/embeddings.parquet")
-vec = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)  # (N, 64)
-vid = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-lab = np.array(tbl.column("label").to_pylist(), dtype=np.int32)
-N, dim = vec.shape
-rng_tables = []
-for i in range(COPIES):
-    if i == 0:
-        v = vec
-    else:
-        rs = np.random.RandomState(42 + i)  # deterministic per copy
-        signs = np.where(rs.rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
-        v = vec * signs[None, :]
-    rng_tables.append(pa.table({
-        "vec_id": pa.array(vid + i * N, type=pa.int64()),
-        "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
-        "label": pa.array(lab, type=pa.int32()),
-    }))
-pq.write_table(pa.concat_tables(rng_tables), f"{OUT}/embeddings.parquet")
-print(f"embeddings: {N*COPIES} rows")
-print("done ->", OUT)
+# embeddings: numpy sign-flip per copy (duckdb lambdas lack an index arg),
+# streamed one row group per copy like replicate()
+if want("embeddings"):
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)  # (N, 64)
+    vid = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    lab = np.array(tbl.column("label").to_pylist(), dtype=np.int32)
+    N, dim = vec.shape
+    writer = None
+    for i in range(COPIES):
+        if i == 0:
+            v = vec
+        else:
+            rs = np.random.RandomState(42 + i)  # deterministic per copy
+            signs = np.where(rs.rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
+            v = vec * signs[None, :]
+        t = pa.table({
+            "vec_id": pa.array(vid + i * N, type=pa.int64()),
+            "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array(lab, type=pa.int32()),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(f"{OUT}/embeddings.parquet", t.schema)
+        writer.write_table(t)
+    writer.close()
+    print(f"embeddings: {N*COPIES} rows", flush=True)
+print("done ->", OUT, flush=True)
