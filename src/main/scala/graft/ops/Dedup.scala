@@ -627,7 +627,20 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     * is emitted as (min, max), matching the oracle's vec_a < vec_b.
     *
     * Double math is the same sequence as the oracle's (ascending-index dot,
-    * sqrt norms, divide, round 6), so results stay bitwise identical. */
+    * sqrt norms, divide, round 6), so results stay bitwise identical.
+    *
+    * Corpus budget (r15): the block product bounds MEMORY, but the O(n²)
+    * compute is inherent — the cold gate measured 443 s at sf10 (200k
+    * vectors) and grows quadratically, the exact class the r14 ANN
+    * anchors were in. Once the corpus exceeds [[CosineSampleCap]] the
+    * gate pairs only a seeded md5-ordered sample of that size: exact
+    * within the sample (sample-then-pair ≡ pair-then-filter-both-ends,
+    * so the oracle states the identical sample), O(n log cap) selection
+    * + constant pair work at any scale, `sample_n` in the schema so a
+    * result can't detach from its support. Every driver-scale corpus is
+    * under the cap, so those gates stay byte-identical (modulo the new
+    * column); full exactness at scale is the LSH path's recall contract
+    * (SimilaritySpec planted clusters), not an all-pairs scan. */
   /** Block count for [[cosinePairs]]. Cap block size by ~n/parallelism:
     * with the default 64k blockRows a corpus under 64k vectors would
     * collapse to numBlocks=1 — a single task doing all n² work. Small
@@ -662,16 +675,36 @@ FROM reach GROUP BY n ORDER BY doc_id"""
     cosineCache.getOrElseUpdate((s, d, threshold, blockRows),
       cosinePairsUncached(s, d, threshold, blockRows))
 
-  private def cosinePairsUncached(s: SparkSession, d: String, threshold: Double,
-      blockRows: Int): DataFrame = {
+  /** Above this corpus size the exact gate pairs a seeded sample (see the
+    * [[cosinePairs]] doc): 32k vectors ≈ 5·10⁸ candidate pairs — bounded
+    * pair work forever, still a statistically dense exactness anchor. */
+  val CosineSampleCap: Int = 1 << 15
+
+  private[graft] def cosinePairsUncached(s: SparkSession, d: String, threshold: Double,
+      blockRows: Int, cap: Int = CosineSampleCap): DataFrame = {
     import s.implicits._
-    val emb = Tables.fanout(s, Tables.embeddings(s, d))
+    val full = Tables.fanout(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       // count + the pair flatMap are two actions over the same narrow
       // projection; cache it once instead of rescanning the source
       .persistOnce()
-    val n = emb.count()
+    val nFull = full.count()
+    // seeded corpus budget: md5-ordered top-cap is a TakeOrderedAndProject
+    // (per-partition top-k, never a full sort); the 32k-id list broadcasts
+    // at ~256 KB. Below the cap the branch is a no-op and the plan keeps
+    // the broadcast-free block-product shape ExtensionsSpec pins.
+    val emb =
+      if (nFull <= cap) full
+      else {
+        val ids = full.toDF("vec_id", "v")
+          .select(col("vec_id"), md5(col("vec_id").cast("string")).as("__ord"))
+          .orderBy(col("__ord"), col("vec_id")).limit(cap)
+          .select("vec_id")
+        full.toDF("vec_id", "v").join(broadcast(ids), "vec_id")
+          .as[(Long, Array[Double])]
+      }
+    val n = math.min(nFull, cap.toLong)
     val numBlocks = cosineNumBlocks(n, blockRows, s.sparkContext.defaultParallelism)
     def sortedNormed(m: Array[(Long, Array[Double])]): (Array[(Long, Array[Double])], Array[Double]) = {
       val sorted = m.sortBy(_._1)
@@ -722,6 +755,7 @@ FROM reach GROUP BY n ORDER BY doc_id"""
         out.iterator
       }
       .toDF("vec_a", "vec_b", "cosine")
+      .withColumn("sample_n", lit(n))
       // persist the (small: above-threshold only) pair set before the
       // deterministic sort: orderBy's range-partitioner runs a sampling
       // job over its child, which would otherwise re-execute the whole
@@ -821,13 +855,22 @@ WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= $threshold
 ORDER BY vec_a, vec_b"""
   }
 
+  /** The oracle states the identical seeded sample (md5 of the decimal
+    * rendering — the engine-neutral shuffle the ANN budgets use): per-pair
+    * results are independent, so sample-then-pair ≡ pair-then-filter-both-
+    * endpoints, and at oracle scale (≤ cap) the sample is the whole corpus. */
   def cosinePairsOracle(threshold: Double = 0.4): String = s"""
+WITH smp AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $CosineSampleCap),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM smp))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= $threshold
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+       CAST((SELECT count(*) FROM smp) AS BIGINT) AS sample_n
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $threshold
 ORDER BY vec_a, vec_b"""
 
   // ---- end-to-end semantic dedup funnel ----

@@ -89,6 +89,30 @@ class SimilaritySpec extends AnyFunSuite {
       fullP.filter(r => sampP.map(_._1).contains(r._1)) == sampP)
   }
 
+  test("cosine-pair anchor: seeded corpus sample emits exactly the full run's in-sample pairs") {
+    // r15: cosinePairs budgets the CORPUS once it exceeds CosineSampleCap
+    // (the pair gate is O(n²) by construction — 443 s cold at sf10). Pair
+    // results are independent, so sample-then-pair ≡ pair-then-filter-
+    // both-endpoints: a tiny injected cap must reproduce the full run
+    // restricted to sampled endpoints, with sample_n stating the support.
+    val cap = 64
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("vec_a", "vec_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(graft.ops.Dedup.cosinePairsUncached(spark, plantedDir, 0.9, 1 << 16))
+    val ids = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("__ord"))
+      .orderBy(col("__ord"), col("vec_id")).limit(cap)
+      .collect().map(_.getLong(0)).toSet
+    val sampled = graft.ops.Dedup.cosinePairsUncached(spark, plantedDir, 0.9, 1 << 16, cap = cap)
+    val expected = full.filter(p => ids(p._1) && ids(p._2))
+    assert(expected.nonEmpty, "planted sample must retain some intra-cluster pairs")
+    assert(pairs(sampled) == expected,
+      "sampled pair set must equal the full run filtered to sampled endpoints")
+    assert(sampled.select("sample_n").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(cap.toLong), "sample_n must state the sampled corpus size")
+  }
+
   test("int8-quantized ANN reaches recall@5 >= 0.9 against the exact float ranking") {
     // quantization noise is the only approximation — no bucketing — so the
     // top-k should survive nearly unchanged on BOTH planted and real data
