@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Session-lifetime memo caches (shingle table, ANN index, gold zone,
+      // …) are MEMORY_AND_DISK and scale with the corpus; the default
+      // storageFraction=0.5 makes half the unified region UNEVICTABLE
+      // cache, and at sf30 in a 16 GB JVM the accumulated caches pinned it
+      // while an object-path shuffle needed transient headroom → task OOM
+      // (r15 decade probe). 0.2 keeps caches memory-first but lets
+      // execution push them to disk under pressure — the behavior a
+      // production executor wants when cached artifacts outgrow the node.
+      .config("spark.memory.storageFraction", "0.2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup = the ETL phase: materialize the gold star schema once, the

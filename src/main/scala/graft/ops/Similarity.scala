@@ -409,12 +409,22 @@ WHERE rnk <= $K ORDER BY query_id, rnk"""
     * corpus fraction scanned ≈ nprobe/NumCentroids; swept on planted data
     * in SimilaritySpec (numbers in NOTES.md). The default backs the
     * oracle. */
-  def annIvfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  def annIvfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame =
+    annIvfTopKFor(s, d, nprobe, querySample = None)
+
+  /** [[annIvfTopK]] restricted to an optional broadcast query sample —
+    * per-query probe sets and rankings are independent, so the sampled
+    * rows are identical to the full run's (the [[annTopKFor]] argument). */
+  private def annIvfTopKFor(s: SparkSession, d: String, nprobe: Int,
+      querySample: Option[DataFrame]): DataFrame = {
     val emb = withNorm(s, d)
     val cents = lloydCentroidsCached(s, d, emb)
     val assigned = emb.withColumn("cell",
       array_max(cellScores(s, col("v"), cents)).getField("cid"))
-    val q = assigned.filter(col("vec_id") % 100 === 0)
+    val q0 = assigned.filter(col("vec_id") % 100 === 0)
+    val qf = querySample.fold(q0)(qs => q0.join(
+      broadcast(qs.withColumnRenamed("query_id", "vec_id")), Seq("vec_id"), "left_semi"))
+    val q = qf
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         // probe the nprobe best cells: sort scores desc, take cids
         explode(slice(reverse(array_sort(cellScores(s, col("v"), cents))), 1, nprobe)
@@ -487,6 +497,30 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rnk FROM ranked
 WHERE rnk <= $K ORDER BY query_id, rnk"""
   }
+
+  /** The GATE variant of [[annIvfTopK]] — seeded query budget, same shape
+    * as [[annTopKSampled]]. The IVF scan is sublinear PER QUERY
+    * (nprobe/NumCentroids of the corpus), but with FIXED centroids the
+    * cells grow with n, so the full 1%-of-corpus query set made the gate
+    * O(n²·nprobe/C/100): 12.8 s at sf10 → 134.9 s at sf30 (10.6× for 3×
+    * data, the r15 decade probe's largest step). The budget makes it
+    * O(corpus × budget · nprobe/C); [[annIvfTopK]] stays full for the
+    * planted recall contracts and the nprobe sweep. */
+  def annIvfTopKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = recallQuerySample(withNorm(s, d))
+    annIvfTopKFor(s, d, NProbe, Some(qs))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("sample_q"))))
+      .select("query_id", "vec_id", "cosine", "rnk", "sample_q")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val annIvfSampledOracle: String = s"""
+WITH qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueryBudget)
+SELECT query_id, vec_id, cosine, rnk, (SELECT count(*) FROM qs) AS sample_q
+FROM ($annIvfOracle) t WHERE query_id IN (SELECT query_id FROM qs)
+ORDER BY query_id, rnk"""
 
   /** Directed k-NN GRAPH over the whole corpus — every vector's top-k
     * nearest neighbors among its LSH candidates (same pinned hyperplane
@@ -898,7 +932,13 @@ ORDER BY query_id, rnk"""
     * Everything stays exact-integer / fixed-point deterministic, so the
     * composed approximate index — Lloyd cells, probe sets, codes, ADC
     * ranks — hash-gates against the SQL restatement end to end. */
-  def annIvfPqTopK(s: SparkSession, d: String, nprobe: Int = NProbe): DataFrame = {
+  def annIvfPqTopK(s: SparkSession, d: String, nprobe: Int = NProbe): DataFrame =
+    annIvfPqTopKFor(s, d, nprobe, querySample = None)
+
+  /** [[annIvfPqTopK]] restricted to an optional broadcast query sample —
+    * the same per-query-independence argument as [[annTopKFor]]. */
+  private def annIvfPqTopKFor(s: SparkSession, d: String, nprobe: Int,
+      querySample: Option[DataFrame]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(s, d)
     val cents = lloydCentroidsCached(s, d, emb)
@@ -917,7 +957,9 @@ ORDER BY query_id, rnk"""
           call_function("pq_encode", col("q"), cbLit,
             lit(PqM), lit(PqC), lit(PqSub)).as("codes"))
         .persistOnce())
-    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val q0 = emb.filter(col("vec_id") % 100 === 0)
+    val qs = querySample.fold(q0)(smp => q0.join(
+        broadcast(smp.withColumnRenamed("query_id", "vec_id")), Seq("vec_id"), "left_semi"))
       .withColumn("q", quant)
       .select(col("vec_id").as("query_id"),
         call_function("pq_table", col("q"), cbLit,
@@ -939,6 +981,26 @@ ORDER BY query_id, rnk"""
         col("col.dist").as("adist"), (col("pos") + 1).cast("int").as("rnk"))
       .orderBy("query_id", "rnk")
   }
+
+  /** The GATE variant of [[annIvfPqTopK]] — seeded query budget (the r15
+    * decade probe measured the full gate at 8.0× for a 3× data step,
+    * the same fixed-centroid O(n²·nprobe/C/100) class as
+    * [[annIvfTopKSampled]]'s). */
+  def annIvfPqTopKSampled(s: SparkSession, d: String): DataFrame = {
+    val qs = recallQuerySample(withNorm(s, d))
+    annIvfPqTopKFor(s, d, NProbe, Some(qs))
+      .crossJoin(broadcast(qs.agg(count(lit(1)).as("sample_q"))))
+      .select("query_id", "vec_id", "adist", "rnk", "sample_q")
+      .orderBy("query_id", "rnk")
+  }
+
+  lazy val annIvfPqSampledOracle: String = s"""
+WITH qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $RecallQueryBudget)
+SELECT query_id, vec_id, adist, rnk, (SELECT count(*) FROM qs) AS sample_q
+FROM ($annIvfPqOracle) t WHERE query_id IN (SELECT query_id FROM qs)
+ORDER BY query_id, rnk"""
 
   /** The composed index restated in SQL: the IVF CTE chain (seeds →
     * unrolled Lloyd rounds → assignment → probe sets, verbatim from
@@ -1193,9 +1255,9 @@ ORDER BY k.query_id"""
     "ann_topk_bruteforce" -> (annTopKSampled _),
     "ann_topk_int8"       -> (annInt8TopKSampled _),
     "ann_topk_lsh"        -> (annLshTopK _),
-    "ann_topk_ivf"        -> (annIvfTopK _),
+    "ann_topk_ivf"        -> (annIvfTopKSampled _),
     "ann_topk_pq"         -> (annPqTopKSampled _),
-    "ann_topk_ivfpq"      -> ((s: SparkSession, d: String) => annIvfPqTopK(s, d)),
+    "ann_topk_ivfpq"      -> (annIvfPqTopKSampled _),
     "knn_graph"           -> ((s: SparkSession, d: String) => knnGraph(s, d))
   )
 
@@ -1206,9 +1268,9 @@ ORDER BY k.query_id"""
     "ann_topk_bruteforce" -> annTopKSampledOracle,
     "ann_topk_int8"       -> annInt8SampledOracle,
     "ann_topk_lsh"        -> annLshOracle,
-    "ann_topk_ivf"        -> annIvfOracle,
+    "ann_topk_ivf"        -> annIvfSampledOracle,
     "ann_topk_pq"         -> annPqSampledOracle,
-    "ann_topk_ivfpq"      -> annIvfPqOracle,
+    "ann_topk_ivfpq"      -> annIvfPqSampledOracle,
     "knn_graph"           -> knnGraphOracle()
   )
 }

@@ -87,6 +87,16 @@ class SimilaritySpec extends AnyFunSuite {
     val sampP = prows(Similarity.annPqTopKSampled(spark, plantedDir).drop("sample_q"))
     assert(sampP.subsetOf(fullP) &&
       fullP.filter(r => sampP.map(_._1).contains(r._1)) == sampP)
+    // IVF and IVF-PQ joined the budget in r15 (fixed centroids make the
+    // full gate O(n²·nprobe/C/100) — 10.6×/8.0× for a 3× data step)
+    val fullV = rows(Similarity.annIvfTopK(spark, plantedDir))
+    val sampV = rows(Similarity.annIvfTopKSampled(spark, plantedDir).drop("sample_q"))
+    assert(sampV.subsetOf(fullV) &&
+      fullV.filter(r => sampV.map(_._1).contains(r._1)) == sampV)
+    val fullQ = prows(Similarity.annIvfPqTopK(spark, plantedDir))
+    val sampQ = prows(Similarity.annIvfPqTopKSampled(spark, plantedDir).drop("sample_q"))
+    assert(sampQ.subsetOf(fullQ) &&
+      fullQ.filter(r => sampQ.map(_._1).contains(r._1)) == sampQ)
   }
 
   test("cosine-pair anchor: seeded corpus sample emits exactly the full run's in-sample pairs") {
