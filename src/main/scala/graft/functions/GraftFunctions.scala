@@ -105,6 +105,8 @@ object GraftFunctions {
       exprs => PqAdc(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)))),
     ("topk_min", classOf[TopKMinAgg],
       exprs => TopKMinAgg(exprs.head, exprs(1), asInt(exprs(2)))),
+    ("topk_min_distinct", classOf[TopKMinAgg],
+      exprs => TopKMinAgg(exprs.head, exprs(1), asInt(exprs(2)), distinct = true)),
     ("word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs.head, exprs(1))),
     ("rolling_hash_windows", classOf[RollingHashWindows],

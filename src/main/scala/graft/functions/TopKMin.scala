@@ -32,13 +32,14 @@ case class TopKMinAgg(
     dist: Expression,
     id: Expression,
     k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Long)]] {
 
   require(k >= 1, "topk_min requires k >= 1")
 
-  override def prettyName: String = "topk_min"
+  override def prettyName: String = if (distinct) "topk_min_distinct" else "topk_min"
   override def children: Seq[Expression] = dist :: id :: Nil
   override def nullable: Boolean = false
 
@@ -62,6 +63,20 @@ case class TopKMinAgg(
     d1 > d2 || (d1 == d2 && i1 > i2)
 
   private def add(buf: mutable.ArrayBuffer[(Long, Long)], d: Long, i: Long): Unit = {
+    if (distinct) {
+      // `topk_min_distinct`: one slot per id — a candidate that reaches
+      // the same group through several index probes (multi-probe LSH,
+      // multiple hash tables) must not occupy k slots. K and the buffer
+      // are tiny, so a linear id scan beats any auxiliary set.
+      var j = 0
+      while (j < buf.size) {
+        if (buf(j)._2 == i) {
+          if (buf(j)._1 > d) buf(j) = ((d, i))
+          return
+        }
+        j += 1
+      }
+    }
     if (buf.size < k) buf += ((d, i))
     else {
       // locate the current worst entry (K is small — linear scan beats

@@ -561,7 +561,7 @@ ORDER BY query_id, rnk"""
     })
 
   private def knnGraphUncached(s: SparkSession, d: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     // adaptive resolution, same reasoning as annLshTopK: the k-NN build is
     // ALL-pairs-shaped (every vector probes), so fixed bits would make the
     // edge-set build quadratic in n — the artifact build must stay linear
@@ -581,21 +581,44 @@ ORDER BY query_id, rnk"""
     val side = emb.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(bucketArr).as(Seq("tbl", "bucket")))
     val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
-    val probed = side.select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
-      explode(probes).as("flip"), col("bucket"))
+    // The probe side is replicated (effBits+1)× per table, so ITS vector
+    // payload dominates the build's shuffle — and the source embeddings
+    // ARE float32, so double→float→double round-trips exactly: ship the
+    // float array (260 B/row instead of 520 B) and cast back at score
+    // time for a bit-identical cosine. The r15 sf100 probe measured the
+    // double-payload probe shuffle alone at ~37 GB (ENOSPC on a 62 GB
+    // volume once the candidate dedup + window shuffles stacked on top).
+    val probed = side.select(col("vec_id"), col("v").cast("array<float>").as("vf"),
+      col("nrm"), col("tbl"), explode(probes).as("flip"), col("bucket"))
       .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
-    val w = Window.partitionBy("vec_a").orderBy(desc("cosine"), asc("vec_b"))
-    probed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+    // Candidates collapse INSIDE a map-combining bounded top-k aggregate
+    // (`topk_min_distinct` — one slot per neighbor id, so a pair that
+    // collides in several tables/probes can't fill two slots) instead of
+    // dropDuplicates + a ranking window: those two re-shuffled the FULL
+    // O(n·probes·occupancy) scored candidate set twice, which at sf100 is
+    // ~2×10⁹ rows per pass. With the partial aggregate only ≤ k rows per
+    // vec_a per map task reach the shuffle. Keys: the 6-dp-rounded cosine
+    // ×1e6 is an exact integer, so (−cosine·1e6, vec_b) ascending ≡
+    // (cosine DESC, vec_b ASC) — the window's exact order, tie-breakidem.
+    probed.select(col("vec_id").as("vec_a"), col("vf").as("vfa"),
         col("nrm").as("na"), col("tbl"), col("probe_bucket").as("bucket"))
       .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("nrm").as("nb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(s, col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
-      .dropDuplicates("vec_a", "vec_b") // collisions carry identical cosines
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("vec_a"), col("vec_b"), col("cosine"), col("rnk").cast("int").as("rnk"))
+        round(dot(s, col("vfa").cast("array<double>"), col("vb")) /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        (-round(col("cosine") * lit(1e6))).cast("long").as("negc"))
+      .groupBy("vec_a")
+      .agg(call_function("topk_min_distinct",
+        col("negc"), col("vec_b"), lit(k)).as("top"))
+      .select(col("vec_a"), posexplode(col("top")))
+      .select(col("vec_a"), col("col.id").as("vec_b"),
+        // recover the 6-dp cosine: dist/1e6 is the correctly-rounded
+        // double of the same decimal round() produced
+        (-col("col.dist") / lit(1e6)).as("cosine"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy("vec_a", "rnk")
   }
 
