@@ -566,7 +566,8 @@ ORDER BY query_id, rnk"""
     // ALL-pairs-shaped (every vector probes), so fixed bits would make the
     // edge-set build quadratic in n — the artifact build must stay linear
     // for the once-per-corpus-version story to hold at 100 TB
-    val effBits = effBitsFor(Tables.embeddings(s, d).count())
+    val nVecs = Tables.embeddings(s, d).count()
+    val effBits = effBitsFor(nVecs)
     val planes = adaptivePlanes.map(_.take(effBits))
     val emb0 = withNorm(s, d)
     val emb = (0 until NumTables).foldLeft(emb0) { (df, t) =>
@@ -580,42 +581,80 @@ ORDER BY query_id, rnk"""
     // post-join rows here are 24 bytes
     val side = emb.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    val probes = array((lit(0) +: (0 until effBits).map(b => lit(1 << b))): _*)
-    // The probe side is replicated (effBits+1)× per table, so ITS vector
-    // payload dominates the build's shuffle — and the source embeddings
-    // ARE float32, so double→float→double round-trips exactly: ship the
-    // float array (260 B/row instead of 520 B) and cast back at score
-    // time for a bit-identical cosine. The r15 sf100 probe measured the
-    // double-payload probe shuffle alone at ~37 GB (ENOSPC on a 62 GB
-    // volume once the candidate dedup + window shuffles stacked on top).
-    val probed = side.select(col("vec_id"), col("v").cast("array<float>").as("vf"),
-      col("nrm"), col("tbl"), explode(probes).as("flip"), col("bucket"))
-      .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
-    // Candidates collapse INSIDE a map-combining bounded top-k aggregate
-    // (`topk_min_distinct` — one slot per neighbor id, so a pair that
-    // collides in several tables/probes can't fill two slots) instead of
-    // dropDuplicates + a ranking window: those two re-shuffled the FULL
-    // O(n·probes·occupancy) scored candidate set twice, which at sf100 is
-    // ~2×10⁹ rows per pass. With the partial aggregate only ≤ k rows per
-    // vec_a per map task reach the shuffle. Keys: the 6-dp-rounded cosine
-    // ×1e6 is an exact integer, so (−cosine·1e6, vec_b) ascending ≡
-    // (cosine DESC, vec_b ASC) — the window's exact order, tie-breakidem.
-    probed.select(col("vec_id").as("vec_a"), col("vf").as("vfa"),
-        col("nrm").as("na"), col("tbl"), col("probe_bucket").as("bucket"))
-      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(dot(s, col("vfa").cast("array<double>"), col("vb")) /
-          (col("na") * col("nb")), 6).as("cosine"))
-      .select(col("vec_a"), col("vec_b"),
-        (-round(col("cosine") * lit(1e6))).cast("long").as("negc"))
+    val allFlips: Seq[Int] = 0 +: (0 until effBits).map(b => 1 << b)
+    // One sub-build over a (tables, flips) slice of the probe space:
+    // score in the join, collapse candidates INSIDE a map-combining
+    // bounded top-k (`topk_min_distinct` — one slot per neighbor id, so a
+    // pair colliding in several tables/probes can't fill two slots), emit
+    // ≤ k rows per vector. Keys: the 6-dp-rounded cosine ×1e6 is an exact
+    // integer, so (−cosine·1e6, vec_b) ascending ≡ (cosine DESC, vec_b
+    // ASC) — exactly the ranking window this replaces (which, with
+    // dropDuplicates, re-shuffled the FULL O(n·probes·occupancy) scored
+    // candidate set twice — ~2×10⁹ rows per pass at sf100).
+    //
+    // The probe side is replicated (flips)× per table, so ITS vector
+    // payload dominates the sub-build's shuffle — and the source
+    // embeddings ARE float32, so double→float→double round-trips exactly:
+    // ship the float array (260 B/row instead of 520 B) and cast back at
+    // score time for a bit-identical cosine. (The r15 sf100 probe
+    // measured the double-payload probe shuffle alone at ~37 GB.)
+    def partialTopK(tables: Seq[Int], flips: Seq[Int]): DataFrame = {
+      val sideT = side.filter(col("tbl").isin(tables: _*))
+      val probed = sideT.select(col("vec_id"),
+        col("v").cast("array<float>").as("vf"), col("nrm"), col("tbl"),
+        explode(array(flips.map(lit(_)): _*)).as("flip"), col("bucket"))
+        .withColumn("probe_bucket", col("bucket").bitwiseXOR(col("flip")))
+      probed.select(col("vec_id").as("vec_a"), col("vf").as("vfa"),
+          col("nrm").as("na"), col("tbl"), col("probe_bucket").as("bucket"))
+        .join(sideT.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+        .filter(col("vec_a") =!= col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot(s, col("vfa").cast("array<double>"), col("vb")) /
+            (col("na") * col("nb")), 6).as("cosine"))
+        .select(col("vec_a"), col("vec_b"),
+          (-round(col("cosine") * lit(1e6))).cast("long").as("negc"))
+        .groupBy("vec_a")
+        .agg(call_function("topk_min_distinct",
+          col("negc"), col("vec_b"), lit(k)).as("top"))
+        .select(col("vec_a"), posexplode(col("top")))
+        .select(col("vec_a"), col("col.id").as("vec_b"), col("col.dist").as("negc"))
+    }
+    // STAGED build beyond ~1M vectors: with 2M+ distinct vec_a groups per
+    // task the partial aggregate exceeds ObjectHashAggregate's hash
+    // budget and falls back to sorting its whole input — one job then
+    // holds the full candidate sort spill PLUS the probe shuffle on disk
+    // simultaneously (the r15 sf100 ENOSPC, ~60 GB transient). One
+    // sub-job per (table, probe half) caps the live spill at a quarter;
+    // each sub-job lands only n·k partial rows, and bounded top-k is a
+    // semilattice (global top-k = top-k of the union of slice top-k's;
+    // the distinct slot-per-id rule absorbs cross-slice duplicates), so
+    // the cheap merge is exact.
+    val slices: Seq[(Seq[Int], Seq[Int])] =
+      if (nVecs <= 1000000L) Seq((0 until NumTables, allFlips))
+      else {
+        val halves = allFlips.grouped((allFlips.size + 1) / 2).toSeq
+        for (t <- 0 until NumTables; fg <- halves) yield (Seq(t), fg)
+      }
+    val partials =
+      if (slices.size == 1) partialTopK(slices.head._1, slices.head._2)
+      else {
+        val scratch = graft.util.TempDirs.scratch("graft_knn_partial")
+        slices.zipWithIndex.foreach { case ((ts, fs), i) =>
+          partialTopK(ts, fs).write.mode("overwrite").parquet(s"$scratch/p$i")
+        }
+        s.read.parquet(s"$scratch/p*")
+      }
+    // final merge over ≤ slices·k rows per vector — ranks come from the
+    // merged top-k's posexplode (for a single slice this re-ranks the
+    // slice's own rows: an identity merge)
+    partials
       .groupBy("vec_a")
       .agg(call_function("topk_min_distinct",
         col("negc"), col("vec_b"), lit(k)).as("top"))
       .select(col("vec_a"), posexplode(col("top")))
       .select(col("vec_a"), col("col.id").as("vec_b"),
-        // recover the 6-dp cosine: dist/1e6 is the correctly-rounded
+        // recover the 6-dp cosine: negc/1e6 is the correctly-rounded
         // double of the same decimal round() produced
         (-col("col.dist") / lit(1e6)).as("cosine"),
         (col("pos") + 1).cast("int").as("rnk"))
