@@ -44,7 +44,7 @@ object EventsStream {
     * batches for append-mode windowed sinks; the clone is memoized so
     * both sides of a stream-stream join share one session. */
   private val streamSessions =
-    scala.collection.concurrent.TrieMap[(SparkSession, Int), SparkSession]()
+    scala.collection.concurrent.TrieMap[(SparkSession, Int, Boolean), SparkSession]()
 
   /** State-store partitions sized to the DATASET, with the events file
     * size as the scale proxy: 4 at toy SF (the per-micro-batch
@@ -56,16 +56,32 @@ object EventsStream {
     * pins state partitions at first checkpoint); different datasets in
     * one JVM get separate clones via the (session, count) memo key,
     * and both sides of a stream-stream join still share one clone. */
-  private def statePartitionsFor(d: String): Int = {
+  private def eventsBytes(d: String): Long = {
     val p = java.nio.file.Paths.get(s"$d/events.parquet")
-    val bytes =
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
-    val chunk = 8L << 20
-    math.max(4, math.min(32, ((bytes + chunk - 1) / chunk).toInt))
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
   }
 
+  private def statePartitionsFor(d: String): Int = {
+    val chunk = 8L << 20
+    math.max(4, math.min(32, ((eventsBytes(d) + chunk - 1) / chunk).toInt))
+  }
+
+  /** Dataset-sized state store BACKEND, the same move as the dataset-
+    * sized partition count: the default HDFS-backed provider keeps every
+    * partition's full state map (×2 retained versions) ON-HEAP, which is
+    * the right low-overhead choice at driver scale but becomes the heap
+    * itself at corpus scale — the r15 sf100 probe OOM'd inside the
+    * session-window state merge with ~15 M Complete-mode session rows
+    * (~9 GB with retained versions) in one 16 GB JVM. Past 512 MB of
+    * events the shared clone flips to RocksDB, whose state lives
+    * off-heap/on-disk — what a production job at that state size runs.
+    * Deterministic per dataset, and each checkpoint additionally pins
+    * its provider in OffsetSeqMetadata, so a reused checkpoint can never
+    * silently re-provider. */
+  private def largeStateFor(d: String): Boolean = eventsBytes(d) > (512L << 20)
+
   private def streamSession(s: SparkSession, d: String): SparkSession =
-    streamSessionN(s, statePartitionsFor(d))
+    streamSessionN(s, statePartitionsFor(d), largeStateFor(d))
 
   /** Loud PRE-START guard for a REUSED checkpoint against the
     * dataset-sized state partitioning (r14 verdict #7). The partition
@@ -112,13 +128,16 @@ object EventsStream {
 
   /** Dataset-independent variant (the JVM prewarm): the toy floor. */
   private def streamSession(s: SparkSession): SparkSession =
-    streamSessionN(s, 4)
+    streamSessionN(s, 4, rocks = false)
 
-  private def streamSessionN(s: SparkSession, n: Int): SparkSession =
-    streamSessions.getOrElseUpdate((s, n), {
+  private def streamSessionN(s: SparkSession, n: Int, rocks: Boolean): SparkSession =
+    streamSessions.getOrElseUpdate((s, n, rocks), {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", n)
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      if (rocks)
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       ss
     })
 
