@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,20 +20,42 @@ object Bench {
         s"[bench] SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")} matches no query — aborting")
       sys.exit(2)
     }
+    // Session-lifetime memo caches (shingle table, ANN index, gold zone,
+    // …) are MEMORY_AND_DISK and scale with the corpus; the default
+    // storageFraction=0.5 makes half the unified region UNEVICTABLE
+    // cache, and at sf30 in a 16 GB JVM the accumulated caches pinned it
+    // while an object-path shuffle needed transient headroom → task OOM
+    // (r15 decade probe). 0.2 keeps caches memory-first but lets
+    // execution push them to disk under pressure — the behavior a
+    // production executor wants when cached artifacts outgrow the node.
+    // But applied unconditionally (r15) it cost the SMALL scale factors a
+    // suite-wide ~10% (r15 verdict "wrong" #1: sf0.1 median 148 → 167 s —
+    // the memoized artifacts became evictable at an SF where they fit in
+    // a fraction of the heap and nothing needed the headroom). So the
+    // fraction is DATASET-SIZED like the stream partition count and the
+    // state backend (EventsStream.statePartitionsFor / largeStateFor):
+    // the Spark default 0.5 below 1 GB of corpus parquet, 0.2 at or
+    // above — deterministic per dataset, so bench numbers at a given SF
+    // are reproducible and the decade probes keep their OOM protection.
+    val corpusBytes = {
+      val d = java.nio.file.Paths.get(sfDir)
+      if (java.nio.file.Files.isDirectory(d)) {
+        val st = java.nio.file.Files.list(d)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+        finally st.close()
+      } else 0L
+    }
+    val storageFraction = if (corpusBytes >= (1L << 30)) "0.2" else "0.5"
+    System.err.println(
+      s"[bench] corpus=$corpusBytes bytes -> spark.memory.storageFraction=$storageFraction")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // Session-lifetime memo caches (shingle table, ANN index, gold zone,
-      // …) are MEMORY_AND_DISK and scale with the corpus; the default
-      // storageFraction=0.5 makes half the unified region UNEVICTABLE
-      // cache, and at sf30 in a 16 GB JVM the accumulated caches pinned it
-      // while an object-path shuffle needed transient headroom → task OOM
-      // (r15 decade probe). 0.2 keeps caches memory-first but lets
-      // execution push them to disk under pressure — the behavior a
-      // production executor wants when cached artifacts outgrow the node.
-      .config("spark.memory.storageFraction", "0.2")
+      .config("spark.memory.storageFraction", storageFraction)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup = the ETL phase: materialize the gold star schema once, the

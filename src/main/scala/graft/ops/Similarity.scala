@@ -566,6 +566,24 @@ ORDER BY query_id, rnk"""
     // ALL-pairs-shaped (every vector probes), so fixed bits would make the
     // edge-set build quadratic in n — the artifact build must stay linear
     // for the once-per-corpus-version story to hold at 100 TB
+    // The staged build below ships the replicated probe side as float32
+    // (halving its ~37 GB sf100 shuffle) and casts back at score time —
+    // EXACT only because the source embeddings are float32, so
+    // double→float→double round-trips bit-identically. A future dataset
+    // with genuine float64 embeddings would silently perturb cosines and
+    // surface only as an opaque gate-hash mismatch (r15 ADVICE): fail
+    // loudly at plan time instead.
+    Tables.embeddings(s, d).schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalStateException(
+        s"knnGraph requires float32 source embeddings (found $other in " +
+          s"$d/embeddings.parquet): the build ships the probe side as " +
+          "array<float> for shuffle width, which is exact only when the " +
+          "source is float32. For wider embeddings, drop the narrowing " +
+          "cast in partialTopK (at double the probe shuffle) or quantize " +
+          "the corpus to float32 upstream.")
+    }
     val nVecs = Tables.embeddings(s, d).count()
     val effBits = effBitsFor(nVecs)
     val planes = adaptivePlanes.map(_.take(effBits))

@@ -93,12 +93,20 @@ object EventsStream {
     * on old versions, silently misroutes keys). Call this before
     * `.start()` on any query that reuses a checkpoint with a
     * dataset-sized session; a fresh checkpoint passes vacuously. */
-  def assertCheckpointPartitions(ckpt: String, d: String): Unit =
+  def assertCheckpointPartitions(ckpt: String, d: String): Unit = {
     assertCheckpointPartitionsN(ckpt, statePartitionsFor(d))
+    assertCheckpointProviderN(ckpt, largeStateFor(d))
+  }
 
-  private[graft] def assertCheckpointPartitionsN(ckpt: String, computed: Int): Unit = {
+  /** Latest offsets-log entry of a checkpoint: (batchId, file text).
+    * None for a fresh checkpoint (nothing pinned yet). The offset log's
+    * metadata line records the run's effective conf — including
+    * spark.sql.shuffle.partitions and the state-store providerClass —
+    * THE values stateful operators pinned their state layout/format to
+    * at the first checkpoint. */
+  private def latestOffsetEntry(ckpt: String): Option[(Long, String)] = {
     val dir = java.nio.file.Paths.get(ckpt, "offsets")
-    if (!java.nio.file.Files.isDirectory(dir)) return // fresh: nothing pinned
+    if (!java.nio.file.Files.isDirectory(dir)) return None
     val st = java.nio.file.Files.list(dir)
     val latest =
       try st.iterator().asScala.flatMap { p =>
@@ -106,12 +114,13 @@ object EventsStream {
         if (n.nonEmpty && n.forall(_.isDigit)) Some((n.toLong, p)) else None
       }.toSeq.sortBy(_._1).lastOption
       finally st.close()
-    latest.foreach { case (batch, p) =>
-      // the offset log's metadata line records the run's conf, including
-      // spark.sql.shuffle.partitions — THE value stateful operators
-      // pinned their state layout to at the first checkpoint
+    latest.map { case (b, p) => (b, java.nio.file.Files.readString(p)) }
+  }
+
+  private[graft] def assertCheckpointPartitionsN(ckpt: String, computed: Int): Unit =
+    latestOffsetEntry(ckpt).foreach { case (batch, text) =>
       val re = """"spark\.sql\.shuffle\.partitions"\s*:\s*"?(\d+)"?""".r
-      re.findFirstMatchIn(java.nio.file.Files.readString(p))
+      re.findFirstMatchIn(text)
         .map(_.group(1).toInt).foreach { recorded =>
           if (recorded != computed) throw new IllegalStateException(
             s"checkpoint $ckpt (offsets batch $batch) pinned $recorded " +
@@ -124,7 +133,37 @@ object EventsStream {
               "state offline via the statestore reader.")
         }
     }
-  }
+
+  /** Sibling guard for the dataset-sized state store BACKEND (r15 ADVICE):
+    * `largeStateFor` flips the provider to RocksDB past 512 MB of events,
+    * but Spark pins the providerClass in OffsetSeqMetadata at the first
+    * checkpoint and keeps it on restart — so a dataset grown in place
+    * across the 512 MB boundary under a reused checkpoint keeps the
+    * ON-HEAP provider while the partition count (clamped at 32) may no
+    * longer change, leaving the partition guard silent and the OOM
+    * protection silently absent at exactly the scale where it matters.
+    * This guard makes that drift loud BEFORE start, with both classes
+    * and the remediations in the message. */
+  private[graft] def assertCheckpointProviderN(ckpt: String, rocks: Boolean): Unit =
+    latestOffsetEntry(ckpt).foreach { case (batch, text) =>
+      val computed =
+        if (rocks) "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      val re = """"spark\.sql\.streaming\.stateStore\.providerClass"\s*:\s*"([^"]+)"""".r
+      re.findFirstMatchIn(text).map(_.group(1)).foreach { recorded =>
+        if (recorded != computed) throw new IllegalStateException(
+          s"checkpoint $ckpt (offsets batch $batch) pinned state-store provider " +
+            s"$recorded but the dataset now sizes to $computed " +
+            "— the events file grew or shrank across the 512 MB RocksDB " +
+            "threshold under a reused checkpoint. Spark keeps the checkpoint's " +
+            "pinned provider on restart, so the dataset-sized on-heap/RocksDB " +
+            "choice would silently NOT apply (an on-heap store at corpus scale " +
+            "is the r15 sf100 OOM). Either keep the original dataset size, " +
+            "start a fresh checkpoint (state rebuilds by replay, with the " +
+            "right provider), or migrate the state offline via the statestore " +
+            "reader.")
+      }
+    }
 
   /** Dataset-independent variant (the JVM prewarm): the toy floor. */
   private def streamSession(s: SparkSession): SparkSession =

@@ -35,6 +35,23 @@ class SimilaritySpec extends AnyFunSuite {
   private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("knnGraph refuses non-float32 source embeddings loudly at plan time") {
+    // r15 ADVICE: the staged knn build ships the probe side as float32 —
+    // exact only because the source IS float32. Genuine float64 source
+    // embeddings would silently perturb cosines; the guard must fail
+    // loudly instead of surfacing as an opaque gate-hash mismatch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_f64emb").toString
+    import spark.implicits._
+    (0L until 8L).map(id => (id, Seq.fill(Similarity.Dim)(id.toDouble + 0.5), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Similarity.knnGraph(spark, dir).count()
+    }
+    assert(e.getMessage.contains("float32") && e.getMessage.contains("DoubleType"),
+      s"imprecise float32-guard message: ${e.getMessage}")
+  }
+
   test("LSH ANN reaches recall@5 >= 0.9 on planted clusters") {
     val brute = topkSet(Similarity.annTopK(spark, plantedDir))
     val lsh = topkSet(Similarity.annLshTopK(spark, plantedDir))

@@ -92,6 +92,22 @@ class StreamRestartSpec extends AnyFunSuite {
       e.getMessage.contains(s"sizes to ${recorded + 5}") &&
       e.getMessage.contains("fresh checkpoint"),
       s"imprecise guard message: ${e.getMessage}")
+
+    // sibling guard (r15 ADVICE): the checkpoint above pinned this
+    // session's provider — the on-heap HDFS default. A dataset grown
+    // across the 512 MB RocksDB boundary computes rocks=true while the
+    // partition count (clamped) may not change: the provider guard must
+    // refuse loudly where the partition guard stays silent.
+    streaming.EventsStream.assertCheckpointProviderN(ckpt, rocks = false)
+    streaming.EventsStream.assertCheckpointProviderN(
+      Files.createTempDirectory("graft_guard_fresh2").toString, rocks = true)
+    val ep = intercept[IllegalStateException] {
+      streaming.EventsStream.assertCheckpointProviderN(ckpt, rocks = true)
+    }
+    assert(ep.getMessage.contains("HDFSBackedStateStoreProvider") &&
+      ep.getMessage.contains("RocksDBStateStoreProvider") &&
+      ep.getMessage.contains("512 MB"),
+      s"imprecise provider-guard message: ${ep.getMessage}")
   }
 
   test("a restarted ANN serving session rebuilds the PQ index and serves identical top-k") {
@@ -104,11 +120,24 @@ class StreamRestartSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
       df.select("query_id", "vec_id", "adist", "rnk").collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
-    val first = rows(streaming.EventsStream.annServeStream(spark, sf))
+    val firstDf = streaming.EventsStream.annServeStream(spark, sf)
+    val first = rows(firstDf)
     assert(first.nonEmpty)
     // both the serve gate and the batch gate run the seeded query budget
     val batch = rows(graft.ops.Similarity.annPqTopKSampled(spark, sf))
     assert(first == batch, "streaming serve diverged from the batch PQ ranking")
+    // arrival-budget equivalence (r15 verdict #7): the ARRIVING stream is
+    // filtered to the seeded sample, so the served query set must be
+    // EXACTLY the seeded ids and sample_q must state the budget — the
+    // same sampled ≡ full-filtered pin the batch anchors carry (batch
+    // sampled ≡ full-filtered is pinned in SimilaritySpec; serve ≡ batch
+    // here; so the serve budget cannot drift from the oracle silently).
+    val seededIds = graft.ops.Similarity.seededQuerySample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(first.map(_._1).toSet == seededIds,
+      "served query set must be exactly the seeded arrival budget")
+    assert(firstDf.select("sample_q").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(seededIds.size.toLong), "sample_q must state the arrival budget")
     // restart: a brand-new session (and clear the old one's memos so a
     // cross-session cache hit cannot mask a rebuild failure)
     graft.util.SessionCaches.clear(spark)

@@ -54,22 +54,39 @@ def want(t):
 def copy_fixed(t):
     con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
 
+def streamed_write(t, copies_iter):
+    """Write an iterator of Arrow tables as OUT/<t>.parquet, one row group
+    each. Writes to a .tmp name and renames on success, closing the writer
+    in a finally (r15 ADVICE): an aborted run must never leave a truncated
+    OUT/<t>.parquet that a rerun or consumer mistakes for complete data,
+    and COPIES=0 must fail loudly rather than crash on writer=None."""
+    tmp, final = f"{OUT}/{t}.parquet.tmp", f"{OUT}/{t}.parquet"
+    writer = None
+    n = 0
+    try:
+        for batch in copies_iter:
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, batch.schema)
+            writer.write_table(batch)
+            n += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        raise SystemExit(f"{t}: zero copies produced (COPIES={COPIES}?) — nothing written")
+    os.replace(tmp, final)
+    print(f"{t}: {n} rows", flush=True)
+
 def replicate(t, sql_for_copy):
     """sql_for_copy(i) -> a SELECT producing copy i; streamed one row group
     per copy (memory stays copy-sized at COPIES=1000)."""
     if not want(t):
         return
-    writer = None
-    n = 0
-    for i in range(COPIES):
-        arr = con.execute(sql_for_copy(i)).arrow()
-        batch = pa.table(arr) if not isinstance(arr, pa.Table) else arr
-        if writer is None:
-            writer = pq.ParquetWriter(f"{OUT}/{t}.parquet", batch.schema)
-        writer.write_table(batch)
-        n += batch.num_rows
-    writer.close()
-    print(f"{t}: {n} rows", flush=True)
+    def copies():
+        for i in range(COPIES):
+            arr = con.execute(sql_for_copy(i)).arrow()
+            yield pa.table(arr) if not isinstance(arr, pa.Table) else arr
+    streamed_write(t, copies())
 
 copy_fixed("region"); copy_fixed("nation")
 print("region/nation: fixed", flush=True)
@@ -119,22 +136,18 @@ if want("embeddings"):
     vid = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
     lab = np.array(tbl.column("label").to_pylist(), dtype=np.int32)
     N, dim = vec.shape
-    writer = None
-    for i in range(COPIES):
-        if i == 0:
-            v = vec
-        else:
-            rs = np.random.RandomState(42 + i)  # deterministic per copy
-            signs = np.where(rs.rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
-            v = vec * signs[None, :]
-        t = pa.table({
-            "vec_id": pa.array(vid + i * N, type=pa.int64()),
-            "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
-            "label": pa.array(lab, type=pa.int32()),
-        })
-        if writer is None:
-            writer = pq.ParquetWriter(f"{OUT}/embeddings.parquet", t.schema)
-        writer.write_table(t)
-    writer.close()
-    print(f"embeddings: {N*COPIES} rows", flush=True)
+    def emb_copies():
+        for i in range(COPIES):
+            if i == 0:
+                v = vec
+            else:
+                rs = np.random.RandomState(42 + i)  # deterministic per copy
+                signs = np.where(rs.rand(dim) < 0.5, -1.0, 1.0).astype(np.float32)
+                v = vec * signs[None, :]
+            yield pa.table({
+                "vec_id": pa.array(vid + i * N, type=pa.int64()),
+                "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array(lab, type=pa.int32()),
+            })
+    streamed_write("embeddings", emb_copies())
 print("done ->", OUT, flush=True)
