@@ -34,9 +34,12 @@ object Bench {
     // a fraction of the heap and nothing needed the headroom). So the
     // fraction is DATASET-SIZED like the stream partition count and the
     // state backend (EventsStream.statePartitionsFor / largeStateFor):
-    // the Spark default 0.5 below 1 GB of corpus parquet, 0.2 at or
+    // the Spark default 0.5 below 512 MB of corpus parquet, 0.2 at or
     // above — deterministic per dataset, so bench numbers at a given SF
     // are reproducible and the decade probes keep their OOM protection.
+    // 512 MB, not 1 GB: the r15 OOM site (sf30) is a 0.98 GiB subset
+    // corpus — the threshold must sit BELOW the scale that already
+    // OOM'd, and sf1 (~175 MB), the largest driver-ish SF, stays at 0.5.
     val corpusBytes = {
       val d = java.nio.file.Paths.get(sfDir)
       if (java.nio.file.Files.isDirectory(d)) {
@@ -47,7 +50,7 @@ object Bench {
         finally st.close()
       } else 0L
     }
-    val storageFraction = if (corpusBytes >= (1L << 30)) "0.2" else "0.5"
+    val storageFraction = if (corpusBytes >= (512L << 20)) "0.2" else "0.5"
     System.err.println(
       s"[bench] corpus=$corpusBytes bytes -> spark.memory.storageFraction=$storageFraction")
     val spark = SparkSession.builder()

@@ -585,6 +585,95 @@ FROM s GROUP BY doc_id, w, h, ch ORDER BY doc_id"""
       .toDF().orderBy("doc_id")
   }
 
+  case class PngSub8Features(doc_id: Long, width: Int, height: Int,
+    depth_bits: Int, paletted: Boolean, interlaced: Boolean, n_pixels: Int,
+    sum_c0: Long, sum_c1: Long, sum_c2: Long, peak: Int)
+
+  /** Sub-byte (1/2/4-bit) PNG decode as a first-class gate — the LAST
+    * codec sliver after 16-bit + Adam7 (r15 verdict "what's missing" #3:
+    * web crawls carry old 1-bit fax-style scans and tiny 2/4-bit palette
+    * icons). Per row: synthesize a native-range raster, encode at the
+    * row's sub-byte depth — odd widths so rows pad mid-byte (spec §7.2),
+    * even doc_ids Adam7-interlaced so pass rows re-pad independently,
+    * alternating grayscale / palette so both sub-byte color types hash
+    * into one gate — then decode and emit per-channel sums and the peak
+    * computed ONLY from the decoded raster (palette rows from the
+    * PLTE-expanded RGB). PNG is lossless, so the oracle re-derives every
+    * feature from the generator's closed form; agreement certifies
+    * MSB-first bit unpacking, byte-padded pass rows, and byte-distance-1
+    * filtering end to end. Scale shape: per-row CPU inside one
+    * mapPartitions, zero shuffle before the tiny feature rows. */
+  def decodePngSub8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (3 + id % 9).toInt
+          val h = (2 + id % 5).toInt
+          val depth = Array(1, 2, 4)((id % 3).toInt)
+          val inter = id % 2 == 0
+          val pal = (id / 2) % 2 == 0
+          val m = 1 << depth
+          val px = Array.tabulate(w * h)(i => ((id * 7 + i * 5) % m).toInt)
+          val bytes =
+            if (pal)
+              PngCodec.encode(w, h, 1, px, depth = depth, interlace = inter,
+                palette = Some(Array.tabulate(m)(j =>
+                  ((j * 11 % 256) << 16) | ((j * 23 % 256) << 8) | (j * 37 % 256))))
+            else PngCodec.encode(w, h, 1, px, depth = depth, interlace = inter)
+          // From here on, ONLY the decoded image is consulted.
+          val img = PngCodec.decode(bytes)
+          if (pal) require(img.channels == 3 && img.depth == 8,
+            s"doc $id: palette decode must expand to 8-bit RGB")
+          else require(img.channels == 1 && img.depth == depth,
+            s"doc $id: gray decode must keep native depth $depth")
+          val sums = new Array[Long](3)
+          var peak = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sums(i % img.channels) += v
+            if (v > peak) peak = v
+            i += 1
+          }
+          PngSub8Features(id, img.width, img.height, depth, pal, inter,
+            img.width * img.height, sums(0), sums(1), sums(2), peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Generator closed form in SQL (lossless): gray rows sum the native
+    * samples into c0; palette rows sum the PLTE closed form per RGB
+    * channel. */
+  val decodePngSub8Oracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 9 AS INT) AS w,
+         CAST(2 + doc_id % 5 AS INT) AS h,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS INT) AS depth_bits,
+         (doc_id // 2) % 2 = 0 AS paletted,
+         doc_id % 2 = 0 AS interlaced
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, depth_bits, paletted, interlaced,
+         unnest(generate_series(0, w * h - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, depth_bits, paletted, interlaced,
+         (doc_id * 7 + i * 5) % (CASE depth_bits WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 16 END) AS v
+  FROM i)
+SELECT doc_id, w AS width, h AS height, depth_bits, paletted, interlaced,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(sum(CASE WHEN paletted THEN (v * 11) % 256 ELSE v END) AS BIGINT) AS sum_c0,
+       CAST(sum(CASE WHEN paletted THEN (v * 23) % 256 ELSE 0 END) AS BIGINT) AS sum_c1,
+       CAST(sum(CASE WHEN paletted THEN (v * 37) % 256 ELSE 0 END) AS BIGINT) AS sum_c2,
+       CAST(max(CASE WHEN paletted
+                THEN greatest((v * 11) % 256, (v * 23) % 256, (v * 37) % 256)
+                ELSE v END) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, depth_bits, paletted, interlaced
+ORDER BY doc_id"""
+
   /** Generator closed form in SQL (PNG is lossless, so decoded samples ≡
     * generated samples); channel sums beyond the image's channel count
     * coalesce to 0. */
@@ -934,6 +1023,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_ppm" -> (decodePpm _),
     "multimodal_decode_png" -> (decodePng _),
     "multimodal_decode_png16" -> (decodePng16 _),
+    "multimodal_decode_png_sub8" -> (decodePngSub8 _),
     "multimodal_decode_jpeg" -> (decodeJpeg _)
   )
 
@@ -951,6 +1041,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_ppm" -> decodePpmOracle,
     "multimodal_decode_png" -> decodePngOracle,
     "multimodal_decode_png16" -> decodePng16Oracle,
+    "multimodal_decode_png_sub8" -> decodePngSub8Oracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle
   )
 }

@@ -11,23 +11,24 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * [[JpegCodec]] (from-scratch baseline entropy decode), all four
   * multimodal decode paths are real codecs — zero stubs remain.
   *
-  * Scope: all five color types at 8-bit depth PLUS 16-bit samples for
-  * the non-palette types (0/2/4/6) and Adam7 interlacing at both
-  * depths (r14 verdict #5 — after progressive JPEG, these were the
-  * largest remaining codec share of a real crawl corpus) — grayscale
-  * (0), truecolor (2 = RGB), palette (3, PLTE-expanded to RGB on
-  * decode), grayscale+alpha (4) and truecolor+alpha (6 = RGBA).
-  * Decoded 16-bit samples keep full 0..65535 precision (`Png.depth`
-  * says which scale `pixels` is on — stripping to 8 bits silently
-  * would be a misread for feature extraction). Transparency metadata
-  * is SEMANTIC, not ancillary: a palette tRNS expands into a real
-  * alpha channel (RGBA out) and a type-0/2 color key expands into an
-  * alpha plane, exactly libpng's PNG_TRANSFORM_EXPAND (at depth 16
-  * the key compares against the full 16-bit sample); a
+  * Scope: EVERY legal (colorType, bitDepth) pair in the spec's §11.2.2
+  * table — grayscale (0) at 1/2/4/8/16, truecolor (2 = RGB) at 8/16,
+  * palette (3, PLTE-expanded to RGB on decode) at 1/2/4/8, grayscale+
+  * alpha (4) and truecolor+alpha (6 = RGBA) at 8/16 — with Adam7
+  * interlacing at every depth (16-bit + Adam7 were r14 verdict #5;
+  * sub-byte depths closed the last sliver in r16). Sub-byte samples
+  * pack MSB-first with byte-padded rows (spec §7.2) and filter at byte
+  * distance 1 (§9); decoded samples keep their native 0..2^depth−1
+  * range (`Png.depth` says which scale `pixels` is on — rescaling
+  * silently would be a misread for feature extraction). Transparency
+  * metadata is SEMANTIC, not ancillary: a palette tRNS expands into a
+  * real alpha channel (RGBA out) and a type-0/2 color key expands into
+  * an alpha plane, exactly libpng's PNG_TRANSFORM_EXPAND (the key
+  * compares against the full native-depth sample); a
   * suggested-quantization PLTE on truecolor images is validated and
-  * ignored (the spec allows it there). What remains out of scope
-  * (sub-byte palette depths 1/2/4) is rejected LOUDLY with a precise
-  * message, never silently misread.
+  * ignored (the spec allows it there). Illegal combinations (16-bit
+  * palettes, sub-byte multi-channel) are rejected LOUDLY with a
+  * precise message, never silently misread.
   *
   * The decoder is production-shaped: chunk CRCs are verified (JDK
   * CRC32), IDAT payloads are concatenated across chunks per spec,
@@ -46,7 +47,7 @@ object PngCodec {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Decoded image: dims + channel count from IHDR, row-major
-    * interleaved samples 0..2^depth−1 (depth 8 or 16);
+    * interleaved samples 0..2^depth−1 (depth 1/2/4/8/16);
     * `pixels.length` = width·height·channels. */
   final case class Png(width: Int, height: Int, channels: Int,
       pixels: Array[Int], depth: Int = 8)
@@ -97,8 +98,14 @@ object PngCodec {
       filterMode: Int = -1, palette: Option[Array[Int]] = None,
       paletteAlpha: Option[Array[Int]] = None, depth: Int = 8,
       interlace: Boolean = false): Array[Byte] = {
-    require(depth == 8 || depth == 16, s"depth must be 8 or 16, got $depth")
-    require(depth == 8 || palette.isEmpty, "palette images must be 8-bit")
+    require(Set(1, 2, 4, 8, 16)(depth), s"depth must be 1/2/4/8/16, got $depth")
+    require(depth >= 8 || channels == 1,
+      s"sub-byte depth $depth is only legal for grayscale or palette (1 channel)")
+    require(depth < 16 || palette.isEmpty, "16-bit palettes are illegal per spec")
+    palette.foreach { p =>
+      if (depth < 8) require(p.length <= (1 << depth),
+        s"palette has ${p.length} entries but depth $depth indexes only ${1 << depth}")
+    }
     paletteAlpha.foreach { a =>
       require(palette.isDefined, "paletteAlpha needs a palette")
       require(a.nonEmpty && a.length <= palette.get.length,
@@ -117,23 +124,42 @@ object PngCodec {
     val maxSample = (1 << depth) - 1
     require(pixels.forall(v => v >= 0 && v <= maxSample),
       s"sample out of range for depth $depth")
-    val sb = depth / 8          // bytes per sample
-    val bpp = channels * sb     // the filters' byte distance (spec §9)
+    val sb = depth / 8          // bytes per sample (0 for sub-byte depths)
+    // the filters' byte distance (spec §9): bytes per complete pixel,
+    // rounded up to at least 1 — sub-byte pixels filter at distance 1
+    val bpp = math.max(1, channels * sb)
     // filter one (sub-)image's samples into its (filterByte + row bytes)*
     // stream; `fOff` continues the per-row filter-type cycle across
-    // Adam7 passes so every pass still exercises all five filters
+    // Adam7 passes so every pass still exercises all five filters.
+    // Sub-byte depths pack samples MSB-first into bytes, each row padded
+    // to a byte boundary (spec §7.2) — padding matters per PASS row under
+    // Adam7, which is why packing happens here, per sub-image.
     def filterPass(subPx: Array[Int], wp: Int, hp: Int, fOff: Int): Array[Byte] = {
-      val stride = wp * bpp
+      val stride = if (depth >= 8) wp * channels * sb else (wp * depth + 7) / 8
       val b = new Array[Byte](hp * stride)
-      var i = 0
-      while (i < wp * hp * channels) {
-        val v = subPx(i)
-        if (sb == 1) b(i) = (v & 0xff).toByte
-        else {
-          b(2 * i) = ((v >> 8) & 0xff).toByte
-          b(2 * i + 1) = (v & 0xff).toByte
+      if (depth >= 8) {
+        var i = 0
+        while (i < wp * hp * channels) {
+          val v = subPx(i)
+          if (sb == 1) b(i) = (v & 0xff).toByte
+          else {
+            b(2 * i) = ((v >> 8) & 0xff).toByte
+            b(2 * i + 1) = (v & 0xff).toByte
+          }
+          i += 1
         }
-        i += 1
+      } else {
+        var r = 0
+        while (r < hp) {
+          var i = 0
+          while (i < wp) {
+            val bit = i * depth
+            val at = r * stride + (bit >> 3)
+            b(at) = (b(at) | (subPx(r * wp + i) << (8 - depth - (bit & 7)))).toByte
+            i += 1
+          }
+          r += 1
+        }
       }
       val out = new Array[Byte](hp * (1 + stride))
       var r = 0
@@ -234,11 +260,11 @@ object PngCodec {
     out.toByteArray
   }
 
-  /** Unfilter the inflated stream (h rows of 1 filter byte + stride)
-    * back to raw samples — PNG spec §9. */
-  private[graft] def unfilter(raw: Array[Byte], width: Int, height: Int,
+  /** Unfilter the inflated stream (h rows of 1 filter byte + `stride`
+    * bytes) back to raw BYTES — PNG spec §9. Filters always operate on
+    * bytes at distance `bpp`, whatever the bit depth packs into them. */
+  private[graft] def unfilter(raw: Array[Byte], stride: Int, height: Int,
       bpp: Int): Array[Int] = {
-    val stride = width * bpp
     val px = new Array[Int](height * stride)
     var r = 0
     while (r < height) {
@@ -306,13 +332,17 @@ object PngCodec {
           require(w.toLong * h * 10 < Int.MaxValue,
             s"implausible dims ${w}x$h overflow the raster size")
           require(Set(0, 2, 3, 4, 6)(color), s"invalid colorType $color")
-          if (color == 3)
-            require(depth == 8, s"only 8-bit palette images supported, got " +
-              s"depth $depth (sub-byte palette depths are out of scope; " +
-              "16-bit palettes are illegal per spec)")
-          else
-            require(depth == 8 || depth == 16,
-              s"only 8/16-bit samples supported for colorType $color, got depth $depth")
+          // legal depths per color type (spec §11.2.2): grayscale takes
+          // all five, palette takes 1/2/4/8 (16-bit palettes are illegal),
+          // the multi-channel types (2/4/6) take 8/16 only
+          val legalDepths = color match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case _ => Set(8, 16)
+          }
+          require(legalDepths(depth),
+            s"illegal depth $depth for colorType $color (spec allows " +
+              s"${legalDepths.toSeq.sorted.mkString("/")})")
           require(comp == 0 && filt == 0, s"nonstandard compression/filter: $comp/$filt")
           require(inter == 0 || inter == 1, s"invalid interlace method $inter")
           interlaced = inter == 1
@@ -360,15 +390,19 @@ object PngCodec {
       }
     }
     require(w > 0 && ch > 0, "no IHDR chunk")
-    val sb = depth / 8          // bytes per sample
-    val bpp = ch * sb           // the filters' byte distance
+    val sb = depth / 8          // bytes per sample (0 for sub-byte depths)
+    val bpp = math.max(1, ch * sb) // the filters' byte distance (≥1, spec §9)
+    // bytes in one scanline of a wp-wide (sub-)image: sub-byte samples
+    // pack MSB-first with each row padded to a byte boundary (spec §7.2)
+    def rowBytes(wp: Int): Int =
+      if (depth >= 8) wp * ch * sb else (wp * depth + 7) / 8
     // non-empty Adam7 passes for the frame dims (the whole frame is the
     // single "pass" of a non-interlaced image — one shared path below)
     val passes: Seq[(Int, Int, Int)] =
       if (!interlaced) Seq((-1, w, h))
       else (0 until 7).map(p => { val (wp, hp) = a7Dims(p, w, h); (p, wp, hp) })
         .filter { case (_, wp, hp) => wp > 0 && hp > 0 }
-    val expect = passes.map { case (_, wp, hp) => hp * (1 + wp * bpp) }.sum
+    val expect = passes.map { case (_, wp, hp) => hp * (1 + rowBytes(wp)) }.sum
     val raw = new Array[Byte](expect)
     val infl = new Inflater()
     infl.setInput(idat.toByteArray)
@@ -397,9 +431,10 @@ object PngCodec {
     val px = new Array[Int](w * h * ch)
     var rawAt = 0
     passes.foreach { case (p, wp, hp) =>
-      val passLen = hp * (1 + wp * bpp)
+      val stride = rowBytes(wp)
+      val passLen = hp * (1 + stride)
       val passBytes = unfilter(
-        java.util.Arrays.copyOfRange(raw, rawAt, rawAt + passLen), wp, hp, bpp)
+        java.util.Arrays.copyOfRange(raw, rawAt, rawAt + passLen), stride, hp, bpp)
       rawAt += passLen
       var j = 0
       while (j < hp) {
@@ -407,13 +442,22 @@ object PngCodec {
         while (i < wp) {
           val x = if (p < 0) i else A7X0(p) + i * A7DX(p)
           val y = if (p < 0) j else A7Y0(p) + j * A7DY(p)
-          var c = 0
-          while (c < ch) {
-            val at = ((j * wp + i) * ch + c) * sb
-            px((y * w + x) * ch + c) =
-              if (sb == 1) passBytes(at)
-              else (passBytes(at) << 8) | passBytes(at + 1)
-            c += 1
+          if (depth < 8) {
+            // one sample per pixel (gray value or palette index), packed
+            // MSB-first within the row's bytes
+            val bit = i * depth
+            px((y * w + x) * ch) =
+              (passBytes(j * stride + (bit >> 3)) >> (8 - depth - (bit & 7))) &
+                ((1 << depth) - 1)
+          } else {
+            var c = 0
+            while (c < ch) {
+              val at = j * stride + ((i * ch + c) * sb)
+              px((y * w + x) * ch + c) =
+                if (sb == 1) passBytes(at)
+                else (passBytes(at) << 8) | passBytes(at + 1)
+              c += 1
+            }
           }
           i += 1
         }
@@ -451,12 +495,13 @@ object PngCodec {
       // policy). At depth 16 the full two-byte key compares against the
       // full 16-bit sample.
       def key(j: Int): Int = ((trns(2 * j) & 0xff) << 8) | (trns(2 * j + 1) & 0xff)
-      if (depth == 8) {
+      if (depth < 16) {
         var kc = 0
         while (kc < ch) {
-          require(key(kc) <= 0xff,
-            s"tRNS color key sample $kc = ${key(kc)} exceeds the 8-bit sample " +
-              "range (high byte must be zero at bit depth 8)")
+          require(key(kc) <= (1 << depth) - 1,
+            s"tRNS color key sample $kc = ${key(kc)} exceeds the $depth-bit " +
+              s"sample range 0..${(1 << depth) - 1} — silently matching its " +
+              "low bits would turn the wrong pixels transparent")
           kc += 1
         }
       }

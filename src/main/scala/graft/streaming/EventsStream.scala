@@ -209,14 +209,79 @@ object EventsStream {
 
   private def eventsStream(batchSession: SparkSession, d: String): DataFrame = {
     val s = streamSession(batchSession, d)
-    val stageDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
-    stageInto(s"$d/events.parquet", stageDir, "events.parquet")
-    // schema of the RAW file (whatever vintage the driver wrote; see
-    // Tables.eventsRaw), then the SAME ts normalization the batch reader
-    // applies — shared code so the two paths cannot drift
-    val schema = Tables.eventsRaw(s, d).schema
-    Tables.normalizeTs(s.readStream.schema(schema).parquet(stageDir.toString))
+    val split = sys.env.get("SPARK_GRAFT_STREAM_SPLIT").map(_.toInt).getOrElse(1)
+    if (split > 1) {
+      // MULTI-TRIGGER arrival (builder probe, r15 verdict #4): the
+      // single-file staging below delivers the whole corpus in ONE
+      // micro-batch, so every watermark-bounded operator holds the whole
+      // corpus's state inside that one trigger — the attributed cause of
+      // the >10× sf100 stream steps. With SPARK_GRAFT_STREAM_SPLIT=N the
+      // events are staged once as N event-time-range chunk files with
+      // strictly increasing mtimes and the source takes ONE file per
+      // trigger — a time-ordered arrival, the production shape — so the
+      // watermark advances between triggers and expiry actually bounds
+      // state. Results are UNCHANGED: chunks are contiguous ts ranges
+      // (batch i+1's min ts >= batch i's max), so nothing arrives behind
+      // the watermark, and the gates' Complete-mode aggregates never drop
+      // rows. Probe-only: gates run split=1 unless the env var is set.
+      val stageDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_split$split")
+      stageSplitInto(s, d, stageDir, split)
+      // schema of the REWRITTEN chunks (normalized micros, not the raw
+      // vintage); normalizeTs is then an identity, shared all the same
+      val schema = s.read.parquet(stageDir.toString).schema
+      Tables.normalizeTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir.toString))
+    } else {
+      val stageDir = java.nio.file.Paths.get(
+        s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}")
+      stageInto(s"$d/events.parquet", stageDir, "events.parquet")
+      // schema of the RAW file (whatever vintage the driver wrote; see
+      // Tables.eventsRaw), then the SAME ts normalization the batch reader
+      // applies — shared code so the two paths cannot drift
+      val schema = Tables.eventsRaw(s, d).schema
+      Tables.normalizeTs(s.readStream.schema(schema).parquet(stageDir.toString))
+    }
+  }
+
+  /** Stage the events table as `n` event-time-range chunk files for the
+    * multi-trigger probe: repartitionByRange on ts (chunk i = i-th ts
+    * range), then the part files move into the stage dir in partition
+    * order with strictly increasing mtimes, so the file source's
+    * (mtime, path) ordering delivers them oldest-range-first. Stamped on
+    * (source size, source mtime, n) — rebuilt only when the source or the
+    * chunk count changes. */
+  private def stageSplitInto(s: SparkSession, d: String,
+      stageDir: java.nio.file.Path, n: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$d/events.parquet")
+    val marker = stageDir.resolve("_SPLIT_STAMP")
+    val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:$n"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
+    val tmp = Files.createTempDirectory("graft_split_build")
+    Tables.events(s, d)
+      .repartitionByRange(n, col("ts"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (Files.isDirectory(stageDir)) {
+      val old = Files.list(stageDir)
+      try old.iterator().asScala.foreach(Files.delete) finally old.close()
+    }
+    Files.createDirectories(stageDir)
+    val partsStream = Files.list(tmp)
+    val parts =
+      try partsStream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally partsStream.close()
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = stageDir.resolve(f"chunk$i%03d.parquet")
+      Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    Files.writeString(marker, stamp)
+    System.err.println(s"[stream-split] staged ${parts.size} ts-range chunks -> $stageDir")
   }
 
   // memory-sink names must be unique PER INVOCATION: the streaming clone
@@ -259,7 +324,8 @@ object EventsStream {
       q.recentProgress.foreach { p =>
         System.err.println(s"[stream-profile] $name batch=${p.batchId} " +
           s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
-          p.stateOperators.map(o => s"state(updated=${o.numRowsUpdated} " +
+          p.stateOperators.map(o => s"state(total=${o.numRowsTotal} " +
+            s"updated=${o.numRowsUpdated} removed=${o.numRowsRemoved} " +
             s"commitMs=${o.commitTimeMs} custom=${o.customMetrics})").mkString(" "))
       }
     // explicit schema: a query whose watermark held every row back leaves
@@ -636,6 +702,30 @@ FROM events GROUP BY event_type ORDER BY event_type"""
         (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** PROBE-ONLY Append-mode twin of [[sessionWindow]] (r15 verdict #4 —
+    * not a gate: Append holds back sessions the final watermark never
+    * passes, so the result is a strict subset of the batch oracle's).
+    * The gate runs Complete mode because a single-batch replay must emit
+    * everything — but Complete RETAINS every session in the store by
+    * design, so multi-trigger arrival cannot shrink its state. This is
+    * the production shape: watermark expiry EVICTS closed sessions
+    * between triggers, so with `SPARK_GRAFT_STREAM_SPLIT` arrival the
+    * state high-water mark stays ~one arrival window of OPEN sessions,
+    * not the corpus — the demonstration behind the sf100 floor note
+    * (run with SPARK_GRAFT_STREAM_PROFILE=1 to see per-trigger
+    * state total/removed). */
+  private[graft] def sessionWindowAppend(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    runToTable(s, agg, OutputMode.Append, "graft_stream_session_append")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("total_value"))
   }
 
   // ---- stateful sessionization ----

@@ -85,6 +85,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     truncations("png16_adam7", a716)(PngCodec.decode)
   }
 
+  test("sub-byte PNG decode stays in contract under mutation and truncation") {
+    // bit-packed rows bring their own parse paths: byte-padded row
+    // accounting, MSB-first unpacking, palette index bounds at depth<8
+    val g2 = PngCodec.encode(11, 7, 1, Array.tabulate(11 * 7)(i => i % 4), depth = 2)
+    fuzz("png_gray2", g2, 400)(PngCodec.decode)
+    truncations("png_gray2", g2)(PngCodec.decode)
+    val p4 = PngCodec.encode(9, 5, 1, Array.tabulate(9 * 5)(i => i % 16),
+      depth = 4, palette = Some(Array.tabulate(16)(j => j * 0x111111)))
+    fuzz("png_pal4", p4, 400)(PngCodec.decode)
+    truncations("png_pal4", p4)(PngCodec.decode)
+    val g1a7 = PngCodec.encode(13, 11, 1, Array.tabulate(13 * 11)(i => i % 2),
+      depth = 1, interlace = true)
+    fuzz("png_gray1_adam7", g1a7, 400)(PngCodec.decode)
+    truncations("png_gray1_adam7", g1a7)(PngCodec.decode)
+  }
+
   test("JPEG decode stays in contract under mutation and truncation") {
     val px = new Array[Int](16 * 16)
     for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8)

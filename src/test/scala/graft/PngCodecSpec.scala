@@ -14,12 +14,12 @@ class PngCodecSpec extends AnyFunSuite {
   private val rng = new scala.util.Random(0x9196)
 
   test("unfilter reproduces hand-computed Sub and Paeth rows (spec §9)") {
-    // 2x2 RGB (bpp=3, stride=6): row 0 filter 1 (Sub), row 1 filter 4
+    // 2x2 RGB (bpp=3, stride=6 bytes): row 0 filter 1 (Sub), row 1 filter 4
     // (Paeth); expected values worked by hand from the spec definitions
     val raw = Array[Int](
       1, 10, 20, 30, 250, 5, 10,
       4, 1, 2, 3, 4, 5, 6).map(_.toByte)
-    val px = PngCodec.unfilter(raw, 2, 2, 3)
+    val px = PngCodec.unfilter(raw, 6, 2, 3)
     assert(px.toSeq == Seq(
       10, 20, 30, 4, 25, 40,      // Sub: 250+10 ≡ 4 (mod 256)
       11, 22, 33, 8, 30, 46))     // Paeth picks `above` at x<3, then by min
@@ -27,7 +27,7 @@ class PngCodecSpec extends AnyFunSuite {
 
   test("unfilter reproduces a hand-computed Average row") {
     val raw = Array[Int](3, 100, 7, 8, 200, 9, 10).map(_.toByte)
-    val px = PngCodec.unfilter(raw, 2, 1, 3)
+    val px = PngCodec.unfilter(raw, 6, 1, 3)
     assert(px.toSeq == Seq(100, 7, 8, 250, 12, 14))
   }
 
@@ -195,6 +195,115 @@ class PngCodecSpec extends AnyFunSuite {
     assert(a.pixels.toSeq == b.pixels.toSeq)
   }
 
+  test("sub-byte grayscale round-trips at depths 1/2/4 (every filter mode, odd widths)") {
+    // odd widths so the last byte of every row is PADDED mid-byte (spec
+    // §7.2) — an unpacker that reads past the pad or packs LSB-first
+    // cannot round-trip these
+    for (depth <- Seq(1, 2, 4); mode <- Seq(-1, 0, 1, 2, 3, 4)) {
+      val w = 11; val h = 7
+      val px = Array.fill(w * h)(rng.nextInt(1 << depth))
+      val img = PngCodec.decode(PngCodec.encode(w, h, 1, px, mode, depth = depth))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.depth == depth, s"decode must keep native depth $depth")
+      assert(img.pixels.toSeq == px.toSeq, s"depth=$depth mode=$mode")
+    }
+  }
+
+  test("sub-byte palette images decode to PLTE-expanded RGB") {
+    for (depth <- Seq(1, 2, 4)) {
+      val palette = Array.fill(1 << depth)(rng.nextInt(0x1000000))
+      val w = 9; val h = 5
+      val idx = Array.fill(w * h)(rng.nextInt(palette.length))
+      val img = PngCodec.decode(
+        PngCodec.encode(w, h, 1, idx, depth = depth, palette = Some(palette)))
+      assert(img.channels == 3 && img.depth == 8)
+      val want = idx.flatMap(i => Seq(
+        (palette(i) >> 16) & 0xff, (palette(i) >> 8) & 0xff, palette(i) & 0xff))
+      assert(img.pixels.toSeq == want.toSeq, s"depth=$depth")
+    }
+  }
+
+  test("sub-byte Adam7 interlaced images round-trip (pass rows pad independently)") {
+    // 13x11 crosses the 8x8 tile boundary, so all seven passes are
+    // non-empty AND several pass widths are odd — each pass row must
+    // byte-pad on its own, not on the frame width
+    for (depth <- Seq(1, 2, 4)) {
+      val w = 13; val h = 11
+      val px = Array.fill(w * h)(rng.nextInt(1 << depth))
+      val seq = PngCodec.decode(PngCodec.encode(w, h, 1, px, depth = depth))
+      val adam = PngCodec.decode(
+        PngCodec.encode(w, h, 1, px, depth = depth, interlace = true))
+      assert(adam.pixels.toSeq == px.toSeq, s"depth=$depth interlaced")
+      assert(adam.pixels.toSeq == seq.pixels.toSeq, "interlaced must equal sequential")
+    }
+  }
+
+  test("sub-byte gray color-key tRNS expands at native depth") {
+    val depth = 2
+    val w = 5; val h = 3
+    val px = Array(0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2)
+    val keyed = PngCodec.encode(w, h, 1, px, depth = depth)
+    // splice a gray tRNS (key = 2) in front of IDAT: re-encode with the
+    // codec's own chunk writer
+    val img = PngCodec.decode(withGrayTrns(keyed, 2))
+    assert(img.channels == 2 && img.depth == depth)
+    px.zipWithIndex.foreach { case (v, i) =>
+      assert(img.pixels(2 * i) == v)
+      assert(img.pixels(2 * i + 1) == (if (v == 2) 0 else 3),
+        s"alpha of sample $v at $i (opaque = 2^depth-1)")
+    }
+    // a key outside the sub-byte sample range must reject loudly
+    val bad = intercept[IllegalArgumentException] {
+      PngCodec.decode(withGrayTrns(keyed, 9))
+    }
+    assert(bad.getMessage.contains("2-bit"), bad.getMessage)
+  }
+
+  test("sub-byte misuse is rejected loudly") {
+    // multi-channel sub-byte is illegal per spec §11.2.2
+    val e1 = intercept[IllegalArgumentException] {
+      PngCodec.encode(4, 4, 3, Array.fill(48)(1), depth = 4)
+    }
+    assert(e1.getMessage.contains("grayscale or palette"), e1.getMessage)
+    // a palette bigger than the depth can index is a fixture bug
+    val e2 = intercept[IllegalArgumentException] {
+      PngCodec.encode(4, 4, 1, Array.fill(16)(0), depth = 2,
+        palette = Some(Array.fill(5)(0x123456)))
+    }
+    assert(e2.getMessage.contains("indexes only 4"), e2.getMessage)
+    // decode-side: depth 4 on truecolor rejects with the legal-set
+    // message (hand-built IHDR, CRC valid via the codec's chunk writer)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(3).putInt(3).put(4.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngCodec.chunk(bos, "IHDR", ihdr)
+    val e3 = intercept[IllegalArgumentException] { PngCodec.decode(bos.toByteArray) }
+    assert(e3.getMessage.contains("illegal depth 4 for colorType 2"), e3.getMessage)
+  }
+
+  /** Rebuild `png` with a gray tRNS chunk (2-byte big-endian `key`)
+    * spliced before the first IDAT — fixture surgery via the codec's
+    * own chunk writer, CRCs intact. */
+  private def withGrayTrns(png: Array[Byte], key: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8)
+    var at = 8
+    var spliced = false
+    while (at < png.length) {
+      val len = java.nio.ByteBuffer.wrap(png, at, 4).getInt
+      val typ = new String(png, at + 4, 4, "US-ASCII")
+      if (typ == "IDAT" && !spliced) {
+        PngCodec.chunk(out, "tRNS", Array(((key >> 8) & 0xff).toByte, (key & 0xff).toByte))
+        spliced = true
+      }
+      out.write(png, at, len + 12)
+      at += len + 12
+    }
+    out.toByteArray
+  }
+
   test("16-bit color-key tRNS compares the full two-byte key") {
     // gray16: key = 0x0107 must match ONLY the 16-bit value 263, not its
     // low byte 7 — the misread the 8-bit high-byte reject guards against
@@ -217,12 +326,12 @@ class PngCodecSpec extends AnyFunSuite {
     bad(29) = (cv >> 24).toByte; bad(30) = (cv >> 16).toByte
     bad(31) = (cv >> 8).toByte; bad(32) = cv.toByte
     assert(intercept[IllegalArgumentException](PngCodec.decode(bad))
-      .getMessage.contains("palette"))
+      .getMessage.contains("illegal depth 16 for colorType 3"))
     // encoder refuses the combination outright
     assert(intercept[IllegalArgumentException](
       PngCodec.encode(2, 1, 1, Array(0, 1), depth = 16,
         palette = Some(Array(0xff0000, 0x00ff00))))
-      .getMessage.contains("8-bit"))
+      .getMessage.contains("16-bit palettes are illegal"))
   }
 
   test("rejects malformed input loudly") {
