@@ -10,8 +10,11 @@ import java.nio.ByteBuffer
   * byte unstuffing, dequantization, inverse zigzag, and a
   * double-precision IDCT with level shift + clamp.
   *
-  * Scope: baseline sequential (SOF0) AND progressive (SOF2) Huffman
-  * DCT, 8-bit precision, grayscale (one component) AND YCbCr color
+  * Scope: baseline sequential (SOF0), progressive (SOF2) AND lossless
+  * (SOF3, T.81 Annex H — predictors 1..7 at any precision 2..16 with
+  * point transform and restarts, the mode old medical/DNG corpora
+  * carry; single-component) Huffman coding; for the DCT modes, 8-bit
+  * precision, grayscale (one component) AND YCbCr color
   * with sampling factors 1 and 2 — 4:4:4, 4:2:0 (the dominant
   * real-world encoding), 4:2:2 and 4:4:0. Progressive decoding covers
   * the full T.81 G.1.2 surface a real scan script uses: interleaved
@@ -32,8 +35,9 @@ import java.nio.ByteBuffer
   * decode with byte realignment, modulo-8 marker verification, DC-chain
   * and EOB-run resets, and a lost or reordered restart marker rejects
   * loudly instead of desynchronizing every later MCU. Everything else —
-  * 12-bit, arithmetic coding, lossless/hierarchical, 4:1:1, scan
-  * component order differing from the frame — is rejected LOUDLY.
+  * 12-bit DCT, arithmetic coding, hierarchical, multi-component
+  * lossless, 4:1:1, scan component order differing from the frame — is
+  * rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -50,7 +54,7 @@ object JpegCodec {
   /** Decoded image: `channels` 1 (gray, pixels = luma) or 3 (color,
     * pixels = row-major interleaved RGB after the JFIF conversion). */
   final case class Jpeg(width: Int, height: Int, pixels: Array[Int],
-      channels: Int = 1)
+      channels: Int = 1, depth: Int = 8)
 
   // zigzag index -> (row-major) coefficient index, per T.81 Figure 5
   private[graft] val Zigzag: Array[Int] = {
@@ -78,6 +82,10 @@ object JpegCodec {
     * codes. Both satisfy Kraft with the all-ones code unused. */
   private[graft] val DcBits: Array[Int] = { val b = new Array[Int](17); b(4) = 12; b }
   private[graft] val DcVals: Array[Int] = (0 to 11).toArray
+  // lossless difference categories 0..16 (T.81 table H.2 — SSSS 16 is the
+  // bitless +32768 case), all 5-bit codes (Kraft: 17 ≤ 32, all-ones unused)
+  private[graft] val LsBits: Array[Int] = { val b = new Array[Int](17); b(5) = 17; b }
+  private[graft] val LsVals: Array[Int] = (0 to 16).toArray
   private[graft] val AcBits: Array[Int] = { val b = new Array[Int](17); b(9) = 162; b }
   private[graft] val AcVals: Array[Int] = {
     // EOB, ZRL, then (run 0..15, size 1..10) ascending: 2 + 160 = 162
@@ -659,6 +667,140 @@ object JpegCodec {
     encodeCoefficients(width, height, q, blocks)
   }
 
+  // ---- lossless (SOF3, T.81 Annex H) ----
+
+  /** T.81 H.1.1 prediction for sample (x, y) of raster `px` (already
+    * point-transformed). `fresh` marks the first sample of the scan or
+    * of a restart interval, which always predicts 2^(P−Pt−1); the first
+    * LINE then predicts from Ra (left) and the first COLUMN from Rb
+    * (above) regardless of the selected predictor. Shared verbatim by
+    * the encoder and decoder so the two cannot disagree on the >>1
+    * semantics of predictors 5..7 (arithmetic shift, per the spec's
+    * "shift right one bit" on values that can be transiently negative). */
+  private def losslessPredict(px: Array[Int], w: Int, x: Int, y: Int,
+      predictor: Int, defaultPred: Int, fresh: Boolean): Int = {
+    if (fresh) defaultPred
+    else if (y == 0) px(x - 1)
+    else if (x == 0) px((y - 1) * w)
+    else {
+      val ra = px(y * w + x - 1)
+      val rb = px((y - 1) * w + x)
+      val rc = px((y - 1) * w + x - 1)
+      predictor match {
+        case 1 => ra
+        case 2 => rb
+        case 3 => rc
+        case 4 => ra + rb - rc
+        case 5 => ra + ((rb - rc) >> 1)
+        case 6 => rb + ((ra - rc) >> 1)
+        case 7 => (ra + rb) >> 1
+      }
+    }
+  }
+
+  /** Encode a LOSSLESS (SOF3) single-component JPEG: Huffman-coded
+    * prediction differences, no DCT and no quantization, so decode
+    * reproduces the input EXACTLY at any precision 2..16 — the mode old
+    * medical (DICOM) and raw-photo (DNG) corpora carry. `predictor`
+    * selects the T.81 H.1 neighbor formula (1..7, written into the
+    * scan's Ss field); `pointTransform` (Al/Pt) drops that many low
+    * bits before prediction; differences are coded modulo 2^16 with the
+    * bitless SSSS=16 case for +32768; restart intervals (in samples)
+    * byte-align and reset the prediction to the default. */
+  def encodeLossless(width: Int, height: Int, precision: Int, predictor: Int,
+      pixels: Array[Int], pointTransform: Int = 0,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(precision >= 2 && precision <= 16,
+      s"lossless precision must be 2..16, got $precision")
+    require(predictor >= 1 && predictor <= 7,
+      s"predictor must be 1..7, got $predictor")
+    require(pointTransform >= 0 && pointTransform < precision,
+      s"point transform $pointTransform out of range for precision $precision")
+    require(pixels.length == width * height,
+      s"raster mismatch: ${pixels.length} samples for ${width}x$height")
+    val maxS = (1 << precision) - 1
+    require(pixels.forall(v => v >= 0 && v <= maxS),
+      s"sample out of range for precision $precision")
+    val pt = pointTransform
+    val sp = if (pt == 0) pixels else pixels.map(_ >> pt)
+    val codes = canonicalCodes(LsBits, LsVals)
+    val bits = new BitWriter
+    val defaultPred = 1 << (precision - pt - 1)
+    var fresh = true
+    var since = 0
+    var rst = 0
+    var i = 0
+    while (i < sp.length) {
+      if (restartInterval > 0 && since == restartInterval) {
+        bits.restart(rst); rst = (rst + 1) % 8
+        since = 0; fresh = true
+      }
+      val pred = losslessPredict(sp, width, i % width, i / width,
+        predictor, defaultPred, fresh)
+      fresh = false
+      var d = (sp(i) - pred) & 0xffff // difference modulo 2^16 (H.2.1)
+      if (d > 32768) d -= 65536
+      if (d == 32768) { val (c, l) = codes(16); bits.put(c, l) }
+      else {
+        val s = magnitude(d)
+        val (c, l) = codes(s); bits.put(c, l)
+        if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
+      }
+      since += 1
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    dhtSeg(out, 0, 0, LsBits, LsVals)
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc3, ByteBuffer.allocate(9) // SOF3: precision, dims, 1 component
+      .put(precision.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    // SOS: Ss carries the predictor, Se must be 0, Ah=0, Al = Pt (H.2.3)
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, predictor.toByte, 0, pt.toByte))
+    out.write(bits.finish())
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Decode ONE lossless scan: per sample, a DC-style Huffman category +
+    * magnitude bits gives the prediction difference (mod 2^16); restart
+    * markers verify cadence and reset the prediction. Returns the
+    * point-transformed raster (caller shifts left by Pt on output). */
+  private def runLosslessScan(br: BitReader, w: Int, h: Int, precision: Int,
+      predictor: Int, pt: Int, tab: HuffTable, restartInterval: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    val defaultPred = 1 << (precision - pt - 1)
+    val maxS = (1 << (precision - pt)) - 1
+    var fresh = true
+    var since = 0
+    var rst = 0
+    var i = 0
+    while (i < out.length) {
+      if (restartInterval > 0 && since == restartInterval) {
+        br.expectRestart(rst); rst = (rst + 1) % 8
+        since = 0; fresh = true
+      }
+      val s = tab.decode(br)
+      require(s <= 16, s"invalid lossless difference category $s")
+      val d = if (s == 16) 32768 else extend(br.receive(s), s)
+      val pred = losslessPredict(out, w, i % w, i / w,
+        predictor, defaultPred, fresh)
+      fresh = false
+      val v = (pred + d) & 0xffff
+      require(v <= maxS,
+        s"reconstructed sample $v exceeds ${precision}-bit (Pt=$pt) range " +
+          s"0..$maxS at index $i — corrupt stream or wrong predictor")
+      out(i) = v
+      since += 1
+      i += 1
+    }
+    out
+  }
+
   // ---- decoder ----
 
   private class BitReader(data: Array[Byte]) {
@@ -773,6 +915,10 @@ object JpegCodec {
     var pos = 2
     var w = -1; var h = -1
     var progressive = false
+    var lossless = false
+    var precision = 8
+    var pointT = 0
+    var losslessPx: Array[Int] = null
     val quantT = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
@@ -830,11 +976,17 @@ object JpegCodec {
               quantT(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
               o += 65
             }
-          case 0xc0 | 0xc2 =>
+          case 0xc0 | 0xc2 | 0xc3 =>
             require(compIds == null, "multiple frames not supported")
             progressive = m == 0xc2
+            lossless = m == 0xc3
             require(len >= 2 + 9, s"SOF segment too short: $len")
-            require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
+            precision = bytes(body) & 0xff
+            if (lossless)
+              require(precision >= 2 && precision <= 16,
+                s"lossless precision must be 2..16, got $precision")
+            else
+              require(precision == 8, "only 8-bit precision supported for DCT modes")
             h = u16(body + 1); w = u16(body + 3)
             require(w > 0 && h > 0, s"bad frame dims ${w}x$h")
             require(w.toLong * h < Int.MaxValue / 8,
@@ -842,6 +994,8 @@ object JpegCodec {
             val ncomp = bytes(body + 5) & 0xff
             require(ncomp == 1 || ncomp == 3,
               s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
+            if (lossless) require(ncomp == 1,
+              s"only single-component lossless is supported, got $ncomp components")
             require(len >= 2 + 6 + 3 * ncomp, s"SOF too short for $ncomp components")
             compIds = new Array[Int](ncomp)
             compTq = new Array[Int](ncomp)
@@ -888,11 +1042,11 @@ object JpegCodec {
               (ch + 7) / 8
             }
             coefs = Array.tabulate(ncomp)(ci => new Array[Int](padW(ci) * padH(ci) * 64))
-          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          case 0xc1 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(
               f"unsupported SOF marker 0xff$m%02x — only baseline-sequential " +
-                "(SOF0) and progressive (SOF2) Huffman DCT are supported " +
-                "(extended/lossless/arithmetic/hierarchical reject loudly)")
+                "(SOF0), progressive (SOF2) and lossless (SOF3) Huffman modes " +
+                "are supported (extended/arithmetic/hierarchical reject loudly)")
           case 0xcc =>
             throw new IllegalArgumentException(
               "arithmetic-coding conditioning (DAC) not supported")
@@ -950,7 +1104,15 @@ object JpegCodec {
             val se = bytes(body + 2 + 2 * ns) & 0xff
             val ahal = bytes(body + 3 + 2 * ns) & 0xff
             val ah = ahal >> 4; val al = ahal & 0xf
-            if (!progressive) {
+            if (lossless) {
+              // H.2.3: Ss = predictor 1..7, Se = 0, Ah = 0, Al = Pt
+              require(ss >= 1 && ss <= 7,
+                s"lossless scan predictor (Ss) must be 1..7, got $ss")
+              require(se == 0 && ah == 0,
+                s"lossless scan must have Se=0 Ah=0, got Se=$se Ah=$ah")
+              require(al < precision,
+                s"point transform Al=$al out of range for precision $precision")
+            } else if (!progressive) {
               require(ns == compIds.length,
                 s"scan has $ns components, frame has ${compIds.length} (partial scans unsupported)")
               require(ss == 0 && se == 63 && ah == 0 && al == 0,
@@ -971,9 +1133,9 @@ object JpegCodec {
             // table presence for THIS scan (tables may arrive between scans)
             c = 0
             while (c < ns) {
-              if (ss == 0 && ah == 0)
+              if (lossless || (ss == 0 && ah == 0))
                 require(dcT(scanTd(c)) != null, s"scan component $c: missing DC table ${scanTd(c)}")
-              if (!progressive || ss > 0)
+              if (!lossless && (!progressive || ss > 0))
                 require(acT(scanTa(c)) != null, s"scan component $c: missing AC table ${scanTa(c)}")
               c += 1
             }
@@ -992,9 +1154,14 @@ object JpegCodec {
               } else p += 1
             }
             val br = new BitReader(bytes.slice(entropyStart, scanEnd))
-            runScan(br, coefs, padW, trueW, trueH, compH, compV, mcusX, mcusY,
-              scanComp, scanTd.map(dcT(_)), scanTa.map(acT(_)),
-              ss, se, ah, al, restartInterval, sequential = !progressive)
+            if (lossless) {
+              pointT = al
+              losslessPx = runLosslessScan(br, w, h, precision, predictor = ss,
+                pt = al, tab = dcT(scanTd(0)), restartInterval = restartInterval)
+            } else
+              runScan(br, coefs, padW, trueW, trueH, compH, compV, mcusX, mcusY,
+                scanComp, scanTd.map(dcT(_)), scanTa.map(acT(_)),
+                ss, se, ah, al, restartInterval, sequential = !progressive)
             sawScan = true
             pos = scanEnd - 2 - len // cancel the uniform advance below
           case _ => () // APPn/COM skipped
@@ -1003,6 +1170,15 @@ object JpegCodec {
       }
     }
     require(w > 0 && h > 0, "no SOF before EOI")
+
+    if (lossless) {
+      // no DCT assembly: the scan decoded the raster directly; the spec's
+      // output step re-inserts the point transform's dropped low bits as
+      // zeros (shift left by Pt)
+      require(losslessPx != null, "no lossless scan decoded")
+      val out = if (pointT == 0) losslessPx else losslessPx.map(_ << pointT)
+      return Jpeg(w, h, out, 1, precision)
+    }
 
     // ---- assembly: dequantize + inverse zigzag + IDCT every block ----
     val ncomp = compIds.length

@@ -1009,6 +1009,84 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     * values, so the oracle restates the identical arithmetic. */
   val decodeJpegProgressiveOracle: String = decodeJpeg420Oracle
 
+  case class JpegLosslessFeatures(doc_id: Long, width: Int, height: Int,
+    precision_bits: Int, predictor: Int, point_transformed: Boolean,
+    n_pixels: Int, sum_px: Long, peak: Int)
+
+  /** LOSSLESS JPEG (SOF3, T.81 Annex H) as a first-class gate — the
+    * mode old medical (DICOM) and raw-photo (DNG) corpora carry, and
+    * the codec's first EXACT arbitrary-precision path (no lossy
+    * fixture trick needed: prediction + Huffman differences round-trip
+    * every raster bit-for-bit). Per row: a native-range raster at
+    * precision 8/12/16 (12 and 16 exceed the DCT modes' byte samples,
+    * so the 2-byte magnitude path and the bitless SSSS=16 case are
+    * live), predictor cycling through all seven H.1 formulas, every
+    * 4th doc restart-interval-coded, every 5th point-transformed
+    * (Pt=2 — decoded samples drop their 2 low bits, which the oracle
+    * states as v − v%4). Dims are NOT 8-aligned — lossless has no MCU
+    * grid. Features come ONLY from the decoded raster; the oracle
+    * re-derives them from the generator's closed form. Scale shape:
+    * per-row CPU inside one mapPartitions, zero shuffle before the
+    * tiny feature rows. */
+  def decodeJpegLossless(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (3 + id % 6).toInt
+          val h = (2 + id % 5).toInt
+          val precision = Array(8, 12, 16)((id % 3).toInt)
+          val predictor = (id % 7 + 1).toInt
+          val ri = if (id % 4 == 0) 7 else 0
+          val pt = if (id % 5 == 0) 2 else 0
+          val m = 1 << precision
+          val px = Array.tabulate(w * h)(i => ((id * 13 + i * 29) % m).toInt)
+          val bytes = JpegCodec.encodeLossless(w, h, precision, predictor, px,
+            pointTransform = pt, restartInterval = ri)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          require(img.depth == precision && img.channels == 1,
+            s"doc $id: expected a $precision-bit single-component decode")
+          var sum = 0L; var peak = 0; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sum += v; if (v > peak) peak = v
+            i += 1
+          }
+          JpegLosslessFeatures(id, img.width, img.height, precision,
+            predictor, pt > 0, img.width * img.height, sum, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Generator closed form in SQL — lossless, so decoded ≡ generated,
+    * modulo the point transform's dropped low bits (v − v%4 when Pt=2). */
+  val decodeJpegLosslessOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 6 AS INT) AS w,
+         CAST(2 + doc_id % 5 AS INT) AS h,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 16 END AS INT) AS precision_bits,
+         CAST(doc_id % 7 + 1 AS INT) AS predictor,
+         doc_id % 5 = 0 AS point_transformed
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, precision_bits, predictor, point_transformed,
+         unnest(generate_series(0, w * h - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, precision_bits, predictor, point_transformed,
+         (doc_id * 13 + i * 29) %
+           (CASE precision_bits WHEN 8 THEN 256 WHEN 12 THEN 4096 ELSE 65536 END) AS v
+  FROM i)
+SELECT doc_id, w AS width, h AS height, precision_bits, predictor, point_transformed,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(sum(CASE WHEN point_transformed THEN v - v % 4 ELSE v END) AS BIGINT) AS sum_px,
+       CAST(max(CASE WHEN point_transformed THEN v - v % 4 ELSE v END) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, precision_bits, predictor, point_transformed
+ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
@@ -1024,7 +1102,8 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png" -> (decodePng _),
     "multimodal_decode_png16" -> (decodePng16 _),
     "multimodal_decode_png_sub8" -> (decodePngSub8 _),
-    "multimodal_decode_jpeg" -> (decodeJpeg _)
+    "multimodal_decode_jpeg" -> (decodeJpeg _),
+    "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1042,6 +1121,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png" -> decodePngOracle,
     "multimodal_decode_png16" -> decodePng16Oracle,
     "multimodal_decode_png_sub8" -> decodePngSub8Oracle,
-    "multimodal_decode_jpeg" -> decodeJpegOracle
+    "multimodal_decode_jpeg" -> decodeJpegOracle,
+    "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle
   )
 }

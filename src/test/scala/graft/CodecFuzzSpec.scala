@@ -85,6 +85,15 @@ class CodecFuzzSpec extends AnyFunSuite {
     truncations("png16_adam7", a716)(PngCodec.decode)
   }
 
+  test("lossless JPEG decode stays in contract under mutation and truncation") {
+    // its own parse paths: SOF3 precision range, predictor-bearing SOS,
+    // category-16 differences, restart cadence in sample units
+    val ls = JpegCodec.encodeLossless(9, 7, 12, 5,
+      Array.tabulate(9 * 7)(i => i * 131 % 4096), restartInterval = 11)
+    fuzz("jpeg_lossless", ls, 400)(JpegCodec.decode)
+    truncations("jpeg_lossless", ls)(JpegCodec.decode)
+  }
+
   test("sub-byte PNG decode stays in contract under mutation and truncation") {
     // bit-packed rows bring their own parse paths: byte-padded row
     // accounting, MSB-first unpacking, palette index bounds at depth<8

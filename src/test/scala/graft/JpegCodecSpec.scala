@@ -498,6 +498,68 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(bad)).getMessage.contains("Se=0"))
   }
 
+  test("lossless round-trips bit-for-bit: every predictor x precision 8/12/16") {
+    val rng = new scala.util.Random(0x10551e55L)
+    for (pred <- 1 to 7; prec <- Seq(8, 12, 16)) {
+      val w = 9; val h = 7 // NOT 8-aligned: lossless has no MCU grid
+      val px = Array.fill(w * h)(rng.nextInt(1 << prec))
+      val img = JpegCodec.decode(JpegCodec.encodeLossless(w, h, prec, pred, px))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.depth == prec, s"native precision must survive (pred=$pred)")
+      assert(img.pixels.toSeq == px.toSeq, s"pred=$pred prec=$prec")
+    }
+  }
+
+  test("lossless SSSS=16 (+32768 difference, bitless) round-trips") {
+    // default prediction at P=16 is 32768; a first sample of 0 makes the
+    // mod-2^16 difference exactly 32768 — the one category with no
+    // appended magnitude bits. The second sample then swings back.
+    val px = Array(0, 32768, 0, 65535)
+    val img = JpegCodec.decode(JpegCodec.encodeLossless(4, 1, 16, 1, px))
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("lossless point transform drops and re-inserts the low bits") {
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h)(i => (i * 37) % 4096)
+    val img = JpegCodec.decode(
+      JpegCodec.encodeLossless(w, h, 12, 4, px, pointTransform = 2))
+    // decoded samples are the originals with their 2 low bits zeroed
+    assert(img.pixels.toSeq == px.map(v => (v >> 2) << 2).toSeq)
+  }
+
+  test("lossless restart intervals reset the prediction and verify cadence") {
+    val rng = new scala.util.Random(0x0d51)
+    val w = 10; val h = 6
+    val px = Array.fill(w * h)(rng.nextInt(4096))
+    val bytes = JpegCodec.encodeLossless(w, h, 12, 7, px, restartInterval = 9)
+    assert(JpegCodec.decode(bytes).pixels.toSeq == px.toSeq)
+    // strip the first restart marker: the decoder must reject loudly,
+    // not desynchronize every later sample
+    val at = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd0).get
+    val cut = bytes.take(at) ++ bytes.drop(at + 2)
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(cut))
+      .getMessage.nonEmpty)
+  }
+
+  test("lossless out-of-scope shapes reject loudly") {
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encodeLossless(4, 4, 17, 1, Array.fill(16)(0)))
+      .getMessage.contains("2..16"))
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encodeLossless(4, 4, 8, 8, Array.fill(16)(0)))
+      .getMessage.contains("1..7"))
+    // decode-side: a lossless scan with Se != 0 rejects
+    val good = JpegCodec.encodeLossless(4, 4, 8, 3, Array.fill(16)(5))
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val bad = good.clone()
+    bad(sosAt + 4 + 3 + 1) = 9.toByte // Se byte of the single-component SOS
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(bad))
+      .getMessage.contains("Se=0"))
+  }
+
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
     import TestSpark._
     val rows = graft.ops.Multimodal.decodeJpeg(spark, sf).collect()
