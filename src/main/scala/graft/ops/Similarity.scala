@@ -173,10 +173,15 @@ ORDER BY query_id, rnk"""
   // Determinism survives because the resolution is a PURE INTEGER
   // function of count(*) — no float log2 whose rounding could diverge
   // between engines — and the oracle computes the same thresholds in SQL.
-  // MaxBits caps the pinned-plane set (and the oracle's literal text);
-  // 16 bits keeps occupancy ≤ TargetBucket up to ~2M vectors — beyond
-  // that a production deployment re-pins a larger plane set.
-  val MaxBits = 16
+  // MaxBits caps the pinned-plane set (and the oracle's literal text).
+  // 20 bits keeps occupancy ≤ TargetBucket up to ~33M vectors (r16: the
+  // sf100 probe measured 2M vectors sitting exactly at the old 16-bit
+  // cap — occupancy 30.5 vs sf30's 18.3, the top of the adaptive
+  // window, and ANY further growth would have been quadratic). Because
+  // the per-(table, bit) plane streams are PREFIX-STABLE (planesFor),
+  // raising the cap is byte-identical for every corpus below the old
+  // cap — the low effBits planes are the same planes.
+  val MaxBits = 20
   val TargetBucket = 32
 
   /** Bits for an n-vector corpus: the smallest b in [Bits, MaxBits] with
