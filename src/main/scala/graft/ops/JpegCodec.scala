@@ -10,11 +10,15 @@ import java.nio.ByteBuffer
   * byte unstuffing, dequantization, inverse zigzag, and a
   * double-precision IDCT with level shift + clamp.
   *
-  * Scope: baseline sequential (SOF0), progressive (SOF2) AND lossless
+  * Scope: baseline sequential (SOF0), extended sequential (SOF1 —
+  * including 12-bit grayscale with 16-bit Pq=1 quant tables, the
+  * Huffman DICOM-export mode), progressive (SOF2) AND lossless
   * (SOF3, T.81 Annex H — predictors 1..7 at any precision 2..16 with
   * point transform and restarts, the mode old medical/DNG corpora
-  * carry; single-component) Huffman coding; for the DCT modes, 8-bit
-  * precision, grayscale (one component) AND YCbCr color
+  * carry; single-component; after an RSTn the remainder of that sample
+  * line predicts 1-D from Ra per H.1.1, matching external conformant
+  * codecs) Huffman coding; for the 8-bit DCT modes,
+  * grayscale (one component) AND YCbCr color
   * with sampling factors 1 and 2 — 4:4:4, 4:2:0 (the dominant
   * real-world encoding), 4:2:2 and 4:4:0. Progressive decoding covers
   * the full T.81 G.1.2 surface a real scan script uses: interleaved
@@ -35,7 +39,7 @@ import java.nio.ByteBuffer
   * decode with byte realignment, modulo-8 marker verification, DC-chain
   * and EOB-run resets, and a lost or reordered restart marker rejects
   * loudly instead of desynchronizing every later MCU. Everything else —
-  * 12-bit DCT, arithmetic coding, hierarchical, multi-component
+  * 12-bit color, arithmetic coding, hierarchical, multi-component
   * lossless, 4:1:1, scan component order differing from the frame — is
   * rejected LOUDLY.
   *
@@ -94,6 +98,20 @@ object JpegCodec {
     val vs = collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
     for (run <- 0 to 15; size <- 1 to 10) vs += ((run << 4) | size)
     require(vs.size == 162, s"ac symbol count ${vs.size}")
+    vs.toArray
+  }
+  // 12-bit extended-sequential reach (T.81 F.1.2.1 at P=12): DC
+  // categories 0..15, all 5-bit codes (16 ≤ 32, all-ones unused); AC
+  // (run,size) with size 1..14 plus EOB/ZRL = 226 symbols, all 9-bit
+  // codes (226 ≤ 512, last canonical code 225 is not the reserved
+  // all-ones). Written into DHT, so any spec-correct decoder reads them.
+  private[graft] val Dc12Bits: Array[Int] = { val b = new Array[Int](17); b(5) = 16; b }
+  private[graft] val Dc12Vals: Array[Int] = (0 to 15).toArray
+  private[graft] val Ac12Bits: Array[Int] = { val b = new Array[Int](17); b(9) = 226; b }
+  private[graft] val Ac12Vals: Array[Int] = {
+    val vs = collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
+    for (run <- 0 to 15; size <- 1 to 14) vs += ((run << 4) | size)
+    require(vs.size == 226, s"ac12 symbol count ${vs.size}")
     vs.toArray
   }
 
@@ -157,11 +175,12 @@ object JpegCodec {
   /** Entropy-encode one quantized block (NATURAL order) and return the
     * block's DC for the caller's per-component predictor chain. */
   private def writeBlock(bits: BitWriter, blk: Array[Int], prevDc: Int,
-      dcC: Map[Int, (Int, Int)], acC: Map[Int, (Int, Int)]): Int = {
+      dcC: Map[Int, (Int, Int)], acC: Map[Int, (Int, Int)],
+      maxDcCat: Int = 11, maxAcCat: Int = 10): Int = {
     require(blk.length == 64)
     val d = blk(0) - prevDc
     val s = magnitude(d)
-    require(s <= 11, s"DC difference $d too large for the table")
+    require(s <= maxDcCat, s"DC difference $d too large for the table")
     val (c, l) = dcC(s); bits.put(c, l)
     if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
     // AC in zigzag order with run/size coding
@@ -172,7 +191,7 @@ object JpegCodec {
       else {
         while (run >= 16) { val (zc, zl) = acC(0xf0); bits.put(zc, zl); run -= 16 }
         val sz = magnitude(v)
-        require(sz <= 10, s"AC magnitude $v too large for the table")
+        require(sz <= maxAcCat, s"AC magnitude $v too large for the table")
         val (ac, al) = acC((run << 4) | sz); bits.put(ac, al)
         bits.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
         run = 0
@@ -667,20 +686,90 @@ object JpegCodec {
     encodeCoefficients(width, height, q, blocks)
   }
 
+  /** Encode quantized coefficient blocks as a 12-BIT EXTENDED-SEQUENTIAL
+    * (SOF1) grayscale JPEG — the Huffman DICOM-export mode. Same entropy
+    * machinery as baseline with the 12-bit reach: DC categories to 15,
+    * AC sizes to 14, a 16-bit (Pq=1) quant table, and a +2048 level
+    * shift applied by the decoder's IDCT. */
+  def encodeCoefficients12(width: Int, height: Int, q: Int,
+      blocks: Array[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    require(q >= 1 && q <= 65535, s"quant step $q out of Pq=1 range")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh, s"${blocks.length} blocks for ${bw}x$bh grid")
+    val dcC = canonicalCodes(Dc12Bits, Dc12Vals)
+    val acC = canonicalCodes(Ac12Bits, Ac12Vals)
+    val bits = new BitWriter
+    var prevDc = 0
+    var rst = 0
+    blocks.zipWithIndex.foreach { case (blk, bi) =>
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bits.restart(rst); rst = (rst + 1) % 8
+        prevDc = 0
+      }
+      prevDc = writeBlock(bits, blk, prevDc, dcC, acC, maxDcCat = 15, maxAcCat = 14)
+    }
+    val entropy = bits.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    // DQT with Pq=1: 16-bit big-endian entries (T.81 B.2.4.1 — the
+    // precision a 12-bit frame's quant values generally need)
+    seg(out, 0xdb, Array[Byte](0x10) ++
+      Array.fill(64)(Array((q >> 8).toByte, (q & 0xff).toByte)).flatten)
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc1, ByteBuffer.allocate(9) // SOF1: precision 12, 1 component
+      .put(12.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    dhtSeg(out, 0, 0, Dc12Bits, Dc12Vals)
+    dhtSeg(out, 1, 0, Ac12Bits, Ac12Vals)
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS, baseline shape
+    out.write(entropy)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** 12-bit constant-block fixture encoder (DC-only, exact whenever q
+    * divides 8·(v−2048)) — [[encodeConstantBlocks]] at P=12, which is
+    * what lets the lossy 12-bit path hash-gate against a closed form. */
+  def encodeConstantBlocks12(width: Int, height: Int, pixels: Array[Int],
+      q: Int = 512): Array[Byte] = {
+    require(pixels.length == width * height)
+    val bw = width / 8
+    val blocks = Array.tabulate((width / 8) * (height / 8)) { bi =>
+      val bx = bi % bw; val by = bi / bw
+      val v = pixels(by * 8 * width + bx * 8)
+      for (y <- 0 until 8; x <- 0 until 8)
+        require(pixels((by * 8 + y) * width + bx * 8 + x) == v,
+          s"block ($bx,$by) not constant")
+      val dc = 8 * (v - 2048)
+      require(dc % q == 0, s"DC $dc not exactly quantizable by $q")
+      val blk = new Array[Int](64); blk(0) = dc / q; blk
+    }
+    encodeCoefficients12(width, height, q, blocks)
+  }
+
   // ---- lossless (SOF3, T.81 Annex H) ----
 
   /** T.81 H.1.1 prediction for sample (x, y) of raster `px` (already
     * point-transformed). `fresh` marks the first sample of the scan or
-    * of a restart interval, which always predicts 2^(P−Pt−1); the first
-    * LINE then predicts from Ra (left) and the first COLUMN from Rb
-    * (above) regardless of the selected predictor. Shared verbatim by
-    * the encoder and decoder so the two cannot disagree on the >>1
-    * semantics of predictors 5..7 (arithmetic shift, per the spec's
-    * "shift right one bit" on values that can be transiently negative). */
+    * of a restart interval, which always predicts 2^(P−Pt−1); the line
+    * CONTAINING that fresh sample (`restartRow` — row 0 at scan start,
+    * then the row where each restart landed) predicts from Ra (left)
+    * for its remaining samples, exactly as the spec treats the first
+    * line — "the selected predictor is used for all lines EXCEPT the
+    * first line and the first line after each restart, which use the
+    * one-dimensional Ra predictor". The first sample of every OTHER
+    * line predicts from Rb (above). Shared verbatim by the encoder and
+    * decoder so the two cannot disagree on the >>1 semantics of
+    * predictors 5..7 (arithmetic shift, per the spec's "shift right one
+    * bit" on values that can be transiently negative). */
   private def losslessPredict(px: Array[Int], w: Int, x: Int, y: Int,
-      predictor: Int, defaultPred: Int, fresh: Boolean): Int = {
+      predictor: Int, defaultPred: Int, fresh: Boolean, restartRow: Int): Int = {
     if (fresh) defaultPred
-    else if (y == 0) px(x - 1)
+    else if (y == restartRow) px(y * w + x - 1) // Ra, 1-D line after SOI/RSTn
     else if (x == 0) px((y - 1) * w)
     else {
       val ra = px(y * w + x - 1)
@@ -706,7 +795,9 @@ object JpegCodec {
     * scan's Ss field); `pointTransform` (Al/Pt) drops that many low
     * bits before prediction; differences are coded modulo 2^16 with the
     * bitless SSSS=16 case for +32768; restart intervals (in samples)
-    * byte-align and reset the prediction to the default. */
+    * byte-align, reset the first post-restart prediction to the
+    * default, and predict the remainder of that sample line 1-D from
+    * Ra — the T.81 H.1.1 rule third-party (DICOM/DNG) codecs apply. */
   def encodeLossless(width: Int, height: Int, precision: Int, predictor: Int,
       pixels: Array[Int], pointTransform: Int = 0,
       restartInterval: Int = 0): Array[Byte] = {
@@ -728,16 +819,17 @@ object JpegCodec {
     val bits = new BitWriter
     val defaultPred = 1 << (precision - pt - 1)
     var fresh = true
+    var restartRow = 0 // row whose remaining samples use 1-D Ra (H.1.1)
     var since = 0
     var rst = 0
     var i = 0
     while (i < sp.length) {
       if (restartInterval > 0 && since == restartInterval) {
         bits.restart(rst); rst = (rst + 1) % 8
-        since = 0; fresh = true
+        since = 0; fresh = true; restartRow = i / width
       }
       val pred = losslessPredict(sp, width, i % width, i / width,
-        predictor, defaultPred, fresh)
+        predictor, defaultPred, fresh, restartRow)
       fresh = false
       var d = (sp(i) - pred) & 0xffff // difference modulo 2^16 (H.2.1)
       if (d > 32768) d -= 65536
@@ -776,19 +868,20 @@ object JpegCodec {
     val defaultPred = 1 << (precision - pt - 1)
     val maxS = (1 << (precision - pt)) - 1
     var fresh = true
+    var restartRow = 0 // row whose remaining samples use 1-D Ra (H.1.1)
     var since = 0
     var rst = 0
     var i = 0
     while (i < out.length) {
       if (restartInterval > 0 && since == restartInterval) {
         br.expectRestart(rst); rst = (rst + 1) % 8
-        since = 0; fresh = true
+        since = 0; fresh = true; restartRow = i / w
       }
       val s = tab.decode(br)
       require(s <= 16, s"invalid lossless difference category $s")
       val d = if (s == 16) 32768 else extend(br.receive(s), s)
       val pred = losslessPredict(out, w, i % w, i / w,
-        predictor, defaultPred, fresh)
+        predictor, defaultPred, fresh, restartRow)
       fresh = false
       val v = (pred + d) & 0xffff
       require(v <= maxS,
@@ -878,10 +971,14 @@ object JpegCodec {
   private val IdctCos: Array[Array[Double]] =
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
 
-  /** Separable double-precision IDCT (T.81 A.3.3), level shift + clamp. */
-  private[graft] def idct(coef: Array[Int]): Array[Int] = {
+  /** Separable double-precision IDCT (T.81 A.3.3), level shift + clamp —
+    * both sized by the frame precision (+128 / 0..255 at 8-bit,
+    * +2048 / 0..4095 at 12-bit extended). */
+  private[graft] def idct(coef: Array[Int], precision: Int = 8): Array[Int] = {
     val c = IdctC
     val cosT = IdctCos
+    val shift = 1 << (precision - 1)
+    val maxV = (1 << precision) - 1
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
@@ -897,8 +994,8 @@ object JpegCodec {
           }
           u += 1
         }
-        val px = math.round(s / 4 + 128).toInt
-        out(y * 8 + x) = math.max(0, math.min(255, px))
+        val px = math.round(s / 4 + shift).toInt
+        out(y * 8 + x) = math.max(0, math.min(maxV, px))
         x += 1
       }
       y += 1
@@ -915,6 +1012,7 @@ object JpegCodec {
     var pos = 2
     var w = -1; var h = -1
     var progressive = false
+    var extended = false
     var lossless = false
     var precision = 8
     var pointT = 0
@@ -969,15 +1067,21 @@ object JpegCodec {
             var o = body
             val end = pos + 2 + len
             while (o < end) {
-              require(end - o >= 65, s"DQT table truncated at offset $o")
               val pq = (bytes(o) & 0xff) >> 4
               val tq = bytes(o) & 0xf
-              require(pq == 0, "only 8-bit quant tables supported")
-              quantT(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
-              o += 65
+              // Pq=1 (16-bit big-endian entries) is legal — and typical —
+              // for 12-bit frames (T.81 B.2.4.1); baseline requires Pq=0
+              require(pq == 0 || pq == 1, s"bad DQT precision Pq=$pq")
+              val stride = 1 + 64 * (pq + 1)
+              require(end - o >= stride, s"DQT table truncated at offset $o")
+              quantT(tq) =
+                if (pq == 0) Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+                else Array.tabulate(64)(i => u16(o + 1 + 2 * i))
+              o += stride
             }
-          case 0xc0 | 0xc2 | 0xc3 =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 =>
             require(compIds == null, "multiple frames not supported")
+            extended = m == 0xc1
             progressive = m == 0xc2
             lossless = m == 0xc3
             require(len >= 2 + 9, s"SOF segment too short: $len")
@@ -985,6 +1089,11 @@ object JpegCodec {
             if (lossless)
               require(precision >= 2 && precision <= 16,
                 s"lossless precision must be 2..16, got $precision")
+            else if (extended)
+              // T.81 B.2.2: extended sequential allows 8 or 12; this is
+              // the DICOM-export mode (12-bit grayscale, Huffman)
+              require(precision == 8 || precision == 12,
+                s"extended-sequential (SOF1) precision must be 8 or 12, got $precision")
             else
               require(precision == 8, "only 8-bit precision supported for DCT modes")
             h = u16(body + 1); w = u16(body + 3)
@@ -996,6 +1105,9 @@ object JpegCodec {
               s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
             if (lossless) require(ncomp == 1,
               s"only single-component lossless is supported, got $ncomp components")
+            if (precision == 12) require(ncomp == 1,
+              "12-bit extended-sequential is supported for grayscale only " +
+                s"(the DICOM-export shape); got $ncomp components")
             require(len >= 2 + 6 + 3 * ncomp, s"SOF too short for $ncomp components")
             compIds = new Array[Int](ncomp)
             compTq = new Array[Int](ncomp)
@@ -1042,11 +1154,12 @@ object JpegCodec {
               (ch + 7) / 8
             }
             coefs = Array.tabulate(ncomp)(ci => new Array[Int](padW(ci) * padH(ci) * 64))
-          case 0xc1 | 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          case 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(
               f"unsupported SOF marker 0xff$m%02x — only baseline-sequential " +
-                "(SOF0), progressive (SOF2) and lossless (SOF3) Huffman modes " +
-                "are supported (extended/arithmetic/hierarchical reject loudly)")
+                "(SOF0), extended-sequential (SOF1), progressive (SOF2) and " +
+                "lossless (SOF3) Huffman modes are supported " +
+                "(arithmetic/hierarchical reject loudly)")
           case 0xcc =>
             throw new IllegalArgumentException(
               "arithmetic-coding conditioning (DAC) not supported")
@@ -1203,7 +1316,7 @@ object JpegCodec {
           val coefN = new Array[Int](64)
           var i = 0
           while (i < 64) { coefN(Zigzag(i)) = cz(off + i) * quant(i); i += 1 }
-          val blk = idct(coefN)
+          val blk = idct(coefN, precision)
           var y = 0
           while (y < 8) {
             var x = 0
@@ -1227,7 +1340,7 @@ object JpegCodec {
         System.arraycopy(planes(0), y * pw, out, y * w, w)
         y += 1
       }
-      Jpeg(w, h, out, 1)
+      Jpeg(w, h, out, 1, precision)
     } else {
       // JFIF YCbCr -> RGB (ITU-R BT.601 constants), rounded and clamped.
       // Subsampled chroma upsamples by sample replication (px·hi/hmax) —

@@ -1087,6 +1087,84 @@ SELECT doc_id, w AS width, h AS height, precision_bits, predictor, point_transfo
 FROM s GROUP BY doc_id, w, h, precision_bits, predictor, point_transformed
 ORDER BY doc_id"""
 
+  case class Jpeg12Features(doc_id: Long, width: Int, height: Int,
+    depth_bits: Int, n_blocks: Int, sum_px: Long, peak: Int)
+
+  /** 12-BIT EXTENDED-SEQUENTIAL JPEG (SOF1) as a first-class gate — the
+    * Huffman mode 12-bit medical exports (DICOM transfer syntax
+    * 1.2.840.10008.1.2.4.51) carry, and the last DCT-family sliver a
+    * real corpus plausibly hits. Same closed-form trick as the 8-bit
+    * gate at 12-bit reach: constant 8×8 blocks at multiples of 64, a
+    * quant step of 512 that only fits a 16-bit (Pq=1) DQT entry, DC =
+    * 8·(v−2048) exactly divisible — so the genuinely lossy pipeline
+    * (extended-category Huffman → DC chain → 16-bit dequant → IDCT with
+    * the +2048 level shift) reproduces the generator bit-for-bit and
+    * the DuckDB oracle re-derives it. General AC / deep-DC reach is
+    * spec-covered against an independent IDCT (JpegCodecSpec). Scale
+    * shape: per-row CPU inside one mapPartitions, zero shuffle. */
+  def decodeJpeg12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val bw = w / 8; val bh = h / 8
+          val px = new Array[Int](w * h)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val v = (64 * ((id * 11 + bx * 5 + by * 3) % 64)).toInt
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { px((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bytes = JpegCodec.encodeConstantBlocks12(w, h, px)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          require(img.depth == 12 && img.channels == 1,
+            s"doc $id: expected a 12-bit single-component decode")
+          var sum = 0L; var peak = 0; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sum += v; if (v > peak) peak = v
+            i += 1
+          }
+          Jpeg12Features(id, img.width, img.height, img.depth,
+            (img.width / 8) * (img.height / 8), sum, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The 12-bit generator's closed form per block, restated in SQL. */
+  val decodeJpeg12Oracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         64 * ((doc_id * 11 + (bi % (w // 8)) * 5 + (bi // (w // 8)) * 3) % 64) AS v
+  FROM b)
+SELECT doc_id, w AS width, h AS height, CAST(12 AS INT) AS depth_bits,
+       CAST((w // 8) * (h // 8) AS INT) AS n_blocks,
+       CAST(sum(64 * v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INT) AS peak
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
@@ -1103,7 +1181,8 @@ ORDER BY doc_id"""
     "multimodal_decode_png16" -> (decodePng16 _),
     "multimodal_decode_png_sub8" -> (decodePngSub8 _),
     "multimodal_decode_jpeg" -> (decodeJpeg _),
-    "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _)
+    "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _),
+    "multimodal_decode_jpeg12" -> (decodeJpeg12 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1122,6 +1201,7 @@ ORDER BY doc_id"""
     "multimodal_decode_png16" -> decodePng16Oracle,
     "multimodal_decode_png_sub8" -> decodePngSub8Oracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle,
-    "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle
+    "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle,
+    "multimodal_decode_jpeg12" -> decodeJpeg12Oracle
   )
 }

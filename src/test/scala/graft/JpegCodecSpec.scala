@@ -543,6 +543,76 @@ class JpegCodecSpec extends AnyFunSuite {
       .getMessage.nonEmpty)
   }
 
+  test("lossless restarts: rest of the line predicts 1-D from Ra (T.81 H.1.1 fixture)") {
+    // CONFORMANCE pin, independent of the codec's own predictor: the
+    // stream below is built HERE from the spec's coding rules (5-bit
+    // category code = the category value under the codec's canonical
+    // DHT, then SSSS magnitude bits; 1-padding + RSTn between
+    // intervals), and the differences are hand-derived from H.1.1 for
+    // predictor 4, w=4 h=3, restart interval 5, P=8 (default pred 128):
+    //   i0 (0,0) fresh→128        d=-118   i6 (2,1) Ra=60   d=+10  «H.1.1»
+    //   i1 (1,0) Ra=10   d=+10             i7 (3,1) Ra=70   d=+10  «H.1.1»
+    //   i2 (2,0) Ra=20   d=+10             i8 (0,2) Rb=50   d=+40
+    //   i3 (3,0) Ra=30   d=+10             i9 (1,2) p4:90+60-50 d=0
+    //   i4 (0,1) Rb=10   d=+40           RST1
+    //   RST0                               i10 (2,2) fresh→128 d=-18
+    //   i5 (1,1) fresh→128 d=-68           i11 (3,2) Ra=110 d=+10 «H.1.1»
+    // The «H.1.1» samples are exactly where a decoder that resumes the
+    // 2-D predictor after a restart (the pre-r17 bug) reads different
+    // pixels — this fixture pins interop with external SOF3 codecs.
+    val pixels = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val diffs = Array(-118, 10, 10, 10, 40, Int.MinValue /*RST*/ ,
+      -68, 10, 10, 40, 0, Int.MinValue /*RST*/ , -18, 10)
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def flushBits(): Unit = {
+      while (bits.length % 8 != 0) bits += 1 // 1-padding (B.1.1.5)
+      bits.grouped(8).foreach { g =>
+        val b = g.foldLeft(0)((a, x) => (a << 1) | x)
+        bytes += b.toByte
+        if (b == 0xff) bytes += 0x00.toByte // stuffing
+      }
+      bits.clear()
+    }
+    def putBits(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    var rst = 0
+    diffs.foreach {
+      case Int.MinValue =>
+        flushBits()
+        bytes += 0xff.toByte += (0xd0 + rst).toByte; rst += 1
+      case d =>
+        val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+        putBits(s, 5) // canonical 5-bit code for category s IS s
+        if (s > 0) putBits(if (d >= 0) d else d + (1 << s) - 1, s)
+    }
+    flushBits()
+    val entropy = bytes.toArray
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xc4, Array(0x00) ++ Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 16)) // DHT: 17 five-bit codes, vals = categories 0..16
+    seg(0xdd, Array(0, 5)) // DRI: restart every 5 samples
+    seg(0xc3, Array(8, 0, 3, 0, 4, 1, 1, 0x11, 0)) // SOF3: P=8, 3x4, 1 comp
+    seg(0xda, Array(1, 1, 0x00, 4, 0, 0)) // SOS: predictor 4, Pt 0
+    out.write(entropy)
+    out.write(0xff); out.write(0xd9) // EOI
+    val img = JpegCodec.decode(out.toByteArray)
+    assert(img.width == 4 && img.height == 3)
+    assert(img.pixels.toSeq == pixels.toSeq,
+      "H.1.1 restart semantics: Ra prediction to end of the restart line")
+    // and the codec's own encoder emits a stream this decoder (now
+    // pinned to the spec) reads back identically — transferring the
+    // conformance to the encode side, which shares losslessPredict
+    val own = JpegCodec.encodeLossless(4, 3, 8, 4, pixels, restartInterval = 5)
+    assert(JpegCodec.decode(own).pixels.toSeq == pixels.toSeq)
+  }
+
   test("lossless out-of-scope shapes reject loudly") {
     assert(intercept[IllegalArgumentException](
       JpegCodec.encodeLossless(4, 4, 17, 1, Array.fill(16)(0)))
@@ -558,6 +628,105 @@ class JpegCodecSpec extends AnyFunSuite {
     bad(sosAt + 4 + 3 + 1) = 9.toByte // Se byte of the single-component SOS
     assert(intercept[IllegalArgumentException](JpegCodec.decode(bad))
       .getMessage.contains("Se=0"))
+  }
+
+  /** Independent direct-form IDCT at 12-bit reach (+2048 shift, 0..4095
+    * clamp) — same first-principles formula, no shared tables. */
+  private def refIdct12(coef: Array[Int]): Array[Int] =
+    Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+        s += cu * cv * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      math.max(0, math.min(4095, math.round(s / 4.0 + 2048.0).toInt))
+    }
+
+  test("12-bit SOF1: constant blocks round-trip exactly, depth carried") {
+    val rng = new scala.util.Random(0x12b1)
+    (1 to 8).foreach { _ =>
+      val bw = 1 + rng.nextInt(3); val bh = 1 + rng.nextInt(3)
+      val w = bw * 8; val h = bh * 8
+      val px = new Array[Int](w * h)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val v = 64 * rng.nextInt(64) // multiples of 64: q=512 | 8·(v−2048)
+        for (y <- 0 until 8; x <- 0 until 8) px((by * 8 + y) * w + bx * 8 + x) = v
+      }
+      val img = JpegCodec.decode(JpegCodec.encodeConstantBlocks12(w, h, px))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      assert(img.depth == 12, "12-bit precision must survive to the caller")
+      assert(img.pixels.toSeq == px.toSeq, "exact 12-bit reconstruction")
+    }
+  }
+
+  test("12-bit SOF1: general AC + deep DC swings decode to the independent reference") {
+    // q=300 only fits a Pq=1 (16-bit) DQT entry — a decoder that parsed
+    // the table as bytes would dequantize with 300 & 0xFF = 44 and fail
+    // every block below. DC swings of ±12k quantized steps force DC
+    // difference categories up to 15 and AC values to ±16383 force
+    // sizes up to 14 — the reach baseline tables cannot express.
+    val rng = new scala.util.Random(0x12b2)
+    val q = 300
+    (1 to 10).foreach { _ =>
+      val bw = 1 + rng.nextInt(3); val bh = 1 + rng.nextInt(2)
+      val blocks = Array.tabulate(bw * bh) { bi =>
+        val blk = new Array[Int](64)
+        blk(0) = (if (bi % 2 == 0) 1 else -1) * (8000 + rng.nextInt(4000))
+        (1 to 1 + rng.nextInt(12)).foreach { _ =>
+          blk(1 + rng.nextInt(63)) = rng.nextInt(32767) - 16383
+        }
+        blk
+      }
+      val ri = if (rng.nextBoolean()) 2 else 0
+      val bytes = JpegCodec.encodeCoefficients12(bw * 8, bh * 8, q, blocks, ri)
+      val img = JpegCodec.decode(bytes)
+      assert(img.depth == 12)
+      for (bi <- 0 until bw * bh) {
+        val expect = refIdct12(Array.tabulate(64)(i => blocks(bi)(i) * q))
+        val bx = bi % bw; val by = bi / bw
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val got = img.pixels((by * 8 + y) * bw * 8 + bx * 8 + x)
+          assert(math.abs(got - expect(y * 8 + x)) <= 1,
+            s"block $bi ($x,$y): got $got want ${expect(y * 8 + x)}")
+        }
+      }
+    }
+  }
+
+  test("8-bit SOF1 decodes exactly as its SOF0 twin; 12-bit rejects stay loud") {
+    // extended-sequential at 8-bit is semantically baseline: flip the
+    // SOF marker byte and require a bit-identical raster
+    val px = new Array[Int](16 * 8)
+    for (y <- 0 until 8; x <- 0 until 16)
+      px(y * 16 + x) = 2 * (((x / 8) * 31 + 7) % 128)
+    val sof0 = JpegCodec.encodeConstantBlocks(16, 8, px)
+    val at = sof0.indices.find(i =>
+      (sof0(i) & 0xff) == 0xff && (sof0(i + 1) & 0xff) == 0xc0).get
+    val sof1 = sof0.clone(); sof1(at + 1) = 0xc1.toByte
+    assert(JpegCodec.decode(sof1).pixels.toSeq == JpegCodec.decode(sof0).pixels.toSeq)
+    // 12-bit color: patch a 4:4:4 color file to SOF1/P=12 → grayscale-only
+    val color = JpegCodec.encodeCoefficientsColor(8, 8, 16, 16,
+      Array(Array.fill(64)(0)), Array(Array.fill(64)(0)), Array(Array.fill(64)(0)))
+    val cAt = color.indices.find(i =>
+      (color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0).get
+    val bad = color.clone(); bad(cAt + 1) = 0xc1.toByte; bad(cAt + 4) = 12.toByte
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(bad))
+      .getMessage.contains("grayscale only"))
+    // SOF1 precision 10 is out of spec
+    val p10 = sof1.clone(); p10(at + 4) = 10.toByte
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(p10))
+      .getMessage.contains("8 or 12"))
+    // DQT Pq=2 is malformed
+    val twelve = JpegCodec.encodeConstantBlocks12(8, 8, Array.fill(64)(1024))
+    val qAt = twelve.indices.find(i =>
+      (twelve(i) & 0xff) == 0xff && (twelve(i + 1) & 0xff) == 0xdb).get
+    val badQ = twelve.clone(); badQ(qAt + 4) = 0x20.toByte
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(badQ))
+      .getMessage.contains("Pq"))
   }
 
   test("decodeJpeg query emits decoder-derived features on the fixture corpus") {
