@@ -40,17 +40,27 @@ object Bench {
     // 512 MB, not 1 GB: the r15 OOM site (sf30) is a 0.98 GiB subset
     // corpus — the threshold must sit BELOW the scale that already
     // OOM'd, and sf1 (~175 MB), the largest driver-ish SF, stays at 0.5.
+    // recursive walk (r16 ADVICE): a dataset table staged as a
+    // Spark-written DIRECTORY named *.parquet would make a flat
+    // Files.size return the directory-inode size and silently keep
+    // storageFraction=0.5 at exactly the scale the 0.2 protection
+    // targets — sum the regular files underneath instead
     val corpusBytes = {
       val d = java.nio.file.Paths.get(sfDir)
       if (java.nio.file.Files.isDirectory(d)) {
-        val st = java.nio.file.Files.list(d)
+        val st = java.nio.file.Files.walk(d)
         try st.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
           .map(java.nio.file.Files.size).sum
         finally st.close()
       } else 0L
     }
-    val storageFraction = if (corpusBytes >= (512L << 20)) "0.2" else "0.5"
+    // builder-iteration aid (r16 verdict #1 isolation runs): force the
+    // fraction to separate the cache-evictability suspect from session
+    // history in the sf10 steady>cold attribution. Unset = dataset-sized.
+    val storageFraction = sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION",
+      if (corpusBytes >= (512L << 20)) "0.2" else "0.5")
     System.err.println(
       s"[bench] corpus=$corpusBytes bytes -> spark.memory.storageFraction=$storageFraction")
     val spark = SparkSession.builder()
@@ -61,6 +71,30 @@ object Bench {
       .config("spark.memory.storageFraction", storageFraction)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // HOST-CALIBRATION ANCHOR (r16 verdict #2): the same-code A/B that
+    // attributed the r15/r16 "regressions" measured this host drifting
+    // ±25% between rounds — so every bench run now carries a fixed-work,
+    // dataset-independent microtask (pure CPU + one 32-way shuffle +
+    // hash agg over 400M deterministic rows) whose time moves ONLY with
+    // the host. Cross-round comparisons divide totals by the calibration
+    // ratio instead of needing a manual worktree A/B. Four passes: the
+    // first absorbs codegen/JIT warmup and is discarded; the reported
+    // value is the MIN of the rest (noise only ever adds time on a
+    // deterministic workload).
+    val calibration = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 400_000_000L, 1L, 32)
+          .selectExpr("id % 9973 AS k", "xxhash64(id) AS h")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT/codegen warmup pass, discarded
+      Seq.fill(3)(once()).min
+    }
+    System.err.println(f"[bench] calibration_sec=$calibration%.3f (fixed-work host anchor)")
     // Warmup = the ETL phase: materialize the gold star schema once, the
     // way the reference separates ETL wall-time (etl_lakehouse.py:139-147)
     // from per-query latency measured on the already-built gold zone
@@ -167,7 +201,7 @@ object Bench {
     // prior round's "value"); "min_total_sec" is the noise-robust
     // min-of-passes statistic, and the per-query "spread" carries
     // [min,median,max]
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"calibration_sec":${r3(calibration)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries":${entries(results.toSeq)},"cold":${entries(cold.toSeq)},"spread":${spreadEntries(results.keys.toSeq)},"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a ~2000-char tail of
     // stdout, and the full per-query map overflows it — the JSON line must
     // stay short enough to survive the tail capture INTACT. Print a line
@@ -184,7 +218,7 @@ object Bench {
         var line = json
         while (line.length > budget && kept.nonEmpty) {
           kept = kept.dropRight(math.max(1, kept.size / 8))
-          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
+          line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median_of_passes","min_total_sec":${r3(minTotal)},"calibration_sec":${r3(calibration)},"warmup_etl_sec":${r3(warmup)},"cold_total_sec":${r3(coldTotal)},"passes":$nPasses,"failed":$fl,"queries_total":${results.size},"queries_elided":${results.size - kept.size},"queries":${entries(kept)},"cold":${entries(kept.map { case (k, _) => k -> cold(k) })},"spread":${spreadEntries(kept.map(_._1))},"sf":"$sfDir"}"""
         }
         line
       }

@@ -16,10 +16,13 @@ import graft.util.SessionCaches.PersistOnce
   *  - [[exact]]       — hash-groupBy. One shuffle on md5(text); at 100 TB,
   *                      shuffling a 16-byte hash + ids instead of the text
   *                      itself is the whole trick.
-  *  - [[ngramJaccard]]— exact all-pairs Jaccard via an inverted shingle
-  *                      index (explode → self-equi-join → count). Quadratic
-  *                      in docs-per-shingle; correct baseline, not the scale
-  *                      path.
+  *  - [[ngramJaccard]]— exact threshold-Jaccard via PREFIX-FILTERED
+  *                      candidate generation (SSJoin/AllPairs/PPJoin over
+  *                      the rarest-first stored arrays) + exact verify.
+  *                      Output identical to the brute-force inverted-index
+  *                      join (the lemma is lossless at the threshold); the
+  *                      join middle shrinks ~3× at t=0.5 and the exchange
+  *                      ~2× (r17 — the r16 sf100 scratch fix).
   *  - [[minhashLsh]]  — MinHash signatures (64 perms via xxhash64) banded
   *                      16×4; candidates from band-bucket equi-joins only,
   *                      then exact-Jaccard verification of the (tiny)
@@ -29,7 +32,7 @@ import graft.util.SessionCaches.PersistOnce
   *                      probability at j=0.9 is (1-0.9^4)^16 ≈ 2e-3 and at
   *                      the planted j≈0.98 it's ~1e-18, so the verified
   *                      output equals the brute-force oracle.
-  *  - [[simhash]]     — 60-bit SimHash fingerprints from md5-derived word
+  *  - [[simhash]]     — 120-bit SimHash fingerprints from md5-derived word
   *                      hashes (engine-neutral, so the oracle can recompute
   *                      them in SQL). Hamming-adjacent fingerprints =
   *                      near-dups; fingerprinting is one narrow pass.
@@ -86,11 +89,20 @@ object Dedup {
       // the directory entry is untouched, and the logic tag orphans stored
       // shingles if this derivation ever changes.
       val base = graft.util.SilverArtifact.pathFor(d, "shingles")
+      // v3 (r17): arrays stored RAREST-FIRST — sorted by (global document
+      // frequency, hash) instead of by hash — so the Jaccard prefix
+      // filter ([[ngramJaccard]]) is a zero-cost `slice` of the stored
+      // array at query time. Every other consumer treats sh as a SET
+      // (MinHash signatures are min-over-array, verification is
+      // array_intersect), so only the ngram path observes the order.
+      // The df attach is one build-time h-exchange, paid once per corpus
+      // version — exactly the pass the stored artifact exists to amortize.
       val fp = graft.util.SilverArtifact.sourceFingerprint(
-        s"$d/documents.parquet", s"shingles-v2-cap$MaxShingleDfFrac-$MinShingleDfCap")
-      // the split/ngram/hash explosion feeds BOTH the hot-list aggregate
-      // and the anti-join input — persisted so the dominant shingle pass
-      // runs once during the publish write, released right after
+        s"$d/documents.parquet",
+        s"shingles-v3-rarestfirst-cap$MaxShingleDfFrac-$MinShingleDfCap")
+      // the split/ngram/hash explosion feeds BOTH the df aggregate and
+      // the join input — persisted so the dominant shingle pass runs
+      // once during the publish write, released right after
       var ex: DataFrame = null
       val read = graft.util.SilverArtifact.getOrBuild(s, base, fp) {
         val nDocs = Tables.documents(s, d).count()
@@ -103,13 +115,17 @@ object Dedup {
         ex = withShingles(Tables.fanout(s, Tables.documents(s, d)))
           .select(col("doc_id"), explode(col("sh")).as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // sh is distinct per doc, so count == document frequency. The hot
-        // list is tiny by construction (df > 1% of corpus) → broadcast anti.
-        val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("h")
-        ex.join(broadcast(hot), Seq("h"), "left_anti")
+        // sh is distinct per doc, so count == document frequency; the
+        // SAME aggregate drives the hot-cap filter (df > 1% of corpus)
+        // and the rarest-first sort key
+        val dfs = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        ex.join(dfs, Seq("h"))
+          .filter(col("df") <= cap)
           .groupBy("doc_id")
-          .agg(sort_array(collect_list("h")).as("sh"), count(lit(1)).as("m"))
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"),
+            count(lit(1)).as("m"))
+          .select(col("doc_id"),
+            transform(col("dh"), x => x.getField("h")).as("sh"), col("m"))
       }
       if (ex != null) ex.unpersist()
       // re-establish the doc_id co-location the parquet read loses (the
@@ -160,20 +176,36 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
   // ---- exact n-gram Jaccard (inverted index) ----
 
-  /** All pairs with Jaccard ≥ `threshold` over 3-gram shingles. */
+  /** All pairs with Jaccard ≥ `threshold` over 3-gram shingles — found
+    * by PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo et al.
+    * AllPairs / Xiao et al. PPJoin), then verified exactly, so the
+    * output is IDENTICAL to the brute-force inverted-index join the
+    * oracle runs. The lemma: under any fixed total order of the gram
+    * universe, two sets with J(A,B) ≥ t must share an element inside
+    * each other's first |x| − ⌈t·|x|⌉ + 1 grams — if both prefixes
+    * missed, each set would need > ⌈t·|x|⌉ exclusive elements ranked
+    * after the other's whole prefix, capping the intersection below
+    * t·|A∪B|. The shingle artifact stores arrays RAREST-FIRST (global
+    * df order, v3), which both makes the prefix a zero-cost `slice`
+    * and concentrates prefixes on low-df grams, collapsing the join
+    * middle: measured at sf0.1/t=0.5, exchange rows 260k → 134k and
+    * join middle 1.27M → 430k (the r16 sf100 45 GB scratch peak was
+    * exactly this middle — 1.27B pre-agg pair rows). The ε in the
+    * prefix length guards the one unsafe float direction: t·m
+    * over-computing an exact integer would shorten the prefix below
+    * the lemma's bound; undershoot only lengthens it. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingleTable(s, d)
-    val ex = docs.select(col("doc_id"), col("m"), explode(col("sh")).as("sh1"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("sh1"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("sh1"))
-    a.join(b, a("sh1") === b("sh1") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "ma", "mb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("ma") + col("mb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val pfxLen = greatest(lit(1),
+      (col("m") - ceil(col("m") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int"))
+    val pfx = docs.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), pfxLen)).as("g"))
+    val a = pfx.select(col("doc_id").as("doc_a"), col("g"))
+    val b = pfx.select(col("doc_id").as("doc_b"), col("g"))
+    val cands = a.join(b, Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(docs, cands, threshold)
   }
 
   def ngramJaccardOracle(threshold: Double = 0.5): String = shingleCte + s"""
@@ -330,67 +362,95 @@ ORDER BY doc_a, doc_b"""
 
   // ---- SimHash ----
 
-  // 60-bit fingerprint (r13; was 32): banding exactness for Hamming ≤ h
-  // forces bands = h+1, so the BAND WIDTH — and with it the bucket count
-  // 2^width that divides the quadratic candidate term n²·bands/2^width —
-  // scales only with the fingerprint size. 32 bits gave 8-bit bands (256
-  // buckets): measured 11.9 s at sf1 and headed for n²/128 at sf10.
-  // 60 bits gives 4 × 15-bit bands (32768 buckets per band) — the
-  // Manku-et-al production shape (64-bit, 4 tables, h ≤ 3) — while
-  // staying clear of the sign bit so the fingerprint sum can never
-  // overflow a BIGINT in either engine (DuckDB raises on overflow).
-  // The fingerprint stays md5-derived and engine-reproducible: bits 0-31
-  // sign-sum the FIRST 8 md5 hex chars per word, bits 32-59 the NEXT 8.
-  val SimhashBits = 60
+  // 120-bit fingerprint, v2 (r17; 60-bit v1 from r13, 32-bit from r3):
+  // banding exactness for Hamming ≤ h forces bands = h+1, so the BAND
+  // WIDTH — and with it the bucket count 2^width that divides the
+  // quadratic random-collision term n²·bands/2^width — scales only with
+  // the fingerprint size. The v1 4 × 15-bit split (the Manku-et-al
+  // production shape for h ≤ 3) carries an n²/2^15 collision floor that
+  // the r16 sf100 probe measured starting to bind at 5M docs (4.9× step
+  // on 3.33× data); 4 × 30-bit bands push the floor to n²/2^30 —
+  // negligible to ~1B docs (collisions ≈ n²·4/2^30: ~4M pairs at 33M
+  // docs, trivially verified). Results are EXACT at any banding
+  // (candidates are Hamming-verified), so v2 changes the FINGERPRINT
+  // ARTIFACT and gate schema, not pair semantics: the fingerprint is now
+  // TWO non-negative 60-bit longs — `simhash_lo` IS the v1 fingerprint
+  // bit-for-bit (md5 hex chars 1-8/9-16), `simhash_hi` applies the same
+  // construction to chars 17-24/25-32. Two 60-bit halves rather than the
+  // textbook 2×64 because the oracle assembles each long as a SUM of
+  // 2^b terms — staying clear of the sign bit keeps that sum legal in
+  // DuckDB, which raises on BIGINT overflow (the same constraint that
+  // sized v1 at 60). 120/4 = 30-bit bands split 2+2 across the halves,
+  // so the pigeonhole guarantee (h ≤ 3 leaves ≥1 of 4 disjoint bands
+  // untouched) is unchanged.
+  val SimhashBits = 120
+  private val SimhashHalf = 60 // bits per stored long, sign-safe
 
-  /** 60-bit ([[SimhashBits]]) SimHash per document from md5-derived word
-    * hashes (bits 0-31 from the first 8 hex chars, bits 32-59 from the
-    * next 8). md5 is available and byte-identical in both engines, so the
-    * fingerprints are oracle-reproducible — unlike murmur/xxhash which
-    * are engine-specific. One narrow pass: explode words → SimhashBits
+  /** 120-bit ([[SimhashBits]]) SimHash per document from md5-derived
+    * word hashes, as two 60-bit longs: `simhash_lo` from the first 16
+    * md5 hex chars (bits 0-31 sign-sum chars 1-8, bits 32-59 chars
+    * 9-16 — bit-identical to the r13 60-bit fingerprint), `simhash_hi`
+    * the same construction over chars 17-24/25-32. md5 is available and
+    * byte-identical in both engines, so the fingerprints are
+    * oracle-reproducible — unlike murmur/xxhash which are
+    * engine-specific. One narrow pass: explode words → SimhashBits
     * signed bit sums per doc → reassemble. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .withColumn("hv1", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
       .withColumn("hv2", conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long"))
-    val bitAggs = (0 until SimhashBits).map { b =>
-      val src = if (b < 32) shiftright(col("hv1"), b) else shiftright(col("hv2"), b - 32)
-      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      .withColumn("hv3", conv(substring(md5(col("word")), 17, 8), 16, 10).cast("long"))
+      .withColumn("hv4", conv(substring(md5(col("word")), 25, 8), 16, 10).cast("long"))
+    def srcBit(half: String, b: Int) =
+      if (b < 32) shiftright(col(if (half == "lo") "hv1" else "hv3"), b)
+      else shiftright(col(if (half == "lo") "hv2" else "hv4"), b - 32)
+    val bitAggs = Seq("lo", "hi").flatMap { half =>
+      (0 until SimhashHalf).map { b =>
+        sum(when(srcBit(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"${half}$b")
+      }
     }
     val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until SimhashBits)
-      .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+    def assemble(half: String) = (0 until SimhashHalf)
+      .map(b => when(col(s"${half}$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), assemble("hi").as("simhash_hi"),
+      assemble("lo").as("simhash_lo")).orderBy("doc_id")
   }
 
   val simhashOracle: String = {
     def hex2int(from: Int) = "list_sum(list_transform(generate_series(1, 8), " +
       s"i -> CAST((strpos('0123456789abcdef', substr(md5(word), i + ${from - 1}, 1)) - 1) AS BIGINT) " +
       "* CAST(power(16, 8 - i) AS BIGINT)))"
-    val bitSums = (0 until SimhashBits)
+    def bitSums(half: String) = (0 until SimhashHalf)
       .map { b =>
-        val src = if (b < 32) s"(hv1 >> $b)" else s"(hv2 >> ${b - 32})"
-        s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+        val (a, c) = if (half == "lo") ("hv1", "hv2") else ("hv3", "hv4")
+        val src = if (b < 32) s"($a >> $b)" else s"($c >> ${b - 32})"
+        s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS ${half}$b"
       }
       .mkString(",\n         ")
-    val assemble = (0 until SimhashBits)
-      .map(b => s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)")
+    def assemble(half: String) = (0 until SimhashHalf)
+      .map(b => s"(CASE WHEN ${half}$b >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-h AS (SELECT doc_id, ${hex2int(1)} AS hv1, ${hex2int(9)} AS hv2 FROM w),
+h AS (SELECT doc_id, ${hex2int(1)} AS hv1, ${hex2int(9)} AS hv2,
+             ${hex2int(17)} AS hv3, ${hex2int(25)} AS hv4 FROM w),
 b AS (SELECT doc_id,
-         $bitSums
+         ${bitSums("lo")},
+         ${bitSums("hi")}
       FROM h GROUP BY doc_id)
-SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
+SELECT doc_id, CAST(${assemble("hi")} AS BIGINT) AS simhash_hi,
+       CAST(${assemble("lo")} AS BIGINT) AS simhash_lo
+FROM b ORDER BY doc_id"""
   }
 
   val SimhashBands = 4 // pigeonhole-exact for Hamming ≤ SimhashBands - 1
-  /** Width of each of the [[SimhashBands]] disjoint bands (15): the
-    * 2^15 buckets per band are what keep the candidate join's quadratic
-    * term small — see the [[SimhashBits]] note. */
+  /** Width of each of the [[SimhashBands]] disjoint bands (30): the
+    * 2^30 buckets per band are what keep the candidate join's quadratic
+    * term negligible — see the [[SimhashBits]] note. Bands 0-1 slice
+    * `simhash_lo`, bands 2-3 slice `simhash_hi`, two per half. */
   val SimhashBandWidth: Int = SimhashBits / SimhashBands
   private val SimhashBandMask: Long = (1L << SimhashBandWidth) - 1
 
@@ -400,26 +460,33 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
     * banding — the simhash analog of MinHash-LSH banding, and EXACT by
     * pigeonhole: two [[SimhashBits]]-bit fingerprints within Hamming 3
     * differ in at most 3 of the 4 disjoint [[SimhashBandWidth]]-bit bands
-    * (15-bit at the current 60/4 split), so at least one band matches
+    * (30-bit at the current 120/4 split), so at least one band matches
     * and the pair surfaces in that band's bucket. Candidates come from
     * equi-joins on (band index, band value) — never all pairs — then the
     * true Hamming distance filters them. Output therefore EQUALS the
     * brute-force all-pairs scan, which is exactly what the oracle
     * computes. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val fp = simhash(s, d) // (doc_id, simhash), SimhashBits bits in a long
-    val bands = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map { b =>
-        shiftright(col("simhash"), b * SimhashBandWidth).bitwiseAND(SimhashBandMask)
-      }: _*)).as(Seq("band_idx", "band_val")))
-    val l = bands.select(col("doc_id").as("doc_a"), col("simhash").as("fa"),
+    val fp = simhash(s, d) // (doc_id, simhash_hi, simhash_lo), 120 bits
+    // bands 0-1 slice the lo half, 2-3 the hi half (30 bits each)
+    val bandVals = (0 until SimhashBands).map { b =>
+      val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
+      shiftright(half, (b % 2) * SimhashBandWidth).bitwiseAND(SimhashBandMask)
+    }
+    val bands = fp.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val l = bands.select(col("doc_id").as("doc_a"),
+      col("simhash_hi").as("fa_hi"), col("simhash_lo").as("fa_lo"),
       col("band_idx"), col("band_val"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+    val r = bands.select(col("doc_id").as("doc_b"),
+      col("simhash_hi").as("fb_hi"), col("simhash_lo").as("fb_lo"),
       col("band_idx"), col("band_val"))
     l.join(r, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fa", "fb").distinct()
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .select("doc_a", "doc_b", "fa_hi", "fa_lo", "fb_hi", "fb_lo").distinct()
+      .withColumn("hamming",
+        bit_count(col("fa_hi").bitwiseXOR(col("fb_hi"))) +
+          bit_count(col("fa_lo").bitwiseXOR(col("fb_lo"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
@@ -434,9 +501,11 @@ SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
       .replace("ORDER BY doc_id", "")
     s"""WITH fp AS ($fpCte)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+          + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+    + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= $maxHamming
 ORDER BY doc_a, doc_b"""
   }
 

@@ -151,17 +151,25 @@ object EventsStream {
         else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
       val re = """"spark\.sql\.streaming\.stateStore\.providerClass"\s*:\s*"([^"]+)"""".r
       re.findFirstMatchIn(text).map(_.group(1)).foreach { recorded =>
+        // state the mismatch FACTS first and the threshold crossing as the
+        // most likely cause, not the asserted one (r16 ADVICE: the same
+        // exception fires if the threshold constant was retuned or the
+        // checkpoint was created under a manually-set providerClass — a
+        // message that asserts one cause would misdirect the remediation)
         if (recorded != computed) throw new IllegalStateException(
           s"checkpoint $ckpt (offsets batch $batch) pinned state-store provider " +
-            s"$recorded but the dataset now sizes to $computed " +
-            "— the events file grew or shrank across the 512 MB RocksDB " +
-            "threshold under a reused checkpoint. Spark keeps the checkpoint's " +
-            "pinned provider on restart, so the dataset-sized on-heap/RocksDB " +
-            "choice would silently NOT apply (an on-heap store at corpus scale " +
-            "is the r15 sf100 OOM). Either keep the original dataset size, " +
-            "start a fresh checkpoint (state rebuilds by replay, with the " +
-            "right provider), or migrate the state offline via the statestore " +
-            "reader.")
+            s"$recorded but this run computes $computed. Spark keeps the " +
+            "checkpoint's pinned provider on restart, so the dataset-sized " +
+            "on-heap/RocksDB choice would silently NOT apply (an on-heap " +
+            "store at corpus scale is the r15 sf100 OOM). Most likely cause: " +
+            "the events file grew or shrank across the 512 MB RocksDB " +
+            "threshold under a reused checkpoint; also possible: the " +
+            "threshold constant changed between runs, or the checkpoint was " +
+            "created under a manually-set providerClass. Either keep the " +
+            "provider the checkpoint pinned (and the dataset size that " +
+            "implies), start a fresh checkpoint (state rebuilds by replay, " +
+            "with the computed provider), or migrate the state offline via " +
+            "the statestore reader.")
       }
     }
 
@@ -282,6 +290,19 @@ object EventsStream {
     Tables.events(s, d)
       .repartitionByRange(n, col("ts"))
       .write.mode("overwrite").parquet(tmp.toString)
+    val (count, _) = installChunks(tmp, stageDir)
+    Files.writeString(marker, stamp)
+    System.err.println(s"[stream-split] staged $count ts-range chunks -> $stageDir")
+  }
+
+  /** Wipe `stageDir` and move `tmp`'s part files in as chunkNNN.parquet
+    * with strictly increasing mtimes (partition order == ts-range order,
+    * so the file source's (mtime, path) ordering delivers them
+    * oldest-range-first). Returns (chunk count, base mtime millis) so a
+    * caller can append further files AFTER the chunks in mtime order. */
+  private def installChunks(tmp: java.nio.file.Path,
+      stageDir: java.nio.file.Path): (Int, Long) = {
+    import java.nio.file.{Files, StandardCopyOption}
     if (Files.isDirectory(stageDir)) {
       val old = Files.list(stageDir)
       try old.iterator().asScala.foreach(Files.delete) finally old.close()
@@ -300,8 +321,58 @@ object EventsStream {
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
+    (parts.size, base)
+  }
+
+  /** Stage events as ts-range chunks PLUS two terminal watermark
+    * SENTINEL files — the Append-mode flush shape (r16 verdict #5). A
+    * production Append-mode session sink always holds back the sessions
+    * the final watermark never passes; the standard fix is terminal
+    * punctuation: after end of input, inject heartbeat events far past
+    * max(ts) so the watermark advances over every real session's end and
+    * the tail emits. Two sentinels because the watermark computed from
+    * trigger N takes effect in trigger N+1: sentinel 1's trigger runs
+    * with the last REAL watermark, sentinel 2's trigger runs with
+    * watermark ≈ sentinel1 − delay > every real session end and flushes
+    * the tail. The sentinels use user_id −1 and ts > max + a year; their
+    * own session is never closed by a later watermark, so they CANNOT
+    * appear in the output (the gate filters user_id ≥ 0 anyway, as the
+    * explicit contract). Chunk count follows SPARK_GRAFT_STREAM_SPLIT,
+    * so the gate is arrival-shape-checkable like every other stream. */
+  private def stageTerminalInto(s: SparkSession, d: String,
+      stageDir: java.nio.file.Path, n: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$d/events.parquet")
+    val marker = stageDir.resolve("_TERM_STAMP")
+    val stamp = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:$n:term-v1"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
+    val ev = Tables.events(s, d)
+    // 1-row scalar aggregate (kilobyte-scale driver value)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val tmp = Files.createTempDirectory("graft_term_build")
+    ev.repartitionByRange(n, col("ts")).write.mode("overwrite").parquet(tmp.toString)
+    val (count, base) = installChunks(tmp, stageDir)
+    Seq(370L, 740L).zipWithIndex.foreach { case (days, j) =>
+      val st = new Timestamp(maxTs.getTime + days * 86400000L)
+      val one = s.range(1).select(
+        lit(-(j + 1).toLong).as("event_id"), lit(st).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      val t2 = Files.createTempDirectory("graft_term_sentinel")
+      one.coalesce(1).write.mode("overwrite").parquet(t2.toString)
+      val ps = Files.list(t2)
+      val part =
+        try ps.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        finally ps.close()
+      val dst = stageDir.resolve(s"sentinel$j.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + (count + 1 + j) * 1000L))
+    }
     Files.writeString(marker, stamp)
-    System.err.println(s"[stream-split] staged ${parts.size} ts-range chunks -> $stageDir")
+    System.err.println(
+      s"[stream-term] staged $count ts-range chunks + 2 sentinels -> $stageDir")
   }
 
   // memory-sink names must be unique PER INVOCATION: the streaming clone
@@ -724,28 +795,41 @@ FROM events GROUP BY event_type ORDER BY event_type"""
       .orderBy("user_id", "session_start")
   }
 
-  /** PROBE-ONLY Append-mode twin of [[sessionWindow]] (r15 verdict #4 —
-    * not a gate: Append holds back sessions the final watermark never
-    * passes, so the result is a strict subset of the batch oracle's).
-    * The gate runs Complete mode because a single-batch replay must emit
-    * everything — but Complete RETAINS every session in the store by
-    * design, so multi-trigger arrival cannot shrink its state. This is
-    * the production shape: watermark expiry EVICTS closed sessions
-    * between triggers, so with `SPARK_GRAFT_STREAM_SPLIT` arrival the
-    * state high-water mark stays ~one arrival window of OPEN sessions,
-    * not the corpus — the demonstration behind the sf100 floor note
-    * (run with SPARK_GRAFT_STREAM_PROFILE=1 to see per-trigger
-    * state total/removed). */
-  private[graft] def sessionWindowAppend(s: SparkSession, d: String): DataFrame = {
-    val agg = eventsStream(s, d)
+  /** Append-mode twin of [[sessionWindow]], now a full ORACLE GATE (r16
+    * verdict #5; probe-only in r15-r16 because Append held back the
+    * sessions the final watermark never passed). The missing tail is
+    * closed with TERMINAL PUNCTUATION ([[stageTerminalInto]]): two
+    * far-future sentinel triggers advance the watermark past every real
+    * session end, so the production eviction path — watermark expiry
+    * EVICTS and EMITS closed sessions between triggers, state bounded
+    * at ~one arrival window of open sessions, the r16 sf100
+    * demonstration — now emits the COMPLETE session set and
+    * hash-matches the batch gap-and-islands oracle. Honors
+    * `SPARK_GRAFT_STREAM_SPLIT` for multi-trigger real arrival ahead of
+    * the sentinels (run with SPARK_GRAFT_STREAM_PROFILE=1 to see
+    * per-trigger state total/removed). */
+  def sessionWindowAppend(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s, d)
+    val split = sys.env.get("SPARK_GRAFT_STREAM_SPLIT").map(_.toInt).getOrElse(1)
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src/${graft.util.PathKeys.safe(d)}_term$split")
+    stageTerminalInto(ss, d, stageDir, split)
+    val schema = ss.read.parquet(stageDir.toString).schema
+    val src = Tables.normalizeTs(ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir.toString))
+    val agg = src
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-    runToTable(s, agg, OutputMode.Append, "graft_stream_session_append")
+    runToTable(ss, agg, OutputMode.Append, "graft_stream_session_append")
+      // sentinels never emit (their window outlives the final watermark);
+      // the filter states the contract rather than relying on it
+      .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         (col("session_window.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
         col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
   }
 
   // ---- stateful sessionization ----
@@ -1632,6 +1716,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "stream_sessionize"      -> (sessionize _),
     "stream_timer_sessions"  -> (timerSessions _),
     "stream_session_window"  -> (sessionWindow _),
+    "stream_session_append"  -> (sessionWindowAppend _),
     "stream_dedup"           -> (streamDedup _),
     "stream_upsert_sink"     -> (upsertSink _),
     "stream_skip_ingest"     -> (skipIngest _)
@@ -1658,6 +1743,7 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     "stream_sliding_counts"  -> slidingOracle,
     "stream_sessionize"      -> sessionizeOracle,
     "stream_session_window"  -> sessionizeOracle, // built-in ≡ custom state
+    "stream_session_append"  -> sessionizeOracle, // terminal-flushed Append ≡ batch
     "stream_timer_sessions"  -> sessionizeOracle, // timer-closed ≡ batch
     "stream_dedup"           -> streamDedupOracle,
     "stream_upsert_sink"     -> upsertSinkOracle,

@@ -41,7 +41,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    which are either crashed orphans or a concurrent writer's in-flight
   *    claim: those are reaped only after `OrphanTtlMs` of inactivity,
   *    exactly the VACUUM-retention-window reasoning of transactional table
-  *    formats. */
+  *    formats.
+  *
+  * Commit cost under version churn (measured flat, ConcurrentStressSpec
+  * "publish latency" — v200 ≈ v6 at ~5 ms): the only per-version residue
+  * a publish leaves is one ~25-byte line in the lineage `_LOG`, rewritten
+  * whole under the commit lock — a named O(versions) term that reaches
+  * ~5 KB at v200 and ~2.5 MB at v100k (a real deployment compacting the
+  * log into checkpointed segments, as the transactional formats do, would
+  * cap it). Version DIRECTORIES are pruned to the keep tail at every
+  * commit, so directory listing, pointer parse and prune all stay O(keep). */
 object AtomicTable {
 
   private val Pointer = "_CURRENT"

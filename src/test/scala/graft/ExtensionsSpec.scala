@@ -22,16 +22,18 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("simhash: planted near-dup pairs are hamming-close, random pairs are not") {
-    val fp = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val fp = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // (hi, lo)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     val dups = Dedup.ngramJaccard(spark, sf, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.nonEmpty)
     val dupHam = dups.map { case (a, b) => ham(fp(a), fp(b)) }
     // near-identical word multisets → nearly identical simhash. The bound
     // scales with the fingerprint width (expected Hamming of a fixed
     // similarity level is ∝ bits): 6 of 32 bits in the r3 fingerprint,
-    // 12 of 60 in the r13 one — random pairs sit near bits/2 = 30, so the
-    // separation the test certifies is unchanged.
+    // 12 of 60 in the r13 one, 24 of 120 in the r17 one — random pairs
+    // sit near bits/2 = 60, so the separation certified is unchanged.
     val bound = Dedup.SimhashBits / 5
     assert(dupHam.forall(_ <= bound), s"dup hamming distances: ${dupHam.toSeq}")
     val ids = fp.keys.toArray.sorted
@@ -39,6 +41,33 @@ class ExtensionsSpec extends AnyFunSuite {
       ham(fp(a), fp(b))
     }.toSeq
     assert(randHam.count(_ > bound) > randHam.length / 2, s"random hamming: $randHam")
+  }
+
+  test("simhash v2 banding: any ≤3-bit flip over 120 bits leaves one band untouched") {
+    // the d≤3 recall pin the 128-bit upgrade was asked to carry: the
+    // banding arithmetic (2 bands × 30 bits per 60-bit half) must keep
+    // the pigeonhole guarantee EXACTLY — every fingerprint pair within
+    // Hamming 3 shares at least one of the 4 band values. Property-test
+    // the band split itself over random fingerprints and random ≤3-bit
+    // flips (the oracle's brute-force all-pairs scan then certifies the
+    // same property end-to-end on the corpus).
+    val rng = new scala.util.Random(0x51a17)
+    val mask30 = (1L << 30) - 1
+    def bandsOf(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo & mask30, (lo >> 30) & mask30, hi & mask30, (hi >> 30) & mask30)
+    (1 to 2000).foreach { _ =>
+      val lo = rng.nextLong() & ((1L << 60) - 1)
+      val hi = rng.nextLong() & ((1L << 60) - 1)
+      val nFlips = 1 + rng.nextInt(3)
+      val flips = Seq.fill(nFlips)(rng.nextInt(120))
+      var (lo2, hi2) = (lo, hi)
+      flips.foreach { b =>
+        if (b < 60) lo2 ^= (1L << b) else hi2 ^= (1L << (b - 60))
+      }
+      val shared = bandsOf(hi, lo).zip(bandsOf(hi2, lo2)).count { case (x, y) => x == y }
+      assert(shared >= 1,
+        s"pigeonhole violated: flips=$flips hi=$hi lo=$lo — banding split is wrong")
+    }
   }
 
   test("LSH and IVF ANN achieve usable recall vs brute force") {

@@ -104,14 +104,17 @@ class SkewBoundSpec extends AnyFunSuite {
 
   test("simhash banding generates far fewer candidates than all-pairs") {
     // simhash has no shingle cap — its skew story is that band values are
-    // 8-bit slices of md5-derived fingerprints, uniform by construction
-    // even when every doc shares boilerplate words. Reproduce the banded
+    // slices of md5-derived fingerprints, uniform by construction even
+    // when every doc shares boilerplate words. Reproduce the banded
     // candidate generation (the join in Dedup.simhashPairs, pre-Hamming)
-    // and bound it against the all-pairs count the banding replaces.
+    // with deliberately NARROW 8-bit bands of the lo half — 256 buckets
+    // is the adversarial shape on this small corpus; the production
+    // 30-bit bands only collide less — and bound it against the
+    // all-pairs count the banding replaces.
     val fp = Dedup.simhash(spark, dir)
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands = fp.select(col("doc_id"), col("simhash_lo"),
       posexplode(array((0 until Dedup.SimhashBands).map { b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)
+        shiftright(col("simhash_lo"), b * 8).bitwiseAND(0xff)
       }: _*)).as(Seq("band_idx", "band_val")))
     val l = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))

@@ -106,8 +106,14 @@ class StreamRestartSpec extends AnyFunSuite {
     }
     assert(ep.getMessage.contains("HDFSBackedStateStoreProvider") &&
       ep.getMessage.contains("RocksDBStateStoreProvider") &&
-      ep.getMessage.contains("512 MB"),
+      ep.getMessage.contains("512 MB") &&
+      ep.getMessage.contains("Most likely cause"),
       s"imprecise provider-guard message: ${ep.getMessage}")
+    // r16 ADVICE: the message must state the mismatch facts first and
+    // rank causes, not assert the threshold crossing — the same guard
+    // fires on a retuned threshold or a manually-set providerClass
+    assert(ep.getMessage.contains("manually-set providerClass"),
+      "message no longer names the alternative causes")
   }
 
   test("a restarted ANN serving session rebuilds the PQ index and serves identical top-k") {
