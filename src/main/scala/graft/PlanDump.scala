@@ -26,6 +26,7 @@ object PlanDump {
     "ntile_deciles" -> "exact ntile WITHOUT the per-group window: range exchange + zipWithIndex rank + closed-form tiles - no single-task-per-status stage (18.5 -> 7.7 s at sf10)",
     "ann_topk_lsh" -> "LSH probe join: corpus stays map-side, query side broadcast",
     "dedup_minhash_lsh" -> "banded candidates: equi-join on (band, value), exact verify on candidates only",
+    "dedup_ngram_jaccard" -> "count shape at t=0.5 (r17 threshold-adaptive): gram self-join aggregated straight to pair counts, no per-pair arrays across any exchange; corpus scale runs it as sequential gram shards",
     "topk_per_group_agg" -> "bounded top-K: partial_topkagg before the group shuffle, no Window sort",
     "timeseries_gapfill" -> "gap-fill: broadcast type dim onto the generated calendar, left join of the pre-agg",
     "dedup_cosine_lsh" -> "bucketed near-dup: candidates from (tbl, bucket) equi-joins, no cartesian",

@@ -16,13 +16,15 @@ import graft.util.SessionCaches.PersistOnce
   *  - [[exact]]       — hash-groupBy. One shuffle on md5(text); at 100 TB,
   *                      shuffling a 16-byte hash + ids instead of the text
   *                      itself is the whole trick.
-  *  - [[ngramJaccard]]— exact threshold-Jaccard via PREFIX-FILTERED
-  *                      candidate generation (SSJoin/AllPairs/PPJoin over
-  *                      the rarest-first stored arrays) + exact verify.
-  *                      Output identical to the brute-force inverted-index
-  *                      join (the lemma is lossless at the threshold); the
-  *                      join middle shrinks ~3× at t=0.5 and the exchange
-  *                      ~2× (r17 — the r16 sf100 scratch fix).
+  *  - [[ngramJaccard]]— exact threshold-Jaccard, threshold-adaptive
+  *                      physical shape (r17): PREFIX-FILTERED candidates
+  *                      (SSJoin/AllPairs/PPJoin over the rarest-first
+  *                      stored arrays) + array verify at t ≥ 0.7 where
+  *                      candidates are rare; the count-aggregate gram
+  *                      join — run as sequential disjoint gram SHARDS at
+  *                      corpus scale, bounding the r16 45 GB middle to
+  *                      ~1/K per shard — below. Output identical to brute
+  *                      force either way.
   *  - [[minhashLsh]]  — MinHash signatures (64 perms via xxhash64) banded
   *                      16×4; candidates from band-bucket equi-joins only,
   *                      then exact-Jaccard verification of the (tiny)
@@ -176,36 +178,145 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
   // ---- exact n-gram Jaccard (inverted index) ----
 
-  /** All pairs with Jaccard ≥ `threshold` over 3-gram shingles — found
-    * by PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo et al.
-    * AllPairs / Xiao et al. PPJoin), then verified exactly, so the
-    * output is IDENTICAL to the brute-force inverted-index join the
-    * oracle runs. The lemma: under any fixed total order of the gram
-    * universe, two sets with J(A,B) ≥ t must share an element inside
-    * each other's first |x| − ⌈t·|x|⌉ + 1 grams — if both prefixes
-    * missed, each set would need > ⌈t·|x|⌉ exclusive elements ranked
-    * after the other's whole prefix, capping the intersection below
-    * t·|A∪B|. The shingle artifact stores arrays RAREST-FIRST (global
-    * df order, v3), which both makes the prefix a zero-cost `slice`
-    * and concentrates prefixes on low-df grams, collapsing the join
-    * middle: measured at sf0.1/t=0.5, exchange rows 260k → 134k and
-    * join middle 1.27M → 430k (the r16 sf100 45 GB scratch peak was
-    * exactly this middle — 1.27B pre-agg pair rows). The ε in the
-    * prefix length guards the one unsafe float direction: t·m
-    * over-computing an exact integer would shorten the prefix below
-    * the lemma's bound; undershoot only lengthens it. */
+  /** Prefix+verify pays off only when candidates are RARE: each
+    * surviving candidate is verified by joining the two stored gram
+    * ARRAYS onto the pair, and that intermediate ships ~1-2 KB per
+    * candidate through an exchange. At t ≥ 0.7 real near-dup candidates
+    * are a sliver of all pairs and the array verify is the 100 TB shape
+    * (it is exactly what the MinHash-LSH paths do at t = 0.9); at
+    * t = 0.5 on a self-similar corpus the r17 sf100 probe measured
+    * ~80 candidates PER DOC (409M pairs from 5M docs, 99.94% of them
+    * failing verification) — the array-carrying verify exchange became
+    * the new scratch hog and the COUNT shape below wins instead. */
+  val PrefixVerifyThreshold = 0.7
+
+  /** Sequential gram shards for the count path, sized to the corpus:
+    * 1 below 512 MB of documents parquet (driver-scale plans and the
+    * bench at small SF stay single-pass, plan shape unchanged), then
+    * one shard per 128 MB, capped at 8 (sf100's 623 MB → 4). Shards
+    * bound the SCRATCH PEAK, not total work — the r16 sf100 peak was
+    * the whole 1.27B-row pair middle in flight at once. */
+  private[graft] def gramShardsFor(d: String): Int = {
+    val p = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val bytes = if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+    if (bytes < (512L << 20)) 1
+    else math.min(8, (bytes / (128L << 20)).toInt).max(2)
+  }
+
+  /** All pairs with Jaccard ≥ `threshold` over 3-gram shingles — EXACT
+    * (identical to the brute-force inverted-index join the oracle
+    * runs), with a threshold-adaptive physical shape:
+    *
+    *  - t ≥ [[PrefixVerifyThreshold]]: PREFIX-FILTERED candidates
+    *    (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs / Xiao et
+    *    al. PPJoin) + exact array verify. The lemma: under any fixed
+    *    total order of the gram universe, two sets with J(A,B) ≥ t
+    *    must share an element inside each other's first
+    *    |x| − ⌈t·|x|⌉ + 1 grams — if both prefixes missed, each set
+    *    would need > ⌈t·|x|⌉ exclusive elements ranked after the
+    *    other's whole prefix, capping the intersection below t·|A∪B|.
+    *    The shingle artifact stores arrays RAREST-FIRST (global df
+    *    order, v3), so the prefix is a zero-cost `slice` and prefixes
+    *    concentrate on low-df grams (measured at sf0.1: candidates
+    *    11525 → 1093 at t = 0.5). The ε in the prefix length guards
+    *    the one unsafe float direction: t·m over-computing an exact
+    *    integer would shorten the prefix below the lemma's bound;
+    *    undershoot only lengthens it.
+    *  - t < threshold: the COUNT shape — gram self-join aggregated
+    *    straight to per-pair intersection counts (no per-pair arrays
+    *    ever cross an exchange), run as [[gramShardsFor]] SEQUENTIAL
+    *    disjoint gram shards at corpus scale: shard i keeps grams with
+    *    pmod(g, K) = i, per-shard partial pair counts land in scratch
+    *    parquet, and the final pass sums counts per pair (disjoint
+    *    shards ⇒ counts add ⇒ hash-identical output). Each shard's
+    *    join middle — THE r16 sf100 scratch peak — is ~1/K of the
+    *    whole, and shards run one at a time. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     val docs = shingleTable(s, d)
-    val pfxLen = greatest(lit(1),
-      (col("m") - ceil(col("m") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int"))
-    val pfx = docs.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), pfxLen)).as("g"))
-    val a = pfx.select(col("doc_id").as("doc_a"), col("g"))
-    val b = pfx.select(col("doc_id").as("doc_b"), col("g"))
-    val cands = a.join(b, Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifyJaccard(docs, cands, threshold)
+    if (threshold >= PrefixVerifyThreshold) {
+      val pfxLen = greatest(lit(1),
+        (col("m") - ceil(col("m") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int"))
+      val pfx = docs.select(col("doc_id"),
+        explode(slice(col("sh"), lit(1), pfxLen)).as("g"))
+      val a = pfx.select(col("doc_id").as("doc_a"), col("g"))
+      val b = pfx.select(col("doc_id").as("doc_b"), col("g"))
+      val cands = a.join(b, Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(docs, cands, threshold)
+    } else countJaccard(s, docs, d, threshold, gramShardsFor(d))
+  }
+
+  /** The count shape, optionally gram-sharded (see [[ngramJaccard]]).
+    * `shards` = 1 is the plain single-pass join; > 1 materializes each
+    * disjoint gram shard's partial pair counts sequentially so only
+    * one shard's join middle is ever in flight.
+    *
+    * Two scratch levers beyond sharding (r17 sf100 probes — the middle
+    * exchange, not the join itself, is where the bytes live):
+    *  - the middle carries ONLY (doc_a, doc_b): the set sizes ma/mb
+    *    (2 of the 4 longs in the old pair row) ride a billion-row
+    *    exchange for nothing, because they are only needed for the
+    *    FINAL jaccard arithmetic — and by then the count lower bound
+    *    below has shrunk the pairs to a sliver that joins the sizes
+    *    back as a broadcast;
+    *  - a SAFE post-aggregation lower bound: J ≥ t ⇒
+    *    inter ≥ t/(1+t)·(ma+mb) ≥ ⌈2t/(1+t)·m_min⌉ with m_min the
+    *    corpus-wide smallest shingle set (a 1-row scalar). On the
+    *    measured corpus (m_min = 8, t = 0.5 ⇒ inter ≥ 6, mean shared
+    *    grams per candidate pair = 1.12) this discards ~99% of
+    *    aggregated pairs before anything wide touches them. The final
+    *    exact-jaccard filter is unchanged — the bound only prunes
+    *    pairs that provably cannot reach t, so output is identical. */
+  private[graft] def countJaccard(s: SparkSession, docs: DataFrame, d: String,
+      threshold: Double, shards: Int): DataFrame = {
+    def pairCounts(ex: DataFrame): DataFrame = {
+      val a = ex.select(col("doc_id").as("doc_a"), col("sh1"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sh1"))
+      a.join(b, a("sh1") === b("sh1") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+    }
+    val ex0 = docs.select(col("doc_id"), explode(col("sh")).as("sh1"))
+    val counted =
+      if (shards <= 1) pairCounts(ex0)
+      else {
+        val scratch = graft.util.TempDirs.scratch(
+          s"graft_ngram_shards_${graft.util.PathKeys.safe(d)}_$threshold").toString
+        val shardDirs = (0 until shards).map(i => s"$scratch/shard$i")
+        shardDirs.zipWithIndex.foreach { case (dir, i) =>
+          pairCounts(ex0.filter(pmod(col("sh1"), lit(shards)) === i))
+            .write.mode("overwrite").parquet(dir)
+          require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)),
+            s"gram shard $i write left no directory at $dir")
+          // nudge the ContextCleaner so the finished shard's shuffle
+          // files free before the next shard's middle builds — this is
+          // the whole point of running shards sequentially. The cleaner
+          // is ASYNC (it drains a weak-ref queue on its own thread), so
+          // give it a bounded beat after the GC; without the pause the
+          // r17 sf100 probe measured ~2 shards of dead shuffle files
+          // still on disk when the next middle peaked.
+          System.gc()
+          Thread.sleep(3000)
+        }
+        // disjoint gram shards ⇒ per-pair counts ADD exactly
+        s.read.parquet(shardDirs: _*)
+          .groupBy("doc_a", "doc_b")
+          .agg(sum("inter").as("inter"))
+      }
+    // 1-row scalar (kilobyte-class driver value, like the IVF centroids)
+    val mMin = Option(docs.agg(min("m")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val lower = math.ceil(2.0 * threshold / (1.0 + threshold) * mMin).toLong
+    counted
+      .filter(col("inter") >= lower)
+      .join(docs.select(col("doc_id").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("m").as("mb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("ma") + col("mb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   def ngramJaccardOracle(threshold: Double = 0.5): String = shingleCte + s"""

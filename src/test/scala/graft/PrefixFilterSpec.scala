@@ -5,18 +5,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Dedup
 
-/** The r17 ngram-Jaccard rewrite: prefix-filtered candidate generation
-  * (SSJoin/AllPairs/PPJoin) + exact verification must be LOSSLESS —
-  * byte-identical output to the brute-force inverted-index join at any
-  * threshold. Three pins:
+/** The r17 threshold-adaptive ngram-Jaccard: prefix-filtered candidates
+  * + array verify at t ≥ 0.7, the count-aggregate gram join (optionally
+  * as sequential disjoint gram shards) below — BOTH must be LOSSLESS,
+  * byte-identical to the brute-force inverted-index join. Pins:
   *
   *  1. end-to-end equality against a spec-local brute-force join over
-  *     the same stored shingle table, at thresholds spanning the
-  *     prefix-length edge cases (t·m landing on and off integers);
-  *  2. the prefix lemma itself, property-tested over random set pairs
+  *     the same stored shingle table, at thresholds spanning both
+  *     physical shapes AND the prefix-length edge cases (t·m landing
+  *     on and off integers): 0.3/0.5 exercise the count shape,
+  *     0.8/0.9 the prefix shape;
+  *  2. the sharded count path (forced shards = 3) equals the
+  *     single-pass count path — disjoint gram shards' partial counts
+  *     must sum to the exact intersection per pair;
+  *  3. the prefix lemma itself, property-tested over random set pairs
   *     with the exact prefix-length formula the query uses (including
   *     its ε guard): J(A,B) ≥ t ⇒ the rarest-first prefixes intersect;
-  *  3. the v3 artifact order — arrays sorted by (global df, hash) —
+  *  4. the v3 artifact order — arrays sorted by (global df, hash) —
   *     because the zero-cost `slice` prefix is only correct if the
   *     STORED order is the global order the lemma assumes.
   */
@@ -48,6 +53,19 @@ class PrefixFilterSpec extends AnyFunSuite {
       assert(fast == brute,
         s"t=$t prefix-only=${fast -- brute} brute-only=${brute -- fast}")
       assert(brute.nonEmpty || t > 0.5, s"t=$t produced no pairs — vacuous")
+    }
+  }
+
+  test("sharded count path equals the single-pass count path (forced K=3)") {
+    val docs = Dedup.shingleTable(spark, sf)
+    Seq(0.3, 0.5).foreach { t =>
+      val sharded = Dedup.countJaccard(spark, docs, sf, t, shards = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val single = Dedup.countJaccard(spark, docs, sf, t, shards = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sharded == single,
+        s"t=$t sharded-only=${sharded -- single} single-only=${single -- sharded}")
+      assert(single.nonEmpty || t > 0.4, s"t=$t vacuous")
     }
   }
 
