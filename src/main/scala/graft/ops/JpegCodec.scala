@@ -17,7 +17,17 @@ import java.nio.ByteBuffer
   * point transform and restarts, the mode old medical/DNG corpora
   * carry; single-component; after an RSTn the remainder of that sample
   * line predicts 1-D from Ra per H.1.1, matching external conformant
-  * codecs) Huffman coding; for the 8-bit DCT modes,
+  * codecs) Huffman coding, PLUS ARITHMETIC coding (the T.81 Annex D
+  * QM-coder with the full Table D.3 estimation state machine and DAC
+  * conditioning with spec defaults): SOF9 sequential at 8- and 12-bit
+  * grayscale and 8-bit YCbCr, decode AND encode, with per-interval
+  * statistics resets at restarts; SOF10 progressive DECODE covering
+  * all four G.2 scan procedures (DC first/refine, AC band first/
+  * refine with the kex EOB rule). Every arithmetic path is pinned
+  * EXACTLY against the system libjpeg via entropy-level transcoding
+  * in JpegArithSpec — tools/jpegarith.c regenerates the fixtures —
+  * so conformance does not rest on shared-code round-trips (the r16
+  * ADVICE lesson). For the 8-bit DCT modes,
   * grayscale (one component) AND YCbCr color
   * with sampling factors 1 and 2 — 4:4:4, 4:2:0 (the dominant
   * real-world encoding), 4:2:2 and 4:4:0. Progressive decoding covers
@@ -39,9 +49,8 @@ import java.nio.ByteBuffer
   * decode with byte realignment, modulo-8 marker verification, DC-chain
   * and EOB-run resets, and a lost or reordered restart marker rejects
   * loudly instead of desynchronizing every later MCU. Everything else —
-  * 12-bit color, arithmetic coding, hierarchical, multi-component
-  * lossless, 4:1:1, scan component order differing from the frame — is
-  * rejected LOUDLY.
+  * 12-bit color, hierarchical, multi-component lossless, 4:1:1, scan
+  * component order differing from the frame — is rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
   * fixtures are grids of CONSTANT 8×8 blocks with EVEN sample values
@@ -1003,6 +1012,664 @@ object JpegCodec {
     out
   }
 
+  // ---- arithmetic entropy coding (T.81 Annex D QM-coder) ----
+
+  /** T.81 Table D.3 — the QM-coder's probability-estimation state
+    * machine, packed one Int per state: Qe in bits 16..31, NMPS (next
+    * state after an MPS renormalization) in bits 8..15, SWITCH in bit 7,
+    * NLPS in bits 0..6. Values verified against the system libjpeg's
+    * rendering of the same ITU table (tools/jpegarith.c fixtures pin the
+    * whole coder against that independent implementation). Index 113 is
+    * the extra NON-adaptive state (Qe ≈ 0.5, NMPS = NLPS = itself,
+    * SWITCH = 0) that F.1.4.4.2.1 prescribes for AC coefficient signs. */
+  private val AriTab: Array[Int] = Array(
+    0x5a1d0181, 0x2586020e, 0x11140310, 0x080b0412, 0x03d80514, 0x01da0617,
+    0x00e50719, 0x006f081c, 0x0036091e, 0x001a0a21, 0x000d0b23, 0x00060c09,
+    0x00030d0a, 0x00010d0c, 0x5a7f0f8f, 0x3f251024, 0x2cf21126, 0x207c1227,
+    0x17b91328, 0x1182142a, 0x0cef152b, 0x09a1162d, 0x072f172e, 0x055c1830,
+    0x04061931, 0x03031a33, 0x02401b34, 0x01b11c36, 0x01441d38, 0x00f51e39,
+    0x00b71f3b, 0x008a203c, 0x0068213e, 0x004e223f, 0x003b2320, 0x002c0921,
+    0x5ae125a5, 0x484c2640, 0x3a0d2741, 0x2ef12843, 0x261f2944, 0x1f332a45,
+    0x19a82b46, 0x15182c48, 0x11772d49, 0x0e742e4a, 0x0bfb2f4b, 0x09f8304d,
+    0x0861314e, 0x0706324f, 0x05cd3330, 0x04de3432, 0x040f3532, 0x03633633,
+    0x02d43734, 0x025c3835, 0x01f83936, 0x01a43a37, 0x01603b38, 0x01253c39,
+    0x00f63d3a, 0x00cb3e3b, 0x00ab3f3d, 0x008f203d, 0x5b1241c1, 0x4d044250,
+    0x412c4351, 0x37d84452, 0x2fe84553, 0x293c4654, 0x23794756, 0x1edf4857,
+    0x1aa94957, 0x174e4a48, 0x14244b48, 0x119c4c4a, 0x0f6b4d4a, 0x0d514e4b,
+    0x0bb64f4d, 0x0a40304d, 0x583251d0, 0x4d1c5258, 0x438e5359, 0x3bdd545a,
+    0x34ee555b, 0x2eae565c, 0x299a575d, 0x25164756, 0x557059d8, 0x4ca95a5f,
+    0x44d95b60, 0x3e225c61, 0x38245d63, 0x32b45e63, 0x2e17565d, 0x56a860df,
+    0x4f466165, 0x47e56266, 0x41cf6367, 0x3c3d6468, 0x375e5d63, 0x52316669,
+    0x4c0f676a, 0x4639686b, 0x415e6367, 0x56276ae9, 0x50e76b6c, 0x4b85676d,
+    0x55976d6e, 0x504f6b6f, 0x5a106fee, 0x55226d70, 0x59eb6ff0, 0x5a1d7171)
+
+  /** Per-scan arithmetic conditioning state (T.81 F.1.4.4): one 64-bin
+    * DC and one 256-bin AC statistics area per conditioning-table id
+    * (components selecting the same id SHARE the area), the per-
+    * component DC difference context and prediction, and the single
+    * fixed bin for AC signs. Bin layout follows the spec's Tables F.4 /
+    * F.5: DC context bases {0,4,8,12,16} each hold the S0/SS/SP/SN
+    * decisions, the magnitude-category chain starts at X1 = 20 and its
+    * magnitude bits ride 14 bins above the chain position; AC spends
+    * 3 bins per coefficient index (SE/S0/first-magnitude), with the
+    * low- and high-frequency category chains at 189 and 217 (split by
+    * the Kx conditioning bound) and their magnitude bits 14 above. */
+  private final class ArithStats(nComp: Int,
+      val dcL: Array[Int], val dcU: Array[Int], val acKx: Array[Int]) {
+    val dc: Array[Array[Byte]] = Array.fill(4)(new Array[Byte](64))
+    val ac: Array[Array[Byte]] = Array.fill(4)(new Array[Byte](256))
+    val fixed: Array[Byte] = Array(113.toByte)
+    val dcCtx = new Array[Int](nComp)
+    val lastDc = new Array[Int](nComp)
+    def reset(): Unit = {
+      dc.foreach(java.util.Arrays.fill(_, 0.toByte))
+      ac.foreach(java.util.Arrays.fill(_, 0.toByte))
+      fixed(0) = 113.toByte
+      java.util.Arrays.fill(dcCtx, 0)
+      java.util.Arrays.fill(lastDc, 0)
+    }
+  }
+
+  /** QM arithmetic DECODER (T.81 F.2.2, software-conventions register
+    * layout): C accumulates raw code bytes with CT tracking the bit
+    * offset of the active 16-bit window, A is the interval register
+    * renormalized lazily at the head of each decision. Byte feeding
+    * applies the stuffing convention (0xFF 0x00 is a data 0xFF, a run
+    * of 0xFF fill bytes collapses) and HALTS at any true marker,
+    * feeding zero bytes from then on — the flush-discarded tail of an
+    * interval never needs its real bytes (F.2.2.5). */
+  private final class ArithDecoder(bytes: Array[Byte], start: Int, end: Int) {
+    private var bp = start
+    private var halted = false
+    private var c = 0L
+    private var a = 0L
+    private var ct = -16
+
+    private def nextByte(): Int = {
+      if (halted || bp >= end) { halted = true; 0 }
+      else {
+        val b = bytes(bp) & 0xff
+        if (b != 0xff) { bp += 1; b }
+        else {
+          var p = bp + 1
+          while (p < end && (bytes(p) & 0xff) == 0xff) p += 1
+          if (p < end && (bytes(p) & 0xff) == 0x00) { bp = p + 1; 0xff }
+          else { halted = true; 0 } // marker (or EOF): zero-fill, don't consume
+        }
+      }
+    }
+
+    /** Decode one binary decision against statistics bin `st(i)` (low 7
+      * bits = Table D.3 state, bit 7 = current MPS sense), updating the
+      * bin per the estimation state machine with conditional MPS/LPS
+      * exchange (F.2.2.2). */
+    def decodeBit(st: Array[Byte], i: Int): Int = {
+      while (a < 0x8000L) { // renorm + byte feed (F.2.2.3/F.2.2.4)
+        ct -= 1
+        if (ct < 0) {
+          c = (c << 8) | nextByte()
+          ct += 8
+          if (ct < 0) { ct += 1; if (ct == 0) a = 0x8000L } // initial 2 bytes
+        }
+        a <<= 1
+      }
+      val sv = st(i) & 0xff
+      val e = AriTab(sv & 0x7f)
+      val qe = (e >>> 16).toLong
+      a -= qe
+      val t = a << ct
+      var d = 0
+      if (c >= t) {
+        // code point in the Qe sub-interval
+        c -= t
+        if (a < qe) { // conditional exchange: the Qe region codes the MPS
+          d = sv >> 7
+          st(i) = ((sv & 0x80) ^ ((e >>> 8) & 0xff)).toByte
+        } else {
+          d = (sv >> 7) ^ 1
+          st(i) = ((sv & 0x80) ^ (e & 0xff)).toByte // SWITCH in bit 7 flips MPS
+        }
+        a = qe
+      } else if (a < 0x8000L) {
+        // MPS sub-interval, renormalization pending
+        if (a < qe) {
+          d = (sv >> 7) ^ 1
+          st(i) = ((sv & 0x80) ^ (e & 0xff)).toByte
+        } else {
+          d = sv >> 7
+          st(i) = ((sv & 0x80) ^ ((e >>> 8) & 0xff)).toByte
+        }
+      } else d = sv >> 7 // MPS, no renorm: no state change
+      d
+    }
+
+    /** Align to, verify, and consume the next restart marker, then
+      * re-initialize the registers (the statistics reset is the
+      * caller's). Unconsumed flush bytes before the marker are legal —
+      * stuffing guarantees the first FF-non-00 run IS the marker. */
+    def restart(expected: Int): Unit = {
+      var p = bp
+      while (p + 1 < end &&
+          !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00)) p += 1
+      require(p + 1 < end, "expected a restart marker, hit end of scan data")
+      var q = p + 1
+      while (q + 1 < end && (bytes(q) & 0xff) == 0xff) q += 1 // fill bytes
+      val m = bytes(q) & 0xff
+      require(m == 0xd0 + expected,
+        f"expected RST$expected%d, found marker 0xff$m%02x — a lost or " +
+          "reordered restart would desynchronize every later MCU")
+      bp = q + 1; halted = false; c = 0; a = 0; ct = -16
+    }
+  }
+
+  /** QM arithmetic ENCODER (T.81 D.1, software conventions). Output is
+    * collected as RAW coded bytes so the carry propagates by simple
+    * back-increment; byte stuffing (0x00 after any 0xFF) is applied at
+    * flush(), which also performs the D.1.8 CLEARBITS/FLUSH termination
+    * and drops trailing zero bytes (the decoder zero-fills past the
+    * marker). flush() resets the coder for the next restart interval. */
+  private final class ArithEncoder {
+    private val raw = collection.mutable.ArrayBuffer.empty[Int]
+    private var c = 0L
+    private var a = 0x10000L
+    private var ct = 11
+
+    private def carry(): Unit = {
+      var i = raw.length - 1
+      require(i >= 0, "arithmetic carry out of an empty interval")
+      while (raw(i) == 0xff) {
+        raw(i) = 0; i -= 1
+        require(i >= 0, "arithmetic carry ran off the interval start")
+      }
+      raw(i) += 1
+    }
+
+    def encodeBit(st: Array[Byte], i: Int, bit: Int): Unit = {
+      val sv = st(i) & 0xff
+      val e = AriTab(sv & 0x7f)
+      val qe = (e >>> 16).toLong
+      a -= qe
+      if (bit != (sv >> 7)) {
+        // LPS path (with conditional exchange when Qe outgrew the MPS interval)
+        if (a >= qe) { c += a; a = qe }
+        st(i) = ((sv & 0x80) ^ (e & 0xff)).toByte
+      } else {
+        if (a >= 0x8000L) return // short MPS path: no renorm, no estimation
+        if (a < qe) { c += a; a = qe }
+        st(i) = ((sv & 0x80) ^ ((e >>> 8) & 0xff)).toByte
+      }
+      while ({ // renormalize + byte out (D.1.6/D.1.7)
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) {
+          var t = (c >>> 19).toInt
+          if (t > 0xff) { carry(); t &= 0xff }
+          raw += t
+          c &= 0x7ffffL
+          ct = 8
+        }
+        a < 0x8000L
+      }) ()
+    }
+
+    /** Terminate the interval (D.1.8): choose the in-interval code point
+      * with the most trailing zeros, emit the remaining bytes, drop the
+      * all-zero tail, and return the STUFFED bytes. */
+    def flush(): Array[Byte] = {
+      val t = (c + a - 1) & 0xffff0000L
+      c = if (t < c) t + 0x8000L else t
+      c <<= ct
+      if ((c >>> 27) != 0) { carry(); c &= 0x7ffffffL }
+      raw += ((c >>> 19) & 0xff).toInt
+      raw += ((c >>> 11) & 0xff).toInt
+      while (raw.nonEmpty && raw.last == 0) raw.remove(raw.length - 1)
+      val out = new java.io.ByteArrayOutputStream()
+      raw.foreach { b => out.write(b); if (b == 0xff) out.write(0) }
+      raw.clear(); c = 0; a = 0x10000L; ct = 11
+      out.toByteArray
+    }
+  }
+
+  // ---- arithmetic DC/AC conditioning (T.81 F.1.4.4 / F.2.4) ----
+  // The decode procedures mirror the encode procedures decision for
+  // decision; both are pinned against the system libjpeg (an independent
+  // conformant implementation) in JpegCodecSpec, in BOTH directions.
+
+  private def arithDecodeDc(dec: ArithDecoder, stats: ArithStats,
+      tbl: Int, ci: Int): Int = {
+    val st = stats.dc(tbl)
+    val base = stats.dcCtx(ci)
+    if (dec.decodeBit(st, base) == 0) stats.dcCtx(ci) = 0 // zero diff
+    else {
+      val sign = dec.decodeBit(st, base + 1)
+      var idx = base + 2 + sign
+      var m = dec.decodeBit(st, idx)
+      if (m != 0) { // magnitude-category chain at X1 = 20
+        idx = 20
+        while (dec.decodeBit(st, idx) == 1) {
+          m <<= 1
+          require(m < 0x8000, "arithmetic DC magnitude overflow")
+          idx += 1
+        }
+      }
+      stats.dcCtx(ci) =
+        if (m < ((1 << stats.dcL(tbl)) >> 1)) 0
+        else if (m > ((1 << stats.dcU(tbl)) >> 1)) 12 + 4 * sign
+        else 4 + 4 * sign
+      var v = m
+      idx += 14 // magnitude bits, one shared bin per chain position
+      var mm = m >> 1
+      while (mm != 0) {
+        if (dec.decodeBit(st, idx) == 1) v |= mm
+        mm >>= 1
+      }
+      v += 1
+      stats.lastDc(ci) += (if (sign == 1) -v else v)
+    }
+    stats.lastDc(ci)
+  }
+
+  private def arithEncodeDc(enc: ArithEncoder, stats: ArithStats,
+      tbl: Int, ci: Int, dcVal: Int): Unit = {
+    val st = stats.dc(tbl)
+    val base = stats.dcCtx(ci)
+    val v = dcVal - stats.lastDc(ci)
+    stats.lastDc(ci) = dcVal
+    if (v == 0) { enc.encodeBit(st, base, 0); stats.dcCtx(ci) = 0 }
+    else {
+      enc.encodeBit(st, base, 1)
+      val sign = if (v < 0) 1 else 0
+      val av = math.abs(v) - 1
+      enc.encodeBit(st, base + 1, sign)
+      var m = 0
+      var idx = base + 2 + sign
+      if (av != 0) {
+        enc.encodeBit(st, idx, 1)
+        m = 1
+        idx = 20
+        var v2 = av >> 1
+        while (v2 != 0) {
+          enc.encodeBit(st, idx, 1); m <<= 1; idx += 1; v2 >>= 1
+        }
+      }
+      enc.encodeBit(st, idx, 0)
+      stats.dcCtx(ci) =
+        if (m < ((1 << stats.dcL(tbl)) >> 1)) 0
+        else if (m > ((1 << stats.dcU(tbl)) >> 1)) 12 + 4 * sign
+        else 4 + 4 * sign
+      idx += 14
+      var mm = m >> 1
+      while (mm != 0) {
+        enc.encodeBit(st, idx, if ((av & mm) != 0) 1 else 0)
+        mm >>= 1
+      }
+    }
+  }
+
+  /** Refine one block's AC band by one bit (T.81 G.2 arithmetic
+    * successive approximation, the mirror of the Huffman acRefine):
+    * the EOB decision is only coded BEYOND the previous stage's last
+    * nonzero index (kex); already-nonzero coefficients take an adaptive
+    * correction bit at their first-magnitude bin, newly-significant
+    * ones a significance decision plus a fixed-bin sign. */
+  private def arithDecodeAcRefine(dec: ArithDecoder, stats: ArithStats,
+      tbl: Int, coef: Array[Int], off: Int, ss: Int, se: Int, al: Int): Unit = {
+    val st = stats.ac(tbl)
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var kex = se
+    while (kex >= ss && coef(off + kex) == 0) kex -= 1
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var base = 3 * (k - 1)
+      if (k > kex && dec.decodeBit(st, base) == 1) done = true // EOB
+      else {
+        var placed = false
+        while (!placed) {
+          val idx = off + k
+          if (coef(idx) != 0) {
+            if (dec.decodeBit(st, base + 2) == 1) {
+              if (coef(idx) < 0) coef(idx) += m1 else coef(idx) += p1
+            }
+            placed = true
+          } else if (dec.decodeBit(st, base + 1) == 1) {
+            coef(idx) = if (dec.decodeBit(stats.fixed, 0) == 1) m1 else p1
+            placed = true
+          } else {
+            base += 3; k += 1
+            require(k <= se, "arithmetic AC refinement overflows the band")
+          }
+        }
+        k += 1
+      }
+    }
+  }
+
+  /** Decode one block's AC coefficients (zigzag positions ss..se,
+    * values scaled by 2^al for progressive first scans) into `coef` at
+    * `off` — which stores ZIGZAG order, like the Huffman path. */
+  private def arithDecodeAc(dec: ArithDecoder, stats: ArithStats,
+      tbl: Int, coef: Array[Int], off: Int, ss: Int, se: Int, al: Int = 0): Unit = {
+    val st = stats.ac(tbl)
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var base = 3 * (k - 1)
+      if (dec.decodeBit(st, base) == 1) done = true // EOB decision
+      else {
+        while (dec.decodeBit(st, base + 1) == 0) {
+          base += 3; k += 1
+          require(k <= se, "arithmetic AC run overflows the band")
+        }
+        val sign = dec.decodeBit(stats.fixed, 0)
+        var idx = base + 2
+        var m = dec.decodeBit(st, idx)
+        if (m != 0 && dec.decodeBit(st, idx) == 1) {
+          m = 2
+          idx = if (k <= stats.acKx(tbl)) 189 else 217
+          while (dec.decodeBit(st, idx) == 1) {
+            m <<= 1
+            require(m < 0x8000, "arithmetic AC magnitude overflow")
+            idx += 1
+          }
+        }
+        var v = m
+        idx += 14
+        var mm = m >> 1
+        while (mm != 0) {
+          if (dec.decodeBit(st, idx) == 1) v |= mm
+          mm >>= 1
+        }
+        v += 1
+        coef(off + k) = (if (sign == 1) -v else v) << al
+        k += 1
+      }
+    }
+  }
+
+  /** Encode one block's AC coefficients (`blk` in NATURAL order, like
+    * the Huffman encoders take). */
+  private def arithEncodeAc(enc: ArithEncoder, stats: ArithStats,
+      tbl: Int, blk: Array[Int], ss: Int, se: Int): Unit = {
+    val st = stats.ac(tbl)
+    var ke = se
+    while (ke >= ss && blk(Zigzag(ke)) == 0) ke -= 1
+    var k = ss
+    while (k <= ke) {
+      var base = 3 * (k - 1)
+      enc.encodeBit(st, base, 0) // not EOB yet
+      var v = blk(Zigzag(k))
+      while (v == 0) {
+        enc.encodeBit(st, base + 1, 0); base += 3; k += 1
+        v = blk(Zigzag(k))
+      }
+      enc.encodeBit(st, base + 1, 1)
+      val sign = if (v < 0) 1 else 0
+      enc.encodeBit(stats.fixed, 0, sign)
+      val av = math.abs(v) - 1
+      var idx = base + 2
+      var m = 0
+      if (av != 0) {
+        enc.encodeBit(st, idx, 1)
+        m = 1
+        var v2 = av >> 1
+        if (v2 != 0) {
+          enc.encodeBit(st, idx, 1) // second category decision, SAME bin
+          m = 2
+          idx = if (k <= stats.acKx(tbl)) 189 else 217
+          v2 >>= 1
+          while (v2 != 0) {
+            enc.encodeBit(st, idx, 1); m <<= 1; idx += 1; v2 >>= 1
+          }
+        }
+      }
+      enc.encodeBit(st, idx, 0)
+      idx += 14
+      var mm = m >> 1
+      while (mm != 0) {
+        enc.encodeBit(st, idx, if ((av & mm) != 0) 1 else 0)
+        mm >>= 1
+      }
+      k += 1
+    }
+    if (ke < se) enc.encodeBit(st, 3 * (k - 1), 1) // EOB
+  }
+
+  // conditioning defaults (T.81 F.1.4.4.1.2 / F.1.4.4.2.1)
+  private val DacDefaultL = 0
+  private val DacDefaultU = 1
+  private val DacDefaultKx = 5
+
+  /** Encode an arithmetic-coded (SOF9) GRAYSCALE JPEG from quantized
+    * coefficient blocks (NATURAL order), with optional restart
+    * intervals — each interval FLUSHes the coder, emits RSTn, and
+    * resets all statistics, exactly the boundaries the decoder rebuilds.
+    * 12-bit precision writes a Pq=1 quant table like the SOF1 encoder. */
+  def encodeArithGray(width: Int, height: Int, q: Int,
+      blocks: Array[Array[Int]], restartInterval: Int = 0,
+      precision: Int = 8): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    require(precision == 8 || precision == 12, s"SOF9 precision must be 8 or 12, got $precision")
+    val bw = width / 8; val bh = height / 8
+    require(blocks.length == bw * bh, s"${blocks.length} blocks for ${bw}x$bh grid")
+    val enc = new ArithEncoder
+    val stats = new ArithStats(1, Array.fill(4)(DacDefaultL),
+      Array.fill(4)(DacDefaultU), Array.fill(4)(DacDefaultKx))
+    val entropy = new java.io.ByteArrayOutputStream()
+    var rst = 0
+    blocks.zipWithIndex.foreach { case (blk, bi) =>
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        entropy.write(enc.flush())
+        entropy.write(0xff); entropy.write(0xd0 + rst)
+        rst = (rst + 1) % 8
+        stats.reset()
+      }
+      arithEncodeDc(enc, stats, 0, 0, blk(0))
+      arithEncodeAc(enc, stats, 0, blk, 1, 63)
+    }
+    entropy.write(enc.flush())
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    if (precision == 8)
+      seg(out, 0xdb, Array[Byte](0x00) ++ Array.fill(64)(q.toByte))
+    else
+      seg(out, 0xdb, Array[Byte](0x10) ++
+        Array.fill(64)(Array((q >> 8).toByte, (q & 0xff).toByte)).flatten)
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc9, ByteBuffer.allocate(9) // SOF9: arithmetic extended sequential
+      .put(precision.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte).array())
+    // DAC: spell the default conditioning out explicitly
+    seg(out, 0xcc, Array[Byte](0x00, ((DacDefaultU << 4) | DacDefaultL).toByte,
+      0x10, DacDefaultKx.toByte))
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    out.write(entropy.toByteArray)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Encode an arithmetic-coded (SOF9) COLOR JPEG from per-component
+    * quantized coefficient blocks (NATURAL order): Y at sh×sv sampling
+    * (1×1 = 4:4:4, 2×2 = 4:2:0, 2×1 = 4:2:2), chroma 1×1, luma on
+    * conditioning/quant selector 0, both chromas SHARING selector 1 —
+    * so the shared-statistics-area semantics of T.81 F.1.4.4 are
+    * genuinely exercised. */
+  def encodeArithColor(width: Int, height: Int, qY: Int, qC: Int,
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
+      sh: Int = 1, sv: Int = 1, restartInterval: Int = 0): Array[Byte] = {
+    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
+      s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    val cw = width / (8 * sh); val chh = height / (8 * sv)
+    require(y.length == bw * bh, s"need ${bw * bh} Y blocks, got ${y.length}")
+    require(cb.length == cw * chh && cr.length == cw * chh,
+      s"need ${cw * chh} chroma blocks, got ${cb.length}/${cr.length}")
+    val enc = new ArithEncoder
+    val stats = new ArithStats(3, Array.fill(4)(DacDefaultL),
+      Array.fill(4)(DacDefaultU), Array.fill(4)(DacDefaultKx))
+    val entropy = new java.io.ByteArrayOutputStream()
+    var rst = 0; var mcu = 0
+    var my = 0
+    while (my < chh) {
+      var mx = 0
+      while (mx < cw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          entropy.write(enc.flush())
+          entropy.write(0xff); entropy.write(0xd0 + rst)
+          rst = (rst + 1) % 8
+          stats.reset()
+        }
+        mcu += 1
+        var dy = 0
+        while (dy < sv) {
+          var dx = 0
+          while (dx < sh) {
+            val blk = y((sv * my + dy) * bw + sh * mx + dx)
+            arithEncodeDc(enc, stats, 0, 0, blk(0))
+            arithEncodeAc(enc, stats, 0, blk, 1, 63)
+            dx += 1
+          }
+          dy += 1
+        }
+        val cbB = cb(my * cw + mx); val crB = cr(my * cw + mx)
+        arithEncodeDc(enc, stats, 1, 1, cbB(0))
+        arithEncodeAc(enc, stats, 1, cbB, 1, 63)
+        arithEncodeDc(enc, stats, 1, 2, crB(0))
+        arithEncodeAc(enc, stats, 1, crB, 1, 63)
+        mx += 1
+      }
+      my += 1
+    }
+    entropy.write(enc.flush())
+
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    seg(out, 0xdb,
+      (Array[Byte](0x00) ++ Array.fill(64)(qY.toByte)) ++
+        (Array[Byte](0x01) ++ Array.fill(64)(qC.toByte)))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(out, 0xc9, ByteBuffer.allocate(15)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte)
+      .put(1.toByte).put(((sh << 4) | sv).toByte).put(0.toByte) // Y:  tq0
+      .put(2.toByte).put(0x11.toByte).put(1.toByte)             // Cb: tq1
+      .put(3.toByte).put(0x11.toByte).put(1.toByte)             // Cr: tq1
+      .array())
+    seg(out, 0xcc, Array[Byte](
+      0x00, ((DacDefaultU << 4) | DacDefaultL).toByte,
+      0x01, ((DacDefaultU << 4) | DacDefaultL).toByte,
+      0x10, DacDefaultKx.toByte,
+      0x11, DacDefaultKx.toByte))
+    seg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    out.write(entropy.toByteArray)
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Arithmetic-coded constant-block grayscale fixture — the SOF9 twin
+    * of [[encodeConstantBlocks]]: even sample values and a uniform
+    * quant step of 16 make the lossy pipeline provably exact, so the
+    * DuckDB oracle can restate the decode in closed form. */
+  def encodeConstantBlocksArith(width: Int, height: Int,
+      pixels: Array[Int], restartInterval: Int = 0): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, s"dims must be 8-aligned: ${width}x$height")
+    val bw = width / 8; val bh = height / 8
+    val blocks = Array.tabulate(bw * bh) { bi =>
+      val px0 = pixels((bi / bw) * 8 * width + (bi % bw) * 8)
+      require(px0 % 2 == 0, s"block $bi value $px0 must be even for exactness")
+      val blk = new Array[Int](64)
+      blk(0) = 8 * (px0 - 128) / 16 // exact: px0 even => DC divisible by 16
+      blk
+    }
+    encodeArithGray(width, height, 16, blocks, restartInterval)
+  }
+
+  /** Decode ONE arithmetic-coded scan (T.81 F.2.4 sequential, G.2
+    * progressive) into the coefficient buffers: the same MCU walk as
+    * the Huffman path, with QM-decoded decisions, per-interval
+    * statistics resets, and modulo-8 restart verification. Statistics
+    * areas are per-scan, like the Huffman tables a progressive file
+    * redefines between scans. */
+  private def runArithScan(bytes: Array[Byte], from: Int, to: Int,
+      coefs: Array[Array[Int]], padW: Array[Int],
+      trueW: Array[Int], trueH: Array[Int],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      scanComp: Array[Int], scanTd: Array[Int], scanTa: Array[Int],
+      dcL: Array[Int], dcU: Array[Int], acKx: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, sequential: Boolean): Unit = {
+    val ns = scanComp.length
+    val dec = new ArithDecoder(bytes, from, to)
+    val stats = new ArithStats(ns, dcL, dcU, acKx)
+    var rstIdx = 0
+    var units = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && units == restartInterval) {
+        dec.restart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        stats.reset()
+        units = 0
+      }
+
+    def unit(si: Int, blockOff: Int): Unit = {
+      val off = blockOff * 64
+      val coef = coefs(scanComp(si))
+      if (sequential) {
+        coef(off) = arithDecodeDc(dec, stats, scanTd(si), si)
+        arithDecodeAc(dec, stats, scanTa(si), coef, off, 1, 63)
+      } else if (ss == 0) {
+        if (ah == 0) // DC first: prediction chain unshifted, value scaled
+          coef(off) = arithDecodeDc(dec, stats, scanTd(si), si) << al
+        else // DC refinement: one fixed-bin bit per block (G.2.1)
+          coef(off) |= dec.decodeBit(stats.fixed, 0) << al
+      } else {
+        if (ah == 0) arithDecodeAc(dec, stats, scanTa(si), coef, off, ss, se, al)
+        else arithDecodeAcRefine(dec, stats, scanTa(si), coef, off, ss, se, al)
+      }
+    }
+
+    if (ns == 1) {
+      val ci = scanComp(0)
+      val bw = trueW(ci); val total = bw * trueH(ci)
+      var bi = 0
+      while (bi < total) {
+        maybeRestart()
+        unit(0, (bi / bw) * padW(ci) + bi % bw)
+        units += 1
+        bi += 1
+      }
+    } else {
+      val total = mcusX * mcusY
+      var mi = 0
+      while (mi < total) {
+        maybeRestart()
+        val mx = mi % mcusX; val my = mi / mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = scanComp(si)
+          var b = 0
+          while (b < compH(ci) * compV(ci)) {
+            val bx = mx * compH(ci) + b % compH(ci)
+            val by = my * compV(ci) + b / compH(ci)
+            unit(si, by * padW(ci) + bx)
+            b += 1
+          }
+          si += 1
+        }
+        units += 1
+        mi += 1
+      }
+    }
+  }
+
   /** Parse a baseline-sequential (SOF0) or progressive (SOF2) grayscale
     * or YCbCr JPEG. Throws IllegalArgumentException with a precise
     * message on malformed or out-of-scope input. */
@@ -1014,12 +1681,17 @@ object JpegCodec {
     var progressive = false
     var extended = false
     var lossless = false
+    var arith = false
     var precision = 8
     var pointT = 0
     var losslessPx: Array[Int] = null
     val quantT = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
+    // arithmetic conditioning (DAC) — spec defaults apply when absent
+    val dacDcL = Array.fill(4)(DacDefaultL)
+    val dacDcU = Array.fill(4)(DacDefaultU)
+    val dacAcKx = Array.fill(4)(DacDefaultKx)
     var compIds: Array[Int] = null // SOF order
     var compTq: Array[Int] = null
     var compH: Array[Int] = null   // sampling factors per component
@@ -1079,11 +1751,12 @@ object JpegCodec {
                 else Array.tabulate(64)(i => u16(o + 1 + 2 * i))
               o += stride
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc3 =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc9 | 0xca =>
             require(compIds == null, "multiple frames not supported")
-            extended = m == 0xc1
-            progressive = m == 0xc2
+            extended = m == 0xc1 || m == 0xc9
+            progressive = m == 0xc2 || m == 0xca
             lossless = m == 0xc3
+            arith = m == 0xc9 || m == 0xca
             require(len >= 2 + 9, s"SOF segment too short: $len")
             precision = bytes(body) & 0xff
             if (lossless)
@@ -1154,15 +1827,34 @@ object JpegCodec {
               (ch + 7) / 8
             }
             coefs = Array.tabulate(ncomp)(ci => new Array[Int](padW(ci) * padH(ci) * 64))
-          case 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          case 0xc5 | 0xc6 | 0xc7 | 0xc8 | 0xcb | 0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(
               f"unsupported SOF marker 0xff$m%02x — only baseline-sequential " +
-                "(SOF0), extended-sequential (SOF1), progressive (SOF2) and " +
-                "lossless (SOF3) Huffman modes are supported " +
-                "(arithmetic/hierarchical reject loudly)")
+                "(SOF0), extended-sequential (SOF1), progressive (SOF2), " +
+                "lossless (SOF3) Huffman and arithmetic sequential (SOF9) / " +
+                "progressive (SOF10) modes are supported (hierarchical and " +
+                "arithmetic-lossless reject loudly)")
           case 0xcc =>
-            throw new IllegalArgumentException(
-              "arithmetic-coding conditioning (DAC) not supported")
+            // DAC: arithmetic conditioning values (T.81 B.2.4.3); pairs of
+            // (Tc<<4|Tb, Cs) — DC Cs packs U<<4|L, AC Cs is Kx
+            var o = body
+            val end = pos + 2 + len
+            while (o < end) {
+              require(end - o >= 2, s"DAC segment truncated at offset $o")
+              val tc = (bytes(o) & 0xff) >> 4
+              val tb = bytes(o) & 0xf
+              val cs = bytes(o + 1) & 0xff
+              require(tc <= 1 && tb < 4, s"bad DAC class/id $tc/$tb")
+              if (tc == 0) {
+                val l = cs & 0xf; val u = cs >> 4
+                require(l <= u && u <= 15, s"bad DC conditioning L=$l U=$u")
+                dacDcL(tb) = l; dacDcU(tb) = u
+              } else {
+                require(cs >= 1 && cs <= 63, s"bad AC conditioning Kx=$cs")
+                dacAcKx(tb) = cs
+              }
+              o += 2
+            }
           case 0xc4 =>
             // one DHT segment may carry several tables back-to-back
             var o = body
@@ -1243,9 +1935,11 @@ object JpegCodec {
               if (ah != 0) require(ah == al + 1,
                 s"successive approximation must refine one bit (Ah=$ah, Al=$al)")
             }
-            // table presence for THIS scan (tables may arrive between scans)
+            // table presence for THIS scan (tables may arrive between
+            // scans). Arithmetic scans select DAC conditioning instead of
+            // DHT tables — defaults apply, so nothing to require.
             c = 0
-            while (c < ns) {
+            while (c < ns && !arith) {
               if (lossless || (ss == 0 && ah == 0))
                 require(dcT(scanTd(c)) != null, s"scan component $c: missing DC table ${scanTd(c)}")
               if (!lossless && (!progressive || ss > 0))
@@ -1266,15 +1960,22 @@ object JpegCodec {
                 else scanEnd = p
               } else p += 1
             }
-            val br = new BitReader(bytes.slice(entropyStart, scanEnd))
             if (lossless) {
               pointT = al
+              val br = new BitReader(bytes.slice(entropyStart, scanEnd))
               losslessPx = runLosslessScan(br, w, h, precision, predictor = ss,
                 pt = al, tab = dcT(scanTd(0)), restartInterval = restartInterval)
-            } else
+            } else if (arith)
+              runArithScan(bytes, entropyStart, scanEnd, coefs, padW,
+                trueW, trueH, compH, compV, mcusX, mcusY,
+                scanComp, scanTd, scanTa, dacDcL, dacDcU, dacAcKx,
+                ss, se, ah, al, restartInterval, sequential = !progressive)
+            else {
+              val br = new BitReader(bytes.slice(entropyStart, scanEnd))
               runScan(br, coefs, padW, trueW, trueH, compH, compV, mcusX, mcusY,
                 scanComp, scanTd.map(dcT(_)), scanTa.map(acT(_)),
                 ss, se, ah, al, restartInterval, sequential = !progressive)
+            }
             sawScan = true
             pos = scanEnd - 2 - len // cancel the uniform advance below
           case _ => () // APPn/COM skipped

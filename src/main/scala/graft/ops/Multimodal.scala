@@ -1165,6 +1165,75 @@ SELECT doc_id, w AS width, h AS height, CAST(12 AS INT) AS depth_bits,
        CAST(max(v) AS INT) AS peak
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  /** Arithmetic-coded (SOF9) JPEG through the gate: the constant-block
+    * closed form encoded with the T.81 Annex D QM-coder instead of
+    * Huffman — a genuinely different entropy layer (adaptive binary
+    * decisions over conditioning contexts, restart-interval statistics
+    * resets) under the same exact-reconstruction argument. Restart
+    * intervals vary per document (0..3 MCUs) so the flush/RSTn/reset
+    * path is ON the gated surface, not just in the spec. */
+  def decodeJpegArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (8 * (1 + id % 4)).toInt
+          val h = (8 * (1 + id % 3)).toInt
+          val bw = w / 8; val bh = h / 8
+          val px = new Array[Int](w * h)
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val v = (2 * ((id * 13 + bx * 7 + by * 5) % 128)).toInt
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { px((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bytes = JpegCodec.encodeConstantBlocksArith(w, h, px,
+            restartInterval = (id % 4).toInt)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var peak = 0; var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sum += v; if (v > peak) peak = v
+            i += 1
+          }
+          JpegFeatures(id, img.width, img.height,
+            (img.width / 8) * (img.height / 8), sum, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The arithmetic generator's closed form, restated in SQL. */
+  val decodeJpegArithOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+         CAST(8 * (1 + doc_id % 3) AS INT) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+  FROM p),
+v AS (
+  SELECT doc_id, w, h,
+         2 * ((doc_id * 13 + (bi % (w // 8)) * 7 + (bi // (w // 8)) * 5) % 128) AS v
+  FROM b)
+SELECT doc_id, w AS width, h AS height,
+       CAST((w // 8) * (h // 8) AS INT) AS n_blocks,
+       CAST(sum(64 * v) AS BIGINT) AS sum_px,
+       CAST(max(v) AS INT) AS peak
+FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
@@ -1182,7 +1251,8 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png_sub8" -> (decodePngSub8 _),
     "multimodal_decode_jpeg" -> (decodeJpeg _),
     "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _),
-    "multimodal_decode_jpeg12" -> (decodeJpeg12 _)
+    "multimodal_decode_jpeg12" -> (decodeJpeg12 _),
+    "multimodal_decode_jpeg_arith" -> (decodeJpegArith _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1202,6 +1272,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png_sub8" -> decodePngSub8Oracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle,
     "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle,
-    "multimodal_decode_jpeg12" -> decodeJpeg12Oracle
+    "multimodal_decode_jpeg12" -> decodeJpeg12Oracle,
+    "multimodal_decode_jpeg_arith" -> decodeJpegArithOracle
   )
 }

@@ -483,11 +483,15 @@ class JpegCodecSpec extends AnyFunSuite {
     deep(sofAt + 4) = 12.toByte
     assert(intercept[IllegalArgumentException](
       JpegCodec.decode(deep)).getMessage.contains("8-bit precision"))
-    // arithmetic-coded progressive (SOF10) rejects by marker
-    val arith = good.clone()
-    arith(sofAt + 1) = 0xca.toByte
-    assert(intercept[IllegalArgumentException](
-      JpegCodec.decode(arith)).getMessage.contains("unsupported SOF"))
+    // arithmetic-coded LOSSLESS (SOF11) and hierarchical (SOF5) reject
+    // by marker (SOF10 progressive-arithmetic is now supported and has
+    // its own conformance battery in JpegArithSpec)
+    for (sof <- Seq(0xcb, 0xc5)) {
+      val rej = good.clone()
+      rej(sofAt + 1) = sof.toByte
+      assert(intercept[IllegalArgumentException](
+        JpegCodec.decode(rej)).getMessage.contains("unsupported SOF"))
+    }
     // a baseline-shaped scan header (Se=63) under a DC-first progressive
     // scan is malformed — the decoder must not misread it
     val sosAt = good.indices.find(i =>
