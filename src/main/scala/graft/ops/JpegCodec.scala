@@ -29,8 +29,9 @@ import java.nio.ByteBuffer
   * so conformance does not rest on shared-code round-trips (the r16
   * ADVICE lesson). For the 8-bit DCT modes,
   * grayscale (one component) AND YCbCr color
-  * with sampling factors 1 and 2 — 4:4:4, 4:2:0 (the dominant
-  * real-world encoding), 4:2:2 and 4:4:0. Progressive decoding covers
+  * with the full T.81 sampling-factor range 1..4 — 4:4:4, 4:2:0 (the
+  * dominant real-world encoding), 4:2:2, 4:4:0 and the DV-derived
+  * 4:1:1 / 4:1:0. Progressive decoding covers
   * the full T.81 G.1.2 surface a real scan script uses: interleaved
   * and single-component DC scans, spectral selection (AC bands per
   * component, non-interleaved as the spec requires), successive
@@ -49,7 +50,7 @@ import java.nio.ByteBuffer
   * decode with byte realignment, modulo-8 marker verification, DC-chain
   * and EOB-run resets, and a lost or reordered restart marker rejects
   * loudly instead of desynchronizing every later MCU. Everything else —
-  * 12-bit color, hierarchical, multi-component lossless, 4:1:1, scan
+  * 12-bit color, hierarchical, multi-component lossless, scan
   * component order differing from the frame — is rejected LOUDLY.
   *
   * Determinism note (how a LOSSY format still hash-gates): the oracle
@@ -327,8 +328,8 @@ object JpegCodec {
   def encodeCoefficients420(width: Int, height: Int, qY: Int, qC: Int,
       y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
       sh: Int = 2, sv: Int = 2, restartInterval: Int = 0): Array[Byte] = {
-    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
-      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(sh >= 1 && sh <= 4 && sv >= 1 && sv <= 4 && sh * sv <= 8,
+      s"Y sampling factors must be 1..4 with at most 8 luma blocks per MCU, got ${sh}x$sv")
     require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
       s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
     val bw = width / 8; val bh = height / 8
@@ -594,8 +595,8 @@ object JpegCodec {
   def encodeCoefficientsProgressive(width: Int, height: Int, qY: Int, qC: Int,
       y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
       sh: Int = 2, sv: Int = 2, restartInterval: Int = 0): Array[Byte] = {
-    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
-      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(sh >= 1 && sh <= 4 && sv >= 1 && sv <= 4 && sh * sv <= 8,
+      s"Y sampling factors must be 1..4 with at most 8 luma blocks per MCU, got ${sh}x$sv")
     require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
       s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
     val bw = width / 8; val bh = height / 8
@@ -1500,8 +1501,8 @@ object JpegCodec {
   def encodeArithColor(width: Int, height: Int, qY: Int, qC: Int,
       y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
       sh: Int = 1, sv: Int = 1, restartInterval: Int = 0): Array[Byte] = {
-    require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
-      s"Y sampling factors must be 1 or 2, got ${sh}x$sv")
+    require(sh >= 1 && sh <= 4 && sv >= 1 && sv <= 4 && sh * sv <= 8,
+      s"Y sampling factors must be 1..4 with at most 8 luma blocks per MCU, got ${sh}x$sv")
     require(width % (8 * sh) == 0 && height % (8 * sv) == 0,
       s"fixture dims must align to the ${8 * sh}x${8 * sv} MCU: ${width}x$height")
     val bw = width / 8; val bh = height / 8
@@ -1791,16 +1792,21 @@ object JpegCodec {
               compIds(c) = bytes(body + 6 + 3 * c) & 0xff
               val hv = bytes(body + 7 + 3 * c) & 0xff
               compH(c) = hv >> 4; compV(c) = hv & 0xf
-              // factors 1 and 2 cover 4:4:4, 4:2:0, 4:2:2 and 4:4:0 — the
-              // shapes that make up essentially all baseline files in the
-              // wild; 3/4 (4:1:1 etc.) stay rejected loudly
-              require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
-                s"sampling factors ${compH(c)}x${compV(c)} on component $c not " +
-                  "supported (1 and 2 only — 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)")
+              // the full T.81 B.2.2 range 1..4: 4:4:4, 4:2:0 (dominant),
+              // 4:2:2, 4:4:0 and the DV-derived 4:1:1 / 4:1:0 shapes;
+              // the MCU geometry, walk and replication upsampler below
+              // are factor-generic
+              require(compH(c) >= 1 && compH(c) <= 4 && compV(c) >= 1 && compV(c) <= 4,
+                s"sampling factors ${compH(c)}x${compV(c)} on component $c out " +
+                  "of the T.81 range 1..4")
               compTq(c) = bytes(body + 8 + 3 * c) & 0xff
               require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
               c += 1
             }
+            // T.81 B.2.3: at most 10 data units per interleaved MCU
+            require(ncomp == 1 ||
+              (0 until ncomp).map(i => compH(i) * compV(i)).sum <= 10,
+              "more than 10 blocks per MCU violates T.81 B.2.3")
             if (ncomp == 1) {
               // a single-component scan is NON-interleaved per T.81: its MCU
               // is one data unit regardless of declared sampling factors

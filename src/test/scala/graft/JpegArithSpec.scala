@@ -206,6 +206,75 @@ class JpegArithSpec extends AnyFunSuite {
       "4:2:0 restart=3 vs libjpeg transcode")
   }
 
+  test("4:1:1 and 4:1:0 sampling: libjpeg pairs decode identically (both entropy layers)") {
+    // the `_h` siblings are Huffman 4:1:1/4:1:0 files, so this pins the
+    // factor-4 MCU geometry under BOTH coders at once
+    for (name <- Seq("c_411", "c_410_r2")) {
+      val arith = JpegCodec.decode(resource(s"$name.jpg"))
+      val huff = JpegCodec.decode(resource(s"${name}_h.jpg"))
+      assertSameImage(arith, huff, name)
+    }
+  }
+
+  test("my 4:1:1 / 4:1:0 encodes: arithmetic twin matches the Huffman twin") {
+    for ((sh, sv) <- Seq((4, 1), (4, 2))) {
+      val w = 8 * sh * 2; val h = 8 * sv * 2 // 2x2 MCUs
+      def blks(n: Int) = Array.fill(n) {
+        val blk = new Array[Int](64)
+        blk(0) = rng.nextInt(200) - 100
+        (0 until rng.nextInt(8)).foreach(_ => blk(1 + rng.nextInt(63)) = rng.nextInt(41) - 20)
+        blk
+      }
+      val y = blks((w / 8) * (h / 8)); val cb = blks(4); val cr = blks(4)
+      val arith = JpegCodec.decode(
+        JpegCodec.encodeArithColor(w, h, 16, 16, y, cb, cr, sh, sv, restartInterval = 1))
+      val huff = JpegCodec.decode(
+        JpegCodec.encodeCoefficients420(w, h, 16, 16, y, cb, cr, sh, sv))
+      assertSameImage(arith, huff, s"${sh}x$sv")
+    }
+  }
+
+  /** Parse a binary PPM (the pixel references libjpeg wrote with
+    * do_fancy_upsampling=FALSE — the same replication upsampler this
+    * codec uses). */
+  private def readPpm(name: String): (Int, Int, Array[Int]) = {
+    val bytes = resource(name)
+    val header = new String(bytes.take(64), "ISO-8859-1")
+    val m = """(?s)P6\s+(\d+)\s+(\d+)\s+255\s""".r.findPrefixMatchOf(header).get
+    val w = m.group(1).toInt; val h = m.group(2).toInt
+    (w, h, Array.tabulate(w * h * 3)(i => bytes(m.end + i) & 0xff))
+  }
+
+  test("EXTERNAL pixel pin: decoded rasters match libjpeg's within IDCT/colorspace rounding") {
+    // entropy transcode pairs prove coefficient-exactness; this pins the
+    // back half (IDCT, replication upsampling, BT.601 conversion) against
+    // libjpeg's output. libjpeg uses an integer IDCT and fixed-point
+    // color conversion, this codec exact doubles — so agreement is
+    // within ±1 per sample, with only a small fraction differing at all.
+    for ((jpg, ppm) <- Seq("c_411.jpg" -> "c_411_lj.ppm",
+                           "c_92_2_420.jpg" -> "c_420_lj.ppm")) {
+      val img = JpegCodec.decode(resource(jpg))
+      val (w, h, ref) = readPpm(ppm)
+      assert(img.width == w && img.height == h && img.channels == 3)
+      var maxDiff = 0; var nDiff = 0
+      var i = 0
+      while (i < ref.length) {
+        val d = math.abs(img.pixels(i) - ref(i))
+        if (d > 0) { nDiff += 1; if (d > maxDiff) maxDiff = d }
+        i += 1
+      }
+      // measured on these fixtures: 420 maxDiff 2 / 3.1%, 411 maxDiff 3
+      // / 4.7% — the compound of jidctint's couple-LSB outliers on
+      // high-energy noise blocks and ±1 fixed-point color conversion.
+      // An upsampler/plane-indexing bug produces tens-of-levels diffs
+      // across most samples, far outside these bounds; coefficient
+      // exactness is already pinned by the transcode pairs above.
+      assert(maxDiff <= 3, s"$jpg: max |diff| $maxDiff exceeds IDCT+colorspace rounding")
+      assert(nDiff <= (ref.length * 6) / 100,
+        s"$jpg: $nDiff of ${ref.length} samples differ — beyond rounding noise")
+    }
+  }
+
   test("PROGRESSIVE arithmetic (SOF10): libjpeg scan scripts decode identically to their transcodes") {
     // jpeg_simple_progression emits the standard multi-scan script —
     // interleaved DC first, per-component AC bands, DC refinement, AC

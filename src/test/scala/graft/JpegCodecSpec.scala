@@ -344,13 +344,21 @@ class JpegCodecSpec extends AnyFunSuite {
   test("out-of-scope sampling and scan order are rejected loudly, not misread") {
     val good = JpegCodec.encodeCoefficientsColor(8, 8, 16, 16,
       Array(blkOf(128)), Array(blkOf(128)), Array(blkOf(128)))
-    // 4x1 sampling (4:1:1) stays out of scope
+    // factor 5 is outside the T.81 legal range 1..4 (4:1:1 itself is
+    // now supported — JpegArithSpec pins it against libjpeg)
     val sofAt = good.indices.find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
     val sub = good.clone()
-    sub(sofAt + 4 + 7) = 0x41.toByte // body at sofAt+4; comp0 hv at +7
+    sub(sofAt + 4 + 7) = 0x51.toByte // body at sofAt+4; comp0 hv at +7
     assert(intercept[IllegalArgumentException](
       JpegCodec.decode(sub)).getMessage.contains("sampling factors"))
+    // a 4x4,2x2,2x2 frame would carry 24 blocks per MCU — B.2.3 caps 10
+    val fat = good.clone()
+    fat(sofAt + 4 + 7) = 0x44.toByte
+    fat(sofAt + 4 + 10) = 0x22.toByte
+    fat(sofAt + 4 + 13) = 0x22.toByte
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decode(fat)).getMessage.contains("B.2.3"))
     // a scan that lists components out of frame order would decode with
     // swapped planes/DC chains — must reject, not silently misread
     val sosAt = good.indices.find(i =>

@@ -78,6 +78,10 @@ static int cmd_encode(int argc, char **argv) {
       cinfo.comp_info[0].h_samp_factor = 2; cinfo.comp_info[0].v_samp_factor = 2;
     } else if (subsamp == 422) {
       cinfo.comp_info[0].h_samp_factor = 2; cinfo.comp_info[0].v_samp_factor = 1;
+    } else if (subsamp == 411) {
+      cinfo.comp_info[0].h_samp_factor = 4; cinfo.comp_info[0].v_samp_factor = 1;
+    } else if (subsamp == 410) {
+      cinfo.comp_info[0].h_samp_factor = 4; cinfo.comp_info[0].v_samp_factor = 2;
     } else {
       cinfo.comp_info[0].h_samp_factor = 1; cinfo.comp_info[0].v_samp_factor = 1;
     }
