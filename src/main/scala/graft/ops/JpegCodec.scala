@@ -868,13 +868,107 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode a MULTI-COMPONENT lossless (SOF3) JPEG — the DICOM RGB
+    * export shape: up to 4 planes, all 1×1 sampling, one sample per
+    * component per interleaved MCU, each component predicting within
+    * its own plane. Component 0 codes with Huffman selector 0, the
+    * rest SHARE selector 1 (same table spec, distinct id — the
+    * selector plumbing is load-bearing). Components pass through
+    * UNTRANSFORMED: T.81 lossless has no color transform. */
+  def encodeLosslessColor(width: Int, height: Int, precision: Int,
+      predictor: Int, planes: Array[Array[Int]], pointTransform: Int = 0,
+      restartInterval: Int = 0): Array[Byte] = {
+    val nc = planes.length
+    require(nc >= 2 && nc <= 4, s"2..4 components, got $nc (use encodeLossless for 1)")
+    require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+    require(precision >= 2 && precision <= 16,
+      s"lossless precision must be 2..16, got $precision")
+    require(predictor >= 1 && predictor <= 7, s"predictor must be 1..7, got $predictor")
+    require(pointTransform >= 0 && pointTransform < precision,
+      s"point transform $pointTransform out of range for precision $precision")
+    val maxS = (1 << precision) - 1
+    planes.zipWithIndex.foreach { case (p, c) =>
+      require(p.length == width * height,
+        s"component $c: ${p.length} samples for ${width}x$height")
+      require(p.forall(v => v >= 0 && v <= maxS),
+        s"component $c sample out of range for precision $precision")
+    }
+    val pt = pointTransform
+    val sp = planes.map(p => if (pt == 0) p else p.map(_ >> pt))
+    val codes = canonicalCodes(LsBits, LsVals)
+    val bits = new BitWriter
+    val defaultPred = 1 << (precision - pt - 1)
+    var fresh = true
+    var restartRow = 0
+    var since = 0
+    var rst = 0
+    var i = 0
+    while (i < width * height) {
+      if (restartInterval > 0 && since == restartInterval) {
+        bits.restart(rst); rst = (rst + 1) % 8
+        since = 0; fresh = true; restartRow = i / width
+      }
+      var c = 0
+      while (c < nc) {
+        val pred = losslessPredict(sp(c), width, i % width, i / width,
+          predictor, defaultPred, fresh, restartRow)
+        var d = (sp(c)(i) - pred) & 0xffff
+        if (d > 32768) d -= 65536
+        if (d == 32768) { val (cd, l) = codes(16); bits.put(cd, l) }
+        else {
+          val s = magnitude(d)
+          val (cd, l) = codes(s); bits.put(cd, l)
+          if (s > 0) bits.put(if (d >= 0) d else d + (1 << s) - 1, s)
+        }
+        c += 1
+      }
+      fresh = false
+      since += 1
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    dhtSeg(out, 0, 0, LsBits, LsVals)
+    dhtSeg(out, 0, 1, LsBits, LsVals)
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte]((restartInterval >> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    val sof = ByteBuffer.allocate(6 + 3 * nc)
+      .put(precision.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(nc.toByte)
+    (0 until nc).foreach { c =>
+      sof.put((c + 1).toByte).put(0x11.toByte).put(0.toByte)
+    }
+    seg(out, 0xc3, sof.array())
+    val sos = new Array[Byte](1 + 2 * nc + 3)
+    sos(0) = nc.toByte
+    (0 until nc).foreach { c =>
+      sos(1 + 2 * c) = (c + 1).toByte
+      sos(2 + 2 * c) = (if (c == 0) 0x00 else 0x10).toByte // Td 0 / 1, Ta unused
+    }
+    sos(1 + 2 * nc) = predictor.toByte
+    sos(2 + 2 * nc) = 0
+    sos(3 + 2 * nc) = pt.toByte
+    seg(out, 0xda, sos)
+    out.write(bits.finish())
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   /** Decode ONE lossless scan: per sample, a DC-style Huffman category +
     * magnitude bits gives the prediction difference (mod 2^16); restart
     * markers verify cadence and reset the prediction. Returns the
     * point-transformed raster (caller shifts left by Pt on output). */
   private def runLosslessScan(br: BitReader, w: Int, h: Int, precision: Int,
-      predictor: Int, pt: Int, tab: HuffTable, restartInterval: Int): Array[Int] = {
-    val out = new Array[Int](w * h)
+      predictor: Int, pt: Int, tabs: Array[HuffTable],
+      restartInterval: Int): Array[Array[Int]] = {
+    // multi-component lossless (the DICOM RGB shape) interleaves ONE
+    // sample per component per MCU (all factors 1x1 — A.2.3 degenerate
+    // case); each component predicts within its OWN plane with its own
+    // Huffman table, and the H.1.1 restart state is shared because the
+    // planes advance in lockstep
+    val nc = tabs.length
+    val out = Array.fill(nc)(new Array[Int](w * h))
     val defaultPred = 1 << (precision - pt - 1)
     val maxS = (1 << (precision - pt)) - 1
     var fresh = true
@@ -882,22 +976,26 @@ object JpegCodec {
     var since = 0
     var rst = 0
     var i = 0
-    while (i < out.length) {
+    while (i < w * h) {
       if (restartInterval > 0 && since == restartInterval) {
         br.expectRestart(rst); rst = (rst + 1) % 8
         since = 0; fresh = true; restartRow = i / w
       }
-      val s = tab.decode(br)
-      require(s <= 16, s"invalid lossless difference category $s")
-      val d = if (s == 16) 32768 else extend(br.receive(s), s)
-      val pred = losslessPredict(out, w, i % w, i / w,
-        predictor, defaultPred, fresh, restartRow)
+      var c = 0
+      while (c < nc) {
+        val s = tabs(c).decode(br)
+        require(s <= 16, s"invalid lossless difference category $s")
+        val d = if (s == 16) 32768 else extend(br.receive(s), s)
+        val pred = losslessPredict(out(c), w, i % w, i / w,
+          predictor, defaultPred, fresh, restartRow)
+        val v = (pred + d) & 0xffff
+        require(v <= maxS,
+          s"reconstructed sample $v exceeds ${precision}-bit (Pt=$pt) range " +
+            s"0..$maxS at index $i component $c — corrupt stream or wrong predictor")
+        out(c)(i) = v
+        c += 1
+      }
       fresh = false
-      val v = (pred + d) & 0xffff
-      require(v <= maxS,
-        s"reconstructed sample $v exceeds ${precision}-bit (Pt=$pt) range " +
-          s"0..$maxS at index $i — corrupt stream or wrong predictor")
-      out(i) = v
       since += 1
       i += 1
     }
@@ -1685,7 +1783,7 @@ object JpegCodec {
     var arith = false
     var precision = 8
     var pointT = 0
-    var losslessPx: Array[Int] = null
+    var losslessPx: Array[Array[Int]] = null
     val quantT = new Array[Array[Int]](4)
     val dcT = new Array[HuffTable](4)
     val acT = new Array[HuffTable](4)
@@ -1775,11 +1873,17 @@ object JpegCodec {
             require(w.toLong * h < Int.MaxValue / 8,
               s"implausible dims ${w}x$h overflow the raster size")
             val ncomp = bytes(body + 5) & 0xff
-            require(ncomp == 1 || ncomp == 3,
+            require(ncomp == 1 || ncomp == 3 || (lossless && ncomp <= 4),
               s"only grayscale (1) or YCbCr (3 components) supported, got $ncomp")
-            if (lossless) require(ncomp == 1,
-              s"only single-component lossless is supported, got $ncomp components")
-            if (precision == 12) require(ncomp == 1,
+            if (lossless) require(ncomp <= 4,
+              s"lossless supports at most 4 components (T.81 Table B.7), got $ncomp")
+            if (lossless && ncomp > 1)
+              (0 until ncomp).foreach { i =>
+                require((bytes(body + 7 + 3 * i) & 0xff) == 0x11,
+                  "multi-component lossless requires 1x1 sampling on every " +
+                    "component (the interleaved-sample MCU shape DICOM uses)")
+              }
+            if (precision == 12 && !lossless) require(ncomp == 1,
               "12-bit extended-sequential is supported for grayscale only " +
                 s"(the DICOM-export shape); got $ncomp components")
             require(len >= 2 + 6 + 3 * ncomp, s"SOF too short for $ncomp components")
@@ -1967,10 +2071,13 @@ object JpegCodec {
               } else p += 1
             }
             if (lossless) {
+              require(ns == compIds.length,
+                s"lossless scan has $ns components, frame has ${compIds.length} " +
+                  "(partial lossless scans unsupported)")
               pointT = al
               val br = new BitReader(bytes.slice(entropyStart, scanEnd))
               losslessPx = runLosslessScan(br, w, h, precision, predictor = ss,
-                pt = al, tab = dcT(scanTd(0)), restartInterval = restartInterval)
+                pt = al, tabs = scanTd.map(dcT(_)), restartInterval = restartInterval)
             } else if (arith)
               runArithScan(bytes, entropyStart, scanEnd, coefs, padW,
                 trueW, trueH, compH, compV, mcusX, mcusY,
@@ -1994,10 +2101,25 @@ object JpegCodec {
     if (lossless) {
       // no DCT assembly: the scan decoded the raster directly; the spec's
       // output step re-inserts the point transform's dropped low bits as
-      // zeros (shift left by Pt)
+      // zeros (shift left by Pt). Multi-component output interleaves the
+      // planes UNTRANSFORMED — T.81 lossless has no color transform, so
+      // a 3-component DICOM export's planes ARE its RGB
       require(losslessPx != null, "no lossless scan decoded")
-      val out = if (pointT == 0) losslessPx else losslessPx.map(_ << pointT)
-      return Jpeg(w, h, out, 1, precision)
+      val nc = losslessPx.length
+      val out =
+        if (nc == 1) {
+          if (pointT == 0) losslessPx(0) else losslessPx(0).map(_ << pointT)
+        } else {
+          val o = new Array[Int](w * h * nc)
+          var i = 0
+          while (i < w * h) {
+            var c = 0
+            while (c < nc) { o(i * nc + c) = losslessPx(c)(i) << pointT; c += 1 }
+            i += 1
+          }
+          o
+        }
+      return Jpeg(w, h, out, nc, precision)
     }
 
     // ---- assembly: dequantize + inverse zigzag + IDCT every block ----

@@ -1087,6 +1087,77 @@ SELECT doc_id, w AS width, h AS height, precision_bits, predictor, point_transfo
 FROM s GROUP BY doc_id, w, h, precision_bits, predictor, point_transformed
 ORDER BY doc_id"""
 
+  case class JpegLosslessRgbFeatures(doc_id: Long, width: Int, height: Int,
+    precision_bits: Int, predictor: Int, n_pixels: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long, peak: Int)
+
+  /** MULTI-COMPONENT (RGB) LOSSLESS JPEG — the DICOM color export shape
+    * (transfer syntax 1.2.840.10008.1.2.4.57/.70 with three samples per
+    * pixel): three planes, 1×1 sampling, one interleaved sample per
+    * component per MCU, each plane predicting independently, components
+    * UNTRANSFORMED (T.81 lossless has no color transform). Lossless ⇒
+    * decoded ≡ generated, so per-channel sums hash-gate exactly at 8-
+    * and 16-bit precisions with restart intervals on every 3rd doc. */
+  def decodeJpegLosslessRgb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (3 + id % 5).toInt
+          val h = (2 + id % 4).toInt
+          val precision = if (id % 2 == 0) 8 else 16
+          val predictor = (id % 7 + 1).toInt
+          val ri = if (id % 3 == 0) 5 else 0
+          val m = 1 << precision
+          val planes = Array.tabulate(3)(c =>
+            Array.tabulate(w * h)(i => ((id * 17 + c * 7 + i * 31) % m).toInt))
+          val bytes = JpegCodec.encodeLosslessColor(w, h, precision, predictor,
+            planes, restartInterval = ri)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          require(img.depth == precision && img.channels == 3,
+            s"doc $id: expected a $precision-bit 3-component lossless decode")
+          val sums = new Array[Long](3); var peak = 0
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            sums(i % 3) += v; if (v > peak) peak = v
+            i += 1
+          }
+          JpegLosslessRgbFeatures(id, img.width, img.height, precision,
+            predictor, img.width * img.height, sums(0), sums(1), sums(2), peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Per-channel closed form in SQL — lossless, exact. */
+  val decodeJpegLosslessRgbOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 5 AS INT) AS w,
+         CAST(2 + doc_id % 4 AS INT) AS h,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS precision_bits,
+         CAST(doc_id % 7 + 1 AS INT) AS predictor
+  FROM documents),
+i AS (
+  SELECT doc_id, w, h, precision_bits, predictor,
+         unnest(generate_series(0, w * h - 1)) AS i
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, precision_bits, predictor,
+         (doc_id * 17 + 0 * 7 + i * 31) % (CASE precision_bits WHEN 8 THEN 256 ELSE 65536 END) AS r,
+         (doc_id * 17 + 1 * 7 + i * 31) % (CASE precision_bits WHEN 8 THEN 256 ELSE 65536 END) AS g,
+         (doc_id * 17 + 2 * 7 + i * 31) % (CASE precision_bits WHEN 8 THEN 256 ELSE 65536 END) AS b
+  FROM i)
+SELECT doc_id, w AS width, h AS height, precision_bits, predictor,
+       CAST(w * h AS INT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(greatest(max(r), max(g), max(b)) AS INT) AS peak
+FROM s GROUP BY doc_id, w, h, precision_bits, predictor ORDER BY doc_id"""
+
   case class Jpeg12Features(doc_id: Long, width: Int, height: Int,
     depth_bits: Int, n_blocks: Int, sum_px: Long, peak: Int)
 
@@ -1251,6 +1322,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png_sub8" -> (decodePngSub8 _),
     "multimodal_decode_jpeg" -> (decodeJpeg _),
     "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _),
+    "multimodal_decode_jpeg_lossless_rgb" -> (decodeJpegLosslessRgb _),
     "multimodal_decode_jpeg12" -> (decodeJpeg12 _),
     "multimodal_decode_jpeg_arith" -> (decodeJpegArith _)
   )
@@ -1272,6 +1344,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_png_sub8" -> decodePngSub8Oracle,
     "multimodal_decode_jpeg" -> decodeJpegOracle,
     "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle,
+    "multimodal_decode_jpeg_lossless_rgb" -> decodeJpegLosslessRgbOracle,
     "multimodal_decode_jpeg12" -> decodeJpeg12Oracle,
     "multimodal_decode_jpeg_arith" -> decodeJpegArithOracle
   )

@@ -625,6 +625,126 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(own).pixels.toSeq == pixels.toSeq)
   }
 
+  test("multi-component lossless round-trips bit-for-bit: predictors x precisions x restarts") {
+    val rng = new scala.util.Random(0x3c010)
+    for (pred <- 1 to 7; prec <- Seq(8, 12, 16)) {
+      val w = 7; val h = 5 // no MCU grid in lossless
+      val planes = Array.fill(3)(Array.fill(w * h)(rng.nextInt(1 << prec)))
+      val restart = if (pred % 2 == 0) 6 else 0
+      val img = JpegCodec.decode(JpegCodec.encodeLosslessColor(
+        w, h, prec, pred, planes, restartInterval = restart))
+      assert(img.channels == 3 && img.depth == prec)
+      for (c <- 0 until 3; i <- 0 until w * h)
+        assert(img.pixels(i * 3 + c) == planes(c)(i),
+          s"pred=$pred prec=$prec comp=$c sample $i")
+    }
+    // 2 and 4 components, point transform
+    for (nc <- Seq(2, 4)) {
+      val planes = Array.fill(nc)(Array.fill(12)(rng.nextInt(256)))
+      val img = JpegCodec.decode(JpegCodec.encodeLosslessColor(
+        4, 3, 8, 4, planes, pointTransform = 2))
+      assert(img.channels == nc)
+      for (c <- 0 until nc; i <- 0 until 12)
+        assert(img.pixels(i * nc + c) == (planes(c)(i) >> 2) << 2, s"Pt nc=$nc")
+    }
+  }
+
+  test("multi-component lossless conformance fixture: interleaving, per-plane prediction, per-component tables, shared restarts") {
+    // Hand-built from the spec (like the H.1.1 fixture): w=3 h=2, TWO
+    // components, predictor 1, restart every 4 MCUs. Component 0 codes
+    // on a 5-bit category table (selector 0), component 1 on a 4-bit
+    // 12-category table (selector 1) — a decoder that ignores the
+    // per-component Td or reads planes in the wrong order cannot
+    // reproduce these pixels. Diffs hand-derived (default pred 128,
+    // H.1.1 Ra rule after the restart):
+    //   MCU  c0: px pred d     c1: px pred d
+    //   0    100 128 -28       200 128 +72
+    //   1    110 100 +10       190 200 -10
+    //   2    120 110 +10       180 190 -10
+    //   3    130 100 +30 (Rb)  170 200 -30 (Rb)
+    //   RST0
+    //   4    140 128 +12       160 128 +32
+    //   5    150 140 +10 (Ra)  150 160 -10 (Ra)
+    val c0 = Array(100, 110, 120, 130, 140, 150)
+    val c1 = Array(200, 190, 180, 170, 160, 150)
+    val mcus: Seq[Seq[(Int, Int)]] = Seq( // per MCU: (diff, componentTableBits)
+      Seq(-28 -> 5, 72 -> 4), Seq(10 -> 5, -10 -> 4), Seq(10 -> 5, -10 -> 4),
+      Seq(30 -> 5, -30 -> 4), Seq(12 -> 5, 32 -> 4), Seq(10 -> 5, -10 -> 4))
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+    val bytes = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def flushBits(): Unit = {
+      while (bits.length % 8 != 0) bits += 1
+      bits.grouped(8).foreach { g =>
+        val b = g.foldLeft(0)((a, x) => (a << 1) | x)
+        bytes += b.toByte
+        if (b == 0xff) bytes += 0x00.toByte
+      }
+      bits.clear()
+    }
+    def putBits(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1))
+    mcus.zipWithIndex.foreach { case (mcu, mi) =>
+      if (mi == 4) { flushBits(); bytes += 0xff.toByte += 0xd0.toByte }
+      mcu.foreach { case (d, codeLen) =>
+        val s = if (d == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(d))
+        putBits(s, codeLen) // canonical equal-length code for category s IS s
+        if (s > 0) putBits(if (d >= 0) d else d + (1 << s) - 1, s)
+      }
+    }
+    flushBits()
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xc4, Array(0x00) ++ Array(0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 16)) // table 0: 17 five-bit codes
+    seg(0xc4, Array(0x01) ++ Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 11)) // table 1: 12 four-bit codes
+    seg(0xdd, Array(0, 4))
+    seg(0xc3, Array(8, 0, 2, 0, 3, 2, 1, 0x11, 0, 2, 0x11, 0)) // SOF3: 2 comps
+    seg(0xda, Array(2, 1, 0x00, 2, 0x10, 1, 0, 0)) // predictor 1, Pt 0
+    out.write(bytes.toArray)
+    out.write(0xff); out.write(0xd9)
+    val img = JpegCodec.decode(out.toByteArray)
+    assert(img.width == 3 && img.height == 2 && img.channels == 2)
+    for (i <- 0 until 6) {
+      assert(img.pixels(2 * i) == c0(i), s"comp 0 sample $i")
+      assert(img.pixels(2 * i + 1) == c1(i), s"comp 1 sample $i")
+    }
+    // the codec's own multi-component encoder reads back identically
+    // under the now-pinned decoder
+    val own = JpegCodec.decode(JpegCodec.encodeLosslessColor(
+      3, 2, 8, 1, Array(c0, c1), restartInterval = 4))
+    for (i <- 0 until 6)
+      assert(own.pixels(2 * i) == c0(i) && own.pixels(2 * i + 1) == c1(i))
+  }
+
+  test("multi-component lossless out-of-scope shapes reject loudly") {
+    val good = JpegCodec.encodeLosslessColor(4, 3, 8, 1,
+      Array(Array.fill(12)(5), Array.fill(12)(9), Array.fill(12)(7)))
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc3).get
+    // subsampled multi-component lossless rejects
+    val sub = good.clone()
+    sub(sofAt + 4 + 7) = 0x21.toByte // comp 0 hv
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(sub))
+      .getMessage.contains("1x1"))
+    // a partial (single-component) scan over a 3-component frame rejects
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val partial = good.clone()
+    partial(sosAt + 4) = 1.toByte // ns = 1
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(partial))
+      .getMessage.toLowerCase.contains("scan"))
+    // 5 components exceed Table B.7
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.encodeLosslessColor(2, 2, 8, 1, Array.fill(5)(Array.fill(4)(0))))
+      .getMessage.contains("2..4"))
+  }
+
   test("lossless out-of-scope shapes reject loudly") {
     assert(intercept[IllegalArgumentException](
       JpegCodec.encodeLossless(4, 4, 17, 1, Array.fill(16)(0)))
