@@ -73,6 +73,9 @@ object PlanDump {
     "multimodal_decode_png16" -> "16-bit + Adam7 png decode: per-row byte-level unfilter + 7-pass scatter inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_png_sub8" -> "sub-byte png decode: per-row MSB-first bit unpack over byte-padded pass rows inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_lossless" -> "lossless jpeg decode: per-row predictor+Huffman difference decode at native precision inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_arith" -> "arithmetic-jpeg decode: per-row QM-coder (Table D.3 state machine) entropy decode + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_lossless_rgb" -> "RGB lossless jpeg decode: per-row 3-plane interleaved predictor decode inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_phash_dedup" -> "perceptual near-dup: per-row decode+dHash fingerprints, banded equi-join candidates (posexplode 4 band rows/image), bit_count exact verify on candidates only, no cartesian",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",

@@ -1305,6 +1305,149 @@ SELECT doc_id, w AS width, h AS height,
        CAST(max(v) AS INT) AS peak
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  case class PhashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** PERCEPTUAL image near-dup detection — the cross-pillar operator a
+    * multimodal training corpus needs: re-encoded/brightness-shifted
+    * copies of an image survive content-hash dedup, but share a dHash.
+    * Pipeline: decode (arithmetic-coded JPEG — the Annex D path is ON
+    * the gated surface here), 8× box-downscale to a 9×8 cell grid,
+    * 64-bit difference hash (bit k = cy·8+cx set iff cell(cx+1,cy) >
+    * cell(cx,cy)), split into 4×16-bit bands, candidates via the banded
+    * join (two images at Hamming ≤ 3 share ≥ 1 exact band by
+    * pigeonhole — the simhash/Manku shape), exact popcount verification
+    * on candidates ONLY, then a per-document rollup. Never all-pairs:
+    * at 100 TB the fingerprint build is per-row CPU with zero shuffle,
+    * the join exchanges 4 band rows per image, and the quadratic term
+    * is confined to genuine near-dup buckets — the same scale argument
+    * as `dedup_simhash_pairs`, here carried end-to-end from pixels.
+    *
+    * Fixture determinism: cell-constant even-valued rasters make the
+    * lossy decode exact (the constant-block argument), the box average
+    * is integer-exact on constant cells, and the fixture plants three
+    * structures — groups of gradient-identical images (jitter shifts
+    * every cell equally), single-cell perturbations that flip ≤ 2
+    * gradient bits, and cross-group band collisions that the exact
+    * verify must reject. */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val cells = Array.tabulate(8, 9) { (cy, cx) =>
+            val g = id % 199
+            var v = (2 * ((g * 11 + cx * 17 + cy * 23) % 90) + 20 +
+              2 * (id % 13)).toInt
+            if (id % 4 == 0 && cx == ((id / 4) % 9).toInt &&
+              cy == ((id / 36) % 8).toInt) v += 32
+            v
+          }
+          val w = 72; val h = 64
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < px.length) {
+            px(i) = cells((i / w) / 8)((i % w) / 8)
+            i += 1
+          }
+          val bytes = JpegCodec.encodeConstantBlocksArith(w, h, px)
+          // From here on, ONLY the decoded image is consulted.
+          val img = JpegCodec.decode(bytes)
+          val bands = new Array[Int](4)
+          def cellAvg(cx: Int, cy: Int): Int = {
+            var sum = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { sum += img.pixels((cy * 8 + y) * w + cx * 8 + x); x += 1 }
+              y += 1
+            }
+            sum / 64
+          }
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val k = cy * 8 + cx
+              if (cellAvg(cx + 1, cy) > cellAvg(cx, cy)) bands(k / 16) |= 1 << (k % 16)
+              cx += 1
+            }
+            cy += 1
+          }
+          PhashBands(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF()
+    val bandRows = fp.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val fa = fp.select(col("doc_id").as("a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val fb = fp.select(col("doc_id").as("b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val near = cands.join(fa, "a").join(fb, "b")
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= 2)
+    val sym = near.select(col("a").as("doc_id"), col("b").as("partner"), col("hamming"))
+      .union(near.select(col("b").as("doc_id"), col("a").as("partner"), col("hamming")))
+    val agg = sym.groupBy("doc_id").agg(
+      countDistinct("partner").as("n_near"),
+      min("hamming").as("min_hamming"))
+    fp.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("min_hamming"), lit(-1)).cast("int").as("min_hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** The generator's cell grid, dHash bands, banded join and exact
+    * Hamming verify restated in SQL. */
+  val phashDedupOracle: String = """
+WITH cx AS (
+  SELECT doc_id, unnest(generate_series(0, 8)) AS cx FROM documents),
+cells AS (
+  SELECT doc_id, cx, unnest(generate_series(0, 7)) AS cy,
+         NULL AS pad FROM cx),
+v AS (
+  SELECT doc_id, cx, cy,
+         2 * (((doc_id % 199) * 11 + cx * 17 + cy * 23) % 90) + 20
+           + 2 * (doc_id % 13)
+           + CASE WHEN doc_id % 4 = 0 AND cx = (doc_id // 4) % 9
+                   AND cy = (doc_id // 36) % 8 THEN 32 ELSE 0 END AS v
+  FROM cells),
+bits AS (
+  SELECT a.doc_id, (a.cy * 8 + a.cx) // 16 AS band_idx,
+         sum((CASE WHEN b.v > a.v THEN 1 ELSE 0 END) << ((a.cy * 8 + a.cx) % 16)) AS band_val
+  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+  WHERE a.cx < 8
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bits x JOIN bits y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+ham AS (
+  SELECT c.a, c.b, sum(bit_count(xor(xa.band_val, xb.band_val))) AS hamming
+  FROM cand c
+  JOIN bits xa ON xa.doc_id = c.a
+  JOIN bits xb ON xb.doc_id = c.b AND xb.band_idx = xa.band_idx
+  GROUP BY 1, 2),
+near AS (SELECT * FROM ham WHERE hamming <= 2),
+sym AS (SELECT a AS doc_id, b AS partner, hamming FROM near
+        UNION ALL SELECT b AS doc_id, a AS partner, hamming FROM near),
+agg AS (SELECT doc_id, count(DISTINCT partner) AS n_near,
+               min(hamming) AS min_hamming FROM sym GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_near, 0) AS BIGINT) AS n_near,
+       CAST(coalesce(agg.min_hamming, -1) AS INT) AS min_hamming
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_jpeg_color" -> (decodeJpegColor _),
     "multimodal_decode_jpeg_420" -> (decodeJpeg420 _),
@@ -1324,7 +1467,8 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_jpeg_lossless" -> (decodeJpegLossless _),
     "multimodal_decode_jpeg_lossless_rgb" -> (decodeJpegLosslessRgb _),
     "multimodal_decode_jpeg12" -> (decodeJpeg12 _),
-    "multimodal_decode_jpeg_arith" -> (decodeJpegArith _)
+    "multimodal_decode_jpeg_arith" -> (decodeJpegArith _),
+    "multimodal_phash_dedup" -> (phashDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1346,6 +1490,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     "multimodal_decode_jpeg_lossless" -> decodeJpegLosslessOracle,
     "multimodal_decode_jpeg_lossless_rgb" -> decodeJpegLosslessRgbOracle,
     "multimodal_decode_jpeg12" -> decodeJpeg12Oracle,
-    "multimodal_decode_jpeg_arith" -> decodeJpegArithOracle
+    "multimodal_decode_jpeg_arith" -> decodeJpegArithOracle,
+    "multimodal_phash_dedup" -> phashDedupOracle
   )
 }

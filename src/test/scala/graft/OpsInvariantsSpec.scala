@@ -50,6 +50,29 @@ class OpsInvariantsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("phash dedup: planted structures found, banded join plan has no cartesian") {
+    val df = graft.ops.Multimodal.phashDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"), "exact Hamming verify missing from plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the banded equi-join, never all-pairs")
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // planted structure 1: jitter-only docs of one group share the exact
+    // fingerprint — doc 1 and doc 200 are both group 1 (id % 199), neither
+    // perturbed (id % 4 != 0), so each must see >= 1 partner at Hamming 0
+    assert(rows(1L)._1 >= 1 && rows(1L)._2 == 0, s"doc 1: ${rows(1L)}")
+    assert(rows(200L)._1 >= 1 && rows(200L)._2 == 0, s"doc 200: ${rows(200L)}")
+    // planted structure 2: a perturbed doc (id % 4 == 0) flips <= 2
+    // gradient bits, so any partner it reports sits at Hamming <= 2
+    rows.collect { case (id, (n, mh)) if n > 0 =>
+      assert(mh >= 0 && mh <= 2, s"doc $id reported min_hamming $mh")
+    }
+    // global sanity: near-dups exist and no doc pairs with everything
+    assert(rows.values.count(_._1 > 0) > rows.size / 4, "planted dups missing")
+    assert(rows.values.forall(_._1 < rows.size / 4), "suspiciously dense pairing")
+  }
+
   test("profiler on an EMPTY table still emits one row per column") {
     // the exact/melted side has zero rows on an empty table; the left
     // join must keep the sketch side's per-column rows (n_distinct = 0)
