@@ -1328,7 +1328,11 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * structures — groups of gradient-identical images (jitter shifts
     * every cell equally), single-cell perturbations that flip ≤ 2
     * gradient bits, and cross-group band collisions that the exact
-    * verify must reject. */
+    * verify must reject. The group-dependent cross terms keep band
+    * patterns diverse: at sf0.1 (5000 images, ~60k true pairs) the
+    * banded join emits ~92k candidates — ~1.5× the true mass, where a
+    * naive linear gradient (whose band patterns all collide) emits
+    * 1.8M; at 100× that difference is the join. */
   def phashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fp = Tables.documents(s, d).select("doc_id").as[Long]
@@ -1336,7 +1340,8 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
         batch.map { id =>
           val cells = Array.tabulate(8, 9) { (cy, cx) =>
             val g = id % 199
-            var v = (2 * ((g * 11 + cx * 17 + cy * 23) % 90) + 20 +
+            var v = (2 * ((g * 11 + cx * 17 + cy * 23 +
+              (g % 29 + 3) * cx * cy + (g % 7) * cx * cx) % 90) + 20 +
               2 * (id % 13)).toInt
             if (id % 4 == 0 && cx == ((id / 4) % 9).toInt &&
               cy == ((id / 36) % 8).toInt) v += 32
@@ -1416,7 +1421,9 @@ cells AS (
          NULL AS pad FROM cx),
 v AS (
   SELECT doc_id, cx, cy,
-         2 * (((doc_id % 199) * 11 + cx * 17 + cy * 23) % 90) + 20
+         2 * (((doc_id % 199) * 11 + cx * 17 + cy * 23
+               + ((doc_id % 199) % 29 + 3) * cx * cy
+               + ((doc_id % 199) % 7) * cx * cx) % 90) + 20
            + 2 * (doc_id % 13)
            + CASE WHEN doc_id % 4 = 0 AND cx = (doc_id // 4) % 9
                    AND cy = (doc_id // 36) % 8 THEN 32 ELSE 0 END AS v

@@ -59,10 +59,10 @@ class OpsInvariantsSpec extends AnyFunSuite {
       "candidates must come from the banded equi-join, never all-pairs")
     val rows = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     // planted structure 1: jitter-only docs of one group share the exact
-    // fingerprint — doc 1 and doc 200 are both group 1 (id % 199), neither
+    // fingerprint — docs 1 and 399 are both group 1 (id % 199), neither
     // perturbed (id % 4 != 0), so each must see >= 1 partner at Hamming 0
     assert(rows(1L)._1 >= 1 && rows(1L)._2 == 0, s"doc 1: ${rows(1L)}")
-    assert(rows(200L)._1 >= 1 && rows(200L)._2 == 0, s"doc 200: ${rows(200L)}")
+    assert(rows(399L)._1 >= 1 && rows(399L)._2 == 0, s"doc 399: ${rows(399L)}")
     // planted structure 2: a perturbed doc (id % 4 == 0) flips <= 2
     // gradient bits, so any partner it reports sits at Hamming <= 2
     rows.collect { case (id, (n, mh)) if n > 0 =>
