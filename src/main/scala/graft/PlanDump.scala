@@ -76,6 +76,7 @@ object PlanDump {
     "multimodal_decode_jpeg_arith" -> "arithmetic-jpeg decode: per-row QM-coder (Table D.3 state machine) entropy decode + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_lossless_rgb" -> "RGB lossless jpeg decode: per-row 3-plane interleaved predictor decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_phash_dedup" -> "perceptual near-dup: per-row decode+dHash fingerprints, banded equi-join candidates (posexplode 4 band rows/image), bit_count exact verify on candidates only, no cartesian",
+    "multimodal_decode_gif" -> "gif decode: per-row LZW + palette + de-interlace inside one mapPartitions, zero shuffle before the tiny feature rows",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",

@@ -1305,6 +1305,78 @@ SELECT doc_id, w AS width, h AS height,
        CAST(max(v) AS INT) AS peak
 FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
 
+  case class GifFeatures(doc_id: Long, width: Int, height: Int,
+    n_colors: Int, n_transparent: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** GIF decode as a first-class gate — billions of real training-corpus
+    * images are GIFs. The full container surface is on the gated path:
+    * LZW entropy decode (variable-width codes, clear/end), global color
+    * table sizes 4/8/16 cycling, interlacing on every 3rd doc (row
+    * de-permutation), transparency on every 5th (alpha-0 pixels excluded
+    * from the sums), arbitrary non-aligned dims. GIF is LOSSLESS, so the
+    * decoded raster equals the generator closed form exactly — no
+    * determinism trick needed. External conformance (both directions vs
+    * the JDK's independent ImageIO implementation, including animation
+    * and the KwKwK/dictionary-overflow LZW corners) lives in
+    * GifCodecSpec. Scale shape: per-row CPU in one mapPartitions, zero
+    * shuffle before the feature rows. */
+  def decodeGif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { batch =>
+        batch.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val nCol = 1 << (2 + id % 3).toInt
+          val pal = Array.tabulate(nCol)(i =>
+            ((((i * 37 + id * 3) % 256) << 16) |
+              (((i * 59 + id * 5) % 256) << 8) |
+              ((i * 83 + id * 7) % 256)).toInt)
+          val idx = Array.tabulate(w * h)(p =>
+            (((p % w) * 3 + (p / w) * 5 + id) % nCol).toByte)
+          val transparent = if (id % 5 == 0) (id % nCol).toInt else -1
+          val bytes = GifCodec.encode(w, h, pal, Seq((0, 0, w, h, idx)),
+            interlace = id % 3 == 0, transparentIndex = transparent)
+          // From here on, ONLY the decoded image is consulted.
+          val gif = GifCodec.decode(bytes)
+          require(gif.frames.length == 1, s"doc $id: expected one frame")
+          val fr = gif.frames.head
+          var nT = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          fr.pixels.foreach { p =>
+            if ((p >>> 24) == 0) nT += 1
+            else {
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            }
+          }
+          GifFeatures(id, fr.width, fr.height, nCol, nT, sr, sg, sb)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** The GIF generator's palette and index closed forms in SQL — exact,
+    * because GIF is lossless. */
+  val decodeGifOracle: String = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 9 AS INT) AS w,
+         CAST(6 + doc_id % 7 AS INT) AS h,
+         CAST(1 << (2 + doc_id % 3) AS INT) AS n_colors,
+         CASE WHEN doc_id % 5 = 0 THEN doc_id % (1 << (2 + doc_id % 3)) ELSE -1 END AS t
+  FROM documents),
+xs AS (SELECT doc_id, w, h, n_colors, t,
+              unnest(generate_series(0, w * h - 1)) AS pos FROM p),
+px AS (
+  SELECT doc_id, w, h, n_colors, t,
+         ((pos % w) * 3 + (pos // w) * 5 + doc_id) % n_colors AS i
+  FROM xs)
+SELECT doc_id, w AS width, h AS height, n_colors,
+       CAST(count(*) FILTER (WHERE i = t) AS BIGINT) AS n_transparent,
+       CAST(sum(CASE WHEN i = t THEN 0 ELSE (i * 37 + doc_id * 3) % 256 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i = t THEN 0 ELSE (i * 59 + doc_id * 5) % 256 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i = t THEN 0 ELSE (i * 83 + doc_id * 7) % 256 END) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h, n_colors ORDER BY doc_id"""
+
   case class PhashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   /** PERCEPTUAL image near-dup detection — the cross-pillar operator a
@@ -1475,7 +1547,8 @@ ORDER BY d.doc_id"""
     "multimodal_decode_jpeg_lossless_rgb" -> (decodeJpegLosslessRgb _),
     "multimodal_decode_jpeg12" -> (decodeJpeg12 _),
     "multimodal_decode_jpeg_arith" -> (decodeJpegArith _),
-    "multimodal_phash_dedup" -> (phashDedup _)
+    "multimodal_phash_dedup" -> (phashDedup _),
+    "multimodal_decode_gif" -> (decodeGif _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1498,6 +1571,7 @@ ORDER BY d.doc_id"""
     "multimodal_decode_jpeg_lossless_rgb" -> decodeJpegLosslessRgbOracle,
     "multimodal_decode_jpeg12" -> decodeJpeg12Oracle,
     "multimodal_decode_jpeg_arith" -> decodeJpegArithOracle,
-    "multimodal_phash_dedup" -> phashDedupOracle
+    "multimodal_phash_dedup" -> phashDedupOracle,
+    "multimodal_decode_gif" -> decodeGifOracle
   )
 }
