@@ -12,8 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads the columns/row-groups a query actually touches.
   */
 object Tables {
+  /** Resolution memo (optimization r17): `spark.read.parquet` costs ~100 ms
+    * of pure driver work per call (file listing + footer schema inference),
+    * and nearly every declared query re-resolved its source tables 1-4×
+    * per execution — measured ~40% of a hot mid-tier query's latency at
+    * sf0.1 (q1_sales_per_month 466 → ~270 ms). Resolving each immutable
+    * source table ONCE per session is exactly what `spark.table()` over a
+    * catalog does in production: only the analyzed PLAN (schema + file
+    * index metadata) is reused — execution still scans the parquet files
+    * on every action, so no result or data caching is introduced. Keyed by
+    * session instance and registered in [[graft.util.SessionCaches]], so
+    * the bench's cold pass (which clears session memos) still measures a
+    * cold session's first resolution. Only the immutable driver testdata
+    * goes through here — mutable staged/versioned tables resolve their own
+    * version dirs. */
+  private val resolvedCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("tables.resolved")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolvedCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -97,6 +97,8 @@ object GraftFunctions {
       exprs => ArrayDot(exprs.head, exprs(1))),
     ("misra_gries", classOf[MisraGriesAgg],
       exprs => MisraGriesAgg(exprs.head, asInt(exprs(1)))),
+    ("simhash_sums", classOf[SimhashSumsAgg],
+      exprs => SimhashSumsAgg(exprs.head, exprs(1), exprs(2), exprs(3))),
     ("pq_encode", classOf[PqEncode],
       exprs => PqEncode(exprs.head, exprs(1), asInt(exprs(2)), asInt(exprs(3)), asInt(exprs(4)))),
     ("pq_table", classOf[PqTable],

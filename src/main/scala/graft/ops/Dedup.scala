@@ -507,27 +507,31 @@ ORDER BY doc_a, doc_b"""
     * engine-specific. One narrow pass: explode words → SimhashBits
     * signed bit sums per doc → reassemble. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    // Fingerprint aggregation via the single-buffer `simhash_sums`
+    // TypedImperativeAggregate (optimization r17). The previous form was
+    // 120 separate `sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)`
+    // aggregates — a 120-slot HashAggregate that exceeds
+    // `spark.sql.codegen.maxFields` (100), so the whole aggregate ran
+    // INTERPRETED: every word row paid 120 boxed expression evaluations
+    // twice (partial + final). `simhash_sums` keeps one Array[Int](120)
+    // per doc and updates it with a shift/mask loop; partial/merge
+    // mergeability is unchanged (counter arrays add), and eval assembles
+    // the two sign-safe 60-bit longs with the identical `counter >= 0`
+    // tie rule — see [[graft.functions.SimhashSumsAgg]] for the pinned
+    // equivalence (incl. the NULL-hash corner). Results bit-identical;
+    // only the aggregate's execution strategy changes.
+    graft.functions.GraftFunctions.register(s)
     val words = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .withColumn("hv1", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
       .withColumn("hv2", conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long"))
       .withColumn("hv3", conv(substring(md5(col("word")), 17, 8), 16, 10).cast("long"))
       .withColumn("hv4", conv(substring(md5(col("word")), 25, 8), 16, 10).cast("long"))
-    def srcBit(half: String, b: Int) =
-      if (b < 32) shiftright(col(if (half == "lo") "hv1" else "hv3"), b)
-      else shiftright(col(if (half == "lo") "hv2" else "hv4"), b - 32)
-    val bitAggs = Seq("lo", "hi").flatMap { half =>
-      (0 until SimhashHalf).map { b =>
-        sum(when(srcBit(half, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"${half}$b")
-      }
-    }
-    val sums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    def assemble(half: String) = (0 until SimhashHalf)
-      .map(b => when(col(s"${half}$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), assemble("hi").as("simhash_hi"),
-      assemble("lo").as("simhash_lo")).orderBy("doc_id")
+    val sums = words.groupBy("doc_id").agg(
+      call_function("simhash_sums",
+        col("hv1"), col("hv2"), col("hv3"), col("hv4")).as("fp"))
+    sums.select(col("doc_id"), col("fp.hi").as("simhash_hi"),
+      col("fp.lo").as("simhash_lo")).orderBy("doc_id")
   }
 
   val simhashOracle: String = {

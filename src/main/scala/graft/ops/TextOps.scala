@@ -246,11 +246,23 @@ FROM scored"""
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) >= 3)
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // df(tok) = distinct docs containing tok = rows of tf per tok,
+    // computed as an unbounded COUNT WINDOW over tf partitioned by tok
+    // (opt r17, guide §2.3/§2.4). The r16 shape ran a SECOND
+    // scan+explode+distinct pipeline over the raw token stream for df —
+    // two full-stream exchanges; deriving df from a tf re-aggregation
+    // instead gets column-pruned back into the distinct shape (the count
+    // the pruner drops is exactly what made the exchanges shareable), so
+    // the window is the form that provably shuffles the raw stream ONCE
+    // and moves only aggregated (doc, tok) rows afterwards. Caveat noted
+    // for 100 TB: the unbounded frame buffers one hot token's (doc, tok)
+    // group per task (spillable ExternalAppendOnlyUnsafeRowArray), where
+    // the old broadcast-join df never buffered — acceptable against
+    // halving the dominant raw-token exchange.
+    val wDf = Window.partitionBy("tok")
     val nDf = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_q"), asc("tok"))
-    tf.join(dfreq, "tok")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDf))
       .withColumn("score_q", expr("(tf * (n + 1) * 1000000) DIV (df + 1)"))
       .withColumn("rnk", row_number().over(w))
@@ -299,14 +311,34 @@ ORDER BY doc_id, rnk"""
     * all-terms score matrix. */
   def bm25Rank(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("spark", "vector", "customer")
-    val toks = Tables.fanout(s, Tables.documents(s, d))
+    val base = Tables.fanout(s, Tables.documents(s, d))
+    // doc length = size of the split array — a PROJECTION, replacing the
+    // r16 shape's full-corpus explode + per-doc hash-agg (the exploded
+    // token stream never materializes for dl, and no doc-keyed exchange
+    // is paid; opt r17, guide §2.3 "aggregate before you shuffle" taken
+    // to its limit: don't explode what a scalar expression can count).
+    // Exactly equal: explode emits one row per split element. The fanout
+    // exchange is shared with the hits branch via ReusedExchange.
+    // null-text guard as an EXPRESSION, not a Filter: the explode shape
+    // emitted no rows for a NULL text, so a null-text doc must stay out of
+    // dl/stats here too (none exist in the fixtures; the guard pins the
+    // equivalence for any corpus). A Filter node would get pushed below
+    // the fanout repartition and make this branch's exchange subtree
+    // differ from the hits branch's, defeating the runtime stage reuse
+    // that keeps this at ONE corpus scan — a null dl never survives the
+    // inner join to tf (a null-text doc has no tokens, hence no tf rows),
+    // and sum/count skip nulls, so the expression form is exact.
+    val dl = base.select(col("doc_id"),
+      when(col("text").isNotNull,
+        size(split(lower(col("text")), " ")).cast("long")).as("dl"))
+    val stats = dl.agg(sum("dl").as("s_total"), count(col("dl")).as("n_docs"))
+    val hits = base
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(sum("dl").as("s_total"), count(lit(1)).as("n_docs"))
-    val hits = toks.filter(col("tok").isin(qTerms: _*))
+      .filter(col("tok").isin(qTerms: _*))
     val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = hits.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // df from tf (the tfidfTopTerms rewrite): distinct-doc count per term
+    // = rows of tf per term — no second distinct() pipeline over hits
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -372,10 +404,15 @@ FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
           .filter(length(col("tok")) >= 3)
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfreq = toks.select("doc_id", "tok").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+        // df as a count window over tf partitioned by tok — the
+        // tfidfTopTerms rewrite: the once-per-corpus-version index build
+        // shuffles the raw token stream ONCE instead of twice (the old
+        // second distinct() pipeline), at the cost of a spillable buffer
+        // on the hottest token's group
+        val wDf = org.apache.spark.sql.expressions.Window.partitionBy("tok")
         val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-        tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+        tf.withColumn("df", count(lit(1)).over(wDf))
+          .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("tok"),
             expr("tf * (n + 1) * 1000 DIV (df + 1)").as("wt"))
       }

@@ -417,8 +417,14 @@ FROM enc GROUP BY doc_id ORDER BY doc_id"""
       .select(col("doc_id"),
         expr("element_at(ws, i)").as("w1"),
         expr("element_at(ws, i + 1)").as("w2"))
-    val unigram = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bigram  = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // c(w1·) = Σ_w2 c(w1,w2) exactly (every bigram instance has one w2),
+    // so the unigram table folds out of the bigram counts instead of a
+    // third full pass + exchange over the raw bigram stream — the
+    // generator runs once for the model (ReusedExchange) and the unigram
+    // exchange carries aggregated counts, not instances (opt r17,
+    // guide §2.3/§2.4).
+    val unigram = bigram.groupBy("w1").agg(sum("c2").as("c1"))
     val lm = bigram.join(unigram, "w1")
       .select(col("w1"), col("w2"), expr("c2 * 1000000L div c1").as("p_ppm"))
     big.join(lm, Seq("w1", "w2"))

@@ -91,7 +91,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
   test("dedup_simhash_pairs plan budget") { audit("dedup_simhash_pairs", 3, 1) }
   test("copurchase_pairs plan budget")    { audit("copurchase_pairs", 2, 1) }
-  test("lm_score plan budget")            { audit("lm_score", 6, 2) }
+  // r17 optimization: 6 → 7 exchanges, but strictly fewer BYTES — the
+  // unigram table now re-aggregates the bigram COUNTS (c1 = Σ_w2 c2, one
+  // extra exchange of ~|vocab|² aggregated rows) instead of running a
+  // THIRD scan→fanout→generator→partial-agg pass over the raw bigram
+  // instance stream; the generator subtree executes once for the model
+  // (ReusedExchange) where it used to execute twice
+  test("lm_score plan budget")            { audit("lm_score", 7, 2) }
   // r13: the old 0-exchange budget was an ACCIDENT of cache aliasing —
   // the gate's 0.5-threshold plan canonically matched a frame another
   // test had persisted, so the whole query counted as one
