@@ -92,13 +92,27 @@ FROM g ORDER BY doc_id"""
         substring(md5(concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"))), 1, 16)
           .as("gh"))
       .distinct()
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val bench = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+      .withColumn("__hit", lit(1L))
+    // Optimization r17 (guide §2.3/§2.4): the old shape ran THREE
+    // consumers over `grams` — perDoc (full corpus), bench (1/20, filter
+    // pushed to the scan), and the probe join (19/20) — and because the
+    // pushed %20 filters sink below the window+md5 pipeline, the
+    // consumers' exchange subtrees differ and nothing is reused: the gram
+    // pipeline executed ~2× the corpus. Marking hits with a broadcast
+    // LEFT join and aggregating count + hit-sum in ONE per-doc pass folds
+    // perDoc and the probe into a single 19/20 pipeline (total gram work
+    // ≈ 1× the corpus). Exactly equal: the original inner join kept only
+    // docs with ≥ 1 hit (and perDoc's extra %20==0 rows never survived
+    // it); `sum(__hit)` over the left join counts exactly the grams with
+    // a bench match (bench ghs are distinct, so the join multiplicity is
+    // 1), and a doc with zero hits aggregates to NULL and is dropped by
+    // the n_hit >= 1 filter — the same doc set.
     grams.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(bench), "gh")
+      .join(broadcast(bench), Seq("gh"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"))
-      .join(perDoc, "doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("__hit").as("n_hit"))
+      .filter(col("n_hit") >= 1)
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_grams"), 6).as("hit_ratio"))
       .orderBy("doc_id")

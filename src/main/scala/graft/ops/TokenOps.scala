@@ -461,7 +461,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     * the [[tokenRarity]] shape at span granularity; only fingerprints ever
     * shuffle, never text. */
   def spanDedup(s: SparkSession, d: String): DataFrame = {
-    val spans = Tables.fanout(s, Tables.documents(s, d))
+    val spans0 = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
       .select(col("doc_id"), col("ws"),
@@ -469,6 +469,16 @@ GROUP BY doc_id ORDER BY doc_id"""
       .select(col("doc_id"),
         md5(concat_ws(" ",
           expr("slice(ws, CAST(c * 16 + 1 AS INT), 16)"))).as("h"))
+    // Optimization r17 (guide §2.4): `spans` feeds two consumers — the
+    // document-frequency aggregate and the join probe — whose exchange
+    // subtrees DIFFER (one carries the countDistinct partial), so the
+    // span generator (split + slice + md5 over every span) executed
+    // twice. One explicit hash exchange on the join/grouping key makes
+    // both consumers start from the identical subtree: the generator
+    // runs once, the df aggregate and the join both read the one
+    // materialized exchange (and are already partitioned on h, so
+    // neither pays a further data exchange).
+    val spans = spans0.repartition(col("h"))
     val docFreq = spans.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
     spans.join(docFreq, "h")
       .groupBy("doc_id")

@@ -563,6 +563,21 @@ FROM d ORDER BY window_start"""
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // The two RocksDB production settings [[streamSessionN]]'s rocks
+      // branch already applies, missing here since this clone was added
+      // (optimization r17 — the stream profile showed every
+      // transformWithState micro-batch uploading a FULL snapshot zip,
+      // rocksdbSaveZipFilesLatencyMs ≈ 180 ms/batch, where the r16 sf100
+      // probe established changelog checkpointing as the default for
+      // frequent triggers: commit cost scales with the batch's state
+      // delta, not the store size; snapshots move to maintenance).
+      // minBatchesToRetain=2 is the same r16 rule — latest + in-flight is
+      // what restart semantics need; the default 100 multiplies retained
+      // state versions under multi-trigger corpus-scale state.
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       ss
     })
 
