@@ -781,24 +781,35 @@ FROM k GROUP BY 1 ORDER BY 1"""
     * 100 TB the top-k fraction comes from an approx-quantile threshold
     * on the score instead (one pass, no global sort). */
   def dsirSample(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.fanout(s, Tables.documents(s, d))
+    // r17 restructure (guide §2.3/§2.4): the old shape consumed the raw
+    // token stream through THREE branches (source histogram, en-filtered
+    // target histogram, per-doc scoring), and the pushed lang filter made
+    // the branches' exchange subtrees differ — the explode + per-token
+    // md5 pipeline executed ~3× the corpus. Pre-aggregating ONCE to
+    // (doc_id, lang, bucket, cnt) — docs × ≤256 buckets, far smaller
+    // than token instances — gives every branch the identical exchange
+    // subtree (explode runs once), the target histogram becomes a
+    // CONDITIONAL sum instead of a filtered second pass + left join +
+    // na.fill (exactly equal: a bucket with no en tokens sums to 0, what
+    // the fill produced), and the per-doc score re-aggregates counts
+    // (Σ lr·cnt / Σ cnt ≡ the per-instance mean).
+    val docB = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .withColumn("b", conv(substring(md5(col("w")), 1, 2), 16, 10).cast("long"))
-      .select("doc_id", "lang", "b")
-    val src = tok.groupBy("b").agg(count(lit(1)).as("sb"))
-    val tgt = tok.where(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("tbc"))
-    val stats = src.join(tgt, Seq("b"), "left").na.fill(0L, Seq("tbc"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+    val stats = docB.groupBy("b").agg(
+      sum("cnt").as("sb"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tbc"))
     val tot = stats.agg(sum("sb").as("s_tot"), sum("tbc").as("t_tot"))
     val rated = stats.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         """((tbc + 1) * 1000000L div (t_tot + 256)) * 1000000L
            div ((sb + 1) * 1000000L div (s_tot + 256)) - 1000000L""").as("lr_ppm"))
-    val scored = tok.join(broadcast(rated), "b")
+    val scored = docB.join(broadcast(rated), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("sum(lr_ppm) div count(1)").as("dsir_ppm"))
+      .agg(sum("cnt").as("n_tokens"),
+        expr("sum(lr_ppm * cnt) div sum(cnt)").as("dsir_ppm"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("kept",

@@ -719,7 +719,7 @@ FROM s GROUP BY doc_id, w, h, ch, interlaced ORDER BY doc_id"""
     * IDCT reference (JpegCodecSpec). */
   def decodeJpeg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -797,7 +797,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * (JpegCodecSpec) against BT.601 ground truth. */
   def decodeJpegColor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -869,7 +869,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * cannot hide in the sums. */
   def decodeJpeg420(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (16 * (1 + id % 2)).toInt
@@ -964,7 +964,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     * that reset is gate-covered too. */
   def decodeJpegProgressive(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (16 * (1 + id % 2)).toInt
@@ -1175,7 +1175,7 @@ FROM s GROUP BY doc_id, w, h, precision_bits, predictor ORDER BY doc_id"""
     * shape: per-row CPU inside one mapPartitions, zero shuffle. */
   def decodeJpeg12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -1245,7 +1245,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * path is ON the gated surface, not just in the spec. */
   def decodeJpegArith(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id").as[Long]
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 4)).toInt

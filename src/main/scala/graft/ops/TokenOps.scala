@@ -41,14 +41,27 @@ object TokenOps {
     * driver state. Mean token frequency is reported as an exact integer sum
     * plus a ppm rate — both engines do the same BIGINT arithmetic. */
   def tokenRarity(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.fanout(s, Tables.documents(s, d))
+    // r17 (guide §2.3/§2.4): the frequency aggregate and the join probe
+    // consumed the raw (doc_id, tok) instance stream through two
+    // differently-shaped exchanges — column pruning drops doc_id below
+    // any shared exchange on the frequency branch (a bare repartition
+    // reuse point does NOT survive it; measured liveGenerates=2) — so
+    // the corpus explode ran twice. Pre-aggregating ONCE to
+    // (doc_id, tok, cnt) makes doc_id a GROUPING key, which pruning
+    // cannot remove: both branches share the identical exchange subtree
+    // (explode once) and everything downstream moves aggregated rows.
+    // Exactly equal: f(tok) = Σ_doc cnt; per-doc n_tokens = Σ cnt;
+    // sum_freq = Σ f·cnt; a hapax (f = 1) necessarily has cnt = 1, so
+    // n_hapax = Σ cnt where f = 1 ≡ the old per-instance count.
+    val docTok = Tables.fanout(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
-    tok.join(freq, "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val freq = docTok.groupBy("tok").agg(sum("cnt").as("f"))
+    docTok.join(freq, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum("f").as("sum_freq"),
-        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("f") * col("cnt")).as("sum_freq"),
+        sum(when(col("f") === 1L, col("cnt")).otherwise(0L)).as("n_hapax"))
       .withColumn("rarity_ppm", expr("n_hapax * 1000000L div n_tokens"))
       .orderBy("doc_id")
   }

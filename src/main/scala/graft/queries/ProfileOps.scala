@@ -123,12 +123,22 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
     val docs = Tables.fanout(s, Tables.documents(s, d))
     val toks = docs.select(explode(split(col("text"), " ")).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("nw"))
-    val nUni = toks.agg(count(lit(1)).as("n_uni"))
+    // N_uni = Σ nw exactly (every token instance counts once in its
+    // word's group), so the total folds out of the unigram counts —
+    // r17: the old scalar count over `toks` was column-pruned into a
+    // SECOND explode pass over the corpus; this form re-aggregates the
+    // vocab-sized rows of the one unigram exchange (guide §2.3/§2.4)
+    val nUni = uni.agg(sum("nw").as("n_uni"))
     // generator yields no rows for sub-2-word docs — the oracle's length
     // filter is implicit here
     val bigramRows = docs.select(expr("word_ngrams(text, 2)").as("bigram"))
-    val nBig = bigramRows.agg(count(lit(1)).as("n_big"))
-    bigramRows.groupBy("bigram").agg(count(lit(1)).as("nxy"))
+    val bigramCounts = bigramRows.groupBy("bigram").agg(count(lit(1)).as("nxy"))
+    // N_big = Σ nxy PRE-filter, same identity — the old scalar count ran
+    // the word_ngrams generate over the corpus a second time; this
+    // branch and the rule pipeline below now share the one bigram
+    // exchange (identical subtrees → runtime ReusedExchange)
+    val nBig = bigramCounts.agg(sum("nxy").as("n_big"))
+    bigramCounts
       .filter(col("nxy") >= minCount)
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .withColumn("w2", element_at(split(col("bigram"), " "), 2))
