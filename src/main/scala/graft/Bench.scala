@@ -63,12 +63,40 @@ object Bench {
       if (corpusBytes >= (512L << 20)) "0.2" else "0.5")
     System.err.println(
       s"[bench] corpus=$corpusBytes bytes -> spark.memory.storageFraction=$storageFraction")
+    // AQE size-first partition coalescing: EXAMINED AND REJECTED for this
+    // workload (optimization r17). The Spark tuning doc recommends
+    // `coalescePartitions.parallelismFirst=false` in production (size
+    // reduce stages by bytes against the 64 MB advisory target), and the
+    // ~110 ms × 32-task dispatch floor per reduce stage (Probe) made it
+    // look like a broad win — but a 3-pass A/B on the affected queries
+    // measured the opposite, calibration-adjusted: copurchase_pairs 2.44
+    // → 5.37 s, window_rank_per_group 1.13 → 2.20, single_source_risk
+    // 1.44 → 2.07, dedup_cosine_lsh 1.61 → 2.25. Mechanism: bytes-first
+    // coalescing assumes bytes ≈ work, but these reduce stages are
+    // CPU-DENSE at small bytes (collect_set basket expansion, window
+    // ranks, hamming verifies) and collapsing them to one task
+    // serializes real compute. At 100 TB the setting is moot for heavy
+    // stages (partitions exceed the advisory size) — so the Spark
+    // default stays, and the knob remains for re-measurement on hosts
+    // where dispatch dominates compute.
+    val parallelismFirst =
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+    // Same A/B discipline for the join-strategy preference (guide §3.1/§9:
+    // allowing shuffled-hash join skips both sort passes of a sort-merge
+    // when one side fits a per-partition hash table). Strategy choice
+    // cannot change join RESULTS — only the physical operator. Default is
+    // whatever the A/B concluded; see OPTIMIZATION_r17.md.
+    val preferSmj =
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.memory.storageFraction", storageFraction)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parallelismFirst)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // HOST-CALIBRATION ANCHOR (r16 verdict #2): the same-code A/B that

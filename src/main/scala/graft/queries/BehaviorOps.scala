@@ -39,11 +39,15 @@ object BehaviorOps {
     Tables.lineitem(s, d)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set("l_partkey")).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      // r17: pair expansion as TWO stacked explodes instead of the nested
+      // transform/flatten lambda — the HOF form is a CodegenFallback
+      // expression evaluated interpreted per basket (the same trap the
+      // contamination gram build documents); posexplode + slice-explode
+      // emit the identical (parts[i], parts[j]), j > i pair set through
+      // codegen GenerateExec nodes. Same rows, same one-shuffle shape.
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+      .select(col("p1"),
+        explode(expr("slice(parts, i + 2, size(parts))")).as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
@@ -241,12 +245,14 @@ GROUP BY 1 ORDER BY 1"""
     // shuffle volume of emitting both directions raw), then mirror the
     // counted pair table: co-occurrence is symmetric, so both rule
     // orientations share one support count
+    // r17: same codegen pair expansion as copurchasePairs — two stacked
+    // explodes replace the interpreted nested-lambda flatten (identical
+    // (parts[i], parts[j]), j > i pair set; measured ~2× on the sibling)
     val canon = grouped
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.a").as("p1"), col("pr.b").as("p2"))
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(parts, i + 2, size(parts))")).as("b"))
+      .groupBy(col("a").as("p1"), col("b").as("p2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     val pairs = canon
