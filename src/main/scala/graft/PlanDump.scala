@@ -31,11 +31,11 @@ object PlanDump {
     "timeseries_gapfill" -> "gap-fill: broadcast type dim onto the generated calendar, left join of the pre-agg",
     "dedup_cosine_lsh" -> "bucketed near-dup: candidates from (tbl, bucket) equi-joins, no cartesian",
     "range_join_islands" -> "custom IntervalJoinExec: probe side streamed, no BroadcastNestedLoopJoin",
-    "tfidf_top_terms" -> "explode linear, tf/df partial aggs, vocab join, per-doc ranking window",
+    "tfidf_top_terms" -> "explode linear ONCE (r17): df as a count window over tf partitioned by tok - no second distinct pipeline, no vocab join; per-doc ranking window",
     "text_top_bigrams" -> "fan-out exchange before the explode, partial count, TakeOrderedAndProject",
     "salted_join" -> "salted exchange on (key, salt) both sides, build side replicated, no broadcast",
     "knn_graph" -> "LSH candidates from (tbl, bucket) equi-joins, per-vector ranking window, no cartesian",
-    "contamination_ngrams" -> "codegen gram build (lead windows, no HOF), shared gram exchange reused, benchmark side broadcast",
+    "contamination_ngrams" -> "codegen gram build (lead windows, no HOF); single per-doc pass (r17): benchmark grams broadcast LEFT join mark hits, n_grams + n_hit in ONE aggregate",
     "sequence_pack" -> "one hash exchange on the shard key + in-partition sort, then a linear stateful scan",
     "dedup_keep_best" -> "argmax as packed struct max: partial_max before the group-hash exchange, no window",
     "gen_source_scan" -> "DSv2 pushdown: scan description shows the pruned range and projected cols, no post-scan Filter on id",
@@ -48,7 +48,7 @@ object PlanDump {
     "ngram_udtf" -> "custom Generate node feeds partial count, TakeOrderedAndProject cut",
     "dpp_star_scan" -> "dynamic partition pruning: fact scan carries dynamicpruningexpression(sale_year), only matching year dirs listed",
     "snapshot_star_read" -> "snapshot-consistent star: fact + dims all resolved from ONE _SNAPSHOT manifest, dims broadcast, partial aggs before the exchange",
-    "pmi_bigrams" -> "codegen gram build via the word_ngrams Generate node (no interpreted HOF), vocab joins, TakeOrderedAndProject",
+    "pmi_bigrams" -> "codegen gram build via word_ngrams Generate (no interpreted HOF); N_uni/N_big folded from the count tables (r17, one scan), vocab joins, TakeOrderedAndProject",
     "dq_checks" -> "column rules + uniqueness in ONE combined aggregate pass: exactly two lineitem scans total (rules + FK probe)",
     "paginated_keyset" -> "keyset cursor: the Or-predicate lands in PushedFilters on the part scan, O(page) at any depth",
     "span_prune_firstwins" -> "first-wins span prune: fingerprint min-agg, one join back, per-doc sorted rebuild - no all-pairs",
@@ -75,13 +75,13 @@ object PlanDump {
     "multimodal_decode_jpeg_lossless" -> "lossless jpeg decode: per-row predictor+Huffman difference decode at native precision inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_arith" -> "arithmetic-jpeg decode: per-row QM-coder (Table D.3 state machine) entropy decode + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_lossless_rgb" -> "RGB lossless jpeg decode: per-row 3-plane interleaved predictor decode inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "multimodal_phash_dedup" -> "perceptual near-dup: per-row decode+dHash fingerprints, banded equi-join candidates (posexplode 4 band rows/image), bit_count exact verify on candidates only, no cartesian",
+    "multimodal_phash_dedup" -> "perceptual near-dup (r17): 32-way codec stage runs ONCE behind a fingerprint-proxy exchange (ReusedExchange on all 4 consumers), banded equi-join candidates, bit_count exact verify only, no cartesian",
     "multimodal_decode_gif" -> "gif decode: per-row LZW + palette + de-interlace inside one mapPartitions, zero shuffle before the tiny feature rows",
     "order_status_dwell" -> "time-in-status percentiles: ONE hash exchange on user_id feeds the lead window, percentile aggregates over the status-sized residue",
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",
     "merge_upsert_mor" -> "merge-on-read read path: DV applied as a broadcast anti-join on the physical position, data + _mor scan union never shuffles",
-    "dsir_importance_sample" -> "DSIR: 256-row bucket-stats side broadcast onto the token stream, only (bucket, doc_id) ints reach the doc-score exchange",
+    "dsir_importance_sample" -> "DSIR (r17): ONE explode pre-aggregated to (doc, lang, bucket, cnt) shared by histogram + scoring branches; 256-row bucket stats broadcast back; only count-weighted ints move",
     "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only",
     "phrase_search" -> "positional inverted index: each phrase term reads its own PushedFilters-pruned sliver of the stored term-sorted index, adjacency joins carry candidate positions only - the corpus is never scanned at query time",
     "analyze_table_stats" -> "ANALYZE stats: ONE aggregate pass - multi-distinct planned via Expand, no join, min/max/null counts ride the same shuffle",
@@ -97,7 +97,7 @@ object PlanDump {
     "merge_schema_evolution" -> "evolved merge read: footer-level mergeSchema + union with NULL backfill for pre-evolution rows - the widened projection is the only plan change, no data was ever rewritten",
     "generated_columns" -> "generated-column read: plain scan of the stored table - generation ran once at write time (computed or observe-verified), queries pay nothing",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
-    "assoc_rules" -> "one-shuffle basket expansion feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
+    "assoc_rules" -> "one-shuffle basket expansion (r17: codegen two-explode pair fan-out, no interpreted HOF) feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",
     "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)",
     "auto_preagg_multikey" -> "multi-key pushdown: uniqueness proven from the (partkey, suppkey) conjunction, AVG split into pushed sum+count partials, fact collapses per composite key below the join",
