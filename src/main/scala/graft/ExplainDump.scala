@@ -23,6 +23,13 @@ object ExplainDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror Bench's planner-affecting confs (r17 review finding: a
+      // session drift here would dump a different physical join operator
+      // than the benchmark actually runs, invalidating plan evidence)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

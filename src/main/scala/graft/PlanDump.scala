@@ -64,16 +64,16 @@ object PlanDump {
     "multimodal_decode_ppm" -> "image decode: per-row PpmCodec.decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "ann_topk_ivfpq" -> "IVF-PQ: cell-equi-join prunes the scan to nprobe cells, cached (cell, codes) index side, pq_adc + topk_min partial aggregation",
     "runtime_bloom_join" -> "InjectRuntimeFilter: fact side carries might_contain(bloom_agg(selective dim keys)) before its shuffle, no query rewrite",
-    "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "multimodal_decode_jpeg_420" -> "subsampled-jpeg decode: per-row 6-block-MCU entropy decode + replication upsample + BT.601 inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "multimodal_decode_jpeg_progressive" -> "progressive-jpeg decode: per-row 9-scan coefficient accumulation (spectral bands + bit refinements) + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg" -> "jpeg decode: per-row Huffman+IDCT inside one mapPartitions behind a fanout exchange of doc ids (r17: 32-way codec stage); only id ints shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_420" -> "subsampled-jpeg decode: per-row 6-block-MCU entropy decode + replication upsample + BT.601 inside one mapPartitions behind a fanout exchange of doc ids (r17: 32-way codec stage); only id ints shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_progressive" -> "progressive-jpeg decode: per-row 9-scan coefficient accumulation (spectral bands + bit refinements) + one assembly IDCT inside one mapPartitions behind a fanout exchange of doc ids (r17: 32-way codec stage); only id ints shuffle before the tiny feature rows",
     "ann_recall_eval" -> "sampled recall gate: seeded 64-query sample broadcast-semi-joins both rankings - O(corpus x budget), the exact interior never goes all-queries",
     "ann_topk_bruteforce" -> "sampled exact anchor: seeded 64-query budget broadcast-semi-joined into the query set, corpus never shuffles - O(corpus x budget), never O(n x q)",
     "ann_topk_int8" -> "sampled int8 anchor: same seeded budget, codegen ArrayDot over the integer codes, query side broadcast",
     "multimodal_decode_png16" -> "16-bit + Adam7 png decode: per-row byte-level unfilter + 7-pass scatter inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_png_sub8" -> "sub-byte png decode: per-row MSB-first bit unpack over byte-padded pass rows inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_lossless" -> "lossless jpeg decode: per-row predictor+Huffman difference decode at native precision inside one mapPartitions, zero shuffle before the tiny feature rows",
-    "multimodal_decode_jpeg_arith" -> "arithmetic-jpeg decode: per-row QM-coder (Table D.3 state machine) entropy decode + one assembly IDCT inside one mapPartitions, zero shuffle before the tiny feature rows",
+    "multimodal_decode_jpeg_arith" -> "arithmetic-jpeg decode: per-row QM-coder (Table D.3 state machine) entropy decode + one assembly IDCT inside one mapPartitions behind a fanout exchange of doc ids (r17: 32-way codec stage); only id ints shuffle before the tiny feature rows",
     "multimodal_decode_jpeg_lossless_rgb" -> "RGB lossless jpeg decode: per-row 3-plane interleaved predictor decode inside one mapPartitions, zero shuffle before the tiny feature rows",
     "multimodal_phash_dedup" -> "perceptual near-dup (r17): 32-way codec stage runs ONCE behind a fingerprint-proxy exchange (ReusedExchange on all 4 consumers), banded equi-join candidates, bit_count exact verify only, no cartesian",
     "multimodal_decode_gif" -> "gif decode: per-row LZW + palette + de-interlace inside one mapPartitions, zero shuffle before the tiny feature rows",

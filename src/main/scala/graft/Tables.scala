@@ -25,13 +25,25 @@ object Tables {
     * the bench's cold pass (which clears session memos) still measures a
     * cold session's first resolution. Only the immutable driver testdata
     * goes through here — mutable staged/versioned tables resolve their own
-    * version dirs. */
+    * version dirs. Staleness guard (r17 review): immutability is not
+    * merely asserted — the memo key carries the path's LAST-MODIFIED
+    * time (one stat syscall per call, vs ~100 ms per avoided
+    * resolution), so a caller that rewrites `$dir/<name>.parquet` in
+    * place and re-queries gets a FRESH resolution instead of the first
+    * resolution's stale file listing; the superseded entry is a plain
+    * unpersisted plan object, so nothing leaks. */
   private val resolvedCache =
-    graft.util.SessionCaches.memo[(SparkSession, String)]("tables.resolved")
+    graft.util.SessionCaches.memo[(SparkSession, String, Long)]("tables.resolved")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    resolvedCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      catch { case _: java.io.IOException => -1L } // let Spark raise its own error
+    resolvedCache.getOrElseUpdate((spark, path, mtime),
+      spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

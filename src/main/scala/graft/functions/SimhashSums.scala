@@ -25,10 +25,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * Semantics are EXACTLY the r16 expression form, including the null
   * corner: a NULL hash value contributed -1 to every one of its 32 bit
   *  sums there (`when(null === 1, 1).otherwise(-1)`), so a null child
-  * decrements its 30/32-bit slice here too (unreachable from [[
+  * decrements its 32- or 28-bit slice here too (unreachable from [[
   * graft.ops.Dedup.simhash]], whose md5-derived hv columns are never null,
   * but pinned so the aggregate is a drop-in for the expression form on ANY
-  * input).
+  * input). Slice widths per hash value: 32 bits for hv1/hv3, 28 bits
+  * (= Half − 32) for hv2/hv4 — 60 per half.
   *
   * Layout contract (mirrors Dedup.simhash v2): counters 0-59 are the `lo`
   * half (bits 0-31 from hv1, 32-59 from hv2), counters 60-119 the `hi`

@@ -30,6 +30,18 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** doc_id source for a CPU-heavy codec stage, fanned to full
+    * parallelism (r17): the corpus parquet is a single split at bench
+    * scale, so the whole encode+decode stage otherwise runs as ONE task;
+    * only 8-byte ids cross the fanout exchange. Used by exactly the
+    * gates whose per-row codec work outweighs a 32-task dispatch — the
+    * sub-quarter-second gates deliberately stay on the plain scan. */
+  private def fannedDocIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long]
+  }
+
+
   /** Synthetic media table: a deterministic 128-byte payload per document
     * (md5 of the text, repeated — engine-reproducible) plus typed metadata.
     * Stands in for a real `binary` column read from parquet. */
@@ -719,7 +731,7 @@ FROM s GROUP BY doc_id, w, h, ch, interlaced ORDER BY doc_id"""
     * IDCT reference (JpegCodecSpec). */
   def decodeJpeg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -797,7 +809,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * (JpegCodecSpec) against BT.601 ground truth. */
   def decodeJpegColor(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -869,7 +881,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * cannot hide in the sums. */
   def decodeJpeg420(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (16 * (1 + id % 2)).toInt
@@ -964,7 +976,7 @@ FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id"""
     * that reset is gate-covered too. */
   def decodeJpegProgressive(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (16 * (1 + id % 2)).toInt
@@ -1175,7 +1187,7 @@ FROM s GROUP BY doc_id, w, h, precision_bits, predictor ORDER BY doc_id"""
     * shape: per-row CPU inside one mapPartitions, zero shuffle. */
   def decodeJpeg12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 3)).toInt
@@ -1245,7 +1257,7 @@ FROM v GROUP BY doc_id, w, h ORDER BY doc_id"""
     * path is ON the gated surface, not just in the spec. */
   def decodeJpegArith(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long] /* r17: 32-way codec stage (single-split source ran it as ONE task) */
+    fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val w = (8 * (1 + id % 4)).toInt
@@ -1423,7 +1435,7 @@ FROM px GROUP BY doc_id, w, h, n_colors ORDER BY doc_id"""
     //     exchange subtree, which AQE's ReuseExchange materializes once —
     //     decode exactly once, move only proxy bytes after (the §8 rule:
     //     heavy payload work once, decisions on lightweight proxies).
-    val fp0 = Tables.fanout(s, Tables.documents(s, d).select("doc_id")).as[Long]
+    val fp0 = fannedDocIds(s, d)
       .mapPartitions { batch =>
         batch.map { id =>
           val cells = Array.tabulate(8, 9) { (cy, cx) =>
