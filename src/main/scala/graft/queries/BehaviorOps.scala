@@ -247,7 +247,12 @@ GROUP BY 1 ORDER BY 1"""
     // orientations share one support count
     // r17: same codegen pair expansion as copurchasePairs — two stacked
     // explodes replace the interpreted nested-lambda flatten (identical
-    // (parts[i], parts[j]), j > i pair set; measured ~2× on the sibling)
+    // (parts[i], parts[j]), j > i pair set; measured ~2× on the sibling).
+    // (r17 batch 5 also BUILT AND REJECTED a deeper fusion — marker rows
+    // folding items/nOrders into one tally aggregate: the consumers'
+    // grouping-key filters push below the shared aggregate, split the
+    // subtree, and the basket explode ran 7× instead of 3; measured
+    // slower — see OPTIMIZATION_r17.md batch 5.)
     val canon = grouped
       .select(col("parts"), posexplode(col("parts")).as(Seq("i", "a")))
       .select(col("a"),
@@ -255,10 +260,17 @@ GROUP BY 1 ORDER BY 1"""
       .groupBy(col("a").as("p1"), col("b").as("p2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+    // r17 batch 5: mirror via ONE explode of a 2-struct array instead of
+    // unionAll of two selects — the union's branches were two separate
+    // consumers of `canon`, so the pair table's FINAL hash aggregate (and
+    // its exchange read) executed twice; the explode emits the identical
+    // row multiset from a single execution of the aggregate
     val pairs = canon
-      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab"))
-      .unionAll(canon
-        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab")))
+      .select(explode(array(
+        struct(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab")),
+        struct(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab"))))
+        .as("r"))
+      .select("r.antecedent", "r.consequent", "r.n_ab")
     pairs
       .join(broadcast(items.withColumnRenamed("l_partkey", "antecedent")
         .withColumnRenamed("n_item", "n_a")), "antecedent")

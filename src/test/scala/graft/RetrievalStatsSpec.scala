@@ -47,6 +47,29 @@ class RetrievalStatsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("assoc rules: orientation mirror — explode form equals the unionAll form") {
+    // r17 batch 5 pins the rewrite: mirroring the canonical pair table by
+    // exploding a 2-struct array must emit the IDENTICAL row multiset the
+    // old unionAll-of-two-selects emitted (the rewrite exists so the pair
+    // aggregate finalizes once instead of once per union branch)
+    import spark.implicits._
+    val canon = Seq((1L, 2L, 3L), (0L, 5L, 2L), (7L, 9L, 2L), (1L, 9L, 3L))
+      .toDF("p1", "p2", "n_ab")
+    val viaUnion = canon
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab"))
+      .unionAll(canon
+        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab")))
+    val viaExplode = canon
+      .select(explode(array(
+        struct(col("p1").as("antecedent"), col("p2").as("consequent"), col("n_ab")),
+        struct(col("p2").as("antecedent"), col("p1").as("consequent"), col("n_ab"))))
+        .as("r"))
+      .select("r.antecedent", "r.consequent", "r.n_ab")
+    assert(viaExplode.exceptAll(viaUnion).count() == 0)
+    assert(viaUnion.exceptAll(viaExplode).count() == 0)
+    assert(viaExplode.count() == 2 * canon.count())
+  }
+
   test("assoc rules: confidence recomputes from hand-counted supports") {
     val p = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").distinct().cache()
