@@ -145,6 +145,9 @@ object Bench {
       graft.ops.Dedup.clusters(spark, sfDir).count()
       graft.ops.Dedup.semanticDedup(spark, sfDir).count()
       graft.ops.TextOps.sparseWeights(spark, sfDir).count()
+      // r18: the market-basket table joined the stored-artifact set
+      // (BehaviorOps.baskets — r17 verdict #4); stage it with the others
+      graft.queries.BehaviorOps.baskets(spark, sfDir).count()
       // staged demo tables (publish + committed deletes/merges/OPTIMIZE):
       // skipped entirely when the stamped source fingerprint matches
       graft.ops.DeletionVectors.dvOrders(spark, sfDir)

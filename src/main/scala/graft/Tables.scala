@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the driver testdata (TESTDATA.md).
@@ -27,19 +29,33 @@ object Tables {
     * goes through here — mutable staged/versioned tables resolve their own
     * version dirs. Staleness guard (r17 review): immutability is not
     * merely asserted — the memo key carries the path's LAST-MODIFIED
-    * time (one stat syscall per call, vs ~100 ms per avoided
+    * time (a few stat syscalls per call, vs ~100 ms per avoided
     * resolution), so a caller that rewrites `$dir/<name>.parquet` in
     * place and re-queries gets a FRESH resolution instead of the first
     * resolution's stale file listing; the superseded entry is a plain
-    * unpersisted plan object, so nothing leaks. */
+    * unpersisted plan object, so nothing leaks. r18 (r17 ADVICE): for a
+    * DIRECTORY table (Spark-written parquet) the key is the MAX of the
+    * directory's own mtime and its direct children's — POSIX does not
+    * bump a directory's mtime when a child file is overwritten in place,
+    * so the flat stat alone would serve a stale listing for exactly that
+    * rewrite; one shallow listing per call stays trivially cheap next to
+    * the ~100 ms resolution it spares. */
   private val resolvedCache =
     graft.util.SessionCaches.memo[(SparkSession, String, Long)]("tables.resolved")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val mtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(path)).toMillis
+      try {
+        val p = java.nio.file.Paths.get(path)
+        val own = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.foldLeft(own)((m, c) =>
+            math.max(m, java.nio.file.Files.getLastModifiedTime(c).toMillis))
+          finally st.close()
+        } else own
+      }
       catch { case _: java.io.IOException => -1L } // let Spark raise its own error
     resolvedCache.getOrElseUpdate((spark, path, mtime),
       spark.read.parquet(path))

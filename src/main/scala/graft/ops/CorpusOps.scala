@@ -777,9 +777,10 @@ FROM k GROUP BY 1 ORDER BY 1"""
     *
     * Scale shape: the bucket-stats table is 256 rows (broadcast); tokens
     * shuffle only as (bucket:int, doc_id) pairs for the two hash-aggs —
-    * never text. The global rank is exact here to gate the math; at
-    * 100 TB the top-k fraction comes from an approx-quantile threshold
-    * on the score instead (one pass, no global sort). */
+    * never text. The top-100 boundary is EXACT at any scale without a
+    * global sort: a bounded `topk_min` aggregate (100-pair state, partial
+    * map-side merge) finds the 100th-ranked (score, doc_id) and `kept`
+    * compares against that broadcast threshold (r18). */
   def dsirSample(s: SparkSession, d: String): DataFrame = {
     // r17 restructure (guide §2.3/§2.4): the old shape consumed the raw
     // token stream through THREE branches (source histogram, en-filtered
@@ -810,11 +811,33 @@ FROM k GROUP BY 1 ORDER BY 1"""
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
         expr("sum(lr_ppm * cnt) div sum(cnt)").as("dsir_ppm"))
-    import org.apache.spark.sql.expressions.Window
-    scored
+    // r18 (r17 verdict #1, guide §2.4): `kept` used to be a partition-less
+    // row_number over EVERY scored doc — a SinglePartition exchange + one-
+    // task sort of the corpus-sized score table, dsir's dominant at-scale
+    // cost once the histogram passes were fused. The global rank only ever
+    // DECIDES a boundary, so compute the boundary with the repo's bounded
+    // top-k aggregate instead: topk_min(-dsir_ppm, doc_id, 100) keeps the
+    // 100 smallest (-dsir_ppm, doc_id) pairs — i.e. the top-100 in
+    // (dsir_ppm DESC, doc_id ASC) rank order — with O(100) state per
+    // partial, merged map-side; its LAST element is the 100th-ranked row.
+    // kept ≡ "(-dsir_ppm, doc_id) <= that element lexicographically", which
+    // equals rank <= 100 exactly: the rank order IS this lexicographic
+    // order and (dsir_ppm, doc_id) pairs are unique (doc_id is a key).
+    // Fewer than 100 docs ⇒ the threshold is the order-maximum row ⇒ all
+    // kept, as rank <= 100 marked them. The scored subtree feeds both the
+    // threshold and the output, so its exchange is built once and reused
+    // (no grouping-key filter to split it — ProbeReuse-verified).
+    graft.functions.GraftFunctions.register(s)
+    val thr = scored
+      .agg(call_function("topk_min",
+        -col("dsir_ppm"), col("doc_id"), lit(100)).as("top"))
+      // `get` (not element_at): null, never an ANSI error, on empty input
+      .select(get(col("top"), size(col("top")) - 1).as("t"))
+    scored.crossJoin(broadcast(thr))
       .withColumn("kept",
-        row_number().over(
-          Window.orderBy(desc("dsir_ppm"), col("doc_id"))) <= 100)
+        (col("dsir_ppm") > -col("t.dist")) ||
+          (col("dsir_ppm") === -col("t.dist") && col("doc_id") <= col("t.id")))
+      .select("doc_id", "n_tokens", "dsir_ppm", "kept")
       .orderBy("doc_id")
   }
 

@@ -430,7 +430,25 @@ FROM sc GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20"""
     * set and the results are unchanged. */
   val SparseQueryBudget = 64
 
-  def sparseRetrieval(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  // r18 (r17 verdict #3): rrf_fusion re-ran this ENTIRE probe — the three
+  // sequential broadcast builds plus the posting-list join — to get the
+  // sparse ranking it fuses (~1.7 s of its 1.95 s was duplicated work, and
+  // at cluster RTTs the duplicated job chain is worse). The ranked top-k
+  // is the serving-layer artifact a RAG stack computes once per (corpus
+  // version, query set) and every fusion consumes — the exact shape of the
+  // memoized knnGraph edge set rrf_fusion's DENSE side already reads. Memo
+  // per (session, dataset, k) like knnCache: rows are query-budget × k
+  // (~320), no disk artifact (unlike the weights INDEX this is derived
+  // per-query-set output, so it stays session-lifetime only), cleared by
+  // SessionCaches.clear so the bench's cold pass pays the full probe.
+  private val sparseTopKCache =
+    graft.util.SessionCaches.memo[(SparkSession, String, Int)]("text.sparseTopK")
+
+  def sparseRetrieval(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    sparseTopKCache.getOrElseUpdate((s, d, k),
+      sparseRetrievalUncached(s, d, k).persistOnce())
+
+  private def sparseRetrievalUncached(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = sparseWeights(s, d)
     val qids = w.select("doc_id").where(col("doc_id") % 100 === 0).distinct()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.SessionCaches.PersistOnce
 
 /** Behavioral / co-occurrence analytics over the fact tables — the
   * user-journey and market-basket query family a warehouse on top of the
@@ -27,18 +28,42 @@ object BehaviorOps {
 
   // ------------------------------------------------------------ co-purchase
 
+  // r18 (r17 verdict #4): the (order → sorted distinct part set) basket
+  // table is the input of BOTH market-basket queries, and inside
+  // assoc_rules its collect_set FINALIZATION executed once per consumer
+  // branch (3×: pair expansion, item counts, basket count) — the in-query
+  // fusion was built in r17 and measured WORSE (grouping-key filters split
+  // the shared subtree), so per that round's ledger the basket aggregate
+  // becomes a stored corpus artifact instead: built once per lineitem
+  // version via SilverArtifact (the sparse_weights / shingle-table
+  // pattern), memoized per session, so every consumer reads k·|orders|
+  // basket rows and the fact scan + order-key shuffle + set aggregation
+  // run once per corpus version, not three times per query execution.
+  private val basketCache =
+    graft.util.SessionCaches.memo[(SparkSession, String)]("behavior.baskets")
+
+  private[graft] def baskets(s: SparkSession, d: String): DataFrame =
+    basketCache.getOrElseUpdate((s, d), {
+      val base = graft.util.SilverArtifact.pathFor(d, "baskets")
+      val fp = graft.util.SilverArtifact.sourceFingerprint(
+        s"$d/lineitem.parquet", "baskets-v1-distinct-sorted")
+      graft.util.SilverArtifact.getOrBuild(s, base, fp) {
+        Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set("l_partkey")).as("parts"))
+      }
+        .persistOnce()
+    })
+
   /** Part pairs co-occurring in an order, top-100 by support. Scale shape:
     * ONE shuffle (groupBy orderkey with map-side partial sets), then the
     * pair fan-out runs per order and is bounded by the basket size — a
     * ~7-line order yields ≤21 pairs, so the expansion is linear in orders,
     * never the all-pairs self-join (which would shuffle the fact twice and
-    * explode on hot orders). The nested-lambda expansion is interpreted
-    * (CodegenFallback) but runs on tiny arrays after the aggregate; the
-    * hash-agg + TakeOrderedAndProject downstream dominate. */
+    * explode on hot orders). r18: the basket aggregate is the stored
+    * [[baskets]] artifact shared with [[assocRules]]. */
   def copurchasePairs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set("l_partkey")).as("parts"))
+    baskets(s, d)
       // r17: pair expansion as TWO stacked explodes instead of the nested
       // transform/flatten lambda — the HOF form is a CodegenFallback
       // expression evaluated interpreted per basket (the same trap the
@@ -234,10 +259,12 @@ GROUP BY 1 ORDER BY 1"""
     // distinct/agg passes over lineitem) makes every branch consume the
     // IDENTICAL subtree, so runtime exchange reuse executes the fact
     // scan + order-key shuffle once instead of four times (this plus
-    // the canonical-pair halving below measured 3.6 → 1.6 s at sf0.1)
-    val grouped = Tables.lineitem(s, d)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set("l_partkey")).as("parts"))
+    // the canonical-pair halving below measured 3.6 → 1.6 s at sf0.1).
+    // r18: `grouped` is now the stored [[baskets]] artifact — exchange
+    // reuse shared the SHUFFLE across the three branches but each still
+    // finalized the collect_set aggregate; the persisted artifact
+    // finalizes it once per corpus version (r17 verdict #4).
+    val grouped = baskets(s, d)
     val nOrders = grouped.agg(count(lit(1)).as("n_orders"))
     val items = grouped.select(explode(col("parts")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))

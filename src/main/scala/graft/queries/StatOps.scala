@@ -886,7 +886,7 @@ FROM x"""
     * within 30 days in exact ppm — the replenishment-cycle readout
     * behind churn models. Gaps are exact integer day arithmetic with a
     * (date, orderkey) total order; the customer-keyed lag window and
-    * one global rank over the gap table are the only shuffles. */
+    * one per-gap count aggregate are the only fact-scale shuffles. */
   def purchaseCadence(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
     val gaps = Tables.orders(s, d)
@@ -896,16 +896,34 @@ FROM x"""
       .withColumn("gap", col("day") - lag("day", 1).over(w))
       .filter(col("gap").isNotNull)
       .select(col("gap"), col("o_custkey"), col("o_orderkey"))
-    val n = gaps.agg(count(lit(1)).as("n"),
-      sum(when(col("gap") <= 30, 1L).otherwise(0L)).as("n_30"))
-    val rw = Window.orderBy(col("gap"), col("o_custkey"), col("o_orderkey"))
-    gaps.withColumn("rn", row_number().over(rw).cast("long"))
+    // r18 (guide §2.4): the old shape ranked the FULL fact-scale gap table
+    // with a partition-less row_number — a SinglePartition exchange + one-
+    // task sort of every gap row ("WindowExec: No Partition Defined", the
+    // r17 verdict's #1 at-scale defect). The exact ranks only ever READ
+    // `gap` at three positions, and the rank order is primarily by gap —
+    // the (custkey, orderkey) tie-breakers can never change WHICH gap
+    // value occupies a given global rank. So the gap value at rank k is
+    // min{ g : cum_count(g) >= k } over the PER-GAP count table: aggregate
+    // to (gap, cnt) with map-side partials (distinct gaps are bounded by
+    // the corpus day-range — dimension-sized at any corpus size), then one
+    // running sum over that bounded table. n / n_30 re-aggregate the same
+    // count table, so the fact-scale window subtree is built once and
+    // shared (runtime exchange reuse; no grouping-key filter to split it).
+    val byGap = gaps.groupBy("gap").agg(count(lit(1)).as("cnt"))
+    val n = byGap.agg(sum("cnt").as("n"),
+      sum(when(col("gap") <= 30, col("cnt")).otherwise(0L)).as("n_30"))
+    // bounded-input partition-less window: input is the per-gap AGGREGATE
+    // (≤ day-range rows), never fact rows — the PlanAudit window tripwire
+    // accepts it because a grouped aggregate sits below it
+    val cw = Window.orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byGap.withColumn("cum", sum("cnt").over(cw))
       .crossJoin(broadcast(n))
       .groupBy("n", "n_30")
       .agg(
-        min(when(col("rn") === expr("(n + 3) DIV 4"), col("gap"))).as("p25_gap_days"),
-        min(when(col("rn") === expr("(n + 1) DIV 2"), col("gap"))).as("p50_gap_days"),
-        min(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("gap"))).as("p90_gap_days"))
+        min(when(col("cum") >= expr("(n + 3) DIV 4"), col("gap"))).as("p25_gap_days"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("gap"))).as("p50_gap_days"),
+        min(when(col("cum") >= expr("(9 * n + 9) DIV 10"), col("gap"))).as("p90_gap_days"))
       .select(col("n").as("n_gaps"),
         expr("n_30 * 1000000L DIV n").as("within_30d_ppm"),
         col("p25_gap_days"), col("p50_gap_days"), col("p90_gap_days"))
