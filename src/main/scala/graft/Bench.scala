@@ -84,10 +84,15 @@ object Bench {
     // Same A/B discipline for the join-strategy preference (guide §3.1/§9:
     // allowing shuffled-hash join skips both sort passes of a sort-merge
     // when one side fits a per-partition hash table). Strategy choice
-    // cannot change join RESULTS — only the physical operator. Default is
-    // whatever the A/B concluded; see OPTIMIZATION_r17.md.
+    // cannot change join RESULTS — only the physical operator. r17 measured
+    // the two settings NEUTRAL on the ten most join-heavy queries (8.80 vs
+    // 8.89 s, within calibration noise — the mid-tier joins all broadcast),
+    // and the r17 verdict's read stands: a neutral A/B argues for the
+    // SPARK DEFAULT, not a baked-in non-default. Reverted to `true` in r18
+    // (re-confirmed neutral); the knob remains for join-heavy hosts where
+    // SHJ's skipped sorts actually pay.
     val preferSmj =
-      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

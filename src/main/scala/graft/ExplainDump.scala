@@ -27,7 +27,7 @@ object ExplainDump {
       // session drift here would dump a different physical join operator
       // than the benchmark actually runs, invalidating plan evidence)
       .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .getOrCreate()

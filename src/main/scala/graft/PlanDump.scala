@@ -81,7 +81,7 @@ object PlanDump {
     "data_skipping_read" -> "zone-map file pruning: the FileScan's InMemoryFileIndex lists ONLY the surviving files (paths count < total staged files), date filter still applied on the residue",
     "tpch_small_quantity" -> "Q17 decorrelation: both correlated scalar subqueries merged into ONE grouped aggregate joined back by part key, no nested-loop execution",
     "merge_upsert_mor" -> "merge-on-read read path: DV applied as a broadcast anti-join on the physical position, data + _mor scan union never shuffles",
-    "dsir_importance_sample" -> "DSIR (r17): ONE explode pre-aggregated to (doc, lang, bucket, cnt) shared by histogram + scoring branches; 256-row bucket stats broadcast back; only count-weighted ints move",
+    "dsir_importance_sample" -> "DSIR (r17/r18): ONE explode pre-aggregated to (doc, lang, bucket, cnt) shared by histogram + scoring branches; 256-row bucket stats broadcast back; top-100 kept flag via broadcast topk_min threshold (r18) - no partition-less window, only count-weighted ints move",
     "graph_bfs_distances" -> "BFS: 4 unrolled levels, each one frontier-edge hash join + reached anti-join, frontier-sized exchanges only",
     "phrase_search" -> "positional inverted index: each phrase term reads its own PushedFilters-pruned sliver of the stored term-sorted index, adjacency joins carry candidate positions only - the corpus is never scanned at query time",
     "analyze_table_stats" -> "ANALYZE stats: ONE aggregate pass - multi-distinct planned via Expand, no join, min/max/null counts ride the same shuffle",
@@ -97,12 +97,12 @@ object PlanDump {
     "merge_schema_evolution" -> "evolved merge read: footer-level mergeSchema + union with NULL backfill for pre-evolution rows - the widened projection is the only plan change, no data was ever rewritten",
     "generated_columns" -> "generated-column read: plain scan of the stored table - generation ran once at write time (computed or observe-verified), queries pay nothing",
     "bm25_rank" -> "inverted-index probe: the query-term Filter sits directly on the postings before any exchange, df + corpus scalars broadcast, TakeOrderedAndProject top-20",
-    "assoc_rules" -> "one-shuffle basket expansion (r17: codegen two-explode pair fan-out, no interpreted HOF) feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
+    "assoc_rules" -> "basket expansion over the stored basket artifact (r18: collect_set finalized once per corpus version; r17: codegen two-explode pair fan-out, no interpreted HOF) feeds the pair hash-agg, item-count side broadcast twice, scalar basket count broadcast - no all-pairs self-join",
     "gini_pareto" -> "inequality rollup: fact partial-agg on custkey, nation-partitioned ranking window, 25-row count/nation dims broadcast",
     "auto_preagg_join" -> "AUTOMATIC partial-agg pushdown: PushAggThroughUniqueJoin pre-aggregates the fact on the join key below the join (naive query form, rewritten plan)",
     "auto_preagg_multikey" -> "multi-key pushdown: uniqueness proven from the (partkey, suppkey) conjunction, AVG split into pushed sum+count partials, fact collapses per composite key below the join",
-    "sparse_retrieval" -> "inverted-index probe: weight table read from the stored silver artifact (cached), query postings broadcast, per-pair partial_sum before the exchange, partitioned rank",
-    "rrf_fusion" -> "rank fusion: both rankers' candidate lists meet in a full-outer join, no corpus-sized input reaches the fusion",
+    "sparse_retrieval" -> "inverted-index probe: weight table read from the stored silver artifact (cached), query-side builds pre-filtered to the %100 candidate slice (r18), query postings broadcast, per-pair partial_sum before the exchange, partitioned rank; ranked top-k memoized per session (r18)",
+    "rrf_fusion" -> "rank fusion: both rankers' candidate lists (each a memoized session artifact - knn edges, sparse top-k) meet in a full-outer join, no corpus-sized input reaches the fusion and neither ranker re-runs (r18)",
     "dv_file_prune" -> "DV x skipping composition: fully-deleted files leave the FileScan path list (metadata-only DV-vs-sidecar join decides), partial files keep the broadcast positional anti-join"
   )
 
